@@ -1,0 +1,54 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from sptag_spark.registry import all_specs
+    from sptag_spark.session import get_spark
+
+    spark = get_spark("sptag-bench", cpus=cpus, shuffle_partitions=cpus)
+
+    # Warm up the JVM / Arrow / codegen paths so the first timed query isn't
+    # charged the session startup cost.
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(10).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    specs = all_specs()
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.time()
+        df = spec.query(spark, sf_dir)
+        # materialize the full result without driver collect
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+"""Driver-contract query definitions, grouped by operator family.
+
+Importing this package registers every QuerySpec (see sptag_spark.registry).
+"""
+
+import sptag_spark.queries.knn_queries  # noqa: F401

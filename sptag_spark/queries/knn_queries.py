@@ -1,0 +1,74 @@
+"""Exact k-NN driver-contract queries (Search/BatchSearch parity).
+
+Covers SURVEY.md §2.3 "k-NN search" / "Batch k-NN" and §2.4 "Top-k heap per
+query" for all three reference metrics (DefinitionList.h:36-38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sptag_spark.operators.knn import knn
+from sptag_spark.registry import register
+from sptag_spark.tables import (
+    DEFAULT_K,
+    ORACLE_QUERIES,
+    ORACLE_VECTORS,
+    queries_table,
+    vectors_table,
+)
+
+ROUND = 4
+
+# -- shared DuckDB fragments ------------------------------------------------
+
+_L2SQ = (
+    "list_sum(list_transform(list_zip(q.vector, v.vector), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))"
+)
+_DOT = (
+    "list_sum(list_transform(list_zip(q.vector, v.vector), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM_Q = "sqrt(list_sum(list_transform(q.vector, x -> CAST(x AS DOUBLE)^2)))"
+_NORM_V = "sqrt(list_sum(list_transform(v.vector, x -> CAST(x AS DOUBLE)^2)))"
+
+_DIST_SQL = {
+    "l2": _L2SQ,
+    "cosine": (
+        f"CASE WHEN {_NORM_Q} = 0 OR {_NORM_V} = 0 THEN 1.0 "
+        f"ELSE 1.0 - {_DOT} / ({_NORM_Q} * {_NORM_V}) END"
+    ),
+    "ip": f"-({_DOT})",
+}
+
+
+def knn_oracle_sql(metric: str, k: int = DEFAULT_K) -> str:
+    return f"""
+WITH v AS ({ORACLE_VECTORS}),
+     q AS ({ORACLE_QUERIES}),
+pairs AS (
+  SELECT q.query_id, v.id, {_DIST_SQL[metric]} AS d
+  FROM q CROSS JOIN v
+),
+ranked AS (
+  SELECT query_id, id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, id, round(d, {ROUND}) AS dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _knn_query(metric: str, k: int = DEFAULT_K):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        res = knn(vectors_table(spark, sf_dir), queries_table(spark, sf_dir), k, metric)
+        return res.withColumn("dist", F.round("dist", ROUND))
+
+    return run
+
+
+for _metric in ("l2", "cosine", "ip"):
+    register(f"knn_{_metric}", _knn_query(_metric), knn_oracle_sql(_metric))

@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test bed; the configs are chosen so the same code paths
+(AQE, broadcast thresholds, shuffle partitioning) behave like they would on a
+real cluster — partition-count discipline is the design, local[N] is only the
+harness.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sptag_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    if shuffle_partitions is None:
+        # ~cores in local mode; on a cluster this would scale with executors.
+        shuffle_partitions = cpus
+    if driver_memory is None:
+        driver_memory = os.environ.get("SPTAG_SPARK_DRIVER_MEM", "8g")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

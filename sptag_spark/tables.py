@@ -1,0 +1,80 @@
+"""Canonical table loaders.
+
+The reference's data model (SURVEY.md §1) is a VectorSet (N×D matrix) plus a
+per-vector metadata blob (`AnnService/inc/Core/VectorSet.h:12-81`,
+`MetadataSet.h:12-44`). Our canonical index table is one DataFrame:
+
+    (id BIGINT, vector ARRAY<FLOAT>, meta STRING)
+
+derived from the driver-provided `embeddings` parquet. Tombstones live in a
+side table (`Labelset.h:14-120` → soft-delete table, see operators/mutate.py).
+
+Queries are themselves a DataFrame `(query_id BIGINT, vector ARRAY<FLOAT>)` —
+SPTAG's BatchSearch (`Wrappers/inc/CoreInterface.h:49`) is a join-shaped
+operator in Spark.
+
+At 100 TB, `vectors` is the big fact table: store Parquet/zstd, partitioned
+(for the ANN path, by head_id — see index/postings.py); the query batch is
+small and always broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Every 25th vector doubles as a query: deterministic, derivable from the data
+# alone (queries() callables only receive (spark, sf_dir)).
+QUERY_MODULUS = 25
+DEFAULT_K = 10
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def vectors_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (id, vector, meta) from the embeddings parquet.
+
+    meta mirrors the reference's newline-delimited string metadata convention
+    (`MetadataSet.h:43`; tests use stringified ints `Test/src/AlgoTest.cpp:180`).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.col("label").cast("string").alias("meta"),
+    )
+
+
+def queries_table(
+    spark: SparkSession, sf_dir: str, modulus: int = QUERY_MODULUS
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % modulus == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+
+
+# Shared SQL fragments for the DuckDB oracle (same derivation, ANSI SQL).
+ORACLE_VECTORS = (
+    "SELECT vec_id AS id, embedding AS vector, CAST(label AS VARCHAR) AS meta "
+    "FROM embeddings"
+)
+ORACLE_QUERIES = (
+    f"SELECT vec_id AS query_id, embedding AS vector FROM embeddings "
+    f"WHERE vec_id % {QUERY_MODULUS} = 0"
+)

@@ -1,0 +1,97 @@
+"""Exact k-NN operator tests.
+
+Mirrors the reference's golden-fixture strategy (Test/src/AlgoTest.cpp:160-245:
+deterministic vectors vec[i][j]=i, queries q[i][j]=2i, k=3) and its
+brute-force-truth harness (PerfTest.cpp:186-203): the kernel path must equal
+the declarative path must equal NumPy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sptag_spark.operators.knn import attach_meta, knn, knn_brute_expr
+from sptag_spark.tables import queries_table, vectors_table
+
+DIM = 10
+N = 200
+
+
+@pytest.fixture(scope="module")
+def algotest_fixture(spark):
+    """vec[i][j] = i, meta = str(i); queries q[i][j] = 2i (AlgoTest.cpp:166-188)."""
+    vectors = spark.createDataFrame(
+        [(i, [float(i)] * DIM, str(i)) for i in range(N)],
+        "id long, vector array<float>, meta string",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(2 * i)] * DIM) for i in range(3)],
+        "query_id long, vector array<float>",
+    )
+    return vectors, queries
+
+
+def test_golden_l2_neighbors(algotest_fixture):
+    """For query 2i the L2-nearest vectors are ids 2i, 2i±1, ... ascending by
+    |id - 2i| with smaller-id tie-break (QueryResultSet.h:17-26)."""
+    vectors, queries = algotest_fixture
+    res = knn(vectors, queries, k=3, metric="l2").collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"], r["dist"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        target = 2 * qid
+        # rank 1: exact match, dist 0; ranks 2-3: ids target-1, target+1 (tie
+        # on dist → smaller id first)
+        assert rows[0] == (1, target, 0.0)
+        expected_tie = [target - 1, target + 1] if target >= 1 else [target + 1, target + 2]
+        assert [r[1] for r in rows[1:]] == expected_tie
+
+
+def test_kernel_equals_declarative(spark):
+    rng = np.random.default_rng(7)
+    vectors = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(300)],
+        "id long, vector array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(5)],
+        "query_id long, vector array<float>",
+    )
+    for metric in ("l2", "cosine", "ip"):
+        a = knn(vectors, queries, k=7, metric=metric)
+        b = knn_brute_expr(vectors, queries, k=7, metric=metric)
+        pa = a.orderBy("query_id", "rank").toPandas()
+        pb = b.orderBy("query_id", "rank").toPandas()
+        assert pa[["query_id", "rank", "id"]].equals(pb[["query_id", "rank", "id"]]), metric
+        assert np.allclose(pa["dist"], pb["dist"], atol=1e-9), metric
+
+
+def test_knn_on_testdata(spark, sf_dir):
+    vectors = vectors_table(spark, sf_dir)
+    queries = queries_table(spark, sf_dir)
+    nq = queries.count()
+    res = knn(vectors, queries, k=10, metric="l2")
+    pdf = res.toPandas()
+    assert len(pdf) == nq * 10
+    # every query's rank-1 neighbor is itself at distance 0
+    self_hits = pdf[pdf["rank"] == 1]
+    assert (self_hits["query_id"] == self_hits["id"]).all()
+    assert (self_hits["dist"] == 0.0).all()
+
+
+def test_attach_meta(algotest_fixture):
+    vectors, queries = algotest_fixture
+    res = attach_meta(knn(vectors, queries, k=3, metric="l2"), vectors)
+    rows = res.filter(F.col("rank") == 1).collect()
+    for r in rows:
+        assert r["meta"] == str(r["id"])
+
+
+def test_empty_queries(spark, algotest_fixture):
+    vectors, _ = algotest_fixture
+    empty = spark.createDataFrame([], "query_id long, vector array<float>")
+    assert knn(vectors, empty, k=3).count() == 0

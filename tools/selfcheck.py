@@ -1,0 +1,116 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every queries() entry at sf0.01 on Spark AND its oracle_sql() on DuckDB,
+then compares: row count, sorted column names, and order-insensitive values
+(rows sorted by all columns, exact equality after the query's own rounding).
+
+Usage: python tools/selfcheck.py [name ...]   (no args = all)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+        return problems
+    if problems:
+        return problems
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if a[c].dtype.kind == "f":
+            import numpy as np
+
+            bad = ~(np.isclose(av.astype(float), bv.astype(float), atol=0, rtol=0) | (pd.isna(av) & pd.isna(bv)))
+        else:
+            bad = av != bv
+        n_bad = int(bad.sum())
+        if n_bad:
+            i = int(bad.argmax())
+            problems.append(
+                f"col {c}: {n_bad} mismatches, first at row {i}: "
+                f"spark={av[i]!r} duck={bv[i]!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from sptag_spark.session import get_spark
+
+    names = sys.argv[1:]
+    qs, oracles = e.queries(), e.oracle_sql()
+    if names:
+        qs = {n: qs[n] for n in names}
+    spark = get_spark("selfcheck")
+    con = duck_con()
+    failed = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            spdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {ex}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
+            if len(spdf) == 0:
+                failed.append(name)
+            continue
+        try:
+            dpdf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failed.append(name)
+            continue
+        problems = compare(spdf, dpdf)
+        if problems:
+            print(f"FAIL {name} ({time.time()-t0:.1f}s):")
+            for p in problems:
+                print(f"   {p}")
+            failed.append(name)
+        else:
+            print(f"PASS {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(qs)-len(failed)}/{len(qs)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
