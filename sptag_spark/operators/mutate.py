@@ -1,0 +1,118 @@
+"""Mutation semantics: soft delete, delete-by-vector/meta, append, compaction.
+
+Reference model (SURVEY.md §1.1, §2.9): deletes are *soft* — BKT::DeleteIndex
+just inserts the id into a Labelset tombstone set
+(`src/Core/BKT/BKTIndex.cpp:892-899`, `Common/Labelset.h:14-120`) and search
+skips tombstoned ids (`BKTIndex.cpp:437-440`). When the deleted fraction
+exceeds DeletePercentageForRefine=0.4 (`BKT/ParameterDefinitionList.h:43`),
+RefineIndex (`BKTIndex.cpp:774-873`) rewrites the index densely, remapping ids.
+
+Spark mapping: a `tombstones(id)` side table + LEFT ANTI JOIN at query time;
+compaction is a batch rewrite. At 100 TB the anti-join broadcasts the (small)
+tombstone table; compaction is the rare full rewrite, exactly like the
+reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sptag_spark.functions.distance import l2_sq
+
+# Reference: exact-match threshold for delete-by-vector is dist < 1e-6
+# (`BKTIndex.cpp:884` — search then tombstone everything at distance ~0).
+EXACT_MATCH_EPS = 1e-6
+
+# DeletePercentageForRefine (`BKT/ParameterDefinitionList.h:43`).
+REFINE_DELETED_FRACTION = 0.4
+
+
+def apply_tombstones(vectors: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """Live view of the index: anti-join the tombstone set.
+
+    Tombstones are tiny relative to vectors → Catalyst broadcasts the anti
+    side; no shuffle of the big table.
+    """
+    return vectors.join(F.broadcast(tombstones.select("id")), "id", "left_anti")
+
+
+def delete_by_vector(vectors: DataFrame, targets: DataFrame) -> DataFrame:
+    """Ids whose vector exactly matches any target vector (dist < 1e-6),
+    per `BKTIndex.cpp:875-890`. Returns a tombstone DataFrame (id).
+
+    targets: (vector ARRAY<FLOAT>) — small (a delete request batch) →
+    broadcast; the distance predicate runs JVM-side as a column expression.
+    """
+    t = F.broadcast(targets.select(F.col("vector").alias("target")))
+    return (
+        vectors.crossJoin(t)
+        .filter(l2_sq(F.col("vector"), F.col("target")) < EXACT_MATCH_EPS)
+        .select("id")
+        .distinct()
+    )
+
+
+def meta_mapping(vectors: DataFrame) -> DataFrame:
+    """Meta-key → vector-id mapping, newest (largest id) wins — the
+    GetMetaMapping/UpdateMetaMapping upsert semantics
+    (`inc/Core/VectorIndex.h:187-193`, `src/Core/VectorIndex.cpp:246`).
+    """
+    w = Window.partitionBy("meta").orderBy(F.col("id").desc())
+    return (
+        vectors.select("meta", "id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("meta", "id")
+    )
+
+
+def delete_by_meta(vectors: DataFrame, keys: DataFrame) -> DataFrame:
+    """DeleteByMetaData (`VectorIndex.cpp:478-487`): resolve keys through the
+    latest-wins mapping, emit tombstones. keys: (meta STRING)."""
+    return meta_mapping(vectors).join(F.broadcast(keys), "meta", "left_semi").select("id")
+
+
+def add_batch(vectors: DataFrame, new_vectors: DataFrame) -> DataFrame:
+    """AddIndex append (`Dataset.h:106-124`, `BKTIndex.cpp:901-970`): ids are
+    positional — new rows get ids after the current max. new_vectors:
+    (vector, meta). Returns the unioned index.
+
+    Note: like the reference (single add lock, `m_dataAddLock`), id assignment
+    is a serial decision; we take max(id)+row_number over the batch. The batch
+    is small (a micro-batch), so the window over a single partition is fine.
+    """
+    start = vectors.agg(F.coalesce(F.max("id") + 1, F.lit(0))).first()[0]
+    w = Window.orderBy(F.monotonically_increasing_id())
+    numbered = new_vectors.withColumn(
+        "id", (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
+    ).select("id", "vector", "meta")
+    return vectors.select("id", "vector", "meta").unionByName(numbered)
+
+
+def need_refine(vectors: DataFrame, tombstones: DataFrame) -> bool:
+    """NeedRefine: deleted fraction > 0.4 (`BKTIndex.cpp:774-786`)."""
+    total = vectors.count()
+    if total == 0:
+        return False
+    ndel = tombstones.join(vectors, "id", "left_semi").count()
+    return ndel / total > REFINE_DELETED_FRACTION
+
+
+def refine_index(vectors: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """RefineIndex compaction (`BKTIndex.cpp:774-873`): drop tombstoned rows
+    and remap ids densely (ascending old id → 0..n-1), returning the new index
+    with an old_id column for side-table remapping.
+
+    At scale: the global row_number is a single range-partitioned sort —
+    acceptable for the rare compaction job (the reference also rewrites
+    everything). zipWithIndex-style tricks avoid the sort but lose the
+    deterministic old-id order the reference keeps.
+    """
+    live = apply_tombstones(vectors, tombstones)
+    w = Window.orderBy("id")
+    return (
+        live.withColumn("old_id", F.col("id"))
+        .withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+        .select("id", "old_id", "vector", "meta")
+    )

@@ -1,0 +1,178 @@
+"""Driver-contract queries for mutation/filter semantics (SURVEY.md §2.2, §2.9).
+
+Deterministic scenarios derived from the data alone:
+- tombstones: id % 10 == 0 (like AlgoTest's delete phase; also deletes some
+  query vectors' self-matches, exercising the anti-join inside search)
+- filter: meta != '2' (exactly FilterTest.cpp:33-39's predicate)
+- delete-by-vector targets: the query vectors themselves
+- hybrid relational predicate: join part on id = p_partkey, p_size < 25
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sptag_spark.operators.knn import knn
+from sptag_spark.operators.mutate import (
+    delete_by_vector,
+    meta_mapping,
+    refine_index,
+)
+from sptag_spark.queries.knn_queries import ROUND, _DIST_SQL
+from sptag_spark.registry import register
+from sptag_spark.tables import (
+    DEFAULT_K,
+    ORACLE_QUERIES,
+    ORACLE_VECTORS,
+    load_table,
+    queries_table,
+    vectors_table,
+)
+
+TOMBSTONE_MOD = 10
+
+
+def _ranked_sql(vectors_cte: str, k: int = DEFAULT_K, metric: str = "l2") -> str:
+    return f"""
+WITH v AS ({vectors_cte}),
+     q AS ({ORACLE_QUERIES}),
+pairs AS (
+  SELECT q.query_id, v.id, {_DIST_SQL[metric]} AS d
+  FROM q CROSS JOIN v
+),
+ranked AS (
+  SELECT query_id, id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, id, round(d, {ROUND}) AS dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# -- knn over live set (tombstone anti-join) --------------------------------
+
+
+def _knn_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = vectors_table(spark, sf_dir)
+    tombstones = vectors.filter(F.col("id") % TOMBSTONE_MOD == 0).select("id")
+    from sptag_spark.operators.mutate import apply_tombstones
+
+    live = apply_tombstones(vectors, tombstones)
+    res = knn(live, queries_table(spark, sf_dir), DEFAULT_K, "l2")
+    return res.withColumn("dist", F.round("dist", ROUND))
+
+
+register(
+    "knn_tombstone",
+    _knn_tombstone,
+    _ranked_sql(f"{ORACLE_VECTORS} WHERE vec_id % {TOMBSTONE_MOD} <> 0"),
+)
+
+
+# -- filtered search (FilterTest semantics) ---------------------------------
+
+
+def _knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = vectors_table(spark, sf_dir).filter(F.col("meta") != "2")
+    res = knn(vectors, queries_table(spark, sf_dir), DEFAULT_K, "l2")
+    return res.withColumn("dist", F.round("dist", ROUND))
+
+
+register(
+    "knn_filtered",
+    _knn_filtered,
+    _ranked_sql(f"{ORACLE_VECTORS} WHERE CAST(label AS VARCHAR) <> '2'"),
+)
+
+
+# -- hybrid: vector + relational predicate ----------------------------------
+
+
+def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), "p_size"
+    )
+    vectors = (
+        vectors_table(spark, sf_dir)
+        .join(part, "id", "inner")
+        .filter(F.col("p_size") < 25)
+        .select("id", "vector", "meta")
+    )
+    res = knn(vectors, queries_table(spark, sf_dir), DEFAULT_K, "l2")
+    return res.withColumn("dist", F.round("dist", ROUND))
+
+
+register(
+    "knn_hybrid_relational",
+    _knn_hybrid,
+    _ranked_sql(
+        "SELECT e.vec_id AS id, e.embedding AS vector "
+        "FROM embeddings e JOIN part p ON e.vec_id = p.p_partkey "
+        "WHERE p.p_size < 25"
+    ),
+)
+
+
+# -- delete-by-vector (exact match join) ------------------------------------
+
+
+def _delete_by_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = vectors_table(spark, sf_dir)
+    targets = queries_table(spark, sf_dir).select("vector")
+    return delete_by_vector(vectors, targets)
+
+
+register(
+    "delete_by_vector",
+    _delete_by_vector,
+    f"""
+WITH v AS ({ORACLE_VECTORS}),
+     q AS ({ORACLE_QUERIES})
+SELECT DISTINCT v.id
+FROM q CROSS JOIN v
+WHERE {_DIST_SQL["l2"]} < 1e-6
+""",
+)
+
+
+# -- latest-wins meta mapping ----------------------------------------------
+
+
+def _meta_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return meta_mapping(vectors_table(spark, sf_dir))
+
+
+register(
+    "meta_mapping_latest",
+    _meta_mapping,
+    f"""
+WITH v AS ({ORACLE_VECTORS})
+SELECT meta, id FROM (
+  SELECT meta, id, row_number() OVER (PARTITION BY meta ORDER BY id DESC) AS rn
+  FROM v
+) WHERE rn = 1
+""",
+)
+
+
+# -- compaction (RefineIndex) ----------------------------------------------
+
+
+def _refine_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = vectors_table(spark, sf_dir)
+    tombstones = vectors.filter(F.col("id") % TOMBSTONE_MOD == 0).select("id")
+    return refine_index(vectors, tombstones).select("id", "old_id", "meta")
+
+
+register(
+    "refine_compact",
+    _refine_compact,
+    f"""
+WITH v AS ({ORACLE_VECTORS})
+SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS id,
+       id AS old_id, meta
+FROM v WHERE id % {TOMBSTONE_MOD} <> 0
+""",
+)
