@@ -1,0 +1,99 @@
+"""MultiIndexScan — weighted multi-vector rank aggregation.
+
+Reference: `src/Core/MultiIndexScan.cpp:87-178` pulls candidates round-robin
+from per-index iterators, scores each entity with Σ wᵢ·distᵢ
+(WeightedRankFunc, `MultiIndexScan.cpp:41-48`), and keeps a global k-heap with
+a seen-set. That iterator machinery is an approximation device; the closed
+form is: per entity, compute the weighted sum of its per-column distances to
+the query, then exact top-k. We compute it directly — same map-side-top-k
+shape as operators/knn.py, so the shuffle carries only candidates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sptag_spark.operators.knn import _as_matrix, _block_distances, _exact_pair_dists
+
+
+@dataclass
+class IndexSpec:
+    """One member index: a vector column on the entity table, the matching
+    query-vector column on the query table, a weight and a metric."""
+
+    vec_col: str
+    query_col: str
+    weight: float = 1.0
+    metric: str = "l2"
+
+
+def multi_index_scan(
+    vectors: DataFrame,
+    queries: DataFrame,
+    specs: list[IndexSpec],
+    k: int = 10,
+) -> DataFrame:
+    """vectors: (id, <spec.vec_col>...); queries: (query_id, <spec.query_col>...).
+
+    Returns (query_id, rank, id, score) ascending by (score, id) — the
+    reference's min-heap order with VID tie-break.
+    """
+    qrows = queries.select("query_id", *[s.query_col for s in specs]).collect()
+    if not qrows:
+        return vectors.sparkSession.createDataFrame(
+            [], "query_id long, rank long, id long, score double"
+        )
+    query_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Qs = [
+        np.array([list(r[s.query_col]) for r in qrows], dtype=np.float64)
+        for s in specs
+    ]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            Vs = [_as_matrix(pdf[s.vec_col]) for s in specs]
+            S = np.zeros((len(ids), len(query_ids)))
+            for s, V, Q in zip(specs, Vs, Qs):
+                S += s.weight * _block_distances(V, Q, s.metric)
+            kk = min(k, len(ids))
+            out = []
+            for j in range(len(query_ids)):
+                col = S[:, j]
+                cand = (
+                    np.argpartition(col, kk - 1)[:kk]
+                    if kk < len(ids)
+                    else np.arange(len(ids))
+                )
+                exact = np.zeros(len(cand))
+                for s, V, Q in zip(specs, Vs, Qs):
+                    exact += s.weight * _exact_pair_dists(V[cand], Q[j], s.metric)
+                order = np.lexsort((ids[cand], exact))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(kk, query_ids[j], dtype=np.int64),
+                            "id": ids[cand[order]],
+                            "score": exact[order],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cand = vectors.select("id", *[s.vec_col for s in specs]).mapInPandas(
+        kernel, schema="query_id long, id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score"), F.col("id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "score")
+    )

@@ -1,0 +1,59 @@
+"""Recall@k / MRR — the reference's quality metrics as a join+agg.
+
+Reference: `Common/TruthSet.h:167-243` CalculateRecall counts a result as a
+hit if its id is in the truth set OR its distance ties a truth distance within
+1e-6 (distance-tie credit); recall = hits/k averaged over queries, MRR from
+the rank of the first hit. Shapes: a semi-join-with-tolerance + window agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIST_TIE_TOL = 1e-6  # TruthSet.h recall tolerance
+
+
+def recall_per_query(
+    results: DataFrame, truth: DataFrame, k: int, dist_tie_credit: bool = True
+) -> DataFrame:
+    """results/truth: (query_id, rank, id, dist). Returns per query:
+    (query_id, n_hits BIGINT, recall DOUBLE, rr DOUBLE) where rr = 1/rank of
+    the first hit in the *result* ordering (0.0 when no hit).
+    """
+    r = results.select("query_id", "rank", "id", "dist")
+    t = truth.select(
+        F.col("query_id").alias("t_query_id"),
+        F.col("id").alias("t_id"),
+        F.col("dist").alias("t_dist"),
+    )
+    cond = (F.col("query_id") == F.col("t_query_id")) & (
+        (F.col("id") == F.col("t_id"))
+        | (
+            F.lit(dist_tie_credit)
+            & (F.abs(F.col("dist") - F.col("t_dist")) <= DIST_TIE_TOL)
+        )
+    )
+    # left join + dedupe: a result row is a hit if ANY truth row matches.
+    hits = (
+        r.join(t, cond, "left")
+        .groupBy("query_id", "rank", "id")
+        .agg(F.max(F.col("t_id").isNotNull()).alias("hit"))
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum(F.col("hit").cast("long")).alias("n_hits"),
+        (F.sum(F.col("hit").cast("double")) / F.lit(float(k))).alias("recall"),
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(F.col("hit"), F.col("rank"))), F.lit(0.0)
+        ).alias("rr"),
+    )
+
+
+def recall_summary(per_query: DataFrame) -> DataFrame:
+    """Aggregate: (avg_recall, mrr, n_queries) — the numbers the reference
+    prints (`SSDServing/SSDIndex.h:284-285`)."""
+    return per_query.agg(
+        F.avg("recall").alias("avg_recall"),
+        F.avg("rr").alias("mrr"),
+        F.count("*").alias("n_queries"),
+    )
