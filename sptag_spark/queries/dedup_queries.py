@@ -1,0 +1,208 @@
+"""Driver queries: deduplication family over the documents corpus.
+
+The driver data has no natural duplicates, so each query runs on a
+deterministic synthesized corpus = documents ∪ mutated copies:
+- exact copies     (doc_id + 100000) for doc_id % 7 == 0
+- near-dup copies  (doc_id + 200000, first token dropped) for doc_id % 11 == 0
+
+Both mutations are closed-form SQL, so the oracle builds the same corpus.
+
+Oracle strategy per query:
+- dedup_exact: same hash-group logic in SQL.
+- minhash_near_dup: Spark runs MinHash-LSH → exact-Jaccard verify; the oracle
+  computes brute-force exact Jaccard ≥ τ. Equality relies on LSH recall: with
+  16 one-row bands and true pairs at J ≥ 0.8, the miss probability is
+  (1-J)^16 ≤ 7e-12 — deterministic md5 hashing, same on both engines.
+- simhash: same bit arithmetic in SQL (md5 nibbles via instr).
+- embedding_near_dup: same cosine expression, synthesized scaled copies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sptag_spark.operators.dedup import (
+    dedup_exact_groups,
+    embedding_near_dup_pairs,
+    minhash_near_dup_pairs,
+    simhash,
+)
+from sptag_spark.registry import register
+from sptag_spark.tables import load_table
+
+JACCARD_T = 0.6
+COS_T = 0.999
+
+# -- corpus construction (Spark + SQL twins) --------------------------------
+
+
+def corpus_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+ORACLE_CORPUS = r"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, regexp_replace(text, '^\S+\s+', '') AS text
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+# shared SQL fragment: distinct 3-token shingles per corpus doc
+_SH = r"""
+tok AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM tok, UNNEST(range(1, greatest(len(toks) - 1, 1))) AS u(i)
+  WHERE len(toks) >= 3
+)
+"""
+
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact_groups(corpus_table(spark, sf_dir))
+
+
+register(
+    "dedup_exact",
+    _dedup_exact,
+    f"""
+WITH corpus AS ({ORACLE_CORPUS}),
+hashed AS (SELECT doc_id, md5(text) AS h FROM corpus),
+grouped AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY h) AS group_min,
+         count(*) OVER (PARTITION BY h) AS group_size
+  FROM hashed
+)
+SELECT doc_id, group_min, CAST(group_size AS BIGINT) AS group_size
+FROM grouped WHERE group_size > 1
+""",
+)
+
+
+# -- minhash LSH near-dup ---------------------------------------------------
+
+
+def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_near_dup_pairs(corpus_table(spark, sf_dir), JACCARD_T)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+register(
+    "minhash_near_dup",
+    _minhash_near_dup,
+    f"""
+WITH corpus AS ({ORACLE_CORPUS}),
+{_SH},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_T}
+""",
+)
+
+
+# -- simhash ----------------------------------------------------------------
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(docs)
+
+
+register(
+    "simhash_fingerprints",
+    _simhash,
+    r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+tokh AS (SELECT doc_id, md5(tok) AS h FROM tok),
+bits AS (
+  SELECT doc_id, b,
+    CASE WHEN floor(
+        (instr('0123456789abcdef', substring(h, CAST(floor(b/4) AS INT) + 1, 1)) - 1)
+        / power(2, b % 4)) % 2 = 1
+      THEN 1 ELSE -1 END AS vote
+  FROM tokh, UNNEST(range(0, 16)) AS u(b)
+),
+votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
+
+
+# -- embedding near-dup -----------------------------------------------------
+
+_COS_SIM = (
+    "list_sum(list_transform(list_zip(a.va, b.vb), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(a.va, x -> CAST(x AS DOUBLE)^2))) * "
+    "sqrt(list_sum(list_transform(b.vb, x -> CAST(x AS DOUBLE)^2))))"
+)
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.unionByName(scaled)
+    pairs = embedding_near_dup_pairs(corpus, COS_T)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+register(
+    "embedding_near_dup",
+    _embedding_near_dup,
+    f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> x * 1.5) AS embedding
+  FROM embeddings WHERE vec_id % 13 = 0
+),
+a AS (SELECT vec_id AS id_a, embedding AS va FROM corpus),
+b AS (SELECT vec_id AS id_b, embedding AS vb FROM corpus)
+SELECT id_a, id_b, round({_COS_SIM}, 4) AS cos_sim
+FROM a JOIN b ON id_a < id_b
+WHERE {_COS_SIM} >= {COS_T}
+""",
+)

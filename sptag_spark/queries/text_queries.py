@@ -1,0 +1,132 @@
+"""Driver queries: text analysis over documents (quality, lang-id,
+fingerprints, token stats)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sptag_spark.functions.text import STOPWORDS
+from sptag_spark.operators.textops import (
+    LANG_MARKERS,
+    LANGS,
+    doc_fingerprint,
+    lang_id,
+    text_quality,
+    top_tokens,
+)
+from sptag_spark.registry import register
+from sptag_spark.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+# -- quality ----------------------------------------------------------------
+
+register(
+    "text_quality",
+    lambda spark, sf_dir: text_quality(_docs(spark, sf_dir)),
+    rf"""
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_regex_tokens,
+  round(CASE WHEN len(toks) > 0
+        THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+        ELSE 0.0 END, 4) AS avg_token_len,
+  round(CASE WHEN length(text) > 0
+        THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text)
+        ELSE 0.0 END, 4) AS punct_ratio,
+  round(CASE WHEN len(toks) > 0
+        THEN CAST(len(list_filter(toks, t -> t IN ({", ".join("'" + w + "'" for w in STOPWORDS)}))) AS DOUBLE) / len(toks)
+        ELSE 0.0 END, 4) AS stopword_ratio
+FROM tok
+""",
+)
+
+
+# -- language ID ------------------------------------------------------------
+
+
+def _lang_case_sql() -> str:
+    score = {
+        lang: (
+            "len(list_filter(toks, t -> t IN ("
+            + ", ".join("'" + m + "'" for m in LANG_MARKERS[lang])
+            + ")))"
+        )
+        for lang in LANGS
+    }
+    best = "greatest(" + ", ".join(score[lang] for lang in LANGS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in LANGS[:-1]
+    ) + f" ELSE '{LANGS[-1]}' END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, {case} AS lang_pred, CAST({best} AS BIGINT) AS lang_score
+FROM tok
+"""
+
+
+register(
+    "lang_id",
+    lambda spark, sf_dir: lang_id(_docs(spark, sf_dir)),
+    _lang_case_sql(),
+)
+
+
+# -- fingerprints -----------------------------------------------------------
+
+register(
+    "doc_fingerprint",
+    lambda spark, sf_dir: doc_fingerprint(_docs(spark, sf_dir)),
+    r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM tok, UNNEST(range(1, greatest(len(toks) - 1, 1))) AS u(i)
+  WHERE len(toks) >= 3
+),
+hashed AS (
+  SELECT doc_id, md5(shingle) AS h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS rn
+  FROM shingles
+)
+SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fingerprint
+FROM hashed WHERE rn <= 5
+GROUP BY doc_id
+""",
+)
+
+
+# -- corpus token stats -----------------------------------------------------
+
+register(
+    "top_tokens",
+    lambda spark, sf_dir: top_tokens(_docs(spark, sf_dir)),
+    r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+       token, cnt
+FROM counts
+QUALIFY rank <= 20
+""",
+)
