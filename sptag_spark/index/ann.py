@@ -1,0 +1,94 @@
+"""SPANN-style approximate search: head routing → posting scan → re-rank.
+
+Reference pipeline (`src/Core/SPANN/SPANNIndex.cpp:192-258` + SURVEY.md §3.2):
+1. search the in-memory head index with internal k = SearchInternalResultNum;
+2. drop heads with dist > closest_head_dist · MaxDistRatio
+   (`SPANNIndex.cpp:230-234`) and invalid postings;
+3. read the selected posting lists from SSD, scan records, push into the
+   k-heap with replica dedup (`m_deduper`, `SPANNIndex.cpp:214,529`);
+4. merge with head results and sort.
+
+Spark translation — ONE logical plan:
+- head routing = knn(heads, queries, nprobe): the same map-side top-k kernel
+  (heads table is small; this is sub-second);
+- posting selection = a semi-join on head_id. When postings are stored
+  partitionBy(head_id), Catalyst's dynamic partition pruning turns this into
+  reading only the routed directories — the SSD seek, for free;
+- scan+heap = distance expression + global window rank (exact over the
+  candidate set — strictly better than the reference's concat-without-rerank
+  aggregator, `AggregatorService.cpp:363-441`);
+- dedup = dropDuplicates(query_id, id) before ranking.
+
+Recall is governed by nprobe (SearchInternalResultNum) and the build's
+replica/posting-limit knobs, exactly like SPANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sptag_spark.functions.distance import dist_expr
+from sptag_spark.operators.knn import knn
+
+SEARCH_INTERNAL_RESULT_NUM = 8  # heads probed per query (64 in SIFT1B cfg)
+MAX_DIST_RATIO = 8.0  # SPANN MaxDistRatio default
+
+
+def route_queries(
+    queries: DataFrame,
+    heads: DataFrame,
+    nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
+    metric: str = "l2",
+    max_dist_ratio: float = MAX_DIST_RATIO,
+) -> DataFrame:
+    """(query_id, head_id, head_dist): the posting lists each query must
+    read, after the distance-ratio cut. This is also the aggregator's
+    center-routing (`AggregatorService.cpp:216-258`) — same operator."""
+    head_vectors = heads.select(F.col("head_id").alias("id"), "vector")
+    sel = knn(head_vectors, queries, k=nprobe, metric=metric)
+    w = Window.partitionBy("query_id")
+    return (
+        sel.withColumn("min_dist", F.min("dist").over(w))
+        .filter(F.col("dist") <= F.col("min_dist") * F.lit(max_dist_ratio))
+        .select(
+            "query_id",
+            F.col("id").alias("head_id"),
+            F.col("dist").alias("head_dist"),
+        )
+    )
+
+
+def ann_search(
+    queries: DataFrame,
+    heads: DataFrame,
+    postings: DataFrame,
+    k: int = 10,
+    nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
+    metric: str = "l2",
+    max_dist_ratio: float = MAX_DIST_RATIO,
+) -> DataFrame:
+    """Approximate top-k: (query_id, rank, id, dist). Same output contract as
+    the exact knn() — recall vs it is the quality metric (F6: ≥0.9@10)."""
+    routes = route_queries(queries, heads, nprobe, metric, max_dist_ratio)
+    # Selected postings: the equi-join on head_id is partition-pruned when
+    # postings live in a head_id-partitioned table. routes is tiny → broadcast.
+    cand = postings.join(
+        F.broadcast(routes.select("query_id", "head_id")), "head_id"
+    ).select("query_id", "id", "vector")
+    # replica dedup before the expensive part (same row appears once per head)
+    cand = cand.dropDuplicates(["query_id", "id"])
+    q = F.broadcast(
+        queries.select(
+            F.col("query_id"), F.col("vector").alias("qvector")
+        )
+    )
+    scored = cand.join(q, "query_id").withColumn(
+        "dist", dist_expr(F.col("qvector"), F.col("vector"), metric)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "dist")
+    )

@@ -1,0 +1,156 @@
+"""Posting-list construction — SPANN's SSD layer as a partitioned table.
+
+Reference: ApproximateRNG (`src/Core/VectorIndex.cpp:847-884`, called from
+`ExtraFullGraphSearcher.h:681`) searches the head index with every base
+vector, keeps up to `ReplicaCount` (8) nearest heads per vector after the RNG
+prune rule (`RelativeNeighborhoodGraph.h:18-35`: candidate head j, scanned in
+ascending distance order, is accepted iff for every already-accepted head i,
+rng_factor · d(head_i, head_j) ≥ d(v, head_j) — i.e. j is not "behind" an
+accepted head), then cuts each posting to `PostingPageLimit` pages keeping the
+nearest members (`ExtraFullGraphSearcher.h:747-760`).
+
+Spark shape: one mapInPandas pass over the big table with the (small, by
+SPANN's own design) heads matrix broadcast in the closure — BLAS block
+distances, per-row candidate RNG prune (c×c, c=candidate_num) — then a window
+rank per head for the posting cut. Written out with partitionBy(head_id),
+Parquet partition pruning replaces SPANN's SSD seek: a query that routes to
+h heads reads exactly h directories.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sptag_spark.operators.knn import _as_matrix, _block_distances
+
+REPLICA_COUNT = 8  # SPANN ReplicaCount
+CANDIDATE_NUM = 32  # heads considered per vector before RNG prune
+RNG_FACTOR = 1.0  # RNGFactor (ParameterDefinitionList)
+POSTING_LIMIT = 1000  # members kept per posting (PostingPageLimit analog)
+
+
+def _rng_prune(
+    cand_dists: np.ndarray, head_head: np.ndarray, replica: int, rng_factor: float
+) -> list[int]:
+    """Indices (into the candidate list) surviving the RNG rule, ≤ replica.
+    cand_dists: ascending distances v→candidate-head; head_head[i, j]:
+    distance between candidate heads i and j."""
+    accepted: list[int] = []
+    for j in range(len(cand_dists)):
+        ok = True
+        for i in accepted:
+            if rng_factor * head_head[i, j] < cand_dists[j]:
+                ok = False
+                break
+        if ok:
+            accepted.append(j)
+            if len(accepted) >= replica:
+                break
+    return accepted
+
+
+def assign_replicas(
+    vectors: DataFrame,
+    heads: DataFrame,
+    metric: str = "l2",
+    replica_count: int = REPLICA_COUNT,
+    candidate_num: int = CANDIDATE_NUM,
+    rng_factor: float = RNG_FACTOR,
+) -> DataFrame:
+    """(head_id, id, vector, dist): every vector assigned to 1..replica_count
+    heads. Head vectors ride along so postings are self-contained, like
+    SPANN's posting records `(vid, vector)` (`ExtraFullGraphSearcher.h:60-110`).
+    """
+    hrows = heads.select("head_id", "vector").collect()
+    head_ids = np.array([r["head_id"] for r in hrows], dtype=np.int64)
+    H = np.array([list(r["vector"]) for r in hrows], dtype=np.float64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _as_matrix(pdf["vector"])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            D = _block_distances(V, H, metric)  # (n, h)
+            c = min(candidate_num, len(head_ids))
+            out_head, out_id, out_dist, out_vec = [], [], [], []
+            vec_list = pdf["vector"].tolist()
+            for r in range(len(ids)):
+                row = D[r]
+                cand = np.argpartition(row, c - 1)[:c] if c < len(head_ids) else np.arange(len(head_ids))
+                order = np.lexsort((head_ids[cand], row[cand]))
+                cand = cand[order]
+                hh = _block_distances(H[cand], H[cand], metric)
+                keep = _rng_prune(row[cand], hh, replica_count, rng_factor)
+                for j in keep:
+                    out_head.append(head_ids[cand[j]])
+                    out_id.append(ids[r])
+                    out_dist.append(row[cand[j]])
+                    out_vec.append(vec_list[r])
+            yield pd.DataFrame(
+                {
+                    "head_id": np.array(out_head, dtype=np.int64),
+                    "id": np.array(out_id, dtype=np.int64),
+                    "vector": out_vec,
+                    "dist": np.array(out_dist),
+                }
+            )
+
+    return vectors.select("id", "vector").mapInPandas(
+        kernel, schema="head_id long, id long, vector array<float>, dist double"
+    )
+
+
+def cut_postings(postings: DataFrame, limit: int = POSTING_LIMIT) -> DataFrame:
+    """Posting truncation: keep the `limit` nearest members per head
+    (`ExtraFullGraphSearcher.h:747-760`)."""
+    w = Window.partitionBy("head_id").orderBy(F.col("dist"), F.col("id"))
+    return (
+        postings.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit)
+        .drop("_rn")
+    )
+
+
+def build_postings(
+    vectors: DataFrame,
+    heads: DataFrame,
+    metric: str = "l2",
+    replica_count: int = REPLICA_COUNT,
+    posting_limit: int = POSTING_LIMIT,
+) -> DataFrame:
+    return cut_postings(
+        assign_replicas(vectors, heads, metric, replica_count), posting_limit
+    )
+
+
+def write_postings(postings: DataFrame, path: str) -> None:
+    """Persist partitioned by head_id with zstd — the Parquet translation of
+    SPANN's page-aligned, optionally-zstd posting files (`Options.h:82-88`).
+    Partition pruning on head_id is the SSD seek."""
+    (
+        postings.write.mode("overwrite")
+        .partitionBy("head_id")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
+def posting_stats(postings: DataFrame) -> DataFrame:
+    """Posting-size histogram (`ExtraFullGraphSearcher.h:628-760` prints the
+    same): (head_id, n_members, avg_dist)."""
+    return postings.groupBy("head_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("dist"), 4).alias("avg_dist"),
+    )
+
+
+def replica_stats(postings: DataFrame) -> DataFrame:
+    """Replica-count distribution: how many heads each vector landed in."""
+    per_vec = postings.groupBy("id").agg(F.count("*").alias("n_replicas"))
+    return per_vec.groupBy("n_replicas").agg(F.count("*").alias("n_vectors"))

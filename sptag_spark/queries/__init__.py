@@ -4,6 +4,7 @@ Importing this package registers every QuerySpec (see sptag_spark.registry).
 """
 
 import sptag_spark.queries.agg_queries  # noqa: F401
+import sptag_spark.queries.ann_queries  # noqa: F401
 import sptag_spark.queries.dedup_queries  # noqa: F401
 import sptag_spark.queries.knn_queries  # noqa: F401
 import sptag_spark.queries.text_queries  # noqa: F401

@@ -1,0 +1,118 @@
+"""ANN path tests: F6 invariants + recall acceptance (≥0.9@10 per FIXTURES.md)
+mirroring the reference's recall assertions (SSDIndex.h:284-285)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sptag_spark.index.ann import ann_search, route_queries
+from sptag_spark.index.balanced import balanced_kmeans, cluster_sizes
+from sptag_spark.index.heads import select_heads
+from sptag_spark.index.ivf import ivf_build, ivf_search
+from sptag_spark.index.postings import (
+    REPLICA_COUNT,
+    build_postings,
+    posting_stats,
+    replica_stats,
+)
+from sptag_spark.index.pq import adc_search, pq_encode, train_pq
+from sptag_spark.operators.knn import knn
+from sptag_spark.operators.recall import recall_per_query, recall_summary
+from sptag_spark.tables import queries_table, vectors_table
+
+
+@pytest.fixture(scope="module")
+def ann_fixture(spark, sf_dir):
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir).cache()
+    heads = select_heads(vectors, ratio=0.12).cache()
+    postings = build_postings(vectors, heads).cache()
+    return vectors, queries, heads, postings
+
+
+def test_head_fraction(ann_fixture):
+    vectors, _, heads, _ = ann_fixture
+    n, h = vectors.count(), heads.count()
+    assert 0.05 * n <= h <= 0.2 * n  # ≈ Ratio, slack for centroid snapping
+
+
+def test_posting_invariants(ann_fixture):
+    vectors, _, heads, postings = ann_fixture
+    # F6: every vector appears in ≥1 and ≤ ReplicaCount postings
+    rs = {r["n_replicas"]: r["n_vectors"] for r in replica_stats(postings).collect()}
+    assert sum(rs.values()) == vectors.count()
+    assert max(rs) <= REPLICA_COUNT
+    assert min(rs) >= 1
+    # posting members reference valid heads
+    head_ids = {r["head_id"] for r in heads.collect()}
+    assert {r["head_id"] for r in posting_stats(postings).collect()} <= head_ids
+
+
+def test_routing_respects_ratio(ann_fixture):
+    _, queries, heads, _ = ann_fixture
+    routes = route_queries(queries, heads, nprobe=4, max_dist_ratio=1.0)
+    # ratio=1.0 → only heads at exactly the min distance survive
+    per_q = routes.groupBy("query_id").count().collect()
+    assert all(r["count"] >= 1 for r in per_q)
+
+
+def test_spann_recall(ann_fixture):
+    vectors, queries, heads, postings = ann_fixture
+    truth = knn(vectors, queries, k=10)
+    approx = ann_search(queries, heads, postings, k=10, nprobe=8)
+    summary = recall_summary(recall_per_query(approx, truth, 10)).first()
+    assert summary["avg_recall"] >= 0.9, summary
+    assert summary["n_queries"] == queries.count()
+
+
+def test_ivf_recall(spark, sf_dir):
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    centroids, lists = ivf_build(vectors, n_lists_ratio=0.05)
+    # IVF stores each vector exactly once
+    assert lists.count() == vectors.count()
+    truth = knn(vectors, queries, k=10)
+    # Single-assignment IVF on unstructured gaussian data scatters true
+    # neighbors across lists — recall/storage trade-off vs SPANN's ≤8×
+    # replication (which the test above holds to ≥0.9). Probe half the lists.
+    approx = ivf_search(queries, centroids.cache(), lists, k=10, nprobe=12)
+    summary = recall_summary(recall_per_query(approx, truth, 10)).first()
+    assert summary["avg_recall"] >= 0.7, summary
+    assert summary["mrr"] == 1.0  # self-hit always lands at rank 1
+
+
+def test_pq_adc_recall(spark, sf_dir):
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    books = train_pq(vectors, m=8)
+    codes = pq_encode(vectors, books)
+    assert codes.first()["codes"].__len__() == 8
+    truth = knn(vectors, queries, k=10)
+    approx = adc_search(codes, queries, books, k=10).withColumnRenamed(
+        "adc_dist", "dist"
+    )
+    summary = recall_summary(recall_per_query(approx, truth, 10)).first()
+    # PQ at 32x compression: recall@10 is lossy; self-hit + coarse ranking
+    assert summary["avg_recall"] >= 0.5, summary
+    # OPQ rotation should not degrade things materially
+    books_r = train_pq(vectors, m=8, opq_rotation=True)
+    codes_r = pq_encode(vectors, books_r)
+    approx_r = adc_search(codes_r, queries, books_r, k=10).withColumnRenamed(
+        "adc_dist", "dist"
+    )
+    summary_r = recall_summary(recall_per_query(approx_r, truth, 10)).first()
+    assert summary_r["avg_recall"] >= 0.5, summary_r
+
+
+def test_balanced_kmeans_balances(spark, sf_dir):
+    vectors = vectors_table(spark, sf_dir)
+    k = 8
+    assigned = balanced_kmeans(vectors, k=k, n_iter=4)
+    sizes = [r["n"] for r in cluster_sizes(assigned).collect()]
+    n = vectors.count()
+    assert sum(sizes) == n
+    # balance: no cluster more than 3x fair share (unbalanced kmeans on
+    # gaussian mixtures routinely exceeds this)
+    assert max(sizes) <= 3 * n / k, sizes
