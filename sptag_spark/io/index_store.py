@@ -1,0 +1,68 @@
+"""Index persistence — SaveIndex/LoadIndex as Parquet + JSON config.
+
+Reference: `src/Core/VectorIndex.cpp:618-731` writes a config INI plus blobs
+(vectors.bin, tree.bin, graph.bin, deletes.bin, metadata.bin,
+metadataIndex.bin — `BKT/ParameterDefinitionList.h:7-10`). Our layout:
+
+    index_dir/
+      config.json            (metric, dim, knobs — the INI)
+      vectors/               (id, vector, meta)      — vectors+metadata blobs
+      tombstones/            (id)                    — deletes.bin
+      heads/                 (head_id, vector)       — the in-memory tree
+      postings/head_id=*/    (id, vector, dist)      — the SSD posting files
+
+Dump/LoadFromDump (`CoreInterface.h:67-69`) — byte-level snapshots — map to
+copying the directory; Parquet is already the portable serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sptag_spark.index.postings import write_postings
+
+
+@dataclass
+class SptagIndex:
+    vectors: DataFrame
+    tombstones: DataFrame | None = None
+    heads: DataFrame | None = None
+    postings: DataFrame | None = None
+    config: dict = field(default_factory=dict)
+
+
+def save_index(index: SptagIndex, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(index.config, f, indent=2, sort_keys=True)
+    index.vectors.write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(path, "vectors")
+    )
+    if index.tombstones is not None:
+        index.tombstones.write.mode("overwrite").parquet(
+            os.path.join(path, "tombstones")
+        )
+    if index.heads is not None:
+        index.heads.write.mode("overwrite").parquet(os.path.join(path, "heads"))
+    if index.postings is not None:
+        write_postings(index.postings, os.path.join(path, "postings"))
+
+
+def load_index(spark: SparkSession, path: str) -> SptagIndex:
+    with open(os.path.join(path, "config.json")) as f:
+        config = json.load(f)
+    def _opt(name: str) -> DataFrame | None:
+        p = os.path.join(path, name)
+        return spark.read.parquet(p) if os.path.isdir(p) else None
+
+    return SptagIndex(
+        vectors=spark.read.parquet(os.path.join(path, "vectors")),
+        tombstones=_opt("tombstones"),
+        heads=_opt("heads"),
+        postings=_opt("postings"),
+        config=config,
+    )

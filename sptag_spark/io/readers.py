@@ -1,0 +1,148 @@
+"""Vector file-format readers/writers — the reference's ingestion surface.
+
+Reference formats (`inc/Helper/VectorSetReaders/`, `DefinitionList.h:101-109`):
+- DEFAULT: header `int32 count, int32 dim`, then count rows of dim packed
+  values (`DefaultReader.cpp`).
+- XVEC (fvecs/ivecs): per vector `int32 dim` prefix then dim values
+  (`XvecReader.h`).
+- TXT/TSV: `metadata\\tv1|v2|...\\n` (`TxtReader.h:19-37`), which also yields
+  the MetadataSet.
+
+Spark mapping: TSV goes through spark.read.csv (splittable, scales); the
+binary formats are decoded with a NumPy kernel over spark.read.format
+("binaryFile") — each file is one record, so parallelism is per-file (the
+reference's chunked parallel parse is within-file; at 100 TB you'd convert
+once to Parquet and never touch the binary format again, which is what
+to_parquet_index does).
+
+Value types mirror `DefinitionList.h:6-9` (Int8, UInt8, Int16, Float).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DTYPES = {
+    "float32": np.float32,
+    "int8": np.int8,
+    "uint8": np.uint8,
+    "int16": np.int16,
+}
+
+
+def read_tsv_vectors(
+    spark: SparkSession, path: str, delimiter: str = "|"
+) -> DataFrame:
+    """TSV `meta\\tv1|v2|...` → (id, vector, meta). Ids are positional in
+    file order (the reference assigns ids by read order)."""
+    raw = spark.read.csv(path, sep="\t", schema="meta string, vec string")
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return (
+        raw.withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn(
+            "vector",
+            F.split(F.col("vec"), f"[{delimiter}]").cast("array<float>"),
+        )
+        .select("id", "vector", "meta")
+    )
+
+
+def write_tsv_vectors(df: DataFrame, path: str, delimiter: str = "|") -> None:
+    out = df.orderBy("id").select(
+        "meta", F.array_join(F.col("vector").cast("array<string>"), delimiter).alias("vec")
+    )
+    out.coalesce(1).write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+# -- binary formats ---------------------------------------------------------
+
+
+def write_default_bin(rows: np.ndarray, path: str) -> None:
+    """DEFAULT format: int32 count, int32 dim, packed rows."""
+    n, d = rows.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", n, d))
+        f.write(np.ascontiguousarray(rows).tobytes())
+
+
+def write_xvec(rows: np.ndarray, path: str) -> None:
+    """XVEC: per-vector int32 dim prefix."""
+    n, d = rows.shape
+    with open(path, "wb") as f:
+        for i in range(n):
+            f.write(struct.pack("<i", d))
+            f.write(np.ascontiguousarray(rows[i]).tobytes())
+
+
+def _decode_default(content: bytes, dtype: np.dtype) -> np.ndarray:
+    n, d = struct.unpack_from("<ii", content, 0)
+    arr = np.frombuffer(content, dtype=dtype, offset=8, count=n * d)
+    return arr.reshape(n, d)
+
+
+def _decode_xvec(content: bytes, dtype: np.dtype) -> np.ndarray:
+    d = struct.unpack_from("<i", content, 0)[0]
+    itemsize = np.dtype(dtype).itemsize
+    rec = 4 + d * itemsize
+    n = len(content) // rec
+    raw = np.frombuffer(content, dtype=np.uint8).reshape(n, rec)
+    return raw[:, 4:].copy().view(dtype).reshape(n, d)
+
+
+def read_binary_vectors(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "default",
+    value_type: str = "float32",
+) -> DataFrame:
+    """Decode DEFAULT/XVEC files under `path` → (id, vector ARRAY<FLOAT>).
+
+    Ids are positional within each file, offset by a stable per-file base
+    (files sorted by path; requires a count pass for multi-file inputs).
+    Int types upcast to float like the reference's distance kernels do.
+    """
+    dtype = DTYPES[value_type]
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    paths = [r["path"] for r in files.select("path").orderBy("path").collect()]
+    decode = _decode_default if fmt == "default" else _decode_xvec
+    # per-file row counts → positional id bases (driver-side; file list is
+    # small even at scale — the data inside is what's big)
+    counts = {
+        r["path"]: (
+            struct.unpack_from("<ii", r["content"], 0)[0]
+            if fmt == "default"
+            else len(decode(r["content"], dtype))
+        )
+        for r in files.collect()
+    }
+    bases = {}
+    acc = 0
+    for p in paths:
+        bases[p] = acc
+        acc += counts[p]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                mat = decode(row["content"], dtype).astype(np.float32)
+                base = bases[row["path"]]
+                yield pd.DataFrame(
+                    {
+                        "id": np.arange(base, base + len(mat), dtype=np.int64),
+                        "vector": list(mat),
+                    }
+                )
+
+    return files.mapInPandas(kernel, schema="id long, vector array<float>")
+
+
+def to_parquet_index(df: DataFrame, path: str) -> None:
+    """One-time conversion to the canonical Parquet layout — after this the
+    binary formats are never re-read (columnar scans, pushdown, pruning)."""
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)

@@ -1,0 +1,56 @@
+"""ResultIterator — streaming-k iteration over a ranked result.
+
+Reference: `src/Core/ResultIterator.cpp:30-76` / `SPANNResultIterator.h:20-65`
+(VBASE-style, OSDI'23): Next(batch) returns the next-best `batch` results;
+once the traversal budget is exceeded results may arrive out of order and the
+RelaxedMono flag is set (`BKTIndex.cpp:382-385`).
+
+Exact-engine translation: rank the full candidate set ONCE (cache it), then
+page through it. Because the ranking is exact and materialized, results are
+always in true ascending order — RelaxedMono is identically False, documented
+as an intentional improvement (SURVEY.md §7 "What's hard").
+
+Paging uses rank-range filters over the cached ranking — each page is a
+pruned scan of a cached DataFrame, no recomputation, no OFFSET scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sptag_spark.operators.knn import knn
+
+
+class ResultIterator:
+    """Iterate a batch k-NN result query-by-query in rank order.
+
+    >>> it = ResultIterator(vectors, queries, metric="l2", max_results=100)
+    >>> first = it.next_batch(10)   # ranks 1..10 for every query
+    >>> second = it.next_batch(10)  # ranks 11..20
+    >>> it.relaxed_mono
+    False
+    """
+
+    def __init__(
+        self,
+        vectors: DataFrame,
+        queries: DataFrame,
+        metric: str = "l2",
+        max_results: int = 1000,
+    ) -> None:
+        self._ranked = knn(vectors, queries, k=max_results, metric=metric).cache()
+        self._pos = 0
+        self.max_results = max_results
+        # exact engine: ordering is globally true — see module docstring
+        self.relaxed_mono = False
+
+    def next_batch(self, batch: int) -> DataFrame:
+        lo, hi = self._pos + 1, self._pos + batch
+        self._pos = hi
+        return self._ranked.filter(
+            (F.col("rank") >= lo) & (F.col("rank") <= hi)
+        ).withColumn("relaxed_mono", F.lit(False))
+
+    def close(self) -> None:
+        self._ranked.unpersist()

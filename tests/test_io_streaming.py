@@ -1,0 +1,186 @@
+"""Readers, index persistence, streaming ingest, multimodal, iterator tests."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sptag_spark.index.heads import select_heads
+from sptag_spark.index.postings import build_postings
+from sptag_spark.io.index_store import SptagIndex, load_index, save_index
+from sptag_spark.io.readers import (
+    read_binary_vectors,
+    read_tsv_vectors,
+    write_default_bin,
+    write_tsv_vectors,
+    write_xvec,
+)
+from sptag_spark.multimodal import attach_fake_media, decode_media, frame_sample_plan
+from sptag_spark.operators.iterator import ResultIterator
+from sptag_spark.operators.knn import knn
+from sptag_spark.streaming.ingest import (
+    live_view,
+    needs_rebuild,
+    stream_append_vectors,
+    streaming_event_window_counts,
+)
+
+DIM = 6
+
+
+@pytest.fixture(scope="module")
+def small_vectors(spark):
+    return spark.createDataFrame(
+        [(i, [float(i)] * DIM, str(i)) for i in range(20)],
+        "id long, vector array<float>, meta string",
+    )
+
+
+def test_tsv_roundtrip(spark, small_vectors, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tsv"))
+    write_tsv_vectors(small_vectors, d)
+    back = read_tsv_vectors(spark, d)
+    got = {r["meta"]: r["vector"] for r in back.collect()}
+    assert len(got) == 20
+    assert got["7"] == [7.0] * DIM
+    # positional ids are 0..n-1
+    assert sorted(r["id"] for r in back.collect()) == list(range(20))
+
+
+@pytest.mark.parametrize("fmt,writer", [("default", write_default_bin), ("xvec", write_xvec)])
+def test_binary_formats(spark, tmp_path_factory, fmt, writer):
+    d = str(tmp_path_factory.mktemp(fmt))
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(50, DIM)).astype(np.float32)
+    writer(mat, os.path.join(d, "part0.bin"))
+    got = read_binary_vectors(spark, d, fmt=fmt, value_type="float32")
+    rows = {r["id"]: r["vector"] for r in got.collect()}
+    assert len(rows) == 50
+    assert np.allclose(rows[13], mat[13])
+
+
+def test_binary_int8_upcast(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("i8"))
+    mat = np.arange(-10, 10, dtype=np.int8).reshape(4, 5)
+    write_default_bin(mat, os.path.join(d, "v.bin"))
+    got = read_binary_vectors(spark, d, fmt="default", value_type="int8")
+    row0 = got.filter(F.col("id") == 0).first()["vector"]
+    assert row0 == [-10.0, -9.0, -8.0, -7.0, -6.0]
+
+
+def test_index_save_load_roundtrip(spark, small_vectors, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    tomb = spark.createDataFrame([(3,)], "id long")
+    heads = select_heads(small_vectors, ratio=0.2)
+    postings = build_postings(small_vectors, heads)
+    idx = SptagIndex(
+        vectors=small_vectors,
+        tombstones=tomb,
+        heads=heads,
+        postings=postings,
+        config={"metric": "l2", "dim": DIM, "replica_count": 8},
+    )
+    save_index(idx, d)
+    back = load_index(spark, d)
+    assert back.config["metric"] == "l2"
+    assert back.vectors.count() == 20
+    assert back.tombstones.count() == 1
+    assert back.postings.count() == postings.count()
+    # partition layout on disk: head_id=... directories (pruning-ready)
+    assert any(p.startswith("head_id=") for p in os.listdir(os.path.join(d, "postings")))
+
+
+def test_live_view_replay(spark, small_vectors):
+    """F8: base + appends interleaved with deletes == oracle over live set."""
+    adds = spark.createDataFrame(
+        [(100 + i, [50.0 + i] * DIM, f"new{i}") for i in range(3)],
+        "id long, vector array<float>, meta string",
+    )
+    tomb = spark.createDataFrame([(5,), (101,)], "id long")
+    live = live_view(small_vectors, [adds], tomb)
+    assert live.count() == 20 + 3 - 2
+    q = spark.createDataFrame([(0, [51.0] * DIM)], "query_id long, vector array<float>")
+    res = knn(live, q, k=2).collect()
+    got = sorted(r["id"] for r in res)
+    assert got == [100, 102]  # 101 tombstoned; nearest live are 100 and 102
+    assert needs_rebuild(1000) and not needs_rebuild(999)
+
+
+def test_stream_append(spark, small_vectors, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("src"))
+    tgt = str(tmp_path_factory.mktemp("tgt"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    small_vectors.write.mode("append").parquet(src)
+    q = stream_append_vectors(spark, src, tgt, ckpt)
+    q.awaitTermination(60)
+    assert spark.read.parquet(tgt).count() == 20
+    # second batch lands exactly once
+    small_vectors.filter(F.col("id") < 5).write.mode("append").parquet(src)
+    q2 = stream_append_vectors(spark, src, tgt, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(tgt).count() == 25
+
+
+def test_streaming_window_agg(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("ev"))
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", "click", 1.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double")
+    df.withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    agg = streaming_event_window_counts(stream, window="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("select * from winagg order by window_start").collect()
+    assert len(got) == 4  # 20 minutes / 5-minute windows
+    assert all(r["n"] == 5 for r in got)
+
+
+def test_multimodal_decode_and_frames(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different content")],
+        "doc_id long, text string",
+    )
+    media = attach_fake_media(docs)
+    out = decode_media(media, mode="fake").collect()
+    by_id = {r["id"]: r for r in out}
+    # deterministic: identical payloads decode identically
+    assert by_id[1]["width"] == by_id[2]["width"]
+    assert by_id[1]["feat"] == by_id[2]["feat"]
+    assert by_id[1]["feat"] != by_id[3]["feat"]
+    assert all(1 <= r["width"] <= 64 and r["n_pixels"] == r["width"] * r["height"] for r in out)
+    assert len(by_id[1]["feat"]) == 8
+    with pytest.raises(NotImplementedError):
+        decode_media(media, mode="real")
+    frames = frame_sample_plan(media, every_n=10)
+    assert frames.count() >= 3  # ≥1 frame per doc
+    assert frames.filter(F.col("frame_no") % 10 != 0).count() == 0
+
+
+def test_result_iterator_pages(spark, small_vectors):
+    q = spark.createDataFrame([(0, [10.0] * DIM)], "query_id long, vector array<float>")
+    it = ResultIterator(small_vectors, q, max_results=15)
+    p1 = it.next_batch(5).orderBy("rank").collect()
+    p2 = it.next_batch(5).orderBy("rank").collect()
+    assert [r["rank"] for r in p1] == [1, 2, 3, 4, 5]
+    assert [r["rank"] for r in p2] == [6, 7, 8, 9, 10]
+    assert p1[0]["id"] == 10 and p1[0]["dist"] == 0.0
+    # monotone across pages — RelaxedMono is structurally False
+    assert p2[0]["dist"] >= p1[-1]["dist"]
+    assert it.relaxed_mono is False
+    assert all(r["relaxed_mono"] is False for r in p1 + p2)
+    it.close()
