@@ -28,6 +28,12 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(10).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... and the Python/Arrow worker pool (one daemon per core): the first
+    # mapInPandas stage otherwise pays ~3s of interpreter fork + Arrow init,
+    # which is container cold-start, not query cost.
+    spark.range(cpus).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     specs = all_specs()
     timings: dict[str, float] = {}

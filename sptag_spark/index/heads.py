@@ -9,20 +9,51 @@ scales to any N) followed by snapping each centroid to its nearest actual
 vector (SPANN heads are real vectors, which is what makes the head index
 searchable with the same distance semantics).
 
-At 100 TB: KMeans trains on a sample (MLlib does the iteration distributed),
-the snap step is one knn() call (map-side top-1 kernel over the full table),
-and the resulting heads table is small enough to broadcast — SPANN itself
-assumes heads fit in RAM (`SPANN/Index.h:46-59`).
+At 100 TB: centroid training cost is bounded by the sample size by design
+(SPANN likewise trains its head structure on sampled data —
+`BKTree.h:16` Samples=1000 per split), so it runs as blocked-BLAS Lloyd
+iterations on the driver; the full-data passes — the centroid snap (one
+knn() top-1 kernel) and posting assignment — stay distributed. The
+resulting heads table is small enough to broadcast: SPANN itself assumes
+heads fit in RAM (`SPANN/Index.h:46-59`).
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sptag_spark.operators.knn import knn
 
 DEFAULT_HEAD_RATIO = 0.12  # SPANN Ratio (docs/GettingStart.md buildconfig)
+
+
+def lloyd_kmeans(
+    X: np.ndarray, k: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Blocked-BLAS Lloyd on an in-memory sample. Returns (k, d) centers.
+
+    Distances use ||x||²-2xᵀc+||c||² with row blocks sized so the block×k
+    distance matrix stays ~200 MB regardless of k. 10 iterations — heads
+    only need to cover the space, not converge; recall is governed by
+    replicas + nprobe."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    centers = X[rng.choice(len(X), size=k, replace=False)].astype(np.float64)
+    block = max(256, int(2.5e7 / max(k, 1)))
+    for _ in range(iters):
+        c2 = (centers**2).sum(1)
+        sums = np.zeros_like(centers)
+        counts = np.zeros(k, dtype=np.int64)
+        for s in range(0, len(X), block):
+            B = X[s : s + block]
+            assign = (-2.0 * (B @ centers.T) + c2[None, :]).argmin(1)
+            np.add.at(sums, assign, B)
+            counts += np.bincount(assign, minlength=k)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return centers
 
 
 def select_heads(
@@ -39,20 +70,15 @@ def select_heads(
     KMeans over a bounded sample (training cost is O(sample·k·iters),
     independent of N), then snap each centroid to the nearest true vector.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     n = vectors.count()
     k = max(1, min(int(n * ratio), max_heads))
     frac = min(1.0, sample_rows / max(n, 1))
     sample = vectors if frac >= 1.0 else vectors.sample(frac, seed=seed)
-    feats = sample.select(
-        array_to_vector(F.col("vector").cast("array<double>")).alias("features")
+    X = np.array(
+        [list(r["vector"]) for r in sample.select("vector").collect()],
+        dtype=np.float64,
     )
-    # 10 Lloyd iterations is plenty for head placement — heads only need to
-    # cover the space, not converge; recall is governed by replicas + nprobe.
-    model = KMeans(k=k, seed=seed, maxIter=10).fit(feats)
-    centers = model.clusterCenters()
+    centers = lloyd_kmeans(X, k, iters=10, seed=seed)
     spark = vectors.sparkSession
     centers_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],

@@ -60,28 +60,43 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, seed, minhash) — one row per hash function, produced in a
-    SINGLE scan: the per-seed minhashes are an array of structs exploded in
-    place (a 16-way union would re-read and re-shingle the corpus 16 times —
-    16× the IO at 100 TB). Docs with no shingles (< n tokens) drop out."""
-    sh = F.col("_shingles")
-    base = docs.select(
+def shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, hh, sz): per-doc array of distinct xxhash64 shingle hashes.
+
+    This is the narrow side table the whole MinHash family derives from —
+    raw text is tokenized and shingled exactly once, and everything
+    downstream (signatures, LSH buckets, exact-Jaccard verify) works on
+    int64 arrays. Docs with < n tokens (empty shingle set) drop out."""
+    return docs.select(
         F.col(id_col).alias("doc_id"),
-        token_shingles(F.col(text_col), SHINGLE_N).alias("_shingles"),
+        F.transform(
+            token_shingles(F.col(text_col), SHINGLE_N),
+            lambda s: F.xxhash64(s),
+        ).alias("hh"),
+    ).filter(F.size("hh") > 0).withColumn("sz", F.size("hh"))
+
+
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, seed, minhash) — one row per hash function, from a SINGLE
+    text scan. The seed fan-out happens via explode BELOW the minhash
+    projection: the Generate is a barrier Catalyst cannot collapse
+    projections through, so tokenize/shingle/hash run once per doc, not once
+    per seed (the collapsed form re-inlines the shingle expression 16× and
+    runs ~3× slower end-to-end). Per (doc, seed) row the minhash is then an
+    array_min over cheap int-int xxhash64 re-hashes."""
+    base = shingle_hashes(docs, id_col, text_col)
+    exploded = base.select(
+        "doc_id", "hh",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
     )
-    sig = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("seed"), seeded_min_hash(sh, s).alias("minhash")
-            )
-            for s in range(n_hashes)
-        ]
-    )
-    return (
-        base.select("doc_id", F.explode(sig).alias("sm"))
-        .select("doc_id", F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash"))
-        .filter(F.col("minhash").isNotNull())
+    return exploded.select(
+        "doc_id",
+        "seed",
+        F.array_min(
+            F.transform("hh", lambda h: F.xxhash64(F.col("seed"), h))
+        ).alias("minhash"),
     )
 
 
@@ -166,13 +181,51 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """MinHash-LSH candidates → exact-Jaccard verify → pairs ≥ threshold.
-    (doc_a, doc_b, jaccard). The 100 TB shape: signatures and buckets are
-    narrow; raw text is only touched at shingling time."""
-    sigs = minhash_signature(docs, id_col, text_col)
-    cands = lsh_candidate_pairs(sigs)
-    sh = doc_shingles(docs, id_col, text_col)
-    jac = exact_jaccard(sh, pairs=cands)
-    return jac.filter(F.col("jaccard") >= threshold)
+    (doc_a, doc_b, jaccard).
+
+    The 100 TB shape: raw text is shingled ONCE into the narrow
+    (doc_id, hash-array) side table from shingle_hashes(), persisted for the
+    query's lifetime (at warehouse scale this is a written table, not a
+    cache); signatures, LSH buckets, and the verify step all derive from it.
+    Verification is pair-level — candidate pairs join the side table twice
+    and compute size(array_intersect)/size(union) over the int64 hash
+    arrays, so the cost is O(candidates · shingles-per-doc), never a
+    corpus-wide shingle self-join. Jaccard over 64-bit shingle hashes equals
+    Jaccard over the shingles themselves up to a ~1e-15 collision
+    probability per pair. Both verify joins are plain equi-joins on doc_id:
+    Catalyst broadcasts the small side at test scale and falls back to
+    sort-merge when the corpus doesn't fit an executor."""
+    sets = shingle_hashes(docs, id_col, text_col).persist()
+    exploded = sets.select(
+        "doc_id", "hh",
+        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed"),
+    )
+    signatures = exploded.select(
+        "doc_id",
+        "seed",
+        F.array_min(
+            F.transform("hh", lambda h: F.xxhash64(F.col("seed"), h))
+        ).alias("minhash"),
+    )
+    cands = lsh_candidate_pairs(signatures)
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hh").alias("hh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hh").alias("hh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("hh_a"), F.col("hh_b")))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 SIMHASH_BITS = 16

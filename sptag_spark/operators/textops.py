@@ -94,17 +94,24 @@ def doc_fingerprint(
 ) -> DataFrame:
     """Winnowing-style document fingerprint: the k lexicographically-smallest
     md5(shingle) hashes, joined with '|'. Stable under token reordering noise
-    elsewhere in the doc. Returns (doc_id, fingerprint STRING)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(token_shingles(F.col(text_col))).alias("shingle"),
-    ).withColumn("h", md5_hex(F.col("shingle")))
-    w = Window.partitionBy("doc_id").orderBy("h")
+    elsewhere in the doc. Returns (doc_id, fingerprint STRING).
+
+    Shuffle-free: the per-doc top-k over hashes is array_sort + slice inside
+    one projection — a narrow map-only plan (an explode → window → collect
+    formulation shuffles every shingle row on doc_id for no reason)."""
+    hashes = F.transform(
+        token_shingles(F.col(text_col)), lambda s: md5_hex(s)
+    )
     return (
-        sh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .groupBy("doc_id")
-        .agg(F.array_join(F.sort_array(F.collect_list("h")), "|").alias("fingerprint"))
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_join(
+                F.slice(F.array_sort(hashes), 1, k), "|"
+            ).alias("fingerprint"),
+        )
+        # docs with no shingles (< n tokens) produce '' — drop them, matching
+        # the exploded formulation where they simply yield no rows
+        .filter(F.col("fingerprint") != "")
     )
 
 
