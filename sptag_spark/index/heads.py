@@ -24,7 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sptag_spark.operators.knn import knn
+from sptag_spark.operators.knn import knn_arrays
 
 DEFAULT_HEAD_RATIO = 0.12  # SPANN Ratio (docs/GettingStart.md buildconfig)
 
@@ -79,13 +79,11 @@ def select_heads(
         dtype=np.float64,
     )
     centers = lloyd_kmeans(X, k, iters=10, seed=seed)
-    spark = vectors.sparkSession
-    centers_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "query_id long, vector array<float>",
-    )
     # snap: nearest true vector per centroid (top-1 knn, centroids as queries)
-    snapped = knn(vectors, centers_df, k=1, metric=metric)
+    snapped = knn_arrays(
+        vectors, np.arange(len(centers), dtype=np.int64), centers, k=1,
+        metric=metric,
+    )
     head_ids = snapped.select(F.col("id").alias("head_id")).distinct()
     return head_ids.join(
         vectors.select(F.col("id").alias("head_id"), "vector"), "head_id"

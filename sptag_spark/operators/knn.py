@@ -125,6 +125,31 @@ def local_topk_kernel(query_ids: np.ndarray, Q: np.ndarray, k: int, metric: str)
     return kernel
 
 
+def knn_arrays(
+    vectors: DataFrame,
+    query_ids: np.ndarray,
+    Q: np.ndarray,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """knn() for a query batch already in driver memory (numpy) — index-build
+    internals (centroid snap, replica assignment) call this to skip the
+    createDataFrame→collect Py4J round-trip, which costs more than the whole
+    Lloyd training at head scale."""
+    if len(query_ids) == 0:
+        spark = vectors.sparkSession
+        return spark.createDataFrame([], "query_id long, rank long, id long, dist double")
+    cand = vectors.select("id", "vector").mapInPandas(
+        local_topk_kernel(query_ids, Q, k, metric), schema=_CAND_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "dist")
+    )
+
+
 def knn(
     vectors: DataFrame,
     queries: DataFrame,
@@ -139,21 +164,9 @@ def knn(
         in memory per thread the same way).
     """
     qrows = queries.select("query_id", "vector").collect()
-    if not qrows:
-        spark = vectors.sparkSession
-        return spark.createDataFrame([], "query_id long, rank long, id long, dist double")
     query_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([list(r["vector"]) for r in qrows], dtype=np.float64)
-
-    cand = vectors.select("id", "vector").mapInPandas(
-        local_topk_kernel(query_ids, Q, k, metric), schema=_CAND_SCHEMA
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "id", "dist")
-    )
+    return knn_arrays(vectors, query_ids, Q, k, metric)
 
 
 def knn_brute_expr(
