@@ -92,3 +92,17 @@ def ann_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "dist")
     )
+
+
+def search_tree(
+    queries: DataFrame,
+    heads: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """SearchTree (`BKTIndex.cpp:713-736`): top-k among the tree/centroid
+    layer only, no graph/posting phase — the reference exposes it as a cheap
+    low-recall mode. Here the tree's leaf centroids are the heads table, so
+    this is the head-routing kernel returned directly as results."""
+    head_vectors = heads.select(F.col("head_id").alias("id"), "vector")
+    return knn(head_vectors, queries, k=k, metric=metric)

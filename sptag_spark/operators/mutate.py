@@ -149,3 +149,29 @@ def refine_index(vectors: DataFrame, tombstones: DataFrame) -> DataFrame:
         .withColumn("id", (F.row_number().over(w) - 1).cast("long"))
         .select("id", "old_id", "vector", "meta")
     )
+
+
+def merge_index(
+    v1: DataFrame,
+    t1: DataFrame,
+    v2: DataFrame,
+    t2: DataFrame,
+) -> DataFrame:
+    """MergeIndex (`src/Core/VectorIndex.cpp:489-560`): union two indexes by
+    re-inserting the live (non-tombstoned) vectors of the second into the
+    first. Ids of the second index are remapped past the first's max id —
+    the positional-id append semantics of the reference's re-insertion.
+
+    Plan shape: two broadcast anti-joins (tombstones are small), one scalar
+    subquery for the offset (a single-row cross join — no shuffle of the big
+    tables), one union. No global sort; id remap is a column expression.
+    """
+    live1 = apply_tombstones(v1, t1)
+    live2 = apply_tombstones(v2, t2)
+    offset = live1.agg((F.coalesce(F.max("id"), F.lit(-1)) + 1).alias("_off"))
+    remapped = (
+        live2.crossJoin(F.broadcast(offset))
+        .withColumn("id", F.col("id") + F.col("_off"))
+        .drop("_off")
+    )
+    return live1.unionByName(remapped)

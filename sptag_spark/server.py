@@ -1,0 +1,162 @@
+"""Service-surface parity: the query wire format and search executor.
+
+Reference (SURVEY.md §2.11): SPTAG's socket server accepts a query STRING of
+``$option:value``-prefixed options followed by the vector, either
+``|``-separated literals or ``#<base64>`` packed bytes
+(`src/Server/QueryParser.cpp:29-150`); recognized options are ``indexname``,
+``datatype``, ``extractmetadata``, ``resultnum``
+(`src/Server/SearchExecutionContext.cpp:37-73`). `SearchExecutor`
+(`src/Server/SearchExecutor.cpp:26-121`) parses, picks the index, runs the
+search, and attaches metadata when asked.
+
+Spark translation: parsing is driver-side (a query string is a request, not
+data); the execution is the same batch-kNN DataFrame plan as every other
+search — the socket/packet layer itself is subsumed by Spark's driver
+(SURVEY.md §3.3) and intentionally not replicated.
+"""
+
+from __future__ import annotations
+
+import base64
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from sptag_spark.operators.knn import attach_meta, knn_arrays
+
+# value types per DefinitionList.h:6-9; wire layout is little-endian packed
+_DATATYPES = {
+    "int8": np.int8,
+    "uint8": np.uint8,
+    "int16": np.int16,
+    "float": np.float32,
+}
+
+
+@dataclass
+class ParsedQuery:
+    """The SearchExecutionContext fields we honor."""
+
+    vector: np.ndarray
+    index_name: str | None = None
+    result_num: int | None = None
+    extract_metadata: bool = False
+    options: dict[str, str] = field(default_factory=dict)
+
+
+def parse_query(s: str, default_datatype: str = "float") -> ParsedQuery:
+    """Parse one wire-format query string (`QueryParser.cpp:29-150`).
+
+    ``$opt:value`` pairs may prefix the payload; the payload is either
+    ``v1|v2|...`` literals or ``#<base64>`` of packed values in the declared
+    datatype."""
+    options: dict[str, str] = {}
+    rest = s.strip()
+    while rest.startswith("$"):
+        name, sep, body = rest[1:].partition(":")
+        if not sep:
+            raise ValueError(f"malformed option {name!r} in {s!r}")
+        # an option value ends at the next '$' (another option), at '|'
+        # (literal payload separator), or at '#' (base64 payload)
+        end, kind = len(body), None
+        for ch in "$|#":
+            i = body.find(ch)
+            if i != -1 and i < end:
+                end, kind = i, ch
+        options[name.lower()] = body[:end]
+        rest = body[end:]
+        if kind == "|":
+            rest = rest[1:]  # drop the option/payload separator
+            break
+        if kind != "$":
+            break
+    dtype = _DATATYPES[options.get("datatype", default_datatype)]
+    if rest.startswith("#"):
+        raw = base64.b64decode(rest[1:], validate=True)
+        vec = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    else:
+        vec = np.array([float(x) for x in rest.split("|") if x != ""])
+    rn = options.get("resultnum")
+    return ParsedQuery(
+        vector=vec,
+        index_name=options.get("indexname"),
+        result_num=int(rn) if rn is not None else None,
+        extract_metadata=options.get("extractmetadata", "").lower()
+        in ("true", "1", "yes"),
+        options=options,
+    )
+
+
+def encode_query(
+    vector,
+    datatype: str = "float",
+    base64_payload: bool = False,
+    **options,
+) -> str:
+    """Format a query string (the client side of the wire format)."""
+    parts = [f"${k}:{v}" for k, v in options.items()]
+    if datatype != "float":
+        parts.append(f"$datatype:{datatype}")
+    if base64_payload:
+        packed = np.asarray(vector, dtype=_DATATYPES[datatype]).tobytes()
+        payload = "#" + base64.b64encode(packed).decode("ascii")
+    else:
+        payload = "|".join(repr(float(x)) for x in vector)
+        if parts:
+            payload = "|" + payload  # option/payload separator
+    return "".join(parts) + payload
+
+
+def execute_queries(
+    indexes: dict[str, DataFrame],
+    query_strings: list[str],
+    default_k: int = 10,
+    metric: str = "l2",
+) -> DataFrame:
+    """SearchExecutor over a batch of wire-format strings: parse each, group
+    by target index, run ONE batch-kNN plan per index (the executor loop at
+    `SearchExecutor.cpp:95-121` becomes a union of DataFrame plans), attach
+    metadata for queries that asked. query_id is the position in the batch.
+
+    All queries against one index share a single kernel pass regardless of
+    their individual resultnum — we search with max(k) and filter per query,
+    which is exactly the partial/final top-k shape.
+    """
+    parsed = [parse_query(s) for s in query_strings]
+    default_index = next(iter(indexes))
+    by_index: dict[str, list[int]] = {}
+    for i, p in enumerate(parsed):
+        name = p.index_name or default_index
+        by_index.setdefault(name, []).append(i)
+
+    out: DataFrame | None = None
+    for name, qids in by_index.items():
+        vectors = indexes[name]
+        Q = np.stack([parsed[i].vector for i in qids])
+        ks = [parsed[i].result_num or default_k for i in qids]
+        res = knn_arrays(
+            vectors, np.array(qids, dtype=np.int64), Q, k=max(ks), metric=metric
+        )
+        res = attach_meta(res, vectors)
+        # per-query resultnum filter; metadata nulled unless requested
+        from pyspark.sql import functions as F
+
+        spark = vectors.sparkSession
+        limits = spark.createDataFrame(
+            [
+                (int(i), int(k), bool(parsed[i].extract_metadata))
+                for i, k in zip(qids, ks)
+            ],
+            "query_id long, _k long, _with_meta boolean",
+        )
+        res = (
+            res.join(F.broadcast(limits), "query_id")
+            .filter(F.col("rank") <= F.col("_k"))
+            .withColumn(
+                "meta", F.when(F.col("_with_meta"), F.col("meta"))
+            )
+            .drop("_k", "_with_meta")
+        )
+        out = res if out is None else out.unionByName(res)
+    return out

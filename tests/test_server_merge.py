@@ -1,0 +1,101 @@
+"""Wire-format parser/executor (SURVEY §2.11) and MergeIndex (§2.7) tests.
+
+Mirrors the reference's own coverage: QueryParser option extraction
+(`src/Server/QueryParser.cpp:29-150`, `Test/src/StringConvertTest.cpp`),
+base64 payloads (`Test/src/Base64HelperTest.cpp:11`), and MergeIndex
+re-insertion (`src/Core/VectorIndex.cpp:489-560`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sptag_spark.operators.mutate import merge_index
+from sptag_spark.server import encode_query, execute_queries, parse_query
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    from sptag_spark.tables import vectors_table
+
+    return vectors_table(spark, SF)
+
+
+def test_parse_literal_roundtrip():
+    p = parse_query("1.5|2.0|-3.25")
+    assert p.vector.tolist() == [1.5, 2.0, -3.25]
+    assert p.result_num is None and not p.extract_metadata
+
+
+def test_parse_options_and_literal():
+    p = parse_query("$resultnum:7$extractmetadata:true$indexname:foo|1.0|2.0")
+    assert p.result_num == 7
+    assert p.extract_metadata is True
+    assert p.index_name == "foo"
+    assert p.vector.tolist() == [1.0, 2.0]
+
+
+def test_parse_base64_roundtrip():
+    vec = np.array([0.5, -1.25, 3.0], dtype=np.float32)
+    s = encode_query(vec, base64_payload=True, resultnum=3)
+    p = parse_query(s)
+    assert p.result_num == 3
+    assert p.vector.tolist() == vec.astype(np.float64).tolist()
+
+
+def test_parse_base64_int8():
+    vec = np.array([1, -2, 3], dtype=np.int8)
+    s = encode_query(vec, datatype="int8", base64_payload=True)
+    p = parse_query(s)
+    assert p.vector.tolist() == [1.0, -2.0, 3.0]
+
+
+def test_encode_parse_identity_options():
+    s = encode_query([1.0, 2.0], resultnum=5, extractmetadata="true")
+    p = parse_query(s)
+    assert p.result_num == 5 and p.extract_metadata
+    assert p.vector.tolist() == [1.0, 2.0]
+
+
+def test_malformed_option_raises():
+    with pytest.raises(ValueError):
+        parse_query("$resultnum|1.0|2.0")
+
+
+def test_execute_queries_per_query_k_and_meta(spark, vectors):
+    v0 = vectors.select("vector").first()["vector"]
+    v1 = vectors.filter(F.col("id") == 3).select("vector").first()["vector"]
+    strings = [
+        encode_query(v0, resultnum=2, extractmetadata="true"),
+        encode_query(v1, resultnum=4, base64_payload=True),
+    ]
+    res = execute_queries({"main": vectors}, strings).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q[0]) == 2 and len(by_q[1]) == 4
+    # q0 asked for metadata, q1 did not
+    assert all(r["meta"] is not None for r in by_q[0])
+    assert all(r["meta"] is None for r in by_q[1])
+    # exact self-match at rank 1
+    assert by_q[1][0]["id"] == 3 and by_q[1][0]["dist"] == 0.0
+
+
+def test_merge_index_remaps_and_drops(spark):
+    v1 = spark.createDataFrame(
+        [(0, [0.0], "a"), (1, [1.0], "b"), (5, [5.0], "c")],
+        "id long, vector array<float>, meta string",
+    )
+    v2 = spark.createDataFrame(
+        [(0, [10.0], "x"), (2, [12.0], "y")],
+        "id long, vector array<float>, meta string",
+    )
+    t1 = spark.createDataFrame([(1,)], "id long")
+    t2 = spark.createDataFrame([(0,)], "id long")
+    rows = {r["id"]: r["meta"] for r in merge_index(v1, t1, v2, t2).collect()}
+    # live1 = {0, 5}; offset = 6; live2 = {2} -> 8
+    assert rows == {0: "a", 5: "c", 8: "y"}
