@@ -8,12 +8,15 @@ balance constraint, so this is a custom iterative DataFrame loop — the
 reference's thread-partial + merge k-means statistics (`BKTree.h:466-499`)
 map exactly onto Spark partial aggregation.
 
-Iteration shape (each pass = one mapInPandas + one groupBy):
-1. broadcast (centers, counts) in the kernel closure;
-2. per row: penalized argmin → cluster id (NumPy block);
-3. groupBy(cluster): count + element-wise vector sum (F.aggregate over a
-   zipped array column would also work; posexplode keeps it shuffle-light on
-   wide dims) → new centers and counts on the driver (k×dim doubles — tiny).
+Iteration shape (each pass = ONE map-only job, no shuffle):
+1. broadcast (centers, lambda) in the kernel closure;
+2. per row: penalized argmin → cluster id (NumPy block), counts accumulated
+   within the partition pass;
+3. the kernel emits its PARTIAL per-cluster (count, vector-sum) — k rows per
+   partition, the reference's thread-partial statistics
+   (`BKTree.h:466-499`) — and the driver merges k×partitions rows into new
+   centers. No join, no posexplode, no per-row shuffle; a final assign pass
+   materializes (id, cluster).
 
 This is also the BalancedDataPartition tool (`src/BalancedDataPartition/
 main.cpp`) — the cluster assignment is the partition key for sharding.
@@ -30,31 +33,64 @@ from pyspark.sql import DataFrame
 from sptag_spark.operators.knn import _as_matrix
 
 
-def _assign_kernel(centers: np.ndarray, lam: float):
-    """Penalized assignment with counts accumulated greedily DURING the pass
-    (per partition), like the reference's within-pass newCounts accumulation —
+def _penalized_assign(
+    V: np.ndarray, centers: np.ndarray, lam: float, local: np.ndarray
+) -> np.ndarray:
+    """Greedy within-pass penalized argmin — counts accumulate DURING the
+    pass (per partition), like the reference's newCounts accumulation;
     penalizing with the previous iteration's final counts oscillates (the
     emptiest cluster swallows everything next pass)."""
+    d = (
+        -2.0 * (V @ centers.T)
+        + (centers**2).sum(1)[None, :]
+        + (V**2).sum(1)[:, None]
+    )
+    assign = np.empty(len(V), dtype=np.int32)
+    for r in range(len(V)):
+        a = int((d[r] + lam * local).argmin())
+        assign[r] = a
+        local[a] += 1.0
+    return assign
 
+
+def _assign_kernel(centers: np.ndarray, lam: float):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = np.zeros(len(centers))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = _as_matrix(pdf["vector"])
-            d = (
-                -2.0 * (V @ centers.T)
-                + (centers**2).sum(1)[None, :]
-                + (V**2).sum(1)[:, None]
-            )
-            assign = np.empty(len(V), dtype=np.int32)
-            for r in range(len(V)):
-                a = int((d[r] + lam * local).argmin())
-                assign[r] = a
-                local[a] += 1.0
+            assign = _penalized_assign(V, centers, lam, local)
             yield pd.DataFrame(
                 {"id": pdf["id"].to_numpy(), "cluster": assign}
             )
+
+    return kernel
+
+
+def _stats_kernel(centers: np.ndarray, lam: float):
+    """Map-only statistics pass: emits this partition's per-cluster partial
+    (count, vector-sum) — k rows, not n."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = len(centers)
+        local = np.zeros(k)
+        sums = np.zeros_like(centers)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _as_matrix(pdf["vector"])
+            assign = _penalized_assign(V, centers, lam, local)
+            np.add.at(sums, assign, V)
+            counts += np.bincount(assign, minlength=k)
+        yield pd.DataFrame(
+            {
+                "cluster": np.arange(k, dtype=np.int32),
+                "c": counts,
+                "s": list(sums),
+            }
+        )
 
     return kernel
 
@@ -91,26 +127,23 @@ def balanced_kmeans(
         )
         # fair share PER PARTITION (counts accumulate within a partition pass)
         lam = float(np.maximum(d, 0).mean()) / max(n / (k * n_parts), 1.0)
-    assigned = None
+    dim = centers.shape[1]
+    src = vectors.select("id", "vector")
     for _ in range(n_iter):
-        assigned = vectors.select("id", "vector").mapInPandas(
-            _assign_kernel(centers, lam), schema="id long, cluster int"
-        )
-        # new centers: element-wise mean per cluster — posexplode + groupBy
-        # gives map-side partial sums (the reference's thread-partial merge,
-        # BKTree.h:466-499); the collected aggregate is only k×dim rows.
-        from pyspark.sql import functions as F
-
-        joined = assigned.join(vectors.select("id", "vector"), "id")
-        stats = (
-            joined.select("cluster", F.posexplode("vector").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
-            .collect()
-        )
-        for r in stats:
-            centers[r["cluster"], r["pos"]] = r["s"] / r["c"]
-    return assigned
+        partials = src.mapInPandas(
+            _stats_kernel(centers, lam),
+            schema="cluster int, c long, s array<double>",
+        ).collect()
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in partials:
+            sums[r["cluster"]] += np.asarray(r["s"])
+            counts[r["cluster"]] += r["c"]
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return src.mapInPandas(
+        _assign_kernel(centers, lam), schema="id long, cluster int"
+    )
 
 
 def cluster_sizes(assigned: DataFrame) -> DataFrame:
