@@ -14,9 +14,9 @@ Spark translation — ONE logical plan:
 - posting selection = a semi-join on head_id. When postings are stored
   partitionBy(head_id), Catalyst's dynamic partition pruning turns this into
   reading only the routed directories — the SSD seek, for free;
-- scan+heap = distance expression + global window rank (exact over the
-  candidate set — strictly better than the reference's concat-without-rerank
-  aggregator, `AggregatorService.cpp:363-441`);
+- scan+heap = batched NumPy scoring kernel + global window rank (exact over
+  the candidate set — strictly better than the reference's
+  concat-without-rerank aggregator, `AggregatorService.cpp:363-441`);
 - dedup = dropDuplicates(query_id, id) before ranking.
 
 Recall is governed by nprobe (SearchInternalResultNum) and the build's
@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sptag_spark.functions.distance import dist_expr
 from sptag_spark.operators.knn import knn
 
 SEARCH_INTERNAL_RESULT_NUM = 8  # heads probed per query (64 in SIFT1B cfg)
@@ -78,14 +77,36 @@ def ann_search(
     ).select("query_id", "id", "vector")
     # replica dedup before the expensive part (same row appears once per head)
     cand = cand.dropDuplicates(["query_id", "id"])
-    q = F.broadcast(
-        queries.select(
-            F.col("query_id"), F.col("vector").alias("qvector")
-        )
-    )
-    scored = cand.join(q, "query_id").withColumn(
-        "dist", dist_expr(F.col("qvector"), F.col("vector"), metric)
-    )
+    # score with the same batched NumPy arithmetic as the exact kernel (the
+    # query batch rides in the closure; per-pair exact recompute keeps
+    # values identical to knn()/the oracle)
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from sptag_spark.operators.knn import _exact_pair_dists
+
+    qmap = {
+        int(r["query_id"]): np.asarray(r["vector"], dtype=np.float64)
+        for r in queries.select("query_id", "vector").collect()
+    }
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vector"].tolist(), dtype=np.float64)
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            dist = np.empty(len(pdf))
+            for qid in np.unique(qids):
+                idx = np.nonzero(qids == qid)[0]
+                dist[idx] = _exact_pair_dists(V[idx], qmap[int(qid)], metric)
+            yield pd.DataFrame(
+                {"query_id": qids, "id": pdf["id"].to_numpy(), "dist": dist}
+            )
+
+    scored = cand.mapInPandas(score, schema="query_id long, id long, dist double")
     w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -69,6 +69,10 @@ def assign_replicas(
     hrows = heads.select("head_id", "vector").collect()
     head_ids = np.array([r["head_id"] for r in hrows], dtype=np.int64)
     H = np.array([list(r["vector"]) for r in hrows], dtype=np.float64)
+    # head-head distances once in the closure (heads fit in memory by
+    # SPANN's own design) — recomputing the candidate×candidate block per
+    # row costs more than the whole assignment pass
+    HH = _block_distances(H, H, metric)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,7 +89,7 @@ def assign_replicas(
                 cand = np.argpartition(row, c - 1)[:c] if c < len(head_ids) else np.arange(len(head_ids))
                 order = np.lexsort((head_ids[cand], row[cand]))
                 cand = cand[order]
-                hh = _block_distances(H[cand], H[cand], metric)
+                hh = HH[np.ix_(cand, cand)]
                 keep = _rng_prune(row[cand], hh, replica_count, rng_factor)
                 for j in keep:
                     out_head.append(head_ids[cand[j]])
