@@ -1,0 +1,86 @@
+"""Driver query: Structured Streaming windowed aggregation, oracle-checked.
+
+The reference's only "streaming" is online index mutation (§2.9) — covered
+by stream_append_vectors/live_view and their tests. This query exercises the
+Spark-native streaming operator a 100 TB ingestion pipeline needs: an
+event-time tumbling window with a watermark, executed as a REAL streaming
+query (readStream → writeStream, availableNow trigger, memory sink).
+
+Determinism: the events table is one file → one micro-batch → the watermark
+never drops rows, so the complete-mode result equals the batch aggregation
+and the DuckDB oracle can check it exactly. On a live unbounded stream the
+same plan bounds its state by dropping events later than the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sptag_spark.registry import register
+from sptag_spark.streaming.ingest import streaming_event_window_counts
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+_SINK = "stream_window_counts_sink"
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """FileStreamSource needs a DIRECTORY of arriving files; the testdata dir
+    is read-only and holds unrelated tables, so expose events.parquet through
+    a symlink in a per-sf temp dir (what a real deployment's landing
+    directory is)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"sptag_stream_events_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def _streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .parquet(_stream_source_dir(sf_dir))
+        .withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    )
+    agg = streaming_event_window_counts(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.table(_SINK)
+    return snap.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type",
+        "n",
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+register(
+    "streaming_window_counts",
+    _streaming_window_counts,
+    """
+SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_epoch,
+       event_type,
+       COUNT(*) AS n,
+       round(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
