@@ -21,6 +21,14 @@ def main() -> None:
     from sptag_spark.registry import all_specs
     from sptag_spark.session import get_spark
 
+    # local mode = one JVM for driver+executors: size the heap for 32
+    # worker threads + persisted index structures, or GC noise dominates
+    # the per-query timings
+    os.environ.setdefault("SPTAG_SPARK_DRIVER_MEM", "24g")
+    # AQE replans every stage; at bench scale (tiny stages, local[32]) that
+    # is fixed overhead with no runtime benefit to buy back — measured ~2×
+    # on the index-build queries. On a real cluster leave it on (default).
+    os.environ.setdefault("SPTAG_SPARK_AQE", "false")
     spark = get_spark("sptag-bench", cpus=cpus, shuffle_partitions=cpus)
 
     # Warm up the JVM / Arrow / codegen paths so the first timed query isn't

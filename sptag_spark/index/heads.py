@@ -74,11 +74,38 @@ def select_heads(
     k = max(1, min(int(n * ratio), max_heads))
     frac = min(1.0, sample_rows / max(n, 1))
     sample = vectors if frac >= 1.0 else vectors.sample(frac, seed=seed)
-    X = np.array(
-        [list(r["vector"]) for r in sample.select("vector").collect()],
-        dtype=np.float64,
-    )
+    rows = sample.select("id", "vector").collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    X = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
     centers = lloyd_kmeans(X, k, iters=10, seed=seed)
+    if frac >= 1.0:
+        # the sample IS the whole table → snap locally (same argmin the
+        # distributed kernel computes, minus three Spark jobs)
+        c2 = (centers**2).sum(1)
+        x2 = (X**2).sum(1)
+        nearest = np.empty(len(centers), dtype=np.int64)
+        block = max(1, int(2.5e7 / max(len(X), 1)))
+        for s in range(0, len(centers), block):
+            D = (
+                -2.0 * (centers[s : s + block] @ X.T)
+                + x2[None, :]
+                + c2[s : s + block, None]
+            )
+            mins = D.min(axis=1, keepdims=True)
+            # smallest id among exact-min ties — knn's (dist, id) ordering
+            tied_ids = np.where(D <= mins, ids[None, :], np.iinfo(np.int64).max)
+            nearest[s : s + block] = tied_ids.min(axis=1)
+        head_ids = np.unique(nearest)
+        spark = vectors.sparkSession
+        chosen = {int(h) for h in head_ids}
+        picked = [
+            (int(r["id"]), list(map(float, r["vector"])))
+            for r in rows
+            if int(r["id"]) in chosen
+        ]
+        return spark.createDataFrame(
+            picked, "head_id long, vector array<float>"
+        )
     # snap: nearest true vector per centroid (top-1 knn, centroids as queries)
     snapped = knn_arrays(
         vectors, np.arange(len(centers), dtype=np.int64), centers, k=1,

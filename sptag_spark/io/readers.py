@@ -146,3 +146,70 @@ def to_parquet_index(df: DataFrame, path: str) -> None:
     """One-time conversion to the canonical Parquet layout — after this the
     binary formats are never re-read (columnar scans, pushdown, pruning)."""
     df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+
+
+# -- ground-truth files (Common/TruthSet.h:24-160) --------------------------
+#
+# DEFAULT truth: int32 numQueries, int32 K, then numQueries*K int32 neighbor
+# ids (row-major, rank order). TXT truth: one line per query, ids separated
+# by whitespace. The loaded shape is (query_id, rank, id) — the golden-table
+# form recall_per_query consumes.
+
+
+def write_truth_default(ids: np.ndarray, path: str) -> None:
+    """ids: (num_queries, k) int32 neighbor matrix in rank order."""
+    ids = np.asarray(ids, dtype=np.int32)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", ids.shape[0], ids.shape[1]))
+        f.write(ids.tobytes())
+
+
+def read_truth_default(spark: SparkSession, path: str) -> DataFrame:
+    """DEFAULT truth file → (query_id, rank, id). One file = one record via
+    binaryFile (truth files are tiny: queries × k int32s)."""
+    bin_df = spark.read.format("binaryFile").load(path)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                nq, k = struct.unpack("<ii", content[:8])
+                ids = np.frombuffer(content[8 : 8 + 4 * nq * k], dtype=np.int32)
+                ids = ids.reshape(nq, k)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(np.arange(nq, dtype=np.int64), k),
+                        "rank": np.tile(np.arange(1, k + 1, dtype=np.int64), nq),
+                        "id": ids.reshape(-1).astype(np.int64),
+                    }
+                )
+
+    return bin_df.select("content").mapInPandas(
+        kernel, schema="query_id long, rank long, id long"
+    )
+
+
+def write_truth_txt(ids: np.ndarray, path: str) -> None:
+    with open(path, "w") as f:
+        for row in np.asarray(ids):
+            f.write(" ".join(str(int(x)) for x in row) + "\n")
+
+
+def read_truth_txt(spark: SparkSession, path: str) -> DataFrame:
+    """TXT truth file → (query_id, rank, id). Line number = query id (the
+    reference's positional convention); splittable text scan + posexplode."""
+    lines = spark.read.text(path)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    numbered = lines.withColumn("query_id", F.row_number().over(w) - 1)
+    return (
+        numbered.select(
+            "query_id",
+            F.posexplode(
+                F.filter(F.split(F.trim("value"), r"\s+"), lambda t: t != "")
+            ).alias("pos", "id_str"),
+        )
+        .select(
+            F.col("query_id").cast("long"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("id_str").cast("long").alias("id"),
+        )
+    )

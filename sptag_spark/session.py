@@ -26,11 +26,17 @@ def get_spark(
         shuffle_partitions = cpus
     if driver_memory is None:
         driver_memory = os.environ.get("SPTAG_SPARK_DRIVER_MEM", "8g")
+    # AQE is the right default on a cluster (runtime coalescing, skew-join
+    # splitting — the 100 TB design assumes it). Its per-stage replanning is
+    # pure fixed cost when stages are tiny, so the bench harness turns it
+    # off via SPTAG_SPARK_AQE=false; correctness tests keep it on so the
+    # AQE code path stays exercised.
+    aqe = os.environ.get("SPTAG_SPARK_AQE", "true")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_memory)

@@ -184,3 +184,32 @@ def test_result_iterator_pages(spark, small_vectors):
     assert it.relaxed_mono is False
     assert all(r["relaxed_mono"] is False for r in p1 + p2)
     it.close()
+
+
+def test_truth_file_roundtrip(spark, tmp_path_factory):
+    """DEFAULT + TXT truth formats (Common/TruthSet.h:24-160) round-trip and
+    feed the recall join."""
+    import numpy as np
+
+    from sptag_spark.io.readers import (
+        read_truth_default,
+        read_truth_txt,
+        write_truth_default,
+        write_truth_txt,
+    )
+
+    truth = np.array([[3, 1, 4], [1, 5, 9], [2, 6, 5]], dtype=np.int32)
+    d = tmp_path_factory.mktemp("truth")
+    write_truth_default(truth, str(d / "truth.bin"))
+    write_truth_txt(truth, str(d / "truth.txt"))
+    for reader, path in [
+        (read_truth_default, str(d / "truth.bin")),
+        (read_truth_txt, str(d / "truth.txt")),
+    ]:
+        rows = reader(spark, path).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], []).append((r["rank"], r["id"]))
+        assert len(rows) == 9
+        assert [i for _, i in sorted(got[0])] == [3, 1, 4]
+        assert [i for _, i in sorted(got[2])] == [2, 6, 5]
