@@ -111,10 +111,23 @@ def add_batch(vectors: DataFrame, new_vectors: DataFrame) -> DataFrame:
     positional — new rows get ids after the current max. new_vectors:
     (vector, meta). Returns the unioned index.
 
+    Rejects dimension mismatches like the reference's add-time check
+    (`BKTIndex.cpp:924`: DimensionSizeMismatch) — the index dimension is
+    fixed at creation (`CoreInterface.h:19`).
+
     Note: like the reference (single add lock, `m_dataAddLock`), id assignment
     is a serial decision; we take max(id)+row_number over the batch. The batch
     is small (a micro-batch), so the window over a single partition is fine.
     """
+    first = vectors.select(F.size("vector").alias("d")).first()
+    if first is not None:
+        dim = first["d"]
+        bad = new_vectors.filter(F.size("vector") != dim).count()
+        if bad:
+            raise ValueError(
+                f"DimensionSizeMismatch: {bad} row(s) do not have the "
+                f"index dimension {dim}"
+            )
     start = vectors.agg(F.coalesce(F.max("id") + 1, F.lit(0))).first()[0]
     w = Window.orderBy(F.monotonically_increasing_id())
     numbered = new_vectors.withColumn(

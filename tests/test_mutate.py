@@ -81,3 +81,15 @@ def test_refine_compacts_and_remaps(spark, idx):
     assert len(rows) == 50
     assert [r["id"] for r in rows] == list(range(50))
     assert [r["old_id"] for r in rows] == list(range(1, 100, 2))
+
+
+def test_add_batch_dim_mismatch(spark, idx):
+    import pytest
+    from sptag_spark.operators.mutate import add_batch
+
+    base = idx
+    bad = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0],)], "vector array<float>"
+    ).withColumn("meta", F.lit("x"))
+    with pytest.raises(ValueError, match="DimensionSizeMismatch"):
+        add_batch(base, bad)

@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the pure driver-side primitives.
+
+Mirrors the reference's kernel-equivalence testing style
+(`Test/src/DistanceTest.cpp:88-96`: SIMD vs scalar equality) — here the
+properties are wire-format round-trips and BLAS-vs-direct distance
+agreement, checked over generated inputs rather than fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sptag_spark.operators.knn import _block_distances, _exact_pair_dists
+from sptag_spark.server import encode_query, parse_query
+
+finite_floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+vectors = st.lists(finite_floats, min_size=1, max_size=32)
+
+
+@settings(max_examples=200, deadline=None)
+@given(vectors, st.integers(1, 100), st.booleans())
+def test_wire_roundtrip(vec, k, use_b64):
+    f32 = np.asarray(vec, dtype=np.float32)
+    s = encode_query(
+        f32, base64_payload=use_b64, resultnum=k, extractmetadata="true"
+    )
+    p = parse_query(s)
+    assert p.result_num == k and p.extract_metadata
+    np.testing.assert_array_equal(p.vector, f32.astype(np.float64))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(-128, 127).flatmap(lambda _: st.lists(st.integers(-128, 127), min_size=1, max_size=64)))
+def test_wire_roundtrip_int8(vals):
+    s = encode_query(np.asarray(vals, dtype=np.int8), datatype="int8", base64_payload=True)
+    p = parse_query(s)
+    assert p.vector.tolist() == [float(v) for v in vals]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.integers(2, 16),
+    st.randoms(use_true_random=False),
+)
+def test_block_vs_exact_distances(n, q, d, rnd):
+    rng = np.random.default_rng(rnd.randint(0, 2**31))
+    V = rng.normal(size=(n, d))
+    Q = rng.normal(size=(q, d))
+    for metric in ("l2", "cosine", "ip"):
+        D = _block_distances(V, Q, metric)
+        for j in range(q):
+            exact = _exact_pair_dists(V, Q[j], metric)
+            np.testing.assert_allclose(D[:, j], exact, rtol=1e-9, atol=1e-8)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(finite_floats, min_size=2, max_size=16))
+def test_self_distance_zero(vec):
+    V = np.asarray([vec], dtype=np.float64)
+    # the exact per-pair arithmetic (what the kernel reports for winners) is
+    # exactly 0 for self-distance ...
+    assert _exact_pair_dists(V, V[0], "l2")[0] == 0.0
+    # ... while the BLAS expansion only promises cancellation-level error
+    # relative to ||v||² — which is WHY the kernel re-computes candidates
+    # exactly before emitting them
+    scale = max(1.0, (V * V).sum())
+    assert _block_distances(V, V, "l2")[0, 0] <= 1e-12 * scale
