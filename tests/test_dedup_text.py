@@ -117,3 +117,23 @@ def test_top_tokens(corpus):
     got = top_tokens(corpus, k=3).collect()
     assert got[0]["token"] == "the" and got[0]["rank"] == 1
     assert got[0]["cnt"] >= got[1]["cnt"] >= got[2]["cnt"]
+
+
+def test_lsh_banding_subsets_candidates(corpus):
+    """r-row banding produces a SUBSET of the 1-row-band candidates and
+    still finds the high-similarity (exact-duplicate) pairs."""
+    from sptag_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    sigs = minhash_signature(corpus).cache()
+    c1 = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    c4 = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, rows_per_band=4).collect()
+    }
+    sigs.unpersist()
+    assert c4 <= c1
+    # exact duplicates agree on every minhash -> survive any banding
+    assert (0, 1) in c1 and (0, 1) in c4

@@ -213,3 +213,45 @@ def test_truth_file_roundtrip(spark, tmp_path_factory):
         assert len(rows) == 9
         assert [i for _, i in sorted(got[0])] == [3, 1, 4]
         assert [i for _, i in sorted(got[2])] == [2, 6, 5]
+
+
+def test_stateful_streaming_dedup(spark, tmp_path_factory):
+    """applyInPandasWithState first-wins dedup holds state ACROSS
+    micro-batches: a key admitted in batch 1 is dropped in batch 2."""
+    import os
+
+    from sptag_spark.streaming.stateful import streaming_first_wins_dedup
+
+    d = tmp_path_factory.mktemp("stateful")
+    src, ckpt, out = str(d / "src"), str(d / "ckpt"), str(d / "out")
+    os.makedirs(src)
+    schema = "doc_id long, text string, seq long"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        dedup = streaming_first_wins_dedup(stream, "doc_id", "seq")
+        q = (
+            dedup.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+        }
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (1, "a-dup-same-batch", 11), (2, "b", 12)], schema
+    )
+    b1.write.mode("append").parquet(src)
+    assert run_once() == {1: "a", 2: "b"}
+
+    # batch 2: key 1 again (must be dropped — held state), key 3 new
+    b2 = spark.createDataFrame(
+        [(1, "a-dup-later-batch", 20), (3, "c", 21)], schema
+    )
+    b2.write.mode("append").parquet(src)
+    assert run_once() == {1: "a", 2: "b", 3: "c"}
