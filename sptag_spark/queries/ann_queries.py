@@ -69,6 +69,17 @@ def pq_index(spark: SparkSession, sf_dir: str) -> tuple:
     return _memo(spark, sf_dir, "pq", build)
 
 
+def opq_index(spark: SparkSession, sf_dir: str) -> tuple:
+    def build():
+        vectors = vectors_table(spark, sf_dir)
+        books = train_pq(vectors, m=8, opq_rotation=True)
+        codes = pq_encode(vectors, books).persist()
+        codes.count()
+        return books, codes
+
+    return _memo(spark, sf_dir, "opq", build)
+
+
 def _ann_spann(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads, postings = spann_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sptag_spark.index.ann import search_tree
-from sptag_spark.index.pq import adc_search, pq_encode, train_pq
+from sptag_spark.index.pq import adc_search
 from sptag_spark.operators.mutate import merge_index
 from sptag_spark.queries.knn_queries import ROUND, _DIST_SQL
 from sptag_spark.registry import register
@@ -131,16 +131,9 @@ register("search_tree_topk", _search_tree, None)
 
 
 def _opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sptag_spark.queries.ann_queries import _INDEX_CACHE, _memo
+    from sptag_spark.queries.ann_queries import opq_index
 
-    def build():
-        vectors = vectors_table(spark, sf_dir)
-        books = train_pq(vectors, m=8, opq_rotation=True)
-        codes = pq_encode(vectors, books).persist()
-        codes.count()
-        return books, codes
-
-    books, codes = _memo(spark, sf_dir, "opq", build)
+    books, codes = opq_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
     res = adc_search(codes, queries, books, k=5)
     return res.withColumn("adc_dist", F.round("adc_dist", ROUND))

@@ -32,9 +32,17 @@ def get_spark(
     # off via SPTAG_SPARK_AQE=false; correctness tests keep it on so the
     # AQE code path stays exercised.
     aqe = os.environ.get("SPTAG_SPARK_AQE", "true")
+    # One BLAS thread per task in the Python workers: every core already
+    # runs a worker, so letting each NumPy kernel spawn n_cpus BLAS threads
+    # oversubscribes cores quadratically (32 workers × 32 OpenBLAS threads)
+    # and turns kernel timings into noise. Driver-side NumPy (sampled index
+    # training) keeps the full BLAS thread pool — it runs alone.
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
