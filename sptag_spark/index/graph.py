@@ -1,0 +1,159 @@
+"""Relative-neighborhood-graph build — BKT/KDT's graph layer, Spark-first.
+
+Reference (`NeighborhoodGraph.h:363-402`, SURVEY.md §3.4): the in-memory
+indexes pair their space-partition tree with an RNG over all vectors. The
+build initializes a kNN graph from TPTNumber=32 random trinary-projection
+trees — all-pairs distances within ≤2000-row leaves
+(`NeighborhoodGraph.h:301-360`) — then refines with the RNG prune rule
+(`RelativeNeighborhoodGraph.h:18-35`): scanning candidates ascending by
+distance, accept j iff for every accepted i,
+rng_factor·d(i, j) ≥ d(node, j).
+
+Spark translation: a TPT leaf is a co-partitioned block. We reuse the head
+assignment (balanced clusters + replicas) as the blocking structure — each
+vector lands in `replicas` blocks, all-pairs top-L runs INSIDE each block
+(applyInPandas per block, BLAS), and a per-node merge + RNG prune produces
+the final ≤L adjacency. Replication across blocks plays the role of the 32
+independent TPT partitions: boundary neighbors are found because near
+vectors co-occur in at least one block with high probability.
+
+Scale shape: no all-pairs shuffle ever happens — the only wide ops are the
+block co-partition (shuffle by block id), the per-node candidate merge
+(shuffle by src), and one equi-join to attach candidate vectors for the
+prune. The reference's own graph build is likewise the dominant index cost.
+
+The graph is needed for *traversal parity* experiments, not result parity
+(the exact engine answers top-k without it) — see SURVEY.md §1.1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sptag_spark.index.heads import select_heads
+from sptag_spark.index.postings import assign_replicas
+from sptag_spark.operators.knn import _block_distances
+
+NEIGHBORHOOD_SIZE = 32  # L (BKT/ParameterDefinitionList.h:23)
+RNG_FACTOR = 1.0
+
+
+def _block_topL(L: int):
+    """All-pairs local top-L inside one block: (src, dst, dist)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
+                {"src": np.int64, "dst": np.int64, "dist": np.float64}
+            )
+        V = np.array(pdf["vector"].tolist(), dtype=np.float64)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        D = _block_distances(V, V, "l2")
+        np.fill_diagonal(D, np.inf)
+        kk = min(L, n - 1)
+        out_src, out_dst, out_dist = [], [], []
+        for r in range(n):
+            cand = np.argpartition(D[r], kk - 1)[:kk]
+            order = np.lexsort((ids[cand], D[r][cand]))
+            cand = cand[order]
+            out_src.append(np.full(kk, ids[r], dtype=np.int64))
+            out_dst.append(ids[cand])
+            # exact recompute for reported distances
+            d = V[cand] - V[r][None, :]
+            out_dist.append((d * d).sum(axis=1))
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_src),
+                "dst": np.concatenate(out_dst),
+                "dist": np.concatenate(out_dist),
+            }
+        )
+
+    return fn
+
+
+def _rng_prune_group(L: int, rng_factor: float):
+    """Per-src candidate list (ascending dist) → RNG-pruned ≤L neighbors."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["dist", "dst"]).reset_index(drop=True)
+        C = np.array(pdf["dst_vector"].tolist(), dtype=np.float64)
+        dists = pdf["dist"].to_numpy()
+        accepted: list[int] = []
+        for j in range(len(pdf)):
+            ok = True
+            for i in accepted:
+                d = C[i] - C[j]
+                if rng_factor * float((d * d).sum()) < dists[j]:
+                    ok = False
+                    break
+            if ok:
+                accepted.append(j)
+                if len(accepted) >= L:
+                    break
+        keep = pdf.iloc[accepted]
+        return pd.DataFrame(
+            {
+                "src": keep["src"].to_numpy(dtype=np.int64),
+                "dst": keep["dst"].to_numpy(dtype=np.int64),
+                "dist": keep["dist"].to_numpy(),
+            }
+        )
+
+    return fn
+
+
+def build_rng_graph(
+    vectors: DataFrame,
+    L: int = NEIGHBORHOOD_SIZE,
+    block_ratio: float = 0.05,
+    replicas: int = 4,
+    rng_factor: float = RNG_FACTOR,
+    heads: DataFrame | None = None,
+) -> DataFrame:
+    """Edge DataFrame (src, dst, dist) with ≤L RNG-pruned neighbors per node.
+
+    heads (optional) lets callers reuse an existing centroid layer; otherwise
+    a block-granularity head set is selected at `block_ratio`.
+    """
+    if heads is None:
+        heads = select_heads(vectors, ratio=block_ratio)
+    blocks = assign_replicas(
+        vectors, heads, replica_count=replicas, candidate_num=max(replicas * 4, 8)
+    )
+    local = (
+        blocks.select("head_id", "id", "vector")
+        .groupBy("head_id")
+        .applyInPandas(_block_topL(L), schema="src long, dst long, dist double")
+    )
+    # merge replicas' views of each node, keep a bounded candidate list
+    # (CEF-like: 2L before the prune), then attach candidate vectors
+    merged = local.dropDuplicates(["src", "dst"])
+    w = Window.partitionBy("src").orderBy(F.col("dist"), F.col("dst"))
+    cand = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2 * L)
+        .drop("_rn")
+    )
+    cand = cand.join(
+        vectors.select(
+            F.col("id").alias("dst"), F.col("vector").alias("dst_vector")
+        ),
+        "dst",
+    )
+    return cand.groupBy("src").applyInPandas(
+        _rng_prune_group(L, rng_factor), schema="src long, dst long, dist double"
+    )
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """Degree histogram: (degree, n_nodes) — the graph-quality summary the
+    reference prints during builds."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))

@@ -125,3 +125,20 @@ def _balanced_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("balanced_kmeans_sizes", _balanced_clusters, None)
+
+
+def _rng_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.index.graph import build_rng_graph, graph_stats
+
+    def build():
+        heads, _ = spann_index(spark, sf_dir)
+        vectors = vectors_table(spark, sf_dir)
+        edges = build_rng_graph(vectors, L=8, heads=heads, replicas=4).persist()
+        edges.count()
+        return (edges,)
+
+    (edges,) = _memo(spark, sf_dir, "rng_graph", build)
+    return graph_stats(edges)
+
+
+register("rng_graph_degrees", _rng_graph_degrees, None)

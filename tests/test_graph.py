@@ -1,0 +1,84 @@
+"""RNG graph build tests — block all-pairs + RNG prune rule.
+
+Mirrors the reference's graph invariants: bounded degree (NeighborhoodSize),
+the RNG acceptance rule (`RelativeNeighborhoodGraph.h:18-35`), and edge
+quality vs brute-force neighbors (the reference validates graphs by recall
+of traversal; here we check the edges directly against exact top-k)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sptag_spark.index.graph import build_rng_graph, graph_stats
+
+SF = "/root/testdata/sf0.001"
+L = 8
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    from sptag_spark.tables import vectors_table
+
+    v = vectors_table(spark, SF).cache()
+    edges = build_rng_graph(v, L=L, block_ratio=0.1, replicas=4).cache()
+    yield v, edges
+    edges.unpersist()
+    v.unpersist()
+
+
+def test_degree_bounded(graph):
+    _, edges = graph
+    max_deg = (
+        edges.groupBy("src").agg(F.count("*").alias("d")).agg(F.max("d")).first()[0]
+    )
+    assert max_deg <= L
+    assert edges.filter(F.col("src") == F.col("dst")).count() == 0
+
+
+def test_rng_rule_holds(graph):
+    v, edges = graph
+    vec = {r["id"]: np.array(r["vector"], dtype=np.float64) for r in v.collect()}
+    by_src = {}
+    for r in edges.collect():
+        by_src.setdefault(r["src"], []).append((r["dist"], r["dst"]))
+    for src, nbrs in list(by_src.items())[:50]:
+        nbrs.sort()
+        accepted = []
+        for dist_j, j in nbrs:
+            for i in accepted:
+                d = vec[i] - vec[j]
+                assert (d * d).sum() >= dist_j - 1e-9, (
+                    f"edge {src}->{j} violates RNG rule vs accepted {i}"
+                )
+            accepted.append(j)
+
+
+def test_edges_are_near_neighbors(graph):
+    """Every kept edge must be among the source's true top-(4L) neighbors —
+    blocks + replicas find near vectors, not random ones."""
+    v, edges = graph
+    rows = v.collect()
+    ids = np.array([r["id"] for r in rows])
+    X = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    id_to_row = {int(i): n for n, i in enumerate(ids)}
+    ok = total = 0
+    for r in edges.collect():
+        s, d = id_to_row[r["src"]], id_to_row[r["dst"]]
+        diff = X - X[s][None, :]
+        dist = (diff * diff).sum(axis=1)
+        dist[s] = np.inf
+        rank = (dist < dist[d]).sum()
+        total += 1
+        ok += rank < 4 * L
+    assert total > 0 and ok / total >= 0.95
+
+
+def test_graph_stats_shape(spark, graph):
+    _, edges = graph
+    stats = {r["degree"]: r["n_nodes"] for r in graph_stats(edges).collect()}
+    assert sum(stats.values()) > 0
+    assert max(stats) <= L
