@@ -49,6 +49,7 @@ def main() -> None:
     # QPS/percentiles are serve-path numbers). Build them up front, timed
     # separately, so the per-query figures measure the same thing.
     from sptag_spark.queries.ann_queries import (
+        _rng_graph_degrees,
         ivf_index,
         opq_index,
         pq_index,
@@ -61,6 +62,7 @@ def main() -> None:
         ("ivf", ivf_index),
         ("pq", pq_index),
         ("opq", opq_index),
+        ("rng_graph", _rng_graph_degrees),
     ]:
         t0 = time.time()
         builder(spark, sf_dir)
