@@ -78,33 +78,64 @@ def _block_topL(L: int):
     return fn
 
 
-def _rng_prune_group(L: int, rng_factor: float):
-    """Per-src candidate list (ascending dist) → RNG-pruned ≤L neighbors."""
+def _rng_prune_partition(L: int, rng_factor: float):
+    """mapInPandas kernel over src-repartitioned, (src, dist, dst)-sorted
+    candidate rows: prunes EVERY src group in the batch with NumPy slicing.
+    (A groupBy(src).applyInPandas formulation schedules one pandas call per
+    node — per-group overhead dwarfs the prune at millions of nodes.)"""
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["dist", "dst"]).reset_index(drop=True)
-        C = np.array(pdf["dst_vector"].tolist(), dtype=np.float64)
-        dists = pdf["dist"].to_numpy()
-        accepted: list[int] = []
-        for j in range(len(pdf)):
-            ok = True
-            for i in accepted:
-                d = C[i] - C[j]
-                if rng_factor * float((d * d).sum()) < dists[j]:
-                    ok = False
-                    break
-            if ok:
-                accepted.append(j)
-                if len(accepted) >= L:
-                    break
-        keep = pdf.iloc[accepted]
+    def prune_block(srcs, dsts, dists, C):
+        out_idx: list[int] = []
+        start, n = 0, len(srcs)
+        while start < n:
+            end = start
+            while end < n and srcs[end] == srcs[start]:
+                end += 1
+            accepted: list[int] = []
+            for j in range(start, end):
+                ok = True
+                for i in accepted:
+                    d = C[i] - C[j]
+                    if rng_factor * float((d * d).sum()) < dists[j]:
+                        ok = False
+                        break
+                if ok:
+                    accepted.append(j)
+                    if len(accepted) >= L:
+                        break
+            out_idx.extend(accepted)
+            start = end
         return pd.DataFrame(
-            {
-                "src": keep["src"].to_numpy(dtype=np.int64),
-                "dst": keep["dst"].to_numpy(dtype=np.int64),
-                "dist": keep["dist"].to_numpy(),
-            }
+            {"src": srcs[out_idx], "dst": dsts[out_idx], "dist": dists[out_idx]}
         )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow may split one src group across consecutive batches of the
+        # same partition: hold back the trailing group until src changes.
+        tail: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            srcs = pdf["src"].to_numpy(dtype=np.int64)
+            cut = int(np.searchsorted(srcs, srcs[-1], side="left"))
+            tail = pdf.iloc[cut:].reset_index(drop=True)
+            head = pdf.iloc[:cut]
+            if len(head):
+                yield prune_block(
+                    head["src"].to_numpy(dtype=np.int64),
+                    head["dst"].to_numpy(dtype=np.int64),
+                    head["dist"].to_numpy(),
+                    np.array(head["dst_vector"].tolist(), dtype=np.float64),
+                )
+        if tail is not None and len(tail):
+            yield prune_block(
+                tail["src"].to_numpy(dtype=np.int64),
+                tail["dst"].to_numpy(dtype=np.int64),
+                tail["dist"].to_numpy(),
+                np.array(tail["dst_vector"].tolist(), dtype=np.float64),
+            )
 
     return fn
 
@@ -147,8 +178,15 @@ def build_rng_graph(
         ),
         "dst",
     )
-    return cand.groupBy("src").applyInPandas(
-        _rng_prune_group(L, rng_factor), schema="src long, dst long, dist double"
+    # co-locate each node's candidates and order them for the sequential
+    # prune; one kernel pass handles every group in its partition
+    return (
+        cand.repartition("src")
+        .sortWithinPartitions("src", "dist", "dst")
+        .mapInPandas(
+            _rng_prune_partition(L, rng_factor),
+            schema="src long, dst long, dist double",
+        )
     )
 
 
