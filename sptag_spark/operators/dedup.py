@@ -275,43 +275,31 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
 
     Bit b of md5(token) is nibble (b/4) of the hex digest, bit (b%4). A bit of
     the fingerprint is set when the weighted vote (each token occurrence votes
-    ±1) is positive. Returns (doc_id, simhash BIGINT). Pure explode+groupBy —
-    one shuffle on doc_id.
+    ±1) is positive. Returns (doc_id, simhash BIGINT).
+
+    One shuffle of one row per TOKEN: the `bits` per-bit votes are computed
+    as separate aggregate columns of a single groupBy (all map-side
+    combinable), not by exploding a (token × bit) row set — the exploded
+    formulation shuffles `bits`× the rows to compute the same sums.
     """
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", md5_hex(F.col("tok")))
-    positions = F.sequence(F.lit(0), F.lit(bits - 1))
-    tok_bits = tok.select(
-        "doc_id",
-        F.explode(positions).alias("b"),
-        F.col("h"),
-    ).withColumn(
-        "nib",
-        # nibble value of hex char at index b/4 (1-based substring)
-        F.expr(
-            "instr('0123456789abcdef', substring(h, CAST(floor(b/4) AS INT) + 1, 1)) - 1"
-        ),
-    ).withColumn(
-        "vote",
-        F.when(
-            (F.floor(F.col("nib") / F.pow(F.lit(2), F.col("b") % 4)) % 2) == 1,
-            F.lit(1),
-        ).otherwise(F.lit(-1)),
-    )
-    return (
-        tok_bits.groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("v") > 0, F.pow(F.lit(2), F.col("b")).cast("long")).otherwise(
-                F.lit(0)
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
+
+    def vote(b: int):
+        # nibble value of hex char (b//4), bit (b%4) of it, as a ±1 vote
+        nib = f"(instr('0123456789abcdef', substring(h, {b // 4 + 1}, 1)) - 1)"
+        bit = f"(CAST(floor({nib} / {2 ** (b % 4)}) AS INT) % 2)"
+        return F.expr(f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END")
+
+    agg = [F.sum(vote(b)).alias(f"_v{b}") for b in range(bits)]
+    votes = tok.groupBy("doc_id").agg(*agg)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def embedding_near_dup_pairs(
