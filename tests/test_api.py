@@ -1,0 +1,110 @@
+"""End-to-end AnnIndex API test — replays the reference's own CI gate.
+
+Reference: `Test/src/AlgoTest.cpp:160-245` — n=2000, dim=10, vec[i][j]=i,
+meta=str(i); 3 queries q[i][j]=2i; k=3. The golden expectations are the
+reference's hard-coded metadata sets (truthmeta1/2/3/5), checked as
+unordered membership per query exactly like `AlgoTest.cpp:102-105`:
+
+  build            → {0,1,2} {2,1,3} {4,3,5}
+  add same set     → {0,0,1} {2,2,1} {4,4,3}     (duplicate ids join)
+  delete by vector → {1,1,3} {1,3,1} {3,5,3}     (0/2/4 copies tombstoned)
+  meta-mapping add → {0,1,2} {2,1,3} {4,3,5}     (re-add evicts old holder)
+
+plus Save/Load round-trips between stages, as the reference does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sptag_spark.api import SparkAnnIndex
+
+N, DIM, K = 2000, 10, 3
+
+
+@pytest.fixture(scope="module")
+def fixture_data():
+    vec = np.array([[i] * DIM for i in range(N)], dtype=np.float32)
+    metas = [str(i) for i in range(N)]
+    queries = np.array([[2 * i] * DIM for i in range(3)], dtype=np.float32)
+    return vec, metas, queries
+
+
+def _meta_sets(index, queries, k=K):
+    out = []
+    for qv in queries:
+        res = index.search(qv, k=k)
+        out.append(sorted(m for _, _, m in res))
+    return out
+
+
+def test_algotest_build_search(spark, fixture_data):
+    vec, metas, queries = fixture_data
+    idx = SparkAnnIndex.build(spark, vec, metas)
+    assert _meta_sets(idx, queries) == [
+        sorted(["0", "1", "2"]),
+        sorted(["2", "1", "3"]),
+        sorted(["4", "3", "5"]),
+    ]
+
+
+def test_algotest_add_delete_flow(spark, fixture_data):
+    vec, metas, queries = fixture_data
+    idx = SparkAnnIndex.build(spark, vec, metas)
+    idx.add(vec, metas)  # duplicates with new ids
+    assert _meta_sets(idx, queries) == [
+        sorted(["0", "0", "1"]),
+        sorted(["2", "2", "1"]),
+        sorted(["4", "4", "3"]),
+    ]
+    idx.delete_by_vector(queries)
+    assert _meta_sets(idx, queries) == [
+        sorted(["1", "1", "3"]),
+        sorted(["1", "3", "1"]),
+        sorted(["3", "5", "3"]),
+    ]
+
+
+def test_algotest_meta_mapping(spark, fixture_data):
+    vec, metas, queries = fixture_data
+    idx = SparkAnnIndex.build(spark, vec, metas, meta_mapping=True)
+    idx.add(vec, metas)  # same keys: evicts previous holders, stays unique
+    assert _meta_sets(idx, queries) == [
+        sorted(["0", "1", "2"]),
+        sorted(["2", "1", "3"]),
+        sorted(["4", "3", "5"]),
+    ]
+
+
+def test_algotest_save_load(spark, fixture_data, tmp_path_factory):
+    vec, metas, queries = fixture_data
+    idx = SparkAnnIndex.build(spark, vec, metas)
+    idx.delete([0, 2, 4])
+    path = str(tmp_path_factory.mktemp("apiidx") / "index")
+    idx.save(path)
+    idx2 = SparkAnnIndex.load(spark, path)
+    assert _meta_sets(idx2, queries) == [
+        sorted(["1", "3", "5"]),
+        sorted(["1", "3", "5"]),
+        sorted(["3", "5", "6"]),
+    ]
+    # ids continue after the loaded max — positional semantics survive
+    idx2.add(vec[:1], ["fresh"])
+    assert idx2._next_id == N + 1
+
+
+def test_api_dim_mismatch(spark):
+    idx = SparkAnnIndex(spark, dim=4)
+    with pytest.raises(ValueError, match="DimensionSizeMismatch"):
+        idx.add(np.zeros((2, 5), dtype=np.float32))
+
+
+def test_api_merge(spark):
+    a = SparkAnnIndex.build(spark, np.eye(3, dtype=np.float32) * 1, ["a0", "a1", "a2"])
+    b = SparkAnnIndex.build(spark, np.eye(3, dtype=np.float32) * 2, ["b0", "b1", "b2"])
+    b.delete([1])
+    merged = a.merge(b)
+    assert merged.live().count() == 5
+    metas = {r["meta"] for r in merged.live().collect()}
+    assert metas == {"a0", "a1", "a2", "b0", "b2"}
