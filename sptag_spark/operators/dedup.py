@@ -68,7 +68,17 @@ def shingle_hashes(
     This is the narrow side table the whole MinHash family derives from —
     raw text is tokenized and shingled exactly once, and everything
     downstream (signatures, LSH buckets, exact-Jaccard verify) works on
-    int64 arrays. Docs with < n tokens (empty shingle set) drop out."""
+    int64 arrays. Docs with < n tokens (empty shingle set) drop out.
+
+    Small inputs are re-spread to the session's parallelism first: a corpus
+    that arrives as one file is one scan split, and the per-row
+    shingle+hash work would otherwise run on a single core. On a table that
+    already has ≥ cores splits (any real deployment) this is a no-op — no
+    shuffle is added at scale."""
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(
