@@ -56,7 +56,7 @@ def main() -> None:
         from sptag_spark.index.ivf import ivf_search
 
         centroids, lists = ivf_index(spark, sf_dir)
-        search = lambda q: ivf_search(q, centroids, lists, k=k, nprobe=8)
+        search = lambda q: ivf_search(q, centroids, lists, k=k, nprobe=12)
     elif mode == "pq":
         from sptag_spark.index.pq import adc_search
 
