@@ -144,3 +144,20 @@ def _rng_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("rng_graph_degrees", _rng_graph_degrees, None)
+
+
+def _kdt_leaf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.index.kdt import build_kdt, kdt_assign, kdt_leaf_sizes
+
+    def build():
+        vectors = vectors_table(spark, sf_dir)
+        tree = build_kdt(vectors, leaf_size=64)
+        assigned = kdt_assign(vectors, tree).persist()
+        assigned.count()
+        return (assigned,)
+
+    (assigned,) = _memo(spark, sf_dir, "kdt", build)
+    return kdt_leaf_sizes(assigned)
+
+
+register("kdt_leaf_sizes", _kdt_leaf_histogram, None)
