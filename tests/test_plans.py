@@ -116,3 +116,44 @@ def test_postings_write_partitions_by_head(tmp_path, spark):
     pruned = spark.read.parquet(path).filter(F.col("head_id") == int(dirs[0].split("=")[1]))
     pp = plan(pruned)
     assert "PartitionFilters" in pp
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Warehouse-scale co-location: two tables bucketed+sorted on id join
+    with NO Exchange — the layout a 100 TB deployment gives the vectors and
+    results tables so meta-attach never shuffles the big side."""
+    import os
+
+    from sptag_spark.tables import vectors_table
+
+    # external tables at explicit paths — the (static) warehouse dir is
+    # only used for managed tables
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    v = vectors_table(spark, SF)
+    (
+        v.write.bucketBy(8, "id")
+        .sortBy("id")
+        .mode("overwrite")
+        .option("path", os.path.join(wh, "vec_bucketed"))
+        .saveAsTable("vec_bucketed")
+    )
+    (
+        v.select("id", "meta")
+        .write.bucketBy(8, "id")
+        .sortBy("id")
+        .mode("overwrite")
+        .option("path", os.path.join(wh, "meta_bucketed"))
+        .saveAsTable("meta_bucketed")
+    )
+    try:
+        a = spark.table("vec_bucketed").select("id", "vector")
+        b = spark.table("meta_bucketed")
+        # disable broadcast so the co-located join itself is exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan(a.join(b, "id"))
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # bucket layout replaces the shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS vec_bucketed")
+        spark.sql("DROP TABLE IF EXISTS meta_bucketed")
