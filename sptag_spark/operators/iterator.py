@@ -54,3 +54,33 @@ class ResultIterator:
 
     def close(self) -> None:
         self._ranked.unpersist()
+
+
+class SpannResultIterator(ResultIterator):
+    """SPANNResultIterator (`SPANN/SPANNResultIterator.h:20-65`): the same
+    Next(batch) contract over the SPANN two-phase search instead of the
+    exact scan. The reference streams posting lists in head-batches
+    (`m_headBatch`, `SPANN/Options.h:127`) to fill each page lazily; here
+    the routed candidate set is ranked once and cached — every page is a
+    pruned scan, and because the ranking over the probed candidates is
+    materialized, ordering is true within it (RelaxedMono ≡ False). The
+    probe budget (nprobe) plays MaxCheck's accuracy-knob role."""
+
+    def __init__(
+        self,
+        queries: DataFrame,
+        heads: DataFrame,
+        postings: DataFrame,
+        metric: str = "l2",
+        max_results: int = 1000,
+        nprobe: int = 8,
+    ) -> None:
+        from sptag_spark.index.ann import ann_search
+
+        self._ranked = ann_search(
+            queries, heads, postings, k=max_results, nprobe=nprobe,
+            metric=metric,
+        ).cache()
+        self._pos = 0
+        self.max_results = max_results
+        self.relaxed_mono = False

@@ -255,3 +255,34 @@ def test_stateful_streaming_dedup(spark, tmp_path_factory):
     )
     b2.write.mode("append").parquet(src)
     assert run_once() == {1: "a", 2: "b", 3: "c"}
+
+
+def test_spann_result_iterator_pages(spark, small_vectors):
+    """SPANN iterator pages match the one-shot ANN ranking, in order,
+    without overlap (SPANNResultIterator.h Next(batch) contract)."""
+    from sptag_spark.index.ann import ann_search
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.iterator import SpannResultIterator
+
+    queries = small_vectors.filter(F.col("id") % 5 == 0).select(
+        F.col("id").alias("query_id"), "vector"
+    )
+    heads = select_heads(small_vectors, ratio=0.3).cache()
+    postings = build_postings(small_vectors, heads).cache()
+    full = {
+        (r["query_id"], r["rank"]): r["id"]
+        for r in ann_search(queries, heads, postings, k=8, nprobe=4).collect()
+    }
+    it = SpannResultIterator(
+        queries, heads, postings, max_results=8, nprobe=4
+    )
+    p1 = it.next_batch(4).collect()
+    p2 = it.next_batch(4).collect()
+    assert it.relaxed_mono is False
+    assert all(r["rank"] <= 4 for r in p1) and all(5 <= r["rank"] <= 8 for r in p2)
+    for r in p1 + p2:
+        assert full[(r["query_id"], r["rank"])] == r["id"]
+    it.close()
