@@ -49,6 +49,7 @@ def main() -> None:
     # QPS/percentiles are serve-path numbers). Build them up front, timed
     # separately, so the per-query figures measure the same thing.
     from sptag_spark.queries.ann_queries import (
+        _kdt_leaf_histogram,
         _rng_graph_degrees,
         ivf_index,
         opq_index,
@@ -63,6 +64,7 @@ def main() -> None:
         ("pq", pq_index),
         ("opq", opq_index),
         ("rng_graph", _rng_graph_degrees),
+        ("kdt", _kdt_leaf_histogram),
     ]:
         t0 = time.time()
         builder(spark, sf_dir)
