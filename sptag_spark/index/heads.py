@@ -4,10 +4,10 @@ Reference: SPANN SelectHead (`src/Core/SPANN/SPANNIndex.cpp:579-705`) builds a
 BKT over all vectors and walks it to pick ~`Ratio` (default 0.12-0.16) of the
 vectors as "heads"; every other vector is assigned to nearby heads' posting
 lists. The BKT walk is an approximation of "pick well-spread representative
-vectors"; the Spark-native equivalent is sampled MLlib KMeans (distributed,
-scales to any N) followed by snapping each centroid to its nearest actual
-vector (SPANN heads are real vectors, which is what makes the head index
-searchable with the same distance semantics).
+vectors"; the Spark-native equivalent is k-means over a bounded sample
+followed by snapping each centroid to its nearest actual vector (SPANN
+heads are real vectors, which is what makes the head index searchable with
+the same distance semantics).
 
 At 100 TB: centroid training cost is bounded by the sample size by design
 (SPANN likewise trains its head structure on sampled data —

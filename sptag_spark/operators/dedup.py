@@ -9,12 +9,16 @@ Four families, each with a clear 100 TB story:
              keys, never on raw text; verification touches only candidates.
 - SimHash:   per-token hash bits → weighted bit vote → compact integer
              fingerprint; near-dup = small Hamming distance. One groupBy.
-- embedding: cosine-similarity pairs over the embedding column; exact
-             (crossJoin expr) at test scale, IVF/LSH-blocked at 100 TB
-             (see index/ for the blocking structures).
+- embedding: cosine-similarity pairs over the embedding column via a BLAS
+             block kernel; IVF/LSH-blocked at 100 TB (see index/ for the
+             blocking structures).
 
-All hashing is md5-hex (portable to the DuckDB oracle). No Python UDFs —
-everything is explode/groupBy/join on JVM columns.
+Hashing: md5-hex where a value must match the DuckDB oracle byte-for-byte
+(exact dedup, simhash nibbles); engine-internal hashing (shingle hashes,
+minhash, LSH buckets) is xxhash64 — int64 keys through every shuffle, and
+the oracle only ever checks the exact-verified outputs. Python appears only
+in Arrow-batched kernels (the embedding block matmul); everything else is
+JVM columns.
 """
 
 from __future__ import annotations
