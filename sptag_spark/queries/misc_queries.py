@@ -69,3 +69,30 @@ register(
         "WHERE rank <= 20", "WHERE rank BETWEEN 11 AND 20"
     ),
 )
+
+
+def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_fake_media(docs)
+    frames = frame_sample_plan(media, every_n=10)
+    return frames.select(
+        F.col("id").alias("doc_id"), F.col("frame_no").cast("int").alias("frame_no")
+    )
+
+
+# Fake frame count is closed-form over the payload length (UTF-8 octets), so
+# the sampling grid is SQL-expressible: frames 0, 10, ... < n_frames.
+register(
+    "multimodal_frame_sample",
+    _frame_sample,
+    """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) % 300 + 1 AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(u.f AS INT) AS frame_no
+FROM m, UNNEST(range(0, n_frames, 10)) AS u(f)
+""",
+)
