@@ -51,7 +51,7 @@ def main() -> None:
         from sptag_spark.index.ann import ann_search
 
         heads, postings = spann_index(spark, sf_dir)
-        search = lambda q: ann_search(q, heads, postings, k=k, nprobe=8)
+        search = lambda q: ann_search(q, heads, postings, k=k, nprobe=10)
     elif mode == "ivf":
         from sptag_spark.index.ivf import ivf_search
 
