@@ -70,8 +70,11 @@ def cosine_dist(a: Column, b: Column) -> Column:
     """1 - cosine similarity (ConvertCosineSimilarityToDistance,
     DistanceUtils.h:105-116). Zero-norm inputs get distance 1.0 (orthogonal)."""
     na, nb = norm(a), norm(b)
+    # greatest(0, ...) clamps the tiny-negative self-distance rounding
+    # artifact (cosine distance is mathematically >= 0) and normalizes
+    # -0.0 to +0.0 so value hashes agree with SQL oracles.
     return F.when((na == 0.0) | (nb == 0.0), F.lit(1.0)).otherwise(
-        F.lit(1.0) - dot(a, b) / (na * nb)
+        F.greatest(F.lit(0.0), F.lit(1.0) - dot(a, b) / (na * nb))
     )
 
 

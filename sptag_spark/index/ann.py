@@ -47,9 +47,15 @@ def route_queries(
     head_vectors = heads.select(F.col("head_id").alias("id"), "vector")
     sel = knn(head_vectors, queries, k=nprobe, metric=metric)
     w = Window.partitionBy("query_id")
+    # The reference guards the ratio cut with `limitDist > 0.1`
+    # (SPANNIndex.cpp:217-230): without it, ip's negative distances make
+    # min_dist*ratio < min_dist and the cut drops EVERY head, and an exact
+    # head match (min_dist == 0, common when queries are base vectors)
+    # collapses routing to that single head, silently shrinking nprobe to 1.
+    cut = F.col("min_dist") * F.lit(max_dist_ratio)
     return (
         sel.withColumn("min_dist", F.min("dist").over(w))
-        .filter(F.col("dist") <= F.col("min_dist") * F.lit(max_dist_ratio))
+        .filter((cut <= F.lit(0.1)) | (F.col("dist") <= cut))
         .select(
             "query_id",
             F.col("id").alias("head_id"),

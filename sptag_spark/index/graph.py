@@ -37,13 +37,13 @@ from pyspark.sql import functions as F
 
 from sptag_spark.index.heads import select_heads
 from sptag_spark.index.postings import assign_replicas
-from sptag_spark.operators.knn import _block_distances
+from sptag_spark.operators.knn import _block_distances, _exact_pair_dists
 
 NEIGHBORHOOD_SIZE = 32  # L (BKT/ParameterDefinitionList.h:23)
 RNG_FACTOR = 1.0
 
 
-def _block_topL(L: int):
+def _block_topL(L: int, metric: str = "l2"):
     """All-pairs local top-L inside one block: (src, dst, dist)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -54,7 +54,7 @@ def _block_topL(L: int):
             )
         V = np.array(pdf["vector"].tolist(), dtype=np.float64)
         ids = pdf["id"].to_numpy(dtype=np.int64)
-        D = _block_distances(V, V, "l2")
+        D = _block_distances(V, V, metric)
         np.fill_diagonal(D, np.inf)
         kk = min(L, n - 1)
         out_src, out_dst, out_dist = [], [], []
@@ -65,8 +65,7 @@ def _block_topL(L: int):
             out_src.append(np.full(kk, ids[r], dtype=np.int64))
             out_dst.append(ids[cand])
             # exact recompute for reported distances
-            d = V[cand] - V[r][None, :]
-            out_dist.append((d * d).sum(axis=1))
+            out_dist.append(_exact_pair_dists(V[cand], V[r], metric))
         return pd.DataFrame(
             {
                 "src": np.concatenate(out_src),
@@ -78,11 +77,24 @@ def _block_topL(L: int):
     return fn
 
 
-def _rng_prune_partition(L: int, rng_factor: float):
+def _rng_prune_partition(L: int, rng_factor: float, metric: str = "l2"):
     """mapInPandas kernel over src-repartitioned, (src, dist, dst)-sorted
     candidate rows: prunes EVERY src group in the batch with NumPy slicing.
     (A groupBy(src).applyInPandas formulation schedules one pandas call per
     node — per-group overhead dwarfs the prune at millions of nodes.)"""
+
+    def pair_dist(a: np.ndarray, b: np.ndarray) -> float:
+        # metric-aware candidate-candidate distance for the RNG rule,
+        # matching NeighborhoodGraph's metric-parameterized build
+        if metric == "l2":
+            d = a - b
+            return float((d * d).sum())
+        if metric == "cosine":
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            if na == 0.0 or nb == 0.0:
+                return 1.0
+            return max(0.0, 1.0 - float(a @ b) / (na * nb))
+        return -float(a @ b)
 
     def prune_block(srcs, dsts, dists, C):
         out_idx: list[int] = []
@@ -95,8 +107,7 @@ def _rng_prune_partition(L: int, rng_factor: float):
             for j in range(start, end):
                 ok = True
                 for i in accepted:
-                    d = C[i] - C[j]
-                    if rng_factor * float((d * d).sum()) < dists[j]:
+                    if rng_factor * pair_dist(C[i], C[j]) < dists[j]:
                         ok = False
                         break
                 if ok:
@@ -147,11 +158,14 @@ def build_rng_graph(
     replicas: int = 4,
     rng_factor: float = RNG_FACTOR,
     heads: DataFrame | None = None,
+    metric: str = "l2",
 ) -> DataFrame:
     """Edge DataFrame (src, dst, dist) with ≤L RNG-pruned neighbors per node.
 
     heads (optional) lets callers reuse an existing centroid layer; otherwise
-    a block-granularity head set is selected at `block_ratio`.
+    a block-granularity head set is selected at `block_ratio`. `metric`
+    parameterizes both the candidate search and the prune rule, like the
+    reference's NeighborhoodGraph taking the index's DistCalcMethod.
     """
     if heads is None:
         heads = select_heads(vectors, ratio=block_ratio)
@@ -161,7 +175,9 @@ def build_rng_graph(
     local = (
         blocks.select("head_id", "id", "vector")
         .groupBy("head_id")
-        .applyInPandas(_block_topL(L), schema="src long, dst long, dist double")
+        .applyInPandas(
+            _block_topL(L, metric), schema="src long, dst long, dist double"
+        )
     )
     # merge replicas' views of each node, keep a bounded candidate list
     # (CEF-like: 2L before the prune), then attach candidate vectors
@@ -184,7 +200,7 @@ def build_rng_graph(
         cand.repartition("src")
         .sortWithinPartitions("src", "dist", "dst")
         .mapInPandas(
-            _rng_prune_partition(L, rng_factor),
+            _rng_prune_partition(L, rng_factor, metric),
             schema="src long, dst long, dist double",
         )
     )

@@ -67,7 +67,13 @@ def _block_distances(V: np.ndarray, Q: np.ndarray, metric: str) -> np.ndarray:
     if metric == "cosine":
         Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
         Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-        return 1.0 - Vn @ Qn.T
+        # Cosine distance is mathematically >= 0; tiny-negative dots from
+        # rounding (self-match with dot/(|v||q|) marginally > 1) would round
+        # to -0.0, whose sign bit differs from the oracle's +0.0. Clamp and
+        # add 0.0 to drop the sign bit, matching the L2 path above.
+        D = 1.0 - Vn @ Qn.T
+        np.maximum(D, 0.0, out=D)
+        return D + 0.0
     if metric == "ip":
         return -(V @ Q.T)
     raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
@@ -86,7 +92,9 @@ def _exact_pair_dists(V: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
         out = np.ones(len(V))
         ok = (nv != 0) & (nq != 0)
         out[ok] = 1.0 - (V[ok] @ q) / (nv[ok] * nq)
-        return out
+        # clamp >= 0 and drop the -0.0 sign bit (see _block_distances)
+        np.maximum(out, 0.0, out=out)
+        return out + 0.0
     return -(V @ q)
 
 

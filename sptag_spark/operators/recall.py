@@ -1,21 +1,39 @@
 """Recall@k / MRR — the reference's quality metrics as a join+agg.
 
 Reference: `Common/TruthSet.h:167-243` CalculateRecall counts a result as a
-hit if its id is in the truth set OR its distance ties a truth distance within
-1e-6 (distance-tie credit); recall = hits/k averaged over queries, MRR from
-the rank of the first hit. Shapes: a semi-join-with-tolerance + window agg.
+hit if its id is in the truth set OR its distance ties a truth distance
+(distance-tie credit); recall = hits/k averaged over queries, MRR from the
+rank of the first hit. The tie tolerance is metric-aware in the reference:
+RELATIVE for L2 (`fabs(d - td) < eps * (d + eps)` — squared-L2 grows with
+scale, so ties at large distances need a proportional band), ABSOLUTE for
+cosine (distance is bounded in [0, 2]), and no credit for ip. Shapes: a
+semi-join-with-tolerance + window agg.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-DIST_TIE_TOL = 1e-6  # TruthSet.h recall tolerance
+DIST_TIE_TOL = 1e-6  # TruthSet.h recall Epsilon
+
+
+def _tie_cond(d: Column, td: Column, metric: str) -> Column:
+    """Metric-aware distance-tie credit (TruthSet.h:167-243)."""
+    eps = F.lit(DIST_TIE_TOL)
+    if metric == "l2":
+        return F.abs(d - td) < eps * (d + eps)
+    if metric == "cosine":
+        return F.abs(d - td) <= eps
+    return F.lit(False)  # ip: id match only
 
 
 def recall_per_query(
-    results: DataFrame, truth: DataFrame, k: int, dist_tie_credit: bool = True
+    results: DataFrame,
+    truth: DataFrame,
+    k: int,
+    dist_tie_credit: bool = True,
+    metric: str = "l2",
 ) -> DataFrame:
     """results/truth: (query_id, rank, id, dist). Returns per query:
     (query_id, n_hits BIGINT, recall DOUBLE, rr DOUBLE) where rr = 1/rank of
@@ -31,7 +49,7 @@ def recall_per_query(
         (F.col("id") == F.col("t_id"))
         | (
             F.lit(dist_tie_credit)
-            & (F.abs(F.col("dist") - F.col("t_dist")) <= DIST_TIE_TOL)
+            & _tie_cond(F.col("dist"), F.col("t_dist"), metric)
         )
     )
     # left join + dedupe: a result row is a hit if ANY truth row matches.

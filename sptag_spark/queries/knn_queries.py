@@ -36,9 +36,12 @@ _NORM_V = "sqrt(list_sum(list_transform(v.vector, x -> CAST(x AS DOUBLE)^2)))"
 
 _DIST_SQL = {
     "l2": _L2SQ,
+    # greatest(0, ...) mirrors the engine's clamp: cosine distance is >= 0;
+    # without it a tiny-negative self-distance rounds to -0.0 in DuckDB but
+    # +0.0 in Spark, and the driver's value hash compares bytes.
     "cosine": (
         f"CASE WHEN {_NORM_Q} = 0 OR {_NORM_V} = 0 THEN 1.0 "
-        f"ELSE 1.0 - {_DOT} / ({_NORM_Q} * {_NORM_V}) END"
+        f"ELSE greatest(0.0, 1.0 - {_DOT} / ({_NORM_Q} * {_NORM_V})) END"
     ),
     "ip": f"-({_DOT})",
 }

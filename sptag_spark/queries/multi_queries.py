@@ -116,7 +116,7 @@ hits AS (
          EXISTS (
            SELECT 1 FROM truth t
            WHERE t.query_id = a.query_id
-             AND (t.id = a.id OR abs(a.d - t.d) <= 1e-6)
+             AND (t.id = a.id OR abs(a.d - t.d) < 1e-6 * (a.d + 1e-6))
          ) AS hit
   FROM approx a
 )

@@ -57,7 +57,11 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         if a[c].dtype.kind == "f":
             import numpy as np
 
-            bad = ~(np.isclose(av.astype(float), bv.astype(float), atol=0, rtol=0) | (pd.isna(av) & pd.isna(bv)))
+            afv, bfv = av.astype(float), bv.astype(float)
+            # the driver hashes BYTES, so -0.0 vs +0.0 is a mismatch even
+            # though they compare == ; check the sign bit too
+            same = (afv == bfv) & (np.signbit(afv) == np.signbit(bfv))
+            bad = ~(same | (pd.isna(av) & pd.isna(bv)))
         else:
             bad = av != bv
         n_bad = int(bad.sum())
