@@ -25,7 +25,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DTYPES = {
@@ -36,15 +36,51 @@ DTYPES = {
 }
 
 
+def with_positional_ids(df: DataFrame, col: str = "id") -> DataFrame:
+    """0-based positional row ids in scan order, WITHOUT funneling the data
+    through a single task (a global `Window.orderBy(monotonically_increasing_
+    id())` sorts everything into one partition — a non-starter on the main
+    ingest path at scale).
+
+    Two jobs over the same deterministic file-split plan:
+    1. count rows per partition (tiny result: one row per partition);
+    2. id = cumulative base of the partition + the row's within-partition
+       counter, recovered from monotonically_increasing_id's layout
+       (partition_id << 33 | counter).
+
+    File-based scans plan identical splits for both jobs and preserve
+    in-file row order, so the two passes agree — the distributed analog of
+    RDD.zipWithIndex, kept in DataFrame land.
+    """
+    part = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    bases, acc = {}, 0
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    base_map = F.create_map(
+        *[F.lit(x) for pid_base in sorted(bases.items()) for x in pid_base]
+    )
+    offset = F.col("_mid") - F.shiftleft(F.col("_pid").cast("long"), 33)
+    return (
+        part.withColumn(col, (base_map[F.col("_pid")] + offset).cast("long"))
+        .drop("_pid", "_mid")
+    )
+
+
 def read_tsv_vectors(
     spark: SparkSession, path: str, delimiter: str = "|"
 ) -> DataFrame:
     """TSV `meta\\tv1|v2|...` → (id, vector, meta). Ids are positional in
     file order (the reference assigns ids by read order)."""
     raw = spark.read.csv(path, sep="\t", schema="meta string, vec string")
-    w = Window.orderBy(F.monotonically_increasing_id())
     return (
-        raw.withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+        with_positional_ids(raw)
         .withColumn(
             "vector",
             F.split(F.col("vec"), f"[{delimiter}]").cast("array<float>"),
@@ -108,22 +144,29 @@ def read_binary_vectors(
     Int types upcast to float like the reference's distance kernels do.
     """
     dtype = DTYPES[value_type]
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    paths = [r["path"] for r in files.select("path").orderBy("path").collect()]
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "length", "content"
+    )
     decode = _decode_default if fmt == "default" else _decode_xvec
-    # per-file row counts → positional id bases (driver-side; file list is
-    # small even at scale — the data inside is what's big)
-    counts = {
-        r["path"]: (
-            struct.unpack_from("<ii", r["content"], 0)[0]
-            if fmt == "default"
-            else len(decode(r["content"], dtype))
-        )
-        for r in files.collect()
-    }
+    # Per-file row counts → positional id bases. Only (path, 8 header bytes,
+    # length) ever reach the driver — never file CONTENT (collecting content
+    # would stream the whole dataset through the driver and OOM it long
+    # before 100 TB). DEFAULT carries the count in its header; XVEC's count
+    # is file_size / record_size with the dim from its first int32.
+    itemsize = np.dtype(dtype).itemsize
+    headers = files.select(
+        "path", "length", F.substring("content", 1, 8).alias("hdr")
+    ).collect()
+    counts = {}
+    for r in headers:
+        if fmt == "default":
+            counts[r["path"]] = struct.unpack_from("<i", bytes(r["hdr"]), 0)[0]
+        else:
+            d = struct.unpack_from("<i", bytes(r["hdr"]), 0)[0]
+            counts[r["path"]] = int(r["length"]) // (4 + d * itemsize)
     bases = {}
     acc = 0
-    for p in paths:
+    for p in sorted(counts):
         bases[p] = acc
         acc += counts[p]
 
@@ -198,8 +241,7 @@ def read_truth_txt(spark: SparkSession, path: str) -> DataFrame:
     """TXT truth file → (query_id, rank, id). Line number = query id (the
     reference's positional convention); splittable text scan + posexplode."""
     lines = spark.read.text(path)
-    w = Window.orderBy(F.monotonically_increasing_id())
-    numbered = lines.withColumn("query_id", F.row_number().over(w) - 1)
+    numbered = with_positional_ids(lines, "query_id")
     return (
         numbered.select(
             "query_id",
