@@ -9,9 +9,10 @@ Four families, each with a clear 100 TB story:
              keys, never on raw text; verification touches only candidates.
 - SimHash:   per-token hash bits → weighted bit vote → compact integer
              fingerprint; near-dup = small Hamming distance. One groupBy.
-- embedding: cosine-similarity pairs over the embedding column via a BLAS
-             block kernel; IVF/LSH-blocked at 100 TB (see index/ for the
-             blocking structures).
+- embedding: cosine-similarity pairs via epsilon-margin cluster blocking —
+             exact (provably complete via triangle inequality) yet fully
+             distributed; per-block BLAS matmul, never an O(N²) driver
+             collect.
 
 Hashing: md5-hex where a value must match the DuckDB oracle byte-for-byte
 (exact dedup, simhash nibbles); engine-internal hashing (shingle hashes,
@@ -321,59 +322,139 @@ def embedding_near_dup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    sample_cap: int = 4096,
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold: (id_a, id_b, cos_sim).
+    EXACT (finds every qualifying pair) and fully distributed — the embedding
+    table is never collected to the driver.
 
-    Block kernel: the normalized matrix is broadcast in the closure and each
-    partition computes its block-vs-all similarities with one BLAS matmul,
-    emitting only above-threshold pairs (exact per-pair recompute on the
-    winners for oracle-stable values). A declarative crossJoin + aggregate/
-    zip_with expression computes the same thing ~50× slower — the lambda is
-    interpreted per element, not codegen'd.
+    100 TB shape — epsilon-margin cluster blocking:
 
-    The closure broadcast bounds this at "matrix fits in executor memory" —
-    the same regime where exact O(n²) compute is affordable at all. At 100 TB,
-    block first with IVF cluster assignment (index/ivf.py) or LSH bands and
-    run this kernel within blocks.
+    1. On the unit sphere, cos(a,b) ≥ t  ⟺  ||â-b̂|| ≤ eps = sqrt(2-2t)
+       (â = a/||a||). At near-dup thresholds eps is tiny (t=0.99 → 0.14).
+    2. A small deterministic sample (≤ sample_cap rows, the same bounded
+       sample regime as index/balanced.py's center seeding) trains k-means
+       centers on the driver; the (k × d) center matrix rides in the kernel
+       closure — the only thing broadcast.
+    3. ONE map-only pass assigns each normalized vector to EVERY center
+       within d_min + 2·eps of it (d_min = distance to its nearest center).
+       Triangle inequality makes this provably complete: for any pair with
+       ||â-b̂|| ≤ eps, let c* be b̂'s nearest center; then d(â,c*) ≤
+       d(b̂,c*)+eps ≤ d(â, nearest(â)) + 2·eps, so BOTH land in block c*.
+       This is the same boundary-replication idea as SPANN's multi-replica
+       postings (index/postings.py:57) but with a margin chosen so recall is
+       exactly 1 rather than probabilistic.
+    4. applyInPandas per block: all-pairs BLAS matmul within the block only
+       (O(Σ m_block²), not O(N²)), candidate detect on the normalized
+       product, exact per-pair recompute dot/(na·nb) — the oracle's formula —
+       and the final ≥ t filter on that exact value.
+    5. dropDuplicates on the pair key (a pair can share several blocks; the
+       recomputed value is bitwise identical in each, so dedup is safe).
+
+    Replication factor = E[#centers within d_min+2eps] ≈ 1 for small eps, so
+    shuffle volume ≈ the table itself, once; block sizes are bounded by the
+    k-means balance, so per-task memory is O((N/k)·d) regardless of N.
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    rows = embeddings.select(
+    src = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
-    ).collect()
-    all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    M = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(M, axis=1)
-    safe = np.where(norms == 0, 1.0, norms)
-    Mn = M / safe[:, None]
+    )
+    eps = float(np.sqrt(max(2.0 - 2.0 * threshold, 0.0)))
+    margin = 2.0 * eps
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # deterministic pseudo-random sample → driver-side Lloyd on ≤ cap rows
+    # (orderBy+limit compiles to TakeOrdered — per-partition top-k, no global
+    # sort). If the sample came back short, it IS the whole table, which also
+    # sizes n_blocks without a separate count job.
+    sample_rows = (
+        src.orderBy(F.xxhash64(F.col("id"))).limit(sample_cap).collect()
+    )
+    if n_blocks is None:
+        if len(sample_rows) < sample_cap:
+            n_blocks = int(max(1, min(1024, len(sample_rows) // 256)))
+        else:
+            n_blocks = 1024
+
+    if n_blocks > 1:
+        S = np.array([list(r["vector"]) for r in sample_rows], dtype=np.float64)
+        sn = np.linalg.norm(S, axis=1)
+        Sn = S / np.where(sn == 0, 1.0, sn)[:, None]
+        rng = np.random.default_rng(42)
+        k = min(n_blocks, len(Sn))
+        centers = Sn[rng.choice(len(Sn), size=k, replace=False)]
+        for _ in range(8):
+            d2 = (
+                -2.0 * (Sn @ centers.T)
+                + (centers**2).sum(1)[None, :]
+                + (Sn**2).sum(1)[:, None]
+            )
+            a = d2.argmin(1)
+            for c in range(k):
+                m = a == c
+                if m.any():
+                    centers[c] = Sn[m].mean(0)
+    else:
+        centers = np.zeros((1, 1))  # single block: everything → block 0
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
             V = np.array(pdf["vector"].tolist(), dtype=np.float64)
-            vn = np.linalg.norm(V, axis=1)
-            Vn = V / np.where(vn == 0, 1.0, vn)[:, None]
-            S = Vn @ Mn.T  # (n_part, N)
-            r_idx, c_idx = np.nonzero((S >= threshold) & (ids[:, None] < all_ids[None, :]))
-            if len(r_idx) == 0:
-                continue
-            # exact per-pair recompute: dot/(na*nb) — the oracle's formula
-            sims = np.einsum("ij,ij->i", V[r_idx], M[c_idx]) / (
-                vn[r_idx] * norms[c_idx]
-            )
+            if len(centers) == 1:
+                blocks = [[0]] * len(V)
+            else:
+                vn = np.linalg.norm(V, axis=1)
+                Vn = V / np.where(vn == 0, 1.0, vn)[:, None]
+                d2 = (
+                    -2.0 * (Vn @ centers.T)
+                    + (centers**2).sum(1)[None, :]
+                    + (Vn**2).sum(1)[:, None]
+                )
+                d = np.sqrt(np.maximum(d2, 0.0))
+                cut = d.min(1)[:, None] + margin
+                blocks = [np.nonzero(d[r] <= cut[r])[0].tolist() for r in range(len(V))]
             yield pd.DataFrame(
                 {
-                    "id_a": ids[r_idx],
-                    "id_b": all_ids[c_idx],
-                    "cos_sim": sims,
+                    "id": pdf["id"].to_numpy(),
+                    "vector": pdf["vector"],
+                    "block": blocks,
                 }
             )
 
-    return embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
-    ).mapInPandas(kernel, schema="id_a long, id_b long, cos_sim double")
+    assigned = src.mapInPandas(
+        assign, schema="id long, vector array<float>, block array<int>"
+    ).select("id", "vector", F.explode("block").alias("block"))
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.array(pdf["vector"].tolist(), dtype=np.float64)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        vn = np.linalg.norm(V, axis=1)
+        Vn = V / np.where(vn == 0, 1.0, vn)[:, None]
+        Sim = Vn @ Vn.T
+        # candidate detect with a float-noise slack; the decisive filter below
+        # uses the exact oracle formula
+        r_idx, c_idx = np.nonzero(
+            (Sim >= threshold - 1e-9) & (ids[:, None] < ids[None, :])
+        )
+        if len(r_idx) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+            )
+        sims = np.einsum("ij,ij->i", V[r_idx], V[c_idx]) / (
+            vn[r_idx] * vn[c_idx]
+        )
+        keep = sims >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[r_idx][keep], "id_b": ids[c_idx][keep], "cos_sim": sims[keep]}
+        )
+
+    pairs = assigned.groupBy("block").applyInPandas(
+        block_pairs, schema="id_a long, id_b long, cos_sim double"
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])

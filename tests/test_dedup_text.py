@@ -92,6 +92,64 @@ def test_embedding_near_dup(spark):
     assert got[0]["cos_sim"] == 1.0
 
 
+def test_embedding_near_dup_blocked_is_exact(spark):
+    """The eps-margin blocked path must find EVERY pair brute force finds —
+    forced to many blocks so correctness relies on the margin assignment."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    vecs, truth = [], set()
+    vid = 0
+    ids_of = []
+    for b in base:
+        ids_here = []
+        for _ in range(3):  # 3 tight copies per center → in-cluster pairs
+            vecs.append((vid, (b + rng.normal(scale=1e-3, size=16)).tolist()))
+            ids_here.append(vid)
+            vid += 1
+        ids_of.append(ids_here)
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    t = 0.999
+    got = embedding_near_dup_pairs(emb, t, n_blocks=16).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # brute-force truth on float32-rounded values (what Spark stored)
+    M = np.array([np.array(v, dtype=np.float32) for _, v in vecs], dtype=np.float64)
+    n = np.linalg.norm(M, axis=1)
+    S = (M @ M.T) / np.outer(n, n)
+    exp = {
+        (i, j)
+        for i in range(len(M))
+        for j in range(i + 1, len(M))
+        if S[i, j] >= t
+    }
+    assert got_pairs == exp
+    assert len(exp) >= 40  # the fixture really has pairs
+
+
+def test_embedding_near_dup_never_collects_table(spark, monkeypatch):
+    """Scale guard: only the bounded centroid sample may reach the driver."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.normal(size=8).tolist()) for i in range(600)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    collected = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    result = orig(embedding_near_dup_pairs(emb, 0.99, sample_cap=128))
+    assert all(c <= 128 for c in collected), collected
+    assert isinstance(result, list)
+
+
 def test_text_quality_edges(corpus):
     got = {r["doc_id"]: r for r in text_quality(corpus).collect()}
     assert got[6]["n_tokens"] == 0 and got[6]["avg_token_len"] == 0.0
