@@ -46,6 +46,15 @@ def route_queries(
     center-routing (`AggregatorService.cpp:216-258`) — same operator."""
     head_vectors = heads.select(F.col("head_id").alias("id"), "vector")
     sel = knn(head_vectors, queries, k=nprobe, metric=metric)
+    if not (max_dist_ratio < float("inf")):
+        # ratio disabled (IVF passes inf): skip the filter entirely — besides
+        # being a no-op, min_dist=0 (query equals a centroid) would make
+        # cut = 0*inf = NaN and silently drop every head for that query.
+        return sel.select(
+            "query_id",
+            F.col("id").alias("head_id"),
+            F.col("dist").alias("head_dist"),
+        )
     w = Window.partitionBy("query_id")
     # The reference guards the ratio cut with `limitDist > 0.1`
     # (SPANNIndex.cpp:217-230): without it, ip's negative distances make

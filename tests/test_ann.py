@@ -106,6 +106,21 @@ def test_pq_adc_recall(spark, sf_dir):
     assert summary_r["avg_recall"] >= 0.5, summary_r
 
 
+def test_ivf_query_on_centroid_returns_k(spark, sf_dir):
+    """Latent NaN edge: with max_dist_ratio=inf a query whose nearest
+    centroid distance is exactly 0 computed cut = 0*inf = NaN and dropped
+    every head. A query that IS a centroid vector must still get k rows."""
+    vectors = vectors_table(spark, sf_dir).cache()
+    centroids, lists = ivf_build(vectors, n_lists_ratio=0.05)
+    centroids = centroids.cache()
+    q = centroids.limit(1).select(
+        F.lit(0).cast("long").alias("query_id"), "vector"
+    )
+    out = ivf_search(q, centroids, lists, k=5, nprobe=4).collect()
+    assert len(out) == 5, out
+    assert out[0]["dist"] == 0.0  # the centroid's own nearest record
+
+
 def test_balanced_kmeans_balances(spark, sf_dir):
     vectors = vectors_table(spark, sf_dir)
     k = 8
