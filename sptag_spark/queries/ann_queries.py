@@ -1,7 +1,17 @@
 """Driver queries: the ANN scale path (SPANN heads/postings, IVF, PQ/ADC,
-balanced k-means). KMeans-derived structures are not SQL-expressible, so
-these are rows-only checks for the driver; their *quality* gates (recall ≥
-0.9 vs the exact oracle, posting invariants) live in tests/test_ann.py.
+balanced k-means).
+
+KMeans-derived structures are not SQL-expressible, so the raw search results
+cannot be oracle-checked directly. Instead every query here is
+SELF-VERIFYING: the Spark side genuinely measures its quality contract —
+recall vs the exact in-Spark k-NN (the reference's own acceptance metric,
+`SSDServing/SSDIndex.h:284-285`), per-query self-hit (queries are base
+vectors, so the true rank-1 is the query itself at distance 0), structural
+invariants (replica counts in [1, ReplicaCount], posting cut ≤ limit, sizes
+sum to N) — and emits the OUTCOME as columns whose expected values the
+DuckDB oracle derives from the base tables alone. A broken index flips a
+boolean or changes a count and the driver's hash comparison goes red; the
+raw-result behavior stays covered by tests/test_ann.py.
 """
 
 from __future__ import annotations
@@ -13,10 +23,21 @@ from sptag_spark.index.ann import ann_search
 from sptag_spark.index.balanced import balanced_kmeans, cluster_sizes
 from sptag_spark.index.heads import select_heads
 from sptag_spark.index.ivf import ivf_build, ivf_search
-from sptag_spark.index.postings import build_postings, posting_stats
+from sptag_spark.index.postings import (
+    POSTING_LIMIT,
+    REPLICA_COUNT,
+    build_postings,
+)
 from sptag_spark.index.pq import adc_search, pq_encode, train_pq
+from sptag_spark.operators.knn import knn
+from sptag_spark.operators.recall import recall_per_query
 from sptag_spark.registry import register
-from sptag_spark.tables import DEFAULT_K, queries_table, vectors_table
+from sptag_spark.tables import DEFAULT_K, QUERY_MODULUS, queries_table, vectors_table
+
+ORACLE_PER_QUERY = (
+    f"SELECT vec_id AS query_id FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0"
+)
+ORACLE_N = "SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings"
 
 
 # Index structures are OFFLINE artifacts: SPANN builds heads/postings once
@@ -80,75 +101,214 @@ def opq_index(spark: SparkSession, sf_dir: str) -> tuple:
     return _memo(spark, sf_dir, "opq", build)
 
 
+def truth_topk(spark: SparkSession, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
+    """Exact k-NN ground truth, memoized — the in-Spark oracle every
+    approximate search is graded against (TruthSet.h's role)."""
+
+    def build():
+        vectors = vectors_table(spark, sf_dir)
+        queries = queries_table(spark, sf_dir)
+        t = knn(vectors, queries, k=k).persist()
+        t.count()
+        return (t,)
+
+    return _memo(spark, sf_dir, f"truth{k}", build)[0]
+
+
+def self_verified_search(
+    res: DataFrame,
+    truth: DataFrame,
+    k: int,
+    recall_gate: float,
+    with_self_hit: bool = True,
+) -> DataFrame:
+    """Per query: (query_id, n_results, [self_hit,] recall_ok).
+
+    n_results and self_hit are exact per-query invariants; recall_ok is the
+    corpus-average recall@k vs the exact truth, measured for real and
+    compared against the gate — the contract the oracle can also state."""
+    per_q = recall_per_query(res, truth, k)
+    gate_row = per_q.agg(
+        (F.avg("recall") >= F.lit(recall_gate)).alias("recall_ok")
+    )
+    aggs = [F.count("*").alias("n_results")]
+    if with_self_hit:
+        aggs.append(
+            F.max(
+                (F.col("rank") == 1) & (F.col("id") == F.col("query_id"))
+            ).alias("self_hit")
+        )
+    counts = res.groupBy("query_id").agg(*aggs)
+    return counts.crossJoin(F.broadcast(gate_row))
+
+
 def _ann_spann(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads, postings = spann_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
     # nprobe 10 clears the paper's ~0.9 recall@10 operating point at every
     # test SF (the reference's SIFT1B config probes 64 internal results)
     res = ann_search(queries, heads, postings, k=DEFAULT_K, nprobe=10)
-    return res.withColumn("dist", F.round("dist", 4))
+    return self_verified_search(
+        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.9
+    )
 
 
-register("ann_spann_search", _ann_spann, None)
+register(
+    "ann_spann_search",
+    _ann_spann,
+    f"""
+SELECT query_id, CAST({DEFAULT_K} AS BIGINT) AS n_results,
+       TRUE AS self_hit, TRUE AS recall_ok
+FROM ({ORACLE_PER_QUERY})
+""",
+)
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, lists = ivf_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
     # single-assignment IVF needs a wider probe than replicated SPANN for
-    # comparable recall (the storage/probe trade — see test_ivf_recall)
+    # comparable recall (the storage/probe trade — see test_ivf_recall);
+    # gate 0.65: measured 0.73 at sf0.01, margin for knob drift
     res = ivf_search(queries, centroids, lists, k=DEFAULT_K, nprobe=12)
-    return res.withColumn("dist", F.round("dist", 4))
+    return self_verified_search(
+        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.65
+    )
 
 
-register("ann_ivf_search", _ann_ivf, None)
+register(
+    "ann_ivf_search",
+    _ann_ivf,
+    f"""
+SELECT query_id, CAST({DEFAULT_K} AS BIGINT) AS n_results,
+       TRUE AS self_hit, TRUE AS recall_ok
+FROM ({ORACLE_PER_QUERY})
+""",
+)
 
 
 def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     books, codes = pq_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
-    res = adc_search(codes, queries, books, k=DEFAULT_K)
-    return res.withColumn("adc_dist", F.round("adc_dist", 4))
+    # PQ at 32× compression is lossy: no self-hit guarantee (the quantized
+    # self-distance can lose rank 1), gate 0.5 per test_pq_adc_recall
+    res = adc_search(codes, queries, books, k=DEFAULT_K).withColumnRenamed(
+        "adc_dist", "dist"
+    )
+    return self_verified_search(
+        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.5,
+        with_self_hit=False,
+    )
 
 
-register("pq_adc_search", _pq_adc, None)
+register(
+    "pq_adc_search",
+    _pq_adc,
+    f"""
+SELECT query_id, CAST({DEFAULT_K} AS BIGINT) AS n_results, TRUE AS recall_ok
+FROM ({ORACLE_PER_QUERY})
+""",
+)
 
 
 def _posting_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _heads, postings = spann_index(spark, sf_dir)
-    return posting_stats(postings)
+    """Posting-structure invariants (F6): every vector in 1..ReplicaCount
+    postings, every posting cut to the limit, every head_id a real head."""
+    heads, postings = spann_index(spark, sf_dir)
+    per_vec = postings.groupBy("id").agg(F.count("*").alias("n_replicas"))
+    vec_inv = per_vec.agg(
+        F.count("*").alias("n_vectors"),
+        (
+            (F.min("n_replicas") >= 1)
+            & (F.max("n_replicas") <= REPLICA_COUNT)
+        ).alias("replicas_in_range"),
+    )
+    size_inv = (
+        postings.groupBy("head_id")
+        .agg(F.count("*").alias("sz"))
+        .agg((F.max("sz") <= POSTING_LIMIT).alias("size_capped"))
+    )
+    head_inv = postings.join(
+        F.broadcast(heads.select("head_id")), "head_id", "left_anti"
+    ).agg((F.count("*") == 0).alias("heads_valid"))
+    return vec_inv.crossJoin(F.broadcast(size_inv)).crossJoin(F.broadcast(head_inv))
 
 
-register("posting_histogram", _posting_histogram, None)
+register(
+    "posting_histogram",
+    _posting_histogram,
+    f"""
+SELECT n_vectors, TRUE AS replicas_in_range, TRUE AS size_capped,
+       TRUE AS heads_valid
+FROM ({ORACLE_N})
+""",
+)
 
 
 def _balanced_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-kmeans contract: sizes sum to N over exactly k non-empty
+    clusters, and no cluster exceeds 3× its fair share (the balance property
+    plain kmeans does not have — test_balanced_kmeans_balances)."""
+    k = 16
     vectors = vectors_table(spark, sf_dir)
-    assigned = balanced_kmeans(vectors, k=16, n_iter=4)
-    return cluster_sizes(assigned)
+    assigned = balanced_kmeans(vectors, k=k, n_iter=4)
+    sizes = cluster_sizes(assigned)
+    return sizes.agg(
+        F.sum("n").cast("long").alias("n_vectors"),
+        (F.count("*") == k).alias("k_clusters"),
+        (F.max("n") * k <= 3 * F.sum("n")).alias("balance_ok"),
+    )
 
 
-register("balanced_kmeans_sizes", _balanced_clusters, None)
+register(
+    "balanced_kmeans_sizes",
+    _balanced_clusters,
+    f"""
+SELECT n_vectors, TRUE AS k_clusters, TRUE AS balance_ok
+FROM ({ORACLE_N})
+""",
+)
 
 
 def _rng_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sptag_spark.index.graph import build_rng_graph, graph_stats
+    """RNG graph invariants: every vector has 1..L pruned neighbors, no
+    self-loops (RelativeNeighborhoodGraph.h's structural contract)."""
+    from sptag_spark.index.graph import build_rng_graph
+
+    L = 8
 
     def build():
         heads, _ = spann_index(spark, sf_dir)
         vectors = vectors_table(spark, sf_dir)
-        edges = build_rng_graph(vectors, L=8, heads=heads, replicas=4).persist()
+        edges = build_rng_graph(vectors, L=L, heads=heads, replicas=4).persist()
         edges.count()
         return (edges,)
 
     (edges,) = _memo(spark, sf_dir, "rng_graph", build)
-    return graph_stats(edges)
+    deg = edges.groupBy("src").agg(
+        F.count("*").alias("degree"),
+        F.max((F.col("src") == F.col("dst")).cast("int")).alias("self_loop"),
+    )
+    return deg.agg(
+        F.count("*").alias("n_vectors"),
+        ((F.min("degree") >= 1) & (F.max("degree") <= L)).alias("degree_in_range"),
+        (F.max("self_loop") == 0).alias("no_self_loops"),
+    )
 
 
-register("rng_graph_degrees", _rng_graph_degrees, None)
+register(
+    "rng_graph_degrees",
+    _rng_graph_degrees,
+    f"""
+SELECT n_vectors, TRUE AS degree_in_range, TRUE AS no_self_loops
+FROM ({ORACLE_N})
+""",
+)
 
 
 def _kdt_leaf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDT routing invariants: every vector reaches a real leaf and the tree
+    actually splits (≥2 leaves on any non-trivial input)."""
     from sptag_spark.index.kdt import build_kdt, kdt_assign, kdt_leaf_sizes
 
     def build():
@@ -159,7 +319,19 @@ def _kdt_leaf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (assigned,)
 
     (assigned,) = _memo(spark, sf_dir, "kdt", build)
-    return kdt_leaf_sizes(assigned)
+    sizes = kdt_leaf_sizes(assigned)
+    return sizes.agg(
+        F.sum("n").cast("long").alias("n_vectors"),
+        (F.min("leaf") >= 0).alias("leaves_valid"),
+        (F.count("*") >= 2).alias("tree_splits"),
+    )
 
 
-register("kdt_leaf_sizes", _kdt_leaf_histogram, None)
+register(
+    "kdt_leaf_sizes",
+    _kdt_leaf_histogram,
+    f"""
+SELECT n_vectors, TRUE AS leaves_valid, TRUE AS tree_splits
+FROM ({ORACLE_N})
+""",
+)

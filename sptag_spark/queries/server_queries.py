@@ -4,7 +4,7 @@ lifecycle composites (§2.7 MergeIndex, §2.6 SearchTree, OPQ variant of §2.8).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sptag_spark.index.ann import search_tree
@@ -112,7 +112,11 @@ FROM ranked WHERE rank <= {_PARSE_K}
 )
 
 
-# -- tree-only search (rows-only: heads derive from KMeans) -----------------
+# -- tree-only search (self-verifying: heads derive from KMeans, so the
+# oracle checks the per-query output CONTRACT — full k, ranked by
+# nondecreasing nonnegative distance — not the head ids themselves) ---------
+
+_TREE_K = 5
 
 
 def _search_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,23 +124,82 @@ def _search_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     heads, _postings = spann_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
-    res = search_tree(queries, heads, k=5)
-    return res.withColumn("dist", F.round("dist", ROUND))
+    res = search_tree(queries, heads, k=_TREE_K)
+    w = Window.partitionBy("query_id").orderBy("rank")
+    flagged = res.withColumn("_prev", F.lag("dist").over(w))
+    return flagged.groupBy("query_id").agg(
+        F.count("*").alias("n_results"),
+        F.bool_and(
+            F.coalesce(F.col("dist") >= F.col("_prev"), F.lit(True))
+        ).alias("dists_nondecreasing"),
+        (F.min("dist") >= 0).alias("dists_nonneg"),
+    )
 
 
-register("search_tree_topk", _search_tree, None)
+def _search_tree_oracle() -> str:
+    from sptag_spark.queries.ann_queries import ORACLE_PER_QUERY
+
+    return f"""
+SELECT query_id, CAST({_TREE_K} AS BIGINT) AS n_results,
+       TRUE AS dists_nondecreasing, TRUE AS dists_nonneg
+FROM ({ORACLE_PER_QUERY})
+"""
 
 
-# -- OPQ (rotation + PQ/ADC; rows-only: codebooks from sampled KMeans) ------
+register("search_tree_topk", _search_tree, _search_tree_oracle())
+
+
+# -- OPQ (self-verifying: genuine recall measurement vs exact truth, plus
+# the acceptance OPQ exists for — not materially worse than plain PQ) -------
 
 
 def _opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sptag_spark.queries.ann_queries import opq_index
+    from sptag_spark.queries.ann_queries import (
+        opq_index,
+        pq_index,
+        self_verified_search,
+        truth_topk,
+    )
+    from sptag_spark.operators.recall import recall_per_query
+    from sptag_spark.tables import DEFAULT_K
 
-    books, codes = opq_index(spark, sf_dir)
+    truth = truth_topk(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
-    res = adc_search(codes, queries, books, k=5)
-    return res.withColumn("adc_dist", F.round("adc_dist", ROUND))
+    books_o, codes_o = opq_index(spark, sf_dir)
+    res_o = adc_search(codes_o, queries, books_o, k=DEFAULT_K).withColumnRenamed(
+        "adc_dist", "dist"
+    )
+    base = self_verified_search(
+        res_o, truth, DEFAULT_K, recall_gate=0.5, with_self_hit=False
+    )
+    # OPQ's reason to exist: rotation must not lose recall vs plain PQ
+    # (OPQQuantizer.h trains the rotation to REDUCE quantization error);
+    # 0.02 absolute slack for sampling noise in codebook training
+    books_p, codes_p = pq_index(spark, sf_dir)
+    res_p = adc_search(codes_p, queries, books_p, k=DEFAULT_K).withColumnRenamed(
+        "adc_dist", "dist"
+    )
+    avg_o = recall_per_query(res_o, truth, DEFAULT_K).agg(
+        F.avg("recall").alias("r_opq")
+    )
+    avg_p = recall_per_query(res_p, truth, DEFAULT_K).agg(
+        F.avg("recall").alias("r_pq")
+    )
+    not_worse = avg_o.crossJoin(avg_p).select(
+        (F.col("r_opq") >= F.col("r_pq") - 0.02).alias("opq_not_worse")
+    )
+    return base.crossJoin(F.broadcast(not_worse))
 
 
-register("opq_adc_search", _opq_adc, None)
+def _opq_oracle() -> str:
+    from sptag_spark.queries.ann_queries import ORACLE_PER_QUERY
+    from sptag_spark.tables import DEFAULT_K
+
+    return f"""
+SELECT query_id, CAST({DEFAULT_K} AS BIGINT) AS n_results,
+       TRUE AS recall_ok, TRUE AS opq_not_worse
+FROM ({ORACLE_PER_QUERY})
+"""
+
+
+register("opq_adc_search", _opq_adc, _opq_oracle())
