@@ -335,3 +335,30 @@ SELECT n_vectors, TRUE AS leaves_valid, TRUE AS tree_splits
 FROM ({ORACLE_N})
 """,
 )
+
+
+def _bkt_tree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BKT hierarchy invariants (§1.1 cluster_path encoding): every vector
+    walks a root-anchored path of bounded depth to a valid leaf."""
+    from sptag_spark.index.bkt import bkt_assign, bkt_stats, build_bkt
+
+    def build():
+        vectors = vectors_table(spark, sf_dir)
+        tree = build_bkt(vectors, kmeans_k=8, leaf_size=8)
+        assigned = bkt_assign(vectors, tree).persist()
+        assigned.count()
+        return tree, assigned
+
+    tree, assigned = _memo(spark, sf_dir, "bkt", build)
+    return bkt_stats(tree, assigned)
+
+
+register(
+    "bkt_tree_stats",
+    _bkt_tree_stats,
+    f"""
+SELECT n_vectors, TRUE AS paths_anchored, TRUE AS depth_bounded,
+       TRUE AS leaves_valid
+FROM ({ORACLE_N})
+""",
+)
