@@ -52,6 +52,36 @@ def _kmeans_1d(X: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> n
     return lloyd_kmeans(X, k, iters=iters, seed=seed)
 
 
+def _encode_inmem(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, M) argmin codes for rotated-space X — the training-loop twin of
+    the pq_encode kernel."""
+    m, _, sub = books.shape
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for i in range(m):
+        Xs = X[:, i * sub : (i + 1) * sub]
+        d = -2.0 * (Xs @ books[i].T) + (books[i] ** 2).sum(1)[None, :]
+        codes[:, i] = d.argmin(1)
+    return codes
+
+
+def _reconstruct_inmem(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    m = books.shape[0]
+    return np.concatenate([books[i][codes[:, i]] for i in range(m)], axis=1)
+
+
+def _lloyd_refine(X: np.ndarray, centers: np.ndarray, iters: int) -> np.ndarray:
+    """Warm-started Lloyd steps (codebook update half of the OPQ loop)."""
+    k = len(centers)
+    for _ in range(iters):
+        d = -2.0 * (X @ centers.T) + (centers**2).sum(1)[None, :]
+        a = d.argmin(1)
+        for c in range(k):
+            mask = a == c
+            if mask.any():
+                centers[c] = X[mask].mean(0)
+    return centers
+
+
 def train_pq(
     vectors: DataFrame,
     m: int = 8,
@@ -60,9 +90,17 @@ def train_pq(
     iters: int = 10,
     seed: int = 42,
     opq_rotation: bool = False,
+    opq_iters: int = 8,
 ) -> PQCodebooks:
-    """Train M codebooks of 2^nbits entries on a sample. With
-    opq_rotation=True, learns a PCA-based rotation first (OPQ-lite)."""
+    """Train M codebooks of 2^nbits entries on a sample.
+
+    With opq_rotation=True, runs full OPQ-NP (Ge et al., the optimization
+    `Common/OPQQuantizer.h` consumes — its Tools/OPQ trainer implements the
+    same loop): initialize R with PCA, then alternate (1) codebook refinement
+    in the rotated space, (2) encode→reconstruct, (3) orthogonal Procrustes
+    update R = UVᵀ from SVD(XᵀY). Each iteration cannot increase the
+    quantization error ‖XR − Y‖²; opq_iters=0 degrades to the one-shot PCA
+    rotation."""
     n = vectors.count()
     frac = min(1.0, sample_rows / max(n, 1))
     sample = vectors if frac >= 1.0 else vectors.sample(frac, seed=seed)
@@ -71,20 +109,57 @@ def train_pq(
         dtype=np.float64,
     )
     rng = np.random.default_rng(seed)
-    R = None
-    if opq_rotation:
-        # PCA rotation decorrelates dimensions — the simple non-iterative OPQ
-        _, _, vt = np.linalg.svd(X - X.mean(0), full_matrices=False)
-        R = vt.T  # (dim, dim) orthogonal
-        X = X @ R
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     k = 2**nbits
+
+    if not opq_rotation:
+        books = np.stack(
+            [
+                _kmeans_1d(X[:, i * sub : (i + 1) * sub], k, iters, rng)
+                for i in range(m)
+            ]
+        )
+        return PQCodebooks(codebooks=books, rotation=None)
+
+    # OPQ init: PCA + eigenvalue allocation (OPQ-P, Ge et al. §4): raw PCA
+    # order stuffs all variance into the first subspace, which is WORSE than
+    # no rotation; greedily assign principal components to the subspace with
+    # the smallest eigenvalue product (log-sum) until each holds `sub` dims,
+    # balancing per-subspace information.
+    _, sv, vt = np.linalg.svd(X - X.mean(0), full_matrices=False)
+    eig = np.maximum(sv**2, 1e-12)
+    bucket_log = np.zeros(m)
+    bucket_fill = np.zeros(m, dtype=np.int64)
+    perm: list[list[int]] = [[] for _ in range(m)]
+    for comp in range(dim):  # eigenvalues already descending
+        open_b = np.nonzero(bucket_fill < sub)[0]
+        b = open_b[np.argmin(bucket_log[open_b])]
+        perm[b].append(comp)
+        bucket_log[b] += float(np.log(eig[comp]))
+        bucket_fill[b] += 1
+    order = [c for bucket in perm for c in bucket]
+    R = vt.T[:, order]  # (dim, dim) orthogonal
+    Xr = X @ R
     books = np.stack(
-        [_kmeans_1d(X[:, i * sub : (i + 1) * sub], k, iters, rng) for i in range(m)]
+        [_kmeans_1d(Xr[:, i * sub : (i + 1) * sub], k, iters, rng) for i in range(m)]
     )
+    for _ in range(opq_iters):
+        # (1) refine codebooks in the current rotated space
+        books = np.stack(
+            [
+                _lloyd_refine(Xr[:, i * sub : (i + 1) * sub], books[i], 2)
+                for i in range(m)
+            ]
+        )
+        # (2) reconstruction of the rotated sample
+        Y = _reconstruct_inmem(_encode_inmem(Xr, books), books)
+        # (3) Procrustes: min_R ‖XR − Y‖² over orthogonal R
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+        Xr = X @ R
     return PQCodebooks(codebooks=books, rotation=R)
 
 
