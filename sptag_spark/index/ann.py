@@ -81,9 +81,33 @@ def ann_search(
     nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
     metric: str = "l2",
     max_dist_ratio: float = MAX_DIST_RATIO,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: (query_id, rank, id, dist). Same output contract as
-    the exact knn() — recall vs it is the quality metric (F6: ≥0.9@10)."""
+    the exact knn() — recall vs it is the quality metric (F6: ≥0.9@10).
+
+    The scoring kernel ships the query batch in its closure; above
+    chunk_size queries the batch is processed in bounded chunks and the
+    results unioned (identical per-query output — queries are independent)."""
+    from sptag_spark.operators.knn import KNN_QUERY_CHUNK
+
+    if chunk_size is None:
+        chunk_size = KNN_QUERY_CHUNK
+    q_all = queries.select("query_id", "vector").collect()
+    if len(q_all) > chunk_size:
+        spark = queries.sparkSession
+        out = None
+        for s in range(0, len(q_all), chunk_size):
+            chunk_df = spark.createDataFrame(
+                [(int(r["query_id"]), list(r["vector"])) for r in q_all[s : s + chunk_size]],
+                "query_id long, vector array<float>",
+            )
+            part = ann_search(
+                chunk_df, heads, postings, k, nprobe, metric, max_dist_ratio,
+                chunk_size,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
     routes = route_queries(queries, heads, nprobe, metric, max_dist_ratio)
     # Selected postings: the equi-join on head_id is partition-pruned when
     # postings live in a head_id-partitioned table. routes is tiny → broadcast.
@@ -104,7 +128,7 @@ def ann_search(
 
     qmap = {
         int(r["query_id"]): np.asarray(r["vector"], dtype=np.float64)
-        for r in queries.select("query_id", "vector").collect()
+        for r in q_all
     }
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -133,20 +133,43 @@ def local_topk_kernel(query_ids: np.ndarray, Q: np.ndarray, k: int, metric: str)
     return kernel
 
 
+# Above this many queries, one kernel closure would ship a |Q|×d matrix in
+# every task; chunking bounds closure size (and per-task top-k memory) while
+# returning identical results — chunks partition the query set, and per-query
+# results are independent.
+KNN_QUERY_CHUNK = 8192
+
+
 def knn_arrays(
     vectors: DataFrame,
     query_ids: np.ndarray,
     Q: np.ndarray,
     k: int = 10,
     metric: str = "l2",
+    chunk_size: int = KNN_QUERY_CHUNK,
 ) -> DataFrame:
     """knn() for a query batch already in driver memory (numpy) — index-build
     internals (centroid snap, replica assignment) call this to skip the
     createDataFrame→collect Py4J round-trip, which costs more than the whole
-    Lloyd training at head scale."""
+    Lloyd training at head scale.
+
+    Batches larger than chunk_size run as a union of per-chunk scans: the
+    total distance work is unchanged (it is inherently |V|×|Q|), but each job
+    ships a bounded closure — the block-nested-loop shape a 100 TB driver
+    batch needs."""
     if len(query_ids) == 0:
         spark = vectors.sparkSession
         return spark.createDataFrame([], "query_id long, rank long, id long, dist double")
+    if len(query_ids) > chunk_size:
+        src = vectors.select("id", "vector")
+        out = None
+        for s in range(0, len(query_ids), chunk_size):
+            part = knn_arrays(
+                src, query_ids[s : s + chunk_size], Q[s : s + chunk_size],
+                k, metric, chunk_size,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
     cand = vectors.select("id", "vector").mapInPandas(
         local_topk_kernel(query_ids, Q, k, metric), schema=_CAND_SCHEMA
     )
@@ -163,18 +186,20 @@ def knn(
     queries: DataFrame,
     k: int = 10,
     metric: str = "l2",
+    chunk_size: int = KNN_QUERY_CHUNK,
 ) -> DataFrame:
     """Exact batch k-NN: map-side local top-k, then global merge rank.
 
     vectors: (id, vector [, ...extra cols ignored])
-    queries: (query_id, vector) — must be a small batch (it is collected to
-        the driver and broadcast in the kernel closure; SPTAG holds the query
-        in memory per thread the same way).
+    queries: (query_id, vector) — collected to the driver and shipped in the
+        kernel closure (SPTAG holds the query in memory per thread the same
+        way); batches above chunk_size are processed as bounded-closure
+        chunks (see knn_arrays).
     """
     qrows = queries.select("query_id", "vector").collect()
     query_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([list(r["vector"]) for r in qrows], dtype=np.float64)
-    return knn_arrays(vectors, query_ids, Q, k, metric)
+    return knn_arrays(vectors, query_ids, Q, k, metric, chunk_size)
 
 
 def knn_brute_expr(

@@ -95,3 +95,31 @@ def test_empty_queries(spark, algotest_fixture):
     vectors, _ = algotest_fixture
     empty = spark.createDataFrame([], "query_id long, vector array<float>")
     assert knn(vectors, empty, k=3).count() == 0
+
+
+def test_knn_chunked_path_identical(spark, sf_dir):
+    """Forcing chunk_size below |Q| must produce exactly the unchunked
+    result (the large-batch closure-growth fallback)."""
+    vectors = vectors_table(spark, sf_dir)
+    queries = queries_table(spark, sf_dir)
+    base = sorted(map(tuple, knn(vectors, queries, k=5).collect()))
+    chunked = sorted(map(tuple, knn(vectors, queries, k=5, chunk_size=3).collect()))
+    assert base == chunked
+    assert len(base) > 0
+
+
+def test_ann_chunked_path_identical(spark, sf_dir):
+    from sptag_spark.index.ann import ann_search
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    heads = select_heads(vectors, ratio=0.12).cache()
+    postings = build_postings(vectors, heads).cache()
+    base = sorted(map(tuple, ann_search(queries, heads, postings, k=5).collect()))
+    chunked = sorted(
+        map(tuple, ann_search(queries, heads, postings, k=5, chunk_size=7).collect())
+    )
+    assert base == chunked
+    assert len(base) > 0
