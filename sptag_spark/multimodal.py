@@ -5,12 +5,13 @@ mapInPandas decode signature, partitioning discipline (binary payloads make
 rows wide — keep maxRecordsPerBatch moderate and NEVER shuffle the binary
 column through a wide join; join on id, attach payload last).
 
-The actual codec step is environment-dependent (no image/audio libs in this
-container), so decode has two modes:
+Decode has two modes:
 - mode="fake": a deterministic stand-in deriving metadata/features from the
   payload's md5 — stable for tests and oracles;
-- mode="real": raises NotImplementedError with the integration point named —
-  plug Pillow/torchaudio/ffmpeg there; the Spark plumbing is unchanged.
+- mode="real": dependency-free container parsing — PNG IHDR / JPEG SOF /
+  GIF logical-screen headers give true (width, height), the feature vector
+  is a normalized byte histogram. Pixel decoding (Pillow/ffmpeg) slots into
+  the same kernel when the libs exist; everything Spark-side is identical.
 """
 
 from __future__ import annotations
@@ -48,15 +49,70 @@ def _fake_decode_one(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feat
 
 
+def _parse_png(b: bytes) -> tuple[int, int] | None:
+    """PNG: 8-byte signature, then the IHDR chunk holds big-endian
+    width/height at offsets 16/20."""
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    return int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
+
+
+def _parse_jpeg(b: bytes) -> tuple[int, int] | None:
+    """JPEG: walk marker segments to the first frame header (SOF0..SOF15
+    except DHT/JPG/DAC); height/width are big-endian at +5/+7."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(b):
+            return None
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > len(b):
+                return None
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return w, h
+        if seglen < 2:
+            return None
+        i += 2 + seglen
+    return None
+
+
+def _parse_gif(b: bytes) -> tuple[int, int] | None:
+    """GIF: logical screen width/height, little-endian at offsets 6/8."""
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    return int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
+
+
+def _real_decode_one(payload: bytes) -> tuple[int, int, list[float]]:
+    """Header-true dimensions (0×0 for unrecognized payloads) + an 8-bin
+    normalized byte histogram as the feature vector — real, deterministic,
+    dependency-free. Full pixel decode plugs in here when codec libs exist."""
+    dims = _parse_png(payload) or _parse_jpeg(payload) or _parse_gif(payload)
+    w, h = dims if dims else (0, 0)
+    counts = np.bincount(
+        np.frombuffer(payload, dtype=np.uint8) >> 5, minlength=8
+    ).astype(np.float64)
+    total = counts.sum()
+    feat = (counts / total if total else counts).tolist()
+    return w, h, feat
+
+
 def decode_media(media: DataFrame, mode: str = "fake") -> DataFrame:
     """(id, media, media_type) → MEDIA_SCHEMA with decoded metadata +
     feature vector. Arrow-batched; payload stays columnar end to end."""
-    if mode == "real":
-        raise NotImplementedError(
-            "plug a real codec here: replace _fake_decode_one with e.g. "
-            "PIL.Image.open(io.BytesIO(payload)) → size/thumbnail/features; "
-            "the mapInPandas signature and schema stay identical"
-        )
+    if mode not in ("fake", "real"):
+        raise ValueError(f"unknown decode mode {mode!r}")
+    decode_one = _real_decode_one if mode == "real" else _fake_decode_one
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -64,7 +120,7 @@ def decode_media(media: DataFrame, mode: str = "fake") -> DataFrame:
                 continue
             ws, hs, feats = [], [], []
             for payload in pdf["media"]:
-                w, h, f = _fake_decode_one(bytes(payload))
+                w, h, f = decode_one(bytes(payload))
                 ws.append(w)
                 hs.append(h)
                 feats.append(np.array(f, dtype=np.float32))

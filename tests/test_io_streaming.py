@@ -164,11 +164,61 @@ def test_multimodal_decode_and_frames(spark):
     assert by_id[1]["feat"] != by_id[3]["feat"]
     assert all(1 <= r["width"] <= 64 and r["n_pixels"] == r["width"] * r["height"] for r in out)
     assert len(by_id[1]["feat"]) == 8
-    with pytest.raises(NotImplementedError):
-        decode_media(media, mode="real")
+    with pytest.raises(ValueError):
+        decode_media(media, mode="webp-magic")
     frames = frame_sample_plan(media, every_n=10)
     assert frames.count() >= 3  # ≥1 frame per doc
     assert frames.filter(F.col("frame_no") % 10 != 0).count() == 0
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+
+def test_multimodal_real_header_decode(spark):
+    """mode='real': true dimensions parsed from PNG IHDR / JPEG SOF / GIF
+    headers with pure Python; unknown payloads degrade to 0x0."""
+    rows = [
+        (1, _png_bytes(640, 480), "image/png"),
+        (2, _jpeg_bytes(1024, 768), "image/jpeg"),
+        (3, _gif_bytes(320, 200), "image/gif"),
+        (4, b"not an image at all", "application/octet-stream"),
+    ]
+    media = spark.createDataFrame(rows, "id long, media binary, media_type string")
+    by_id = {r["id"]: r for r in decode_media(media, mode="real").collect()}
+    assert (by_id[1]["width"], by_id[1]["height"]) == (640, 480)
+    assert (by_id[2]["width"], by_id[2]["height"]) == (1024, 768)
+    assert (by_id[3]["width"], by_id[3]["height"]) == (320, 200)
+    assert (by_id[4]["width"], by_id[4]["height"]) == (0, 0)
+    assert by_id[1]["n_pixels"] == 640 * 480
+    # byte-histogram feature: 8 bins, sums to ~1
+    for r in by_id.values():
+        assert len(r["feat"]) == 8
+        assert abs(sum(r["feat"]) - 1.0) < 1e-5
 
 
 def test_result_iterator_pages(spark, small_vectors):
