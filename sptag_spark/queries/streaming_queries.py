@@ -84,3 +84,48 @@ FROM events
 GROUP BY 1, 2
 """,
 )
+
+
+# -- SPFresh incremental maintenance (self-verifying) -----------------------
+#
+# Build SPANN on the even-id half, stream the odd-id half in as an add
+# micro-batch (assigned to the EXISTING heads, no rebuild), then search all
+# query vectors. Every query — including ones whose vector arrived by
+# stream — must self-hit at rank 1 with distance 0, which is only possible
+# if streamed vectors are searchable mid-stream.
+
+
+def _spfresh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.streaming.spfresh import SpannLiveIndex
+    from sptag_spark.tables import queries_table, vectors_table
+
+    v = vectors_table(spark, sf_dir).select("id", "vector")
+    idx = SpannLiveIndex(
+        v.filter(F.col("id") % 2 == 0), rebuild_threshold=1 << 62
+    )
+    idx.add_batch(v.filter(F.col("id") % 2 == 1))
+    res = idx.search(queries_table(spark, sf_dir), k=10, nprobe=10)
+    return res.groupBy("query_id").agg(
+        F.count("*").alias("n_results"),
+        F.max(
+            (F.col("rank") == 1)
+            & (F.col("id") == F.col("query_id"))
+            & (F.col("dist") == 0.0)
+        ).alias("self_hit"),
+        # genuine state readback: proves visibility came from the
+        # micro-batch append, not from a rebuild that happened to fire
+        F.lit(idx.builds).cast("long").alias("rebuilds"),
+    )
+
+
+def _spfresh_oracle() -> str:
+    from sptag_spark.tables import QUERY_MODULUS
+
+    return f"""
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+       TRUE AS self_hit, CAST(0 AS BIGINT) AS rebuilds
+FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0
+"""
+
+
+register("spfresh_incremental_search", _spfresh_incremental, _spfresh_oracle())

@@ -1,0 +1,111 @@
+"""SPFresh-style incremental SPANN maintenance — online adds without rebuild.
+
+Reference discipline: AddIndex appends under a lock and schedules a full
+rebuild every AddCountForRebuild=1000 adds (`BKTIndex.cpp:901-970`); SPFresh
+(SOSP'23, cited in reference README) refines this to in-place posting
+appends against the EXISTING head set, deferring restructuring. The swap to
+a new index version happens under `shared_timed_mutex`
+(`BKTree.h:538-544` SwapTree).
+
+Spark mapping — `SpannLiveIndex`:
+- heads are FIXED between rebuilds; an add micro-batch runs
+  `assign_replicas(batch, heads)` — a map-only kernel over the (small)
+  batch with the broadcast head matrix, exactly the posting-append step —
+  and the result is unioned into the postings view;
+- the swap is an atomic Python reference assignment of the postings/heads
+  DataFrames (readers that grabbed the old reference keep a consistent
+  snapshot — DataFrames are immutable, which is a stronger guarantee than
+  the reference's lock);
+- deletes are tombstones, anti-joined at search time (`Labelset.h` soft
+  deletes);
+- after `rebuild_threshold` adds, rebuild() re-selects heads, re-cuts
+  postings from the live vector set (the reference's background rebuild;
+  SPFresh's split/merge is subsumed by the re-cut at this scale), and swaps.
+
+At 100 TB the postings view is a base partitioned-Parquet table plus delta
+files per micro-batch (the union below IS that view); rebuild compacts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sptag_spark.index.ann import ann_search
+from sptag_spark.index.heads import select_heads
+from sptag_spark.index.postings import assign_replicas, build_postings
+from sptag_spark.streaming.ingest import ADD_COUNT_FOR_REBUILD
+
+
+class SpannLiveIndex:
+    def __init__(
+        self,
+        vectors: DataFrame,
+        ratio: float = 0.12,
+        metric: str = "l2",
+        rebuild_threshold: int = ADD_COUNT_FOR_REBUILD,
+    ) -> None:
+        self._metric = metric
+        self._ratio = ratio
+        self._rebuild_threshold = rebuild_threshold
+        self._spark = vectors.sparkSession
+        self._base = vectors.select("id", "vector").persist()
+        self._deltas: list[DataFrame] = []
+        self._tombstones = self._spark.createDataFrame([], "id long")
+        self.heads = select_heads(self._base, ratio=ratio, metric=metric).persist()
+        self.postings = build_postings(self._base, self.heads, metric).persist()
+        self.postings.count()
+        self.adds_since_build = 0
+        self.builds = 0
+
+    def live_vectors(self) -> DataFrame:
+        out = self._base
+        for d in self._deltas:
+            out = out.unionByName(d)
+        return out.join(self._tombstones, "id", "left_anti")
+
+    def add_batch(self, batch: DataFrame) -> None:
+        """Append a micro-batch: assign new vectors to the EXISTING heads
+        (map-only over the batch) and atomically swap the postings view."""
+        batch = batch.select("id", "vector").persist()
+        n = batch.count()
+        delta = assign_replicas(batch, self.heads, self._metric).persist()
+        delta.count()
+        self._deltas.append(batch)
+        # atomic reference swap — readers keep their snapshot
+        self.postings = self.postings.unionByName(delta)
+        self.adds_since_build += n
+        if self.adds_since_build >= self._rebuild_threshold:
+            self.rebuild()
+
+    def delete_ids(self, ids: DataFrame) -> None:
+        self._tombstones = self._tombstones.unionByName(
+            ids.select("id")
+        ).dropDuplicates(["id"])
+
+    def search(
+        self, queries: DataFrame, k: int = 10, nprobe: int = 10
+    ) -> DataFrame:
+        """ann_search over the live view: streamed adds are visible the
+        moment add_batch returns, deletes are filtered — no rebuild needed."""
+        live_postings = self.postings.join(self._tombstones, "id", "left_anti")
+        return ann_search(
+            queries, self.heads, live_postings, k=k, nprobe=nprobe,
+            metric=self._metric,
+        )
+
+    def rebuild(self) -> None:
+        """The reference's background rebuild: fold deltas into the base,
+        drop tombstoned rows, re-select heads, re-cut postings, swap."""
+        new_base = self.live_vectors().persist()
+        new_base.count()
+        new_heads = select_heads(
+            new_base, ratio=self._ratio, metric=self._metric
+        ).persist()
+        new_postings = build_postings(new_base, new_heads, self._metric).persist()
+        new_postings.count()
+        self._base, self.heads, self.postings = new_base, new_heads, new_postings
+        self._deltas = []
+        self._tombstones = self._spark.createDataFrame([], "id long")
+        self.adds_since_build = 0
+        self.builds += 1
