@@ -78,14 +78,25 @@ def main() -> None:
         "n_regionkey"
     ).count().write.format("noop").mode("overwrite").save()
 
+    # n runs per query, report per-query MEDIANS with spread — single-run
+    # figures at local[32] scale carry enough run-to-run variance (GC, JIT,
+    # OS scheduling) to swamp real regressions (+94% observed on a query
+    # with zero code change between rounds).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     specs = all_specs()
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, spec in specs.items():
-        t0 = time.time()
-        df = spec.query(spark, sf_dir)
-        # materialize the full result without driver collect
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = spec.query(spark, sf_dir)
+            # materialize the full result without driver collect
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -93,6 +104,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "query_spread": spread,
+        "runs_per_query": n_runs,
         "index_build_sec": builds,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -51,6 +51,17 @@ def with_positional_ids(df: DataFrame, col: str = "id") -> DataFrame:
     File-based scans plan identical splits for both jobs and preserve
     in-file row order, so the two passes agree — the distributed analog of
     RDD.zipWithIndex, kept in DataFrame land.
+
+    Id order note: ids follow SCAN order — Spark packs file splits largest
+    first, so across multiple input files this is not path order (single
+    file: identical). Callers needing path-ordered ids across files should
+    derive per-file bases from input_file_name() sorted by path, as
+    read_binary_vectors does.
+
+    The (pid → base) pairs join back as a small broadcast DataFrame: a
+    create_map literal over hundreds of thousands of partitions (100 TB /
+    128 MB splits) would build a giant Catalyst expression whose lookup
+    degrades to a linear scan once codegen bails out.
     """
     part = df.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_mid", F.monotonically_increasing_id()
@@ -59,17 +70,22 @@ def with_positional_ids(df: DataFrame, col: str = "id") -> DataFrame:
         r["_pid"]: r["cnt"]
         for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
-    bases, acc = {}, 0
+    bases, acc = [], 0
     for pid in sorted(counts):
-        bases[pid] = acc
+        bases.append((pid, acc))
         acc += counts[pid]
-    base_map = F.create_map(
-        *[F.lit(x) for pid_base in sorted(bases.items()) for x in pid_base]
-    )
-    offset = F.col("_mid") - F.shiftleft(F.col("_pid").cast("long"), 33)
+    base_df = df.sparkSession.createDataFrame(bases, "_pid int, _base long")
     return (
-        part.withColumn(col, (base_map[F.col("_pid")] + offset).cast("long"))
-        .drop("_pid", "_mid")
+        part.join(F.broadcast(base_df), "_pid")
+        .withColumn(
+            col,
+            (
+                F.col("_base")
+                + F.col("_mid")
+                - F.shiftleft(F.col("_pid").cast("long"), 33)
+            ).cast("long"),
+        )
+        .drop("_pid", "_mid", "_base")
     )
 
 
@@ -159,10 +175,19 @@ def read_binary_vectors(
     ).collect()
     counts = {}
     for r in headers:
+        hdr = bytes(r["hdr"]) if r["hdr"] is not None else b""
+        if len(hdr) < 4:
+            raise ValueError(
+                f"{r['path']}: file too short for a {fmt} header "
+                f"({int(r['length'])} bytes; need >= 4)"
+            )
         if fmt == "default":
-            counts[r["path"]] = struct.unpack_from("<i", bytes(r["hdr"]), 0)[0]
+            counts[r["path"]] = struct.unpack_from("<i", hdr, 0)[0]
         else:
-            d = struct.unpack_from("<i", bytes(r["hdr"]), 0)[0]
+            # XVEC: dim comes from the FIRST record's int32 and every record
+            # is assumed to share it (the decoder makes the same assumption,
+            # so a ragged file fails loudly there, not silently here)
+            d = struct.unpack_from("<i", hdr, 0)[0]
             counts[r["path"]] = int(r["length"]) // (4 + d * itemsize)
     bases = {}
     acc = 0

@@ -24,7 +24,7 @@ def _tie_cond(d: Column, td: Column, metric: str) -> Column:
     if metric == "l2":
         return F.abs(d - td) < eps * (d + eps)
     if metric == "cosine":
-        return F.abs(d - td) <= eps
+        return F.abs(d - td) < eps  # strict, as TruthSet.h:192's `< Epsilon`
     return F.lit(False)  # ip: id match only
 
 
