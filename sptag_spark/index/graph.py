@@ -211,3 +211,107 @@ def graph_stats(edges: DataFrame) -> DataFrame:
     reference prints during builds."""
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def _score_against_queries(cand: DataFrame, qmap: dict, metric: str) -> DataFrame:
+    """(query_id, id, vector) → (query_id, id, dist): the same batched exact
+    scorer shape as index/ann.py's posting scan."""
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vector"].tolist(), dtype=np.float64)
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            dist = np.empty(len(pdf))
+            for qid in np.unique(qids):
+                idx = np.nonzero(qids == qid)[0]
+                dist[idx] = _exact_pair_dists(V[idx], qmap[int(qid)], metric)
+            yield pd.DataFrame(
+                {"query_id": qids, "id": pdf["id"].to_numpy(), "dist": dist}
+            )
+
+    return cand.mapInPandas(score, schema="query_id long, id long, dist double")
+
+
+def graph_search(
+    vectors: DataFrame,
+    edges: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    seeds: DataFrame | None = None,
+    n_seeds: int = 8,
+    max_hops: int = 6,
+    beam: int = 16,
+    metric: str = "l2",
+) -> DataFrame:
+    """Best-first traversal over the RNG edge table — the Spark translation
+    of the reference's queue-driven graph walk (`BKTIndex.cpp:279-350`).
+
+    The sequential NGQueue becomes synchronous beam expansion: per hop, the
+    per-query frontier (the `beam` best unvisited nodes — the m_Results
+    insert-bound) joins the edge table for neighbors, new nodes are scored
+    with the batched exact kernel, and visited-set state accumulates as a
+    DataFrame (the CheckAndSet bitset). MaxCheck ≈ n_seeds + hops × beam × L.
+    Seeds come from `seeds` (query_id, id) or a tree-layer top-n_seeds via
+    knn over a sampled entry set — SearchTrees seeding the queue.
+
+    Scale note: hop-synchronous joins are the honest distributed form of a
+    pointer-chasing walk, but SPANN's posting scan (index/ann.py) is the
+    100 TB serve path — the reference itself abandons in-memory graph
+    traversal at billion scale. This operator exists for BKT/KDT in-memory
+    parity and graph-quality evaluation (a graph nothing searches is not
+    evidence of anything).
+    """
+    from sptag_spark.operators.knn import knn
+
+    q_rows = queries.select("query_id", "vector").collect()
+    qmap = {
+        int(r["query_id"]): np.asarray(r["vector"], dtype=np.float64)
+        for r in q_rows
+    }
+    if seeds is None:
+        entry = select_heads(vectors, ratio=0.05, metric=metric)
+        seed_res = knn(
+            entry.select(F.col("head_id").alias("id"), "vector"),
+            queries, k=n_seeds, metric=metric,
+        )
+        seeds = seed_res.select("query_id", "id")
+
+    vec_by_id = vectors.select("id", "vector")
+    # localCheckpoint per hop: an iterative union/join loop otherwise grows
+    # the logical plan without bound (StackOverflow in plan stringification
+    # around hop 6) and re-plans the whole history every hop. The
+    # checkpointed state is tiny — ≤ (seeds + hops·beam·L) rows per query.
+    visited = _score_against_queries(
+        seeds.join(vec_by_id, "id").select("query_id", "id", "vector"), qmap, metric
+    ).localCheckpoint()
+    frontier = visited
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("id"))
+    for _ in range(max_hops):
+        # expand: frontier's beam-best nodes pull their adjacency lists
+        beam_front = (
+            frontier.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= beam)
+            .drop("_rn")
+        )
+        neighbors = (
+            beam_front.select("query_id", F.col("id").alias("src"))
+            .join(edges.select("src", "dst"), "src")
+            .select("query_id", F.col("dst").alias("id"))
+            .dropDuplicates(["query_id", "id"])
+            .join(visited.select("query_id", "id"), ["query_id", "id"], "left_anti")
+        )
+        scored = _score_against_queries(
+            neighbors.join(vec_by_id, "id").select("query_id", "id", "vector"),
+            qmap, metric,
+        ).localCheckpoint()
+        if scored.limit(1).count() == 0:
+            break
+        frontier = scored
+        visited = visited.unionByName(scored).localCheckpoint()
+    return (
+        visited.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "dist")
+    )

@@ -82,3 +82,22 @@ def test_graph_stats_shape(spark, graph):
     stats = {r["degree"]: r["n_nodes"] for r in graph_stats(edges).collect()}
     assert sum(stats.values()) > 0
     assert max(stats) <= L
+
+
+def test_graph_search_recall(spark, sf_dir):
+    """The graph must actually be searchable: best-first traversal over the
+    RNG edges reaches >=0.85 recall@10 vs exact, touching far fewer nodes
+    than a full scan."""
+    from sptag_spark.index.graph import build_rng_graph, graph_search
+    from sptag_spark.operators.knn import knn
+    from sptag_spark.operators.recall import recall_per_query, recall_summary
+    from sptag_spark.tables import queries_table, vectors_table
+
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    edges = build_rng_graph(vectors, L=8, replicas=4).cache()
+    truth = knn(vectors, queries, k=10)
+    got = graph_search(vectors, edges, queries, k=10, max_hops=6, beam=16)
+    summary = recall_summary(recall_per_query(got, truth, 10)).first()
+    assert summary["avg_recall"] >= 0.85, summary
+    assert summary["n_queries"] == queries.count()

@@ -50,6 +50,23 @@ def test_tsv_roundtrip(spark, small_vectors, tmp_path_factory):
     assert sorted(r["id"] for r in back.collect()) == list(range(20))
 
 
+def test_positional_ids_multi_file_permutation(spark, tmp_path_factory):
+    """Multi-file input: ids must be a gap-free permutation of 0..n-1 (the
+    two-pass split-plan agreement with_positional_ids relies on), even when
+    Spark packs splits largest-first."""
+    from sptag_spark.io.readers import with_positional_ids
+
+    d = tmp_path_factory.mktemp("multifile")
+    sizes = [50, 7, 23]
+    for fi, n in enumerate(sizes):
+        with open(d / f"part{fi}.csv", "w") as f:
+            for i in range(n):
+                f.write(f"f{fi}_row{i}\n")
+    df = spark.read.csv(str(d), schema="line string")
+    ids = [r["id"] for r in with_positional_ids(df).collect()]
+    assert sorted(ids) == list(range(sum(sizes)))
+
+
 @pytest.mark.parametrize("fmt,writer", [("default", write_default_bin), ("xvec", write_xvec)])
 def test_binary_formats(spark, tmp_path_factory, fmt, writer):
     d = str(tmp_path_factory.mktemp(fmt))
