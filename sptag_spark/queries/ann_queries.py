@@ -362,3 +362,41 @@ SELECT n_vectors, TRUE AS paths_anchored, TRUE AS depth_bounded,
 FROM ({ORACLE_N})
 """,
 )
+
+
+def _graph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first traversal over the RNG graph (BKTIndex.cpp:279-350 parity):
+    the graph layer must be SEARCHABLE, not just well-shaped — per-query
+    self-hit and corpus recall vs exact truth, measured for real. A sparser
+    query set (every 100th vector) keeps the hop-synchronous walk's
+    fixed per-hop job cost proportionate in the bench."""
+    from sptag_spark.index.graph import build_rng_graph, graph_search
+
+    def build():
+        heads, _ = spann_index(spark, sf_dir)
+        vectors = vectors_table(spark, sf_dir)
+        edges = build_rng_graph(vectors, L=8, heads=heads, replicas=4).persist()
+        edges.count()
+        return (edges,)
+
+    (edges,) = _memo(spark, sf_dir, "rng_graph", build)
+    vectors = vectors_table(spark, sf_dir)
+    queries = queries_table(spark, sf_dir, modulus=100)
+    res = graph_search(
+        vectors, edges, queries, k=DEFAULT_K, max_hops=5, beam=12
+    )
+    truth = truth_topk(spark, sf_dir).join(
+        F.broadcast(queries.select("query_id")), "query_id"
+    )
+    return self_verified_search(res, truth, DEFAULT_K, recall_gate=0.85)
+
+
+register(
+    "graph_search_topk",
+    _graph_search_topk,
+    f"""
+SELECT vec_id AS query_id, CAST({DEFAULT_K} AS BIGINT) AS n_results,
+       TRUE AS self_hit, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 100 = 0
+""",
+)
