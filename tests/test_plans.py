@@ -157,3 +157,21 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS vec_bucketed")
         spark.sql("DROP TABLE IF EXISTS meta_bucketed")
+
+
+def test_embedding_near_dup_blocked_plan(spark):
+    """The eps-margin blocked near-dup must shuffle only on block id (one
+    exchange for the applyInPandas group + one for the pair dedup) — never a
+    cartesian pair-space, never a sort-merge of the embedding table."""
+    from sptag_spark.operators.dedup import embedding_near_dup_pairs
+    from sptag_spark.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    df = embedding_near_dup_pairs(emb, 0.99, n_blocks=8)
+    p = plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    # map-only assign (MapInPandas) feeds the grouped pair kernel
+    # (FlatMapGroupsInPandas) — the block co-partition is the only wide op
+    # before the dedup aggregation
+    assert "FlatMapGroupsInPandas" in p and "MapInPandas" in p
