@@ -52,6 +52,8 @@ class SparkAnnIndex:
         self._vectors = spark.createDataFrame([], _SCHEMA)
         self._tombstones = spark.createDataFrame([], "id long")
         self._next_id = 0
+        self._version = 0  # bumped on every mutation; staleness check for ANN
+        self._ann: tuple | None = None
 
     # -- construction -------------------------------------------------------
 
@@ -96,11 +98,13 @@ class SparkAnnIndex:
             self._tombstones = self._tombstones.unionByName(evicted)
         self._vectors = self._vectors.unionByName(batch)
         self._next_id += batch.count()
+        self._version += 1
 
     def delete(self, ids) -> None:
         """DeleteIndex by id."""
         t = self.spark.createDataFrame([(int(i),) for i in ids], "id long")
         self._tombstones = self._tombstones.unionByName(t)
+        self._version += 1
 
     def delete_by_vector(self, vectors) -> None:
         """DeleteIndex by vector value (exact match, dist < 1e-6)."""
@@ -110,6 +114,7 @@ class SparkAnnIndex:
         )
         hits = delete_by_vector(self.live(), targets)
         self._tombstones = self._tombstones.unionByName(hits)
+        self._version += 1
 
     def delete_by_meta(self, keys) -> None:
         """DeleteByMetaData: resolve through latest-wins mapping."""
@@ -117,20 +122,59 @@ class SparkAnnIndex:
         self._tombstones = self._tombstones.unionByName(
             delete_by_meta(self.live(), k)
         )
+        self._version += 1
 
     # -- query --------------------------------------------------------------
 
     def live(self) -> DataFrame:
         return apply_tombstones(self._vectors, self._tombstones)
 
-    def batch_search(self, queries, k: int = 10, with_meta: bool = True) -> DataFrame:
-        """BatchSearch/SearchWithMetaData: (query_id, rank, id, dist[, meta])."""
+    def build_ann(self, ratio: float = 0.12, nprobe: int = 10) -> None:
+        """Build the SPANN serving structure over the current live view —
+        the reference's BuildIndex step that turns brute force into
+        sub-linear serve. Mutations invalidate it lazily (the version
+        counter below); the next ann search rebuilds, like the reference's
+        rebuild-after-adds discipline."""
+        from sptag_spark.index.heads import select_heads
+        from sptag_spark.index.postings import build_postings
+
+        live = self.live().persist()
+        heads = select_heads(live, ratio=ratio, metric=self.metric).persist()
+        postings = build_postings(live, heads, self.metric).persist()
+        postings.count()
+        self._ann = (self._version, heads, postings, nprobe)
+
+    def batch_search(
+        self, queries, k: int = 10, with_meta: bool = True, ann: bool = False
+    ) -> DataFrame:
+        """BatchSearch/SearchWithMetaData: (query_id, rank, id, dist[, meta]).
+
+        ann=False is exact brute force (the semantic oracle); ann=True serves
+        through the SPANN head/posting plan — the same verb choosing a
+        sub-linear physical strategy, SURVEY §7's `ORDER BY dist LIMIT k`
+        rewrite expressed at the API layer. A stale structure (mutations
+        since build_ann) is rebuilt first, so results always reflect the
+        live view."""
         Q = np.asarray(queries, dtype=np.float64)
         if Q.ndim == 1:
             Q = Q[None, :]
-        res = knn_arrays(
-            self.live(), np.arange(len(Q), dtype=np.int64), Q, k, self.metric
-        )
+        if ann:
+            if self._ann is None or self._ann[0] != self._version:
+                self.build_ann()
+            _, heads, postings, nprobe = self._ann
+            from sptag_spark.index.ann import ann_search
+
+            qdf = self.spark.createDataFrame(
+                [(i, [float(x) for x in Q[i]]) for i in range(len(Q))],
+                "query_id long, vector array<float>",
+            )
+            res = ann_search(
+                qdf, heads, postings, k=k, nprobe=nprobe, metric=self.metric
+            )
+        else:
+            res = knn_arrays(
+                self.live(), np.arange(len(Q), dtype=np.int64), Q, k, self.metric
+            )
         return attach_meta(res, self._vectors) if with_meta else res
 
     def search(self, query, k: int = 10, with_meta: bool = True) -> list:

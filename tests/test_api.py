@@ -108,3 +108,20 @@ def test_api_merge(spark):
     assert merged.live().count() == 5
     metas = {r["meta"] for r in merged.live().collect()}
     assert metas == {"a0", "a1", "a2", "b0", "b2"}
+
+
+def test_ann_serving_mode(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(300, 12)).astype(np.float32)
+    idx = SparkAnnIndex.build(spark, V, metas=[str(i) for i in range(300)])
+    # ann=True serves through SPANN and still self-hits
+    res = idx.batch_search(V[:5], k=3, ann=True).collect()
+    top = {r["query_id"]: r for r in res if r["rank"] == 1}
+    assert all(top[q]["id"] == q and top[q]["dist"] == 0.0 for q in range(5))
+    # a mutation invalidates the structure; the rebuilt index excludes it
+    idx.delete([0])
+    res2 = idx.batch_search(V[:1], k=3, ann=True).collect()
+    assert all(r["id"] != 0 for r in res2)
+    assert len(res2) == 3
