@@ -106,6 +106,23 @@ def test_pq_adc_recall(spark, sf_dir):
     assert summary_r["avg_recall"] >= 0.5, summary_r
 
 
+def test_balanced_ivf_beats_plain_ivf(spark, sf_dir):
+    """Size-penalized lists must not lose recall vs nearest-head lists at
+    the same probe budget (measured +0.12 at sf0.01) and every vector is
+    stored exactly once either way."""
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    truth = knn(vectors, queries, k=10)
+
+    def run(balanced):
+        cents, lists = ivf_build(vectors, n_lists_ratio=0.05, balanced=balanced)
+        assert lists.count() == vectors.count()
+        res = ivf_search(queries, cents.cache(), lists.cache(), k=10, nprobe=12)
+        return recall_summary(recall_per_query(res, truth, 10)).first()["avg_recall"]
+
+    assert run(True) >= run(False) - 1e-9
+
+
 def test_opq_beats_pq_on_anisotropic_data(spark):
     """Full OPQ acceptance: on correlated data whose energy straddles the
     axis-aligned subspace split, the alternating rotation must cut
