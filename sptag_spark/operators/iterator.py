@@ -74,13 +74,56 @@ class SpannResultIterator(ResultIterator):
         metric: str = "l2",
         max_results: int = 1000,
         nprobe: int = 8,
+        head_batch: int | None = None,
+        max_dist_ratio: float | None = None,
     ) -> None:
-        from sptag_spark.index.ann import ann_search
+        """head_batch=h enables the reference's lazy probing: start with h
+        probed heads and widen by h only when a page requests ranks the
+        already-probed candidate pool cannot fill for every query —
+        `m_headBatch`'s stream-more-postings-on-demand, with Spark's cached
+        ranking replacing the per-page posting read. Note the dist-ratio cut
+        also bounds each query's pool: a query may legitimately expose fewer
+        than max_results ranks no matter how many heads are probed (the
+        reference's under-budget <k semantics)."""
+        from sptag_spark.index.ann import MAX_DIST_RATIO, ann_search
 
-        self._ranked = ann_search(
-            queries, heads, postings, k=max_results, nprobe=nprobe,
-            metric=metric,
-        ).cache()
+        ratio = MAX_DIST_RATIO if max_dist_ratio is None else max_dist_ratio
+        self._search = lambda n: ann_search(
+            queries, heads, postings, k=max_results, nprobe=n, metric=metric,
+            max_dist_ratio=ratio,
+        )
+        self._n_heads = heads.count()
+        self._head_batch = head_batch
+        self._nprobe = head_batch if head_batch else nprobe
+        self._ranked = self._search(self._nprobe).cache()
         self._pos = 0
         self.max_results = max_results
         self.relaxed_mono = False
+
+    def _available(self) -> int:
+        from pyspark.sql import functions as F
+
+        row = self._ranked.groupBy("query_id").count().agg(
+            F.min("count")
+        ).first()
+        return int(row[0] or 0)
+
+    def next_batch(self, batch: int) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if self._head_batch:
+            hi = self._pos + batch
+            while (
+                self._available() < min(hi, self.max_results)
+                and self._nprobe < self._n_heads
+            ):
+                self._ranked.unpersist()
+                self._nprobe = min(
+                    self._nprobe + self._head_batch, self._n_heads
+                )
+                self._ranked = self._search(self._nprobe).cache()
+        lo, hi = self._pos + 1, self._pos + batch
+        self._pos = hi
+        return self._ranked.filter(
+            (F.col("rank") >= lo) & (F.col("rank") <= hi)
+        ).withColumn("relaxed_mono", F.lit(False))

@@ -353,3 +353,40 @@ def test_spann_result_iterator_pages(spark, small_vectors):
     for r in p1 + p2:
         assert full[(r["query_id"], r["rank"])] == r["id"]
     it.close()
+
+
+def test_spann_iterator_head_batched_lazy_probe(spark, small_vectors):
+    """head_batch mode starts with few probed heads and widens only when a
+    page outruns the probed candidate pool (Options.h m_headBatch)."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.operators.iterator import SpannResultIterator
+
+    queries = small_vectors.filter(F.col("id") % 5 == 0).select(
+        F.col("id").alias("query_id"), "vector"
+    )
+    heads = select_heads(small_vectors, ratio=0.5).cache()
+    postings = build_postings(
+        small_vectors, heads, replica_count=1
+    ).cache()
+    it = SpannResultIterator(
+        queries, heads, postings, max_results=12, head_batch=1,
+        max_dist_ratio=float("inf"),  # no ratio cut: pool growth is pure nprobe
+    )
+    assert it._nprobe == 1
+    p1 = it.next_batch(3).collect()
+    probe_after_p1 = it._nprobe
+    p2 = it.next_batch(6).collect()
+    assert it._nprobe >= probe_after_p1  # widened (or already sufficient)
+    ranks1 = {r["rank"] for r in p1}
+    ranks2 = {r["rank"] for r in p2}
+    assert ranks1 <= {1, 2, 3} and ranks2 <= {4, 5, 6, 7, 8, 9}
+    assert not (ranks1 & ranks2)
+    # every query got its page filled once probing widened
+    per_q = {}
+    for r in p2:
+        per_q.setdefault(r["query_id"], 0)
+        per_q[r["query_id"]] += 1
+    assert all(v == 6 for v in per_q.values()), per_q
