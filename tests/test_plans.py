@@ -175,3 +175,16 @@ def test_embedding_near_dup_blocked_plan(spark):
     # (FlatMapGroupsInPandas) — the block co-partition is the only wide op
     # before the dedup aggregation
     assert "FlatMapGroupsInPandas" in p and "MapInPandas" in p
+
+
+def test_bkt_assign_is_map_only(spark):
+    """The full-data BKT pass must be one MapInPandas over the scan — no
+    exchange: the tree rides in the closure, nothing shuffles."""
+    from sptag_spark.index.bkt import bkt_assign, build_bkt
+    from sptag_spark.tables import vectors_table
+
+    v = vectors_table(spark, SF)
+    tree = build_bkt(v, kmeans_k=4, leaf_size=8)
+    p = plan(bkt_assign(v, tree))
+    assert "MapInPandas" in p
+    assert "Exchange" not in p
