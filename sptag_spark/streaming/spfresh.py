@@ -44,7 +44,11 @@ class SpannLiveIndex:
         ratio: float = 0.12,
         metric: str = "l2",
         rebuild_threshold: int = ADD_COUNT_FOR_REBUILD,
+        prebuilt: tuple[DataFrame, DataFrame] | None = None,
     ) -> None:
+        """prebuilt=(heads, postings) attaches an already-built base index
+        (the offline build artifact) so serve/maintain cost can be measured
+        separately from the build, as the reference's harness does."""
         self._metric = metric
         self._ratio = ratio
         self._rebuild_threshold = rebuild_threshold
@@ -52,9 +56,14 @@ class SpannLiveIndex:
         self._base = vectors.select("id", "vector").persist()
         self._deltas: list[DataFrame] = []
         self._tombstones = self._spark.createDataFrame([], "id long")
-        self.heads = select_heads(self._base, ratio=ratio, metric=metric).persist()
-        self.postings = build_postings(self._base, self.heads, metric).persist()
-        self.postings.count()
+        if prebuilt is not None:
+            self.heads, self.postings = prebuilt
+        else:
+            self.heads = select_heads(
+                self._base, ratio=ratio, metric=metric
+            ).persist()
+            self.postings = build_postings(self._base, self.heads, metric).persist()
+            self.postings.count()
         self.adds_since_build = 0
         self.builds = 0
 
