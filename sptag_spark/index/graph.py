@@ -309,7 +309,10 @@ def graph_search(
         if scored.limit(1).count() == 0:
             break
         frontier = scored
-        visited = visited.unionByName(scored).localCheckpoint()
+        # plain union of checkpointed hop outputs: every leaf is already
+        # materialized, so the plan stays shallow (≤ max_hops branches)
+        # without paying a second materialization per hop
+        visited = visited.unionByName(scored)
     return (
         visited.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
