@@ -329,6 +329,28 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def eps_margin_blocks(
+    V: np.ndarray, centers: np.ndarray, margin: float
+) -> list[list[int]]:
+    """Per-row center indices within (distance-to-nearest + margin), on
+    NORMALIZED rows. The completeness guarantee (see
+    embedding_near_dup_pairs): with margin = 2·eps, any pair of points
+    within eps of each other shares at least one block — property-tested in
+    tests/test_properties.py."""
+    import numpy as np
+
+    vn = np.linalg.norm(V, axis=1)
+    Vn = V / np.where(vn == 0, 1.0, vn)[:, None]
+    d2 = (
+        -2.0 * (Vn @ centers.T)
+        + (centers**2).sum(1)[None, :]
+        + (Vn**2).sum(1)[:, None]
+    )
+    d = np.sqrt(np.maximum(d2, 0.0))
+    cut = d.min(1)[:, None] + margin
+    return [np.nonzero(d[r] <= cut[r])[0].tolist() for r in range(len(V))]
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,
@@ -421,16 +443,7 @@ def embedding_near_dup_pairs(
             if len(centers) == 1:
                 blocks = [[0]] * len(V)
             else:
-                vn = np.linalg.norm(V, axis=1)
-                Vn = V / np.where(vn == 0, 1.0, vn)[:, None]
-                d2 = (
-                    -2.0 * (Vn @ centers.T)
-                    + (centers**2).sum(1)[None, :]
-                    + (Vn**2).sum(1)[:, None]
-                )
-                d = np.sqrt(np.maximum(d2, 0.0))
-                cut = d.min(1)[:, None] + margin
-                blocks = [np.nonzero(d[r] <= cut[r])[0].tolist() for r in range(len(V))]
+                blocks = eps_margin_blocks(V, centers, margin)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),

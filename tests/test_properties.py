@@ -71,3 +71,36 @@ def test_self_distance_zero(vec):
     # exactly before emitting them
     scale = max(1.0, (V * V).sum())
     assert _block_distances(V, V, "l2")[0, 0] <= 1e-12 * scale
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(3, 40),   # n points
+    st.integers(2, 12),   # n centers
+    st.integers(2, 10),   # dim
+    st.floats(min_value=0.8, max_value=0.9999),  # cosine threshold
+    st.randoms(use_true_random=False),
+)
+def test_eps_margin_blocking_is_complete(n, k, d, threshold, rnd):
+    """The triangle-inequality guarantee behind the exact blocked embedding
+    near-dup: with margin 2·eps (eps = sqrt(2-2t)), every pair with cosine
+    >= t shares at least one block — for ANY centers, including bad ones."""
+    from sptag_spark.operators.dedup import eps_margin_blocks
+
+    rng = np.random.default_rng(rnd.randint(0, 2**31))
+    V = rng.normal(size=(n, d))
+    # inject tight near-dup pairs so the property is exercised
+    V[1] = V[0] + rng.normal(scale=1e-3, size=d)
+    V[2] = V[0] * 2.0
+    centers_raw = rng.normal(size=(k, d))
+    centers = centers_raw / np.linalg.norm(centers_raw, axis=1, keepdims=True)
+    eps = float(np.sqrt(max(2.0 - 2.0 * threshold, 0.0)))
+    blocks = eps_margin_blocks(V, centers, 2.0 * eps)
+    norms = np.linalg.norm(V, axis=1)
+    S = (V @ V.T) / np.outer(norms, norms)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if S[i, j] >= threshold:
+                assert set(blocks[i]) & set(blocks[j]), (
+                    i, j, S[i, j], blocks[i], blocks[j],
+                )
