@@ -384,8 +384,10 @@ def _graph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (edges,) = _memo(spark, sf_dir, "rng_graph", build)
     vectors = vectors_table(spark, sf_dir)
     queries = queries_table(spark, sf_dir, modulus=100)
+    # hops=4/beam=16 measures the same 0.96 recall as hops=5/beam=12 at
+    # sf0.01 with one fewer sequential hop (each hop is fixed job overhead)
     res = graph_search(
-        vectors, edges, queries, k=DEFAULT_K, max_hops=5, beam=12
+        vectors, edges, queries, k=DEFAULT_K, max_hops=4, beam=16
     )
     truth = truth_topk(spark, sf_dir).join(
         F.broadcast(queries.select("query_id")), "query_id"
