@@ -194,3 +194,42 @@ def test_balanced_kmeans_balances(spark, sf_dir):
     # balance: no cluster more than 3x fair share (unbalanced kmeans on
     # gaussian mixtures routinely exceeds this)
     assert max(sizes) <= 3 * n / k, sizes
+
+
+def test_spann_cosine_metric(spark, sf_dir):
+    """The SPANN path is metric-parameterized end to end (build + route +
+    scan all cosine) — reference SPANN accepts any DistCalcMethod."""
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    heads = select_heads(vectors, ratio=0.12, metric="cosine").cache()
+    postings = build_postings(vectors, heads, metric="cosine").cache()
+    truth = knn(vectors, queries, k=10, metric="cosine")
+    approx = ann_search(queries, heads, postings, k=10, nprobe=10, metric="cosine")
+    summary = recall_summary(
+        recall_per_query(approx, truth, 10, metric="cosine")
+    ).first()
+    assert summary["avg_recall"] >= 0.85, summary
+
+
+def test_empty_and_tiny_inputs_are_graceful(spark):
+    """Reference-style error-path discipline: empty tables produce empty
+    results, never crashes (SearchQuery.h unfilled-slot semantics)."""
+    from sptag_spark.operators.dedup import (
+        dedup_exact_groups,
+        embedding_near_dup_pairs,
+    )
+
+    emb0 = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_near_dup_pairs(emb0, 0.99).count() == 0
+    emb1 = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    assert embedding_near_dup_pairs(emb1, 0.99).count() == 0
+    docs0 = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_exact_groups(docs0).count() == 0
+    v = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vector array<float>")
+    q0 = spark.createDataFrame([], "query_id long, vector array<float>")
+    assert knn(v, q0, k=3).count() == 0
+    v0 = spark.createDataFrame([], "id long, vector array<float>")
+    q1 = spark.createDataFrame([(0, [1.0, 2.0])], "query_id long, vector array<float>")
+    assert knn(v0, q1, k=3).count() == 0
