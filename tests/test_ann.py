@@ -233,3 +233,22 @@ def test_empty_and_tiny_inputs_are_graceful(spark):
     v0 = spark.createDataFrame([], "id long, vector array<float>")
     q1 = spark.createDataFrame([(0, [1.0, 2.0])], "query_id long, vector array<float>")
     assert knn(v0, q1, k=3).count() == 0
+
+
+def test_spann_ip_metric(spark, sf_dir):
+    """InnerProduct SPANN: distances are negative dot products, which is
+    exactly the case the reference's limitDist>0.1 ratio-cut guard exists
+    for (SPANNIndex.cpp:217-230) — without it every head would be dropped."""
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    heads = select_heads(vectors, ratio=0.12, metric="ip").cache()
+    postings = build_postings(vectors, heads, metric="ip").cache()
+    routes = route_queries(queries, heads, nprobe=8, metric="ip")
+    per_q = routes.groupBy("query_id").count().collect()
+    assert all(r["count"] >= 1 for r in per_q)  # the guard kept heads
+    truth = knn(vectors, queries, k=10, metric="ip")
+    approx = ann_search(queries, heads, postings, k=10, nprobe=10, metric="ip")
+    summary = recall_summary(
+        recall_per_query(approx, truth, 10, metric="ip")
+    ).first()
+    assert summary["avg_recall"] >= 0.7, summary
