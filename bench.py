@@ -98,6 +98,39 @@ def main() -> None:
         timings[name] = round(samples[len(samples) // 2], 3)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
+    # SPANN operating point — the reference harness's QPS / Recall@K shape
+    # (SSDIndex.h:154-158 QPS log, :284-285 recall/MRR), so the serve path
+    # is comparable in spirit to the paper's ~0.9-recall@10 figure. Batch
+    # QPS: Spark executes the query batch as one plan, so per-query latency
+    # percentiles are not separable — QPS is queries/batch-wall.
+    from sptag_spark.index.ann import ann_search
+    from sptag_spark.operators.recall import recall_per_query, recall_summary
+    from sptag_spark.queries.ann_queries import spann_index, truth_topk
+    from sptag_spark.tables import queries_table
+
+    heads, postings = spann_index(spark, sf_dir)
+    queries_df = queries_table(spark, sf_dir)
+    nq = queries_df.count()
+    serve = lambda: ann_search(queries_df, heads, postings, k=10, nprobe=10)  # noqa: E731
+    samples = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        serve().write.format("noop").mode("overwrite").save()
+        samples.append(time.time() - t0)
+    samples.sort()
+    serve_sec = samples[len(samples) // 2]
+    rs = recall_summary(
+        recall_per_query(serve(), truth_topk(spark, sf_dir), 10)
+    ).first()
+    spann_point = {
+        "recall_at_10": round(rs["avg_recall"], 4),
+        "mrr": round(rs["mrr"], 4),
+        "batch_qps": round(nq / serve_sec, 1),
+        "n_queries": nq,
+        "nprobe": 10,
+        "k": 10,
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "total_query_wall_sec",
@@ -106,6 +139,7 @@ def main() -> None:
         "queries": timings,
         "query_spread": spread,
         "runs_per_query": n_runs,
+        "spann_operating_point": spann_point,
         "index_build_sec": builds,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
