@@ -251,3 +251,91 @@ def adc_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "adc_dist")
     )
+
+
+def pq_decode(codes: DataFrame, books: PQCodebooks) -> DataFrame:
+    """ReconstructVector (`OPQQuantizer.h:31,` `PQQuantizer.h` reconstruct):
+    codes → approximate float vectors (inverse-rotated for OPQ). Map-only;
+    codebooks ride in the closure."""
+    cb, R = books.codebooks, books.rotation
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            Y = _reconstruct_inmem(C, cb)
+            if R is not None:
+                Y = Y @ R.T  # rotation is orthogonal: inverse = transpose
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "vector": list(Y.astype(np.float32))}
+            )
+
+    return codes.select("id", "codes").mapInPandas(
+        kernel, schema="id long, vector array<float>"
+    )
+
+
+def sdc_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: PQCodebooks,
+    k: int = 10,
+) -> DataFrame:
+    """Symmetric distance computation (the reference's EnableADC=false mode,
+    `PQQuantizer.h:112-138`): the QUERY is also quantized and distance is a
+    sum of precomputed code-to-code sub-distances — one (M, 256, 256) table
+    derived from the codebooks alone, shared by every query. Coarser than
+    ADC (both sides quantized) but the query never touches float vectors —
+    the mode used when queries arrive pre-encoded.
+    Returns (query_id, rank, id, sdc_dist)."""
+    cb, R = books.codebooks, books.rotation
+    m, k_codes, sub = cb.shape
+    # (M, 256, 256) symmetric sub-distance tables
+    tables = np.stack(
+        [
+            ((cb[i][:, None, :] - cb[i][None, :, :]) ** 2).sum(-1)
+            for i in range(m)
+        ]
+    )
+    qrows = queries.select("query_id", "vector").collect()
+    query_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["vector"]) for r in qrows], dtype=np.float64)
+    if R is not None:
+        Q = Q @ R
+    qcodes = _encode_inmem(Q, cb)  # (nq, M)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, M)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            out = []
+            kk = min(k, len(ids))
+            for qi in range(len(query_ids)):
+                d = tables[np.arange(m)[None, :], qcodes[qi][None, :], C].sum(1)
+                cand = (
+                    np.argpartition(d, kk - 1)[:kk]
+                    if kk < len(ids)
+                    else np.arange(len(ids))
+                )
+                order = np.lexsort((ids[cand], d[cand]))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(kk, query_ids[qi], dtype=np.int64),
+                            "id": ids[cand[order]],
+                            "sdc_dist": d[cand[order]],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cand = codes.mapInPandas(kernel, schema="query_id long, id long, sdc_dist double")
+    w = Window.partitionBy("query_id").orderBy(F.col("sdc_dist"), F.col("id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "sdc_dist")
+    )

@@ -252,3 +252,39 @@ def test_spann_ip_metric(spark, sf_dir):
         recall_per_query(approx, truth, 10, metric="ip")
     ).first()
     assert summary["avg_recall"] >= 0.7, summary
+
+
+def test_pq_decode_and_sdc(spark, sf_dir):
+    """ReconstructVector + symmetric (SDC) search: reconstruction error is
+    bounded, and SDC recall is in the same regime as ADC (both-sides
+    quantization is coarser, never better than ~ADC)."""
+    from sptag_spark.index.pq import pq_decode, sdc_search
+
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    for opq in (False, True):
+        books = train_pq(vectors, m=8, opq_rotation=opq)
+        codes = pq_encode(vectors, books).cache()
+        recon = pq_decode(codes, books).withColumnRenamed("vector", "rvec")
+        joined = recon.join(vectors, "id")
+        err = joined.select(
+            F.aggregate(
+                F.zip_with("rvec", "vector", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("e")
+        ).agg(F.avg("e")).first()[0]
+        norm = vectors.select(
+            F.aggregate(
+                F.transform("vector", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("n")
+        ).agg(F.avg("n")).first()[0]
+        assert err < 0.5 * norm, (opq, err, norm)  # 32x compression, lossy
+        truth = knn(vectors, queries, k=10)
+        res = sdc_search(codes, queries, books, k=10).withColumnRenamed(
+            "sdc_dist", "dist"
+        )
+        summary = recall_summary(recall_per_query(res, truth, 10)).first()
+        assert summary["avg_recall"] >= 0.4, (opq, summary)
