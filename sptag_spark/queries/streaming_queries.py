@@ -20,10 +20,6 @@ from pyspark.sql import functions as F
 from sptag_spark.registry import register
 from sptag_spark.streaming.ingest import streaming_event_window_counts
 
-_EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
 _SINK = "stream_window_counts_sink"
 
 
@@ -46,13 +42,16 @@ def _stream_source_dir(sf_dir: str) -> str:
 
 
 def _streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.tables import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .parquet(_stream_source_dir(sf_dir))
-        .withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+    # FileStreamSource needs an explicit schema; take it from the actual file
+    # so a testdata regen with a different ts encoding (nanos-as-long vs
+    # timestamp[us]) can't silently misread the column as the wrong type.
+    src_dir = _stream_source_dir(sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(src_dir)
     )
     agg = streaming_event_window_counts(stream, window="5 minutes", watermark="10 minutes")
     q = (

@@ -48,15 +48,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to session-tz TIMESTAMP regardless of
+    how the parquet writer encoded it. Driver testdata has shipped both
+    TIMESTAMP(NANOS) (read as long under the legacy flag) and timestamp[us]
+    (read as TIMESTAMP_NTZ); accept either so a testdata regen can't break
+    every events query. Session timezone is pinned to UTC (session.py), so the
+    NTZ→LTZ cast preserves the wall-clock instant DuckDB's epoch() sees."""
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default. Read nanos as long (runtime-settable legacy
-    flag), then convert to a microsecond timestamp column."""
+    """events.parquet `ts` arrives in writer-dependent encodings; see
+    normalize_event_ts. The legacy nanos flag is harmless when the column is
+    already a real timestamp."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    return normalize_event_ts(df)
 
 
 def vectors_table(spark: SparkSession, sf_dir: str) -> DataFrame:

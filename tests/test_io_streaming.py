@@ -390,3 +390,31 @@ def test_spann_iterator_head_batched_lazy_probe(spark, small_vectors):
         per_q.setdefault(r["query_id"], 0)
         per_q[r["query_id"]] += 1
     assert all(v == 6 for v in per_q.values()), per_q
+
+
+def test_events_ts_normalization(spark, tmp_path_factory):
+    """Driver testdata has shipped events.ts as TIMESTAMP(NANOS)-read-as-long
+    AND as timestamp[us] (TIMESTAMP_NTZ); normalize_event_ts must yield the
+    same session-tz TIMESTAMP instants for both (CORRECTNESS_r03 regression:
+    the fixed nanos assumption turned every events query red on a regen)."""
+    from sptag_spark.tables import events_table, normalize_event_ts
+
+    # real testdata path: whatever encoding ships, the column must come out
+    # as a plain TIMESTAMP
+    ev = events_table(spark, "/root/testdata/sf0.001")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.filter(F.col("ts").isNull()).count() == 0
+
+    # synthetic: same instant through the long-nanos and ntz branches
+    micros = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    as_long = spark.createDataFrame([(micros * 1000,)], "ts long")
+    as_ntz = spark.createDataFrame([(1,)], "x int").select(
+        F.timestamp_micros(F.lit(micros)).cast("timestamp_ntz").alias("ts")
+    )
+    got_long = normalize_event_ts(as_long).select(
+        F.unix_timestamp("ts").alias("e")
+    ).first()["e"]
+    got_ntz = normalize_event_ts(as_ntz).select(
+        F.unix_timestamp("ts").alias("e")
+    ).first()["e"]
+    assert got_long == got_ntz == micros // 1_000_000
