@@ -1,0 +1,228 @@
+"""Cost-based planner: declarative "top-k by distance" → physical strategy.
+
+The reference hard-wires strategy to index type: the caller builds a BKT /
+KDT / SPANN index and `SearchIndex` dispatches on it
+(`AnnService/inc/Core/VectorIndex.h:67-116`, algo selection
+`IndexFactory`/`VectorIndex::CreateInstance`). Spark's idiom is the
+opposite: the user states the LOGICAL query — "the k nearest vectors to
+each query under metric m" (i.e. `ORDER BY dist(vector, q) LIMIT k`) — and
+the planner picks the physical operator, the same way Catalyst picks
+SortMergeJoin vs BroadcastHashJoin from statistics.
+
+This module is that strategy layer (SURVEY §4 "custom strategy" candidate).
+It is deliberately a PYTHON-level planner: injecting a real Catalyst
+`SparkStrategy` needs JVM extension jars, while the decision itself only
+needs driver-side statistics — which we take from Catalyst's own
+`optimizedPlan.stats.sizeInBytes` so filter/projection estimates flow
+through for free.
+
+Physical strategies (all return the same (query_id, rank, id, dist)
+contract, so the choice is a pure performance/recall trade):
+
+- BRUTE_KERNEL  — exact map-side Arrow top-k + merge rank
+  (`operators/knn.py knn`). Exact; cost ~ |V|·|Q|·D per pass; the right
+  plan when exactness is required or V is small enough that an index
+  build wouldn't amortize.
+- SPANN         — head routing + partition-pruned posting scan
+  (`index/ann.py ann_search`). Approximate (recall set by nprobe); cost ~
+  |Q|·nprobe·|posting|·D; the right plan when a prebuilt index exists or
+  V is big and the build amortizes over the batch.
+- IVF           — same shape with 1-replica lists (`index/ivf.py`);
+  chosen over SPANN only when the caller supplies an IVF index (lists are
+  ~8× smaller than SPANN postings, recall correspondingly lower).
+
+The planner never silently degrades exactness: `exact=True` (or
+`recall_target >= 0.999`) always yields BRUTE_KERNEL, matching the
+reference's own discipline of answering truth queries with a linear scan
+(`Test/src/AlgoTest.cpp` builds truth by brute force).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+
+# An index build touches every vector ~replica_count times plus a k-means
+# pass; it amortizes only when the brute-force pass the batch would
+# otherwise do is bigger. Below this many estimated candidate rows the
+# brute kernel wins outright (measured: at 6k×240 queries sf0.01 the
+# kernel runs in ~0.4 s while a SPANN build alone costs ~3 s).
+BRUTE_ROW_THRESHOLD = 2_000_000
+
+# nprobe needed for a recall target, from the measured sf0.01 operating
+# points (tests/test_ann.py: recall 0.93 @ nprobe=10; ~0.85 @ 6;
+# ~0.7 @ 3). Conservative step table, first match wins.
+_NPROBE_LADDER = [(0.95, 16), (0.9, 10), (0.8, 6), (0.0, 3)]
+
+
+def _nprobe_for(recall_target: float) -> int:
+    for floor, nprobe in _NPROBE_LADDER:
+        if recall_target >= floor:
+            return nprobe
+    return 3
+
+
+def _catalyst_size_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for the OPTIMIZED plan — reflects
+    parquet footer stats and survives filters/projections (a filtered scan
+    estimates smaller than the full table), which a driver-side count()
+    would have to pay a job to learn."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+# Catalyst returns spark.sql.defaultSizeInBytes (Long.Max) when it has no
+# real estimate — notably for cached/local relations. Anything above this
+# is "unknown", not "huge".
+_UNKNOWN_SIZE = 1 << 50
+
+
+def _estimate_rows(df: DataFrame) -> int:
+    size = _catalyst_size_bytes(df)
+    if size < _UNKNOWN_SIZE:
+        return max(1, size // _EST_ROW_BYTES)
+    # no usable estimate (cached / parallelized relation) → pay one cheap
+    # count job; these inputs are by construction already in memory
+    return max(1, df.count())
+
+
+# average serialized row width of (id BIGINT, vector ARRAY<FLOAT> dim~64,
+# meta) used to turn sizeInBytes into a row estimate; only order-of-
+# magnitude matters for the threshold test.
+_EST_ROW_BYTES = 300
+
+
+@dataclass
+class TopKByDistance:
+    """Logical node: for each query vector, the k nearest rows of
+    ``vectors`` under ``metric`` — what `ORDER BY dist(vector, q) LIMIT k`
+    means per query.
+
+    ``filter`` is a metadata predicate on the vectors table, applied BELOW
+    the ranking (true top-k among survivors — the exact-engine semantic,
+    SURVEY §4; the reference may return <k under MaxCheck budget)."""
+
+    vectors: DataFrame
+    queries: DataFrame
+    k: int = 10
+    metric: str = "l2"
+    exact: bool | None = None  # None → decide from recall_target
+    recall_target: float = 0.9
+    filter: Column | None = None
+
+
+@dataclass
+class PlannedSearch:
+    strategy: str  # BRUTE_KERNEL | SPANN | IVF
+    spec: TopKByDistance
+    reasons: list[str] = field(default_factory=list)
+    est_vector_rows: int = 0
+    nprobe: int | None = None
+    _index: tuple[DataFrame, DataFrame] | None = None
+
+    def explain(self) -> str:
+        lines = [
+            f"TopKByDistance(k={self.spec.k}, metric={self.spec.metric}, "
+            f"recall_target={self.spec.recall_target})",
+            f"  strategy: {self.strategy}"
+            + (f" (nprobe={self.nprobe})" if self.nprobe else ""),
+            f"  est vector rows: ~{self.est_vector_rows:,}",
+        ]
+        lines += [f"  - {r}" for r in self.reasons]
+        return "\n".join(lines)
+
+    def execute(self) -> DataFrame:
+        s = self.spec
+        src = s.vectors
+        if s.filter is not None:
+            src = src.filter(s.filter)
+        if self.strategy == "BRUTE_KERNEL":
+            from sptag_spark.operators.knn import knn
+
+            return knn(src, s.queries, k=s.k, metric=s.metric)
+        heads, postings = self._index
+        if s.filter is not None:
+            # the predicate prunes posting rows before scoring; same
+            # filter-below-rank semantics as the exact path (survivor
+            # top-k), at the cost of scanning the same routed postings
+            keep = src.select("id")
+            postings = postings.join(keep, "id")
+        if self.strategy == "IVF":
+            from sptag_spark.index.ivf import ivf_search
+
+            return ivf_search(
+                s.queries, heads, postings, k=s.k,
+                nprobe=self.nprobe, metric=s.metric,
+            )
+        from sptag_spark.index.ann import ann_search
+
+        return ann_search(
+            s.queries, heads, postings, k=s.k,
+            nprobe=self.nprobe, metric=s.metric,
+        )
+
+
+def plan_topk(
+    spec: TopKByDistance,
+    spann_index: tuple[DataFrame, DataFrame] | None = None,
+    ivf_index: tuple[DataFrame, DataFrame] | None = None,
+    brute_row_threshold: int = BRUTE_ROW_THRESHOLD,
+) -> PlannedSearch:
+    """Choose the physical strategy for a TopKByDistance node.
+
+    Decision procedure (first match wins), mirroring how Catalyst picks
+    joins from size stats + hints:
+
+    1. exactness required  → BRUTE_KERNEL (never approximate silently)
+    2. prebuilt index supplied → use it (SPANN preferred over IVF: more
+       replicas → higher recall at the same nprobe)
+    3. small V (Catalyst size estimate under threshold) → BRUTE_KERNEL
+       (an index build would cost more than the scan it saves)
+    4. otherwise → build SPANN once for the batch and search it
+    """
+    must_exact = bool(spec.exact) or (
+        spec.exact is None and spec.recall_target >= 0.999
+    )
+    est_rows = _estimate_rows(spec.vectors)
+    reasons: list[str] = []
+
+    if must_exact:
+        reasons.append(
+            "exact result required"
+            + ("" if spec.exact else f" (recall_target={spec.recall_target})")
+        )
+        return PlannedSearch("BRUTE_KERNEL", spec, reasons, est_rows)
+
+    nprobe = _nprobe_for(spec.recall_target)
+    if spann_index is not None:
+        reasons.append("prebuilt SPANN index supplied — zero build cost")
+        return PlannedSearch(
+            "SPANN", spec, reasons, est_rows, nprobe, _index=spann_index
+        )
+    if ivf_index is not None:
+        reasons.append("prebuilt IVF index supplied — zero build cost")
+        return PlannedSearch(
+            "IVF", spec, reasons, est_rows, nprobe, _index=ivf_index
+        )
+    if est_rows <= brute_row_threshold:
+        reasons.append(
+            f"~{est_rows:,} rows ≤ threshold {brute_row_threshold:,}: "
+            "exact scan is cheaper than an index build"
+        )
+        return PlannedSearch("BRUTE_KERNEL", spec, reasons, est_rows)
+
+    reasons.append(
+        f"~{est_rows:,} rows > threshold {brute_row_threshold:,}: "
+        "building SPANN (head routing + partition-pruned posting scan)"
+    )
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+
+    src = spec.vectors.select("id", "vector")
+    heads = select_heads(src, metric=spec.metric)
+    postings = build_postings(src, heads, metric=spec.metric)
+    return PlannedSearch(
+        "SPANN", spec, reasons, est_rows, nprobe, _index=(heads, postings)
+    )

@@ -75,3 +75,41 @@ def _knn_query(metric: str, k: int = DEFAULT_K):
 
 for _metric in ("l2", "cosine", "ip"):
     register(f"knn_{_metric}", _knn_query(_metric), knn_oracle_sql(_metric))
+
+
+# -- cost-based planner front door (SURVEY §4 custom-strategy candidate) ----
+#
+# The logical query is "ORDER BY dist(vector, q) LIMIT k per query"; the
+# planner picks the physical operator from Catalyst size statistics
+# (plans/planner.py). At driver scale the parquet estimate lands under the
+# build-amortization threshold, so the chosen plan is the exact kernel and
+# the DuckDB oracle can check values bit-for-bit — the strategy column makes
+# the planner's decision itself part of the checked contract.
+
+
+def _planner_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.plans import TopKByDistance, plan_topk
+
+    spec = TopKByDistance(
+        vectors_table(spark, sf_dir).select("id", "vector"),
+        queries_table(spark, sf_dir),
+        k=DEFAULT_K,
+        metric="l2",
+        recall_target=0.9,
+    )
+    p = plan_topk(spec)
+    return (
+        p.execute()
+        .withColumn("dist", F.round("dist", ROUND))
+        .withColumn("strategy", F.lit(p.strategy))
+    )
+
+
+register(
+    "planner_topk",
+    _planner_topk,
+    knn_oracle_sql("l2").replace(
+        "SELECT query_id, rank, id,",
+        "SELECT query_id, rank, id, 'BRUTE_KERNEL' AS strategy,",
+    ),
+)

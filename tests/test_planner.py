@@ -1,0 +1,147 @@
+"""Cost-based TopKByDistance planner: strategy choice + result contract.
+
+The reference dispatches search on the index the caller built
+(`VectorIndex.h:67-116`); our planner inverts that — the caller states the
+logical top-k query, the planner picks the physical operator from Catalyst
+size statistics. These tests pin the decision table and that every chosen
+strategy honors the same (query_id, rank, id, dist) contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sptag_spark.index.heads import select_heads
+from sptag_spark.index.postings import build_postings
+from sptag_spark.operators.knn import knn
+from sptag_spark.plans import TopKByDistance, plan_topk
+
+N, DIM, NQ, K = 600, 8, 12, 5
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(N, DIM))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in X[i]], str(i % 3)) for i in range(N)],
+        "id long, vector array<float>, meta string",
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def qs(spark, vecs):
+    return vecs.filter(F.col("id") % (N // NQ) == 0).select(
+        F.col("id").alias("query_id"), "vector"
+    ).persist()
+
+
+def test_exact_flag_forces_brute(vecs, qs):
+    p = plan_topk(TopKByDistance(vecs, qs, k=K, exact=True))
+    assert p.strategy == "BRUTE_KERNEL"
+    assert "exact" in p.explain()
+
+
+def test_high_recall_target_forces_brute(vecs, qs):
+    p = plan_topk(TopKByDistance(vecs, qs, k=K, recall_target=0.999))
+    assert p.strategy == "BRUTE_KERNEL"
+
+
+def test_small_table_stays_brute(vecs, qs):
+    # 600 rows is far under any sane build-amortization threshold
+    p = plan_topk(TopKByDistance(vecs, qs, k=K, recall_target=0.9))
+    assert p.strategy == "BRUTE_KERNEL"
+    assert p.est_vector_rows > 0
+
+
+def test_large_table_builds_spann(vecs, qs):
+    # force the "big table" branch by dropping the threshold to 1 row
+    p = plan_topk(
+        TopKByDistance(vecs, qs, k=K, recall_target=0.9),
+        brute_row_threshold=1,
+    )
+    assert p.strategy == "SPANN"
+    assert p.nprobe == 10  # ladder: 0.9 → 10
+    res = p.execute()
+    assert res.columns == ["query_id", "rank", "id", "dist"]
+    # self-hit at rank 1 for every query (queries are table rows)
+    hits = res.filter(
+        (F.col("rank") == 1) & (F.col("id") == F.col("query_id"))
+    ).count()
+    assert hits == NQ
+
+
+def test_prebuilt_index_preferred_over_build(vecs, qs):
+    heads = select_heads(vecs.select("id", "vector"), ratio=0.1)
+    postings = build_postings(vecs.select("id", "vector"), heads)
+    p = plan_topk(
+        TopKByDistance(vecs, qs, k=K, recall_target=0.8),
+        spann_index=(heads, postings),
+    )
+    assert p.strategy == "SPANN"
+    assert p.nprobe == 6  # ladder: 0.8 → 6
+    assert "prebuilt" in "\n".join(p.reasons)
+
+
+def test_nprobe_ladder_monotone():
+    from sptag_spark.plans.planner import _nprobe_for
+
+    probes = [_nprobe_for(r) for r in (0.5, 0.8, 0.9, 0.95, 0.99)]
+    assert probes == sorted(probes)
+    assert probes[0] >= 1
+
+
+def test_filter_below_rank_semantics(vecs, qs):
+    """Filtered plan = true top-k among survivors (exact-engine semantic),
+    identical between the brute path and a filtered knn reference."""
+    pred = F.col("meta") == "1"
+    p = plan_topk(TopKByDistance(vecs, qs, k=K, exact=True, filter=pred))
+    got = p.execute().orderBy("query_id", "rank").collect()
+    want = knn(vecs.filter(pred), qs, k=K).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert [(r["query_id"], r["id"]) for r in got] == [
+        (r["query_id"], r["id"]) for r in want
+    ]
+
+
+def test_filtered_spann_only_returns_survivors(vecs, qs):
+    heads = select_heads(vecs.select("id", "vector"), ratio=0.1)
+    postings = build_postings(vecs.select("id", "vector"), heads)
+    p = plan_topk(
+        TopKByDistance(
+            vecs, qs, k=K, recall_target=0.8, filter=F.col("meta") == "2"
+        ),
+        spann_index=(heads, postings),
+    )
+    res = p.execute().join(
+        vecs.select("id", "meta"), "id"
+    )
+    assert res.count() > 0
+    assert res.filter(F.col("meta") != "2").count() == 0
+
+
+def test_catalyst_stats_shrink_under_filter(spark, sf_dir):
+    """The row estimate comes from Catalyst's optimized-plan stats (real
+    for parquet scans), so a selective filter should estimate no larger
+    than the full table, and a projection smaller than SELECT *."""
+    from sptag_spark.plans.planner import _UNKNOWN_SIZE, _catalyst_size_bytes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = _catalyst_size_bytes(emb)
+    projected = _catalyst_size_bytes(emb.select("vec_id"))
+    filtered = _catalyst_size_bytes(emb.filter(F.col("vec_id") < 10))
+    assert 0 < full < _UNKNOWN_SIZE  # parquet gives a real number
+    assert projected < full  # column pruning reaches the estimate
+    assert 0 < filtered <= full
+
+
+def test_unknown_stats_fall_back_to_count(vecs):
+    """Cached/local relations report defaultSizeInBytes (Long.Max); the
+    planner must fall back to an actual count, not treat 'unknown' as
+    'huge' (which would silently build an index over 600 rows)."""
+    from sptag_spark.plans.planner import _estimate_rows
+
+    assert _estimate_rows(vecs) == N
