@@ -384,10 +384,17 @@ def _graph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (edges,) = _memo(spark, sf_dir, "rng_graph", build)
     vectors = vectors_table(spark, sf_dir)
     queries = queries_table(spark, sf_dir, modulus=100)
+    heads, _ = spann_index(spark, sf_dir)
     # hops=4/beam=16 measures the same 0.96 recall as hops=5/beam=12 at
-    # sf0.01 with one fewer sequential hop (each hop is fixed job overhead)
-    res = graph_search(
-        vectors, edges, queries, k=DEFAULT_K, max_hops=4, beam=16
+    # sf0.01 with one fewer sequential hop. Broadcast mode: the index rides
+    # to each executor once and queries distribute — the reference's own
+    # in-memory serving shape (one stage vs ~5 shuffles/hop; tests pin the
+    # two modes row-identical). Seeds come from the memoized SPANN heads
+    # (SearchTrees seeding the queue) instead of a fresh k-means per run.
+    from sptag_spark.index.graph import graph_search_broadcast
+
+    res = graph_search_broadcast(
+        vectors, edges, queries, k=DEFAULT_K, heads=heads, max_hops=4, beam=16
     )
     truth = truth_topk(spark, sf_dir).join(
         F.broadcast(queries.select("query_id")), "query_id"

@@ -101,3 +101,51 @@ def test_graph_search_recall(spark, sf_dir):
     summary = recall_summary(recall_per_query(got, truth, 10)).first()
     assert summary["avg_recall"] >= 0.85, summary
     assert summary["n_queries"] == queries.count()
+
+
+def test_broadcast_walk_equals_hop_synchronous(spark, sf_dir):
+    """graph_search(mode='broadcast') and the hop-synchronous join walk are
+    two physical plans for ONE logical operator: with identical seeds they
+    must return byte-identical rows (same expansion order, same float64
+    arithmetic, same (dist, id) tie-breaks)."""
+    from sptag_spark.index.graph import build_rng_graph, graph_search
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.operators.knn import knn
+    from sptag_spark.tables import queries_table, vectors_table
+
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    edges = build_rng_graph(vectors, L=8, replicas=4).cache()
+    entry = select_heads(vectors, ratio=0.05)
+    seeds = knn(
+        entry.select(F.col("head_id").alias("id"), "vector"), queries, k=8
+    ).select("query_id", "id").cache()
+
+    kw = dict(k=10, seeds=seeds, max_hops=4, beam=16)
+    slow = graph_search(vectors, edges, queries, **kw)
+    fast = graph_search(vectors, edges, queries, mode="broadcast", **kw)
+    a = sorted(map(tuple, slow.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert a == b
+
+
+def test_broadcast_walk_head_seeding_recall(spark, sf_dir):
+    """Broadcast path with in-kernel head seeding (the serve shape the
+    driver query uses) holds the same recall gate as the join walk."""
+    from sptag_spark.index.graph import build_rng_graph, graph_search_broadcast
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.operators.knn import knn
+    from sptag_spark.operators.recall import recall_per_query, recall_summary
+    from sptag_spark.tables import queries_table, vectors_table
+
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    edges = build_rng_graph(vectors, L=8, replicas=4).cache()
+    heads = select_heads(vectors, ratio=0.1)
+    truth = knn(vectors, queries, k=10)
+    got = graph_search_broadcast(
+        vectors, edges, queries, k=10, heads=heads, max_hops=6, beam=16
+    )
+    summary = recall_summary(recall_per_query(got, truth, 10)).first()
+    assert summary["avg_recall"] >= 0.85, summary
+    assert summary["n_queries"] == queries.count()
