@@ -81,19 +81,27 @@ def main() -> None:
     # n runs per query, report per-query MEDIANS with spread — single-run
     # figures at local[32] scale carry enough run-to-run variance (GC, JIT,
     # OS scheduling) to swamp real regressions (+94% observed on a query
-    # with zero code change between rounds).
+    # with zero code change between rounds). One UNTIMED warm-up run per
+    # query first: janino whole-stage-codegen compilation of a query's
+    # generated classes lands entirely on its first execution (measured
+    # 7.7s → 4.8s → 1.8s steady state on minhash_near_dup) and is one-time
+    # JVM state, not query cost — the reference's own harness warms the
+    # index before its QPS loop (SSDServing/SSDIndex.h search loop runs
+    # after load+prefetch), so steady-state is the comparable figure.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     specs = all_specs()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, spec in specs.items():
         samples: list[float] = []
-        for _ in range(n_runs):
+        for i in range(warmup + n_runs):
             t0 = time.time()
             df = spec.query(spark, sf_dir)
             # materialize the full result without driver collect
             df.write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
+            if i >= warmup:
+                samples.append(time.time() - t0)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
@@ -111,25 +119,40 @@ def main() -> None:
     heads, postings = spann_index(spark, sf_dir)
     queries_df = queries_table(spark, sf_dir)
     nq = queries_df.count()
-    serve = lambda: ann_search(queries_df, heads, postings, k=10, nprobe=10)  # noqa: E731
-    samples = []
-    for _ in range(n_runs):
-        t0 = time.time()
-        serve().write.format("noop").mode("overwrite").save()
-        samples.append(time.time() - t0)
-    samples.sort()
-    serve_sec = samples[len(samples) // 2]
-    rs = recall_summary(
-        recall_per_query(serve(), truth_topk(spark, sf_dir), 10)
-    ).first()
-    spann_point = {
-        "recall_at_10": round(rs["avg_recall"], 4),
-        "mrr": round(rs["mrr"], 4),
-        "batch_qps": round(nq / serve_sec, 1),
-        "n_queries": nq,
-        "nprobe": 10,
-        "k": 10,
-    }
+    truth = truth_topk(spark, sf_dir)
+    # operating CURVE, not one point: the paper's figure is recall-vs-QPS
+    # (SPANN Fig.5); nprobe is the knob (SearchInternalResultNum — the
+    # SIFT1B config probes 64 heads, so a fixed nprobe=10 under-reports
+    # recall when the head count grows with SF).
+    spann_curve = []
+    for nprobe in (8, 16, 24):
+        serve = lambda: ann_search(  # noqa: E731
+            queries_df, heads, postings, k=10, nprobe=nprobe
+        )
+        samples = []
+        for i in range(warmup + n_runs):
+            t0 = time.time()
+            serve().write.format("noop").mode("overwrite").save()
+            if i >= warmup:
+                samples.append(time.time() - t0)
+        samples.sort()
+        serve_sec = samples[len(samples) // 2]
+        rs = recall_summary(recall_per_query(serve(), truth, 10)).first()
+        spann_curve.append(
+            {
+                "recall_at_10": round(rs["avg_recall"], 4),
+                "mrr": round(rs["mrr"], 4),
+                "batch_qps": round(nq / serve_sec, 1),
+                "n_queries": nq,
+                "nprobe": nprobe,
+                "k": 10,
+            }
+        )
+    # headline point: the lowest-nprobe setting that clears the paper's
+    # ~0.9 recall@10 operating regime (falls back to the best measured)
+    spann_point = next(
+        (p for p in spann_curve if p["recall_at_10"] >= 0.9), spann_curve[-1]
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -139,7 +162,9 @@ def main() -> None:
         "queries": timings,
         "query_spread": spread,
         "runs_per_query": n_runs,
+        "warmup_runs_per_query": warmup,
         "spann_operating_point": spann_point,
+        "spann_operating_curve": spann_curve,
         "index_build_sec": builds,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

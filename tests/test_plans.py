@@ -188,3 +188,62 @@ def test_bkt_assign_is_map_only(spark):
     p = plan(bkt_assign(v, tree))
     assert "MapInPandas" in p
     assert "Exchange" not in p
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Two id-bucketed tables joined on id must execute with ZERO Exchange
+    (and zero per-task Sort, thanks to sortBy) — the physical contract that
+    makes the 100 TB maintenance joins (tombstone apply, base+increment
+    merge) write-amortized instead of shuffle-bound."""
+    from sptag_spark.io.warehouse import (
+        apply_tombstones_bucketed,
+        co_located_join,
+        save_bucketed,
+    )
+    from sptag_spark.tables import vectors_table
+
+    v = vectors_table(spark, SF)
+    tomb = v.select("id").filter(F.col("id") % 5 == 0)
+    # at test scale Catalyst would broadcast the small side (also fine at
+    # 100 TB when one side IS small); disable it to expose the big-with-big
+    # shape this test is about
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_bucketed(v, "bt_vectors", buckets=8)
+        save_bucketed(tomb, "bt_tombstones", buckets=8)
+
+        joined = co_located_join(spark, "bt_vectors", "bt_tombstones")
+        p = plan(joined)
+        assert "SortMergeJoin" in p
+        # the contract: NO Exchange on either side. (A local per-task Sort
+        # may remain — Spark only trusts write-time order with exactly one
+        # file per bucket; the sort is cheap and stays on-node.)
+        assert "Exchange" not in p, p
+
+        alive = apply_tombstones_bucketed(spark, "bt_vectors", "bt_tombstones")
+        pa = plan(alive)
+        assert "Exchange" not in pa, pa
+        n_all, n_tomb = v.count(), tomb.count()
+        assert alive.count() == n_all - n_tomb
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_vectors")
+        spark.sql("DROP TABLE IF EXISTS bt_tombstones")
+
+
+def test_bucket_count_mismatch_still_correct(spark):
+    """Mismatched bucket counts lose the no-shuffle property but never
+    correctness — the fallback is a plain shuffle join."""
+    from sptag_spark.io.warehouse import co_located_join, save_bucketed
+    from sptag_spark.tables import vectors_table
+
+    v = vectors_table(spark, SF)
+    try:
+        save_bucketed(v.select("id", "meta"), "bm_a", buckets=8)
+        save_bucketed(v.select("id"), "bm_b", buckets=4)
+        joined = co_located_join(spark, "bm_a", "bm_b")
+        assert joined.count() == v.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm_a")
+        spark.sql("DROP TABLE IF EXISTS bm_b")
