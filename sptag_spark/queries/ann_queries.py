@@ -147,9 +147,14 @@ def self_verified_search(
 def _ann_spann(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads, postings = spann_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
-    # nprobe 10 clears the paper's ~0.9 recall@10 operating point at every
-    # test SF (the reference's SIFT1B config probes 64 internal results)
-    res = ann_search(queries, heads, postings, k=DEFAULT_K, nprobe=10)
+    # probe a ~constant FRACTION of heads, floored at 10: a fixed nprobe
+    # silently loses recall as the head count grows with SF (measured at
+    # nprobe=10: 0.93 with 60 heads, 0.81 with 240). The reference scales
+    # the same knob with index size (SearchInternalResultNum=64 in the
+    # SIFT1B config). 8.5% → 10 @ sf0.01, 21 @ sf0.1 — both ≥0.93, holding
+    # the paper's ~0.9 recall@10 operating point at every test SF.
+    nprobe = max(10, -(-heads.count() * 85 // 1000))
+    res = ann_search(queries, heads, postings, k=DEFAULT_K, nprobe=nprobe)
     return self_verified_search(
         res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.9
     )
@@ -170,9 +175,13 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, lists = ivf_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
     # single-assignment IVF needs a wider probe than replicated SPANN for
-    # comparable recall (the storage/probe trade — see test_ivf_recall);
-    # gate 0.75: balanced lists measure 0.85 at sf0.01, margin for drift
-    res = ivf_search(queries, centroids, lists, k=DEFAULT_K, nprobe=12)
+    # comparable recall (the storage/probe trade — see test_ivf_recall),
+    # and like SPANN the probe must scale with list count: measured recall
+    # at a fixed nprobe=12 fell 0.85 → 0.57 when the list count went
+    # 25 → 100 at sf0.1. One third of lists, floored at 12 → 0.85 @
+    # sf0.01, 0.79 @ sf0.1, both clearing the 0.75 gate.
+    nprobe = max(12, -(-centroids.count() // 3))
+    res = ivf_search(queries, centroids, lists, k=DEFAULT_K, nprobe=nprobe)
     return self_verified_search(
         res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.75
     )
