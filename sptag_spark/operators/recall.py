@@ -28,17 +28,17 @@ def _tie_cond(d: Column, td: Column, metric: str) -> Column:
     return F.lit(False)  # ip: id match only
 
 
-def recall_per_query(
+def result_hits(
     results: DataFrame,
     truth: DataFrame,
-    k: int,
     dist_tie_credit: bool = True,
     metric: str = "l2",
 ) -> DataFrame:
-    """results/truth: (query_id, rank, id, dist). Returns per query:
-    (query_id, n_hits BIGINT, recall DOUBLE, rr DOUBLE) where rr = 1/rank of
-    the first hit in the *result* ordering (0.0 when no hit).
-    """
+    """(query_id, rank, id, hit BOOLEAN) — every result row exactly once,
+    hit=true iff ANY truth row matches by id or distance-tie. The shared
+    first stage of every recall-derived metric: computing it once lets a
+    caller derive recall AND structural invariants (row counts, self-hits)
+    from a single execution of the search plan."""
     r = results.select("query_id", "rank", "id", "dist")
     t = truth.select(
         F.col("query_id").alias("t_query_id"),
@@ -53,11 +53,25 @@ def recall_per_query(
         )
     )
     # left join + dedupe: a result row is a hit if ANY truth row matches.
-    hits = (
+    return (
         r.join(t, cond, "left")
         .groupBy("query_id", "rank", "id")
         .agg(F.max(F.col("t_id").isNotNull()).alias("hit"))
     )
+
+
+def recall_per_query(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int,
+    dist_tie_credit: bool = True,
+    metric: str = "l2",
+) -> DataFrame:
+    """results/truth: (query_id, rank, id, dist). Returns per query:
+    (query_id, n_hits BIGINT, recall DOUBLE, rr DOUBLE) where rr = 1/rank of
+    the first hit in the *result* ordering (0.0 when no hit).
+    """
+    hits = result_hits(results, truth, dist_tie_credit, metric)
     return hits.groupBy("query_id").agg(
         F.sum(F.col("hit").cast("long")).alias("n_hits"),
         (F.sum(F.col("hit").cast("double")) / F.lit(float(k))).alias("recall"),

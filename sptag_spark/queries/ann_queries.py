@@ -30,7 +30,6 @@ from sptag_spark.index.postings import (
 )
 from sptag_spark.index.pq import adc_search, pq_encode, train_pq
 from sptag_spark.operators.knn import knn
-from sptag_spark.operators.recall import recall_per_query
 from sptag_spark.registry import register
 from sptag_spark.tables import DEFAULT_K, QUERY_MODULUS, queries_table, vectors_table
 
@@ -128,20 +127,35 @@ def self_verified_search(
 
     n_results and self_hit are exact per-query invariants; recall_ok is the
     corpus-average recall@k vs the exact truth, measured for real and
-    compared against the gate — the contract the oracle can also state."""
-    per_q = recall_per_query(res, truth, k)
-    gate_row = per_q.agg(
-        (F.avg("recall") >= F.lit(recall_gate)).alias("recall_ok")
-    )
-    aggs = [F.count("*").alias("n_results")]
+    compared against the gate — the contract the oracle can also state.
+
+    Everything derives from ONE result_hits pass (every result row exactly
+    once, with its truth-hit flag): consuming `res` in two separate
+    aggregation branches would execute the whole search plan twice per run
+    — measured as ~half the wall time of the ann_* driver queries."""
+    from sptag_spark.operators.recall import result_hits
+
+    hits = result_hits(res, truth)
+    aggs = [
+        F.count("*").alias("n_results"),
+        (F.sum(F.col("hit").cast("double")) / F.lit(float(k))).alias("_recall"),
+    ]
     if with_self_hit:
         aggs.append(
             F.max(
                 (F.col("rank") == 1) & (F.col("id") == F.col("query_id"))
             ).alias("self_hit")
         )
-    counts = res.groupBy("query_id").agg(*aggs)
-    return counts.crossJoin(F.broadcast(gate_row))
+    per_q = hits.groupBy("query_id").agg(*aggs)
+    # corpus-average gate via a global window, NOT a separate agg branch
+    # crossJoined back (that re-executes per_q's whole lineage — search
+    # included — a second time). per_q is |Q| rows, so the single-partition
+    # window is driver-scale data; the search plan runs exactly once.
+    from pyspark.sql import Window
+
+    gate = F.avg("_recall").over(Window.partitionBy()) >= F.lit(recall_gate)
+    cols = ["query_id", "n_results"] + (["self_hit"] if with_self_hit else [])
+    return per_q.select(*cols, gate.alias("recall_ok"))
 
 
 def _ann_spann(spark: SparkSession, sf_dir: str) -> DataFrame:
