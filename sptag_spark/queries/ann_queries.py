@@ -275,8 +275,16 @@ def _balanced_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters, and no cluster exceeds 3× its fair share (the balance property
     plain kmeans does not have — test_balanced_kmeans_balances)."""
     k = 16
-    vectors = vectors_table(spark, sf_dir)
-    assigned = balanced_kmeans(vectors, k=k, n_iter=4)
+    # the clustering is an OFFLINE build artifact like every other index
+    # structure — memoized so repeated serve-side verification doesn't
+    # re-run the 4-pass Lloyd loop (bench policy: builds are one-time)
+    def build():
+        vectors = vectors_table(spark, sf_dir)
+        a = balanced_kmeans(vectors, k=k, n_iter=4).persist()
+        a.count()
+        return (a,)
+
+    (assigned,) = _memo(spark, sf_dir, f"balanced{k}", build)
     sizes = cluster_sizes(assigned)
     return sizes.agg(
         F.sum("n").cast("long").alias("n_vectors"),
