@@ -23,21 +23,22 @@ from sptag_spark.streaming.ingest import streaming_event_window_counts
 _SINK = "stream_window_counts_sink"
 
 
-def _stream_source_dir(sf_dir: str) -> str:
+def _stream_source_dir(sf_dir: str, table: str = "events") -> str:
     """FileStreamSource needs a DIRECTORY of arriving files; the testdata dir
-    is read-only and holds unrelated tables, so expose events.parquet through
-    a symlink in a per-sf temp dir (what a real deployment's landing
-    directory is)."""
+    is read-only and holds unrelated tables, so expose <table>.parquet
+    through a symlink in a per-(sf, table) temp dir (what a real
+    deployment's landing directory is). One directory per table: a landing
+    dir holding mixed-schema files would feed every stream reading it."""
     import hashlib
     import os
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"sptag_stream_events_{tag}")
+    d = os.path.join(tempfile.gettempdir(), f"sptag_stream_{table}_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
     return d
 
 
@@ -140,3 +141,48 @@ FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0
 
 
 register("spfresh_incremental_search", _spfresh_incremental, _spfresh_oracle())
+
+
+# -- stateful cross-batch dedup (driver-checked) ----------------------------
+#
+# streaming/stateful.py's applyInPandasWithState dedup, run as a REAL
+# streaming query over the documents landing directory. Determinism: one
+# file → one micro-batch, so first-wins-by-doc_id per text key reduces to
+# "min doc_id per md5(text)" — exactly SQL-expressible, which is what lets
+# a custom stateful operator get a hash-checked row instead of rows-only.
+# Cross-batch state transitions are pinned by test_stateful_streaming_dedup.
+
+_DEDUP_SINK = "stream_stateful_dedup_sink"
+
+
+def _streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.streaming.stateful import streaming_first_wins_dedup
+
+    src_dir = _stream_source_dir(sf_dir, table="documents")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("doc_id", F.md5("text").alias("text_hash"))
+    )
+    deduped = streaming_first_wins_dedup(stream, "text_hash", "doc_id")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(_DEDUP_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_DEDUP_SINK).select("doc_id", "text_hash")
+
+
+register(
+    "streaming_stateful_dedup",
+    _streaming_stateful_dedup,
+    """
+SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+FROM documents
+GROUP BY md5(text)
+""",
+)
