@@ -96,3 +96,153 @@ SELECT doc_id, CAST(u.f AS INT) AS frame_no
 FROM m, UNNEST(range(0, n_frames, 10)) AS u(f)
 """,
 )
+
+
+# -- SSDServing INI pipeline, end-to-end (self-verifying) -------------------
+#
+# BootProgram (SSDServing/main.h:12-25) driven by a config dict: SelectHead →
+# BuildHead → BuildSSDIndex → SearchSSDIndex against on-disk artifacts, with
+# a DEFAULT-format truth file (positional query ids, TruthSet.h layout) and
+# the recall the 4th stage prints (SSDIndex.h:284-285). The oracle states
+# the run contract: all 4 stages executed, heads selected, |Q|·k results,
+# recall over the paper's ~0.9 operating point.
+
+
+def _ssd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.queries.ann_queries import _memo, truth_topk
+    from sptag_spark.tables import DEFAULT_K
+
+    def build():
+        import hashlib
+        import os
+        import tempfile
+
+        import numpy as np
+
+        from sptag_spark.io.readers import write_truth_default
+        from sptag_spark.ssd_serving import boot_program
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = os.path.join(tempfile.gettempdir(), f"sptag_ssdserving_{tag}")
+        os.makedirs(root, exist_ok=True)
+
+        # DEFAULT truth files key queries POSITIONALLY (read_truth_default
+        # assigns 0..nq-1 in file order), so write the query parquet in that
+        # same positional id space and remap the memoized truth to it.
+        qrows = queries_table(spark, sf_dir).orderBy("query_id").collect()
+        qdir = os.path.join(root, "queries.parquet")
+        spark.createDataFrame(
+            [(i, list(r["vector"])) for i, r in enumerate(qrows)],
+            "query_id long, vector array<float>",
+        ).write.mode("overwrite").parquet(qdir)
+        pos = {r["query_id"]: i for i, r in enumerate(qrows)}
+        mat = np.full((len(qrows), DEFAULT_K), -1, dtype=np.int32)
+        for r in truth_topk(spark, sf_dir).collect():
+            mat[pos[r["query_id"]], r["rank"] - 1] = r["id"]
+        tpath = os.path.join(root, "truth.bin")
+        write_truth_default(mat, tpath)
+
+        n = vectors_table(spark, sf_dir).count()
+        nprobe = max(10, -(-int(n * 0.12) * 85 // 1000))  # 8.5% of heads
+        out = boot_program(
+            spark,
+            config={
+                "Base": {
+                    "DistCalcMethod": "L2",
+                    "VectorPath": f"{sf_dir}/embeddings.parquet",
+                    "VectorType": "PARQUET",
+                    "QueryPath": qdir,
+                    "QueryType": "PARQUET",
+                    "TruthPath": tpath,
+                    "TruthType": "DEFAULT",
+                    "IndexDirectory": os.path.join(root, "index"),
+                },
+                "SelectHead": {"isExecute": "true", "Ratio": "0.12"},
+                "BuildHead": {"isExecute": "true"},
+                "BuildSSDIndex": {"isExecute": "true", "ReplicaCount": "8"},
+                "SearchSSDIndex": {
+                    "isExecute": "true",
+                    "SearchInternalResultNum": str(nprobe),
+                    "ResultNum": str(DEFAULT_K),
+                    "SearchResult": "result.parquet",
+                },
+            },
+        )
+        return (out,)
+
+    (out,) = _memo(spark, sf_dir, "ssdserving", build)
+    return spark.createDataFrame(
+        [
+            (
+                len(out["stages"]),
+                out["n_heads"] > 0,
+                out["results"].count(),
+                out["recall"] >= 0.88,
+            )
+        ],
+        "stages_ran long, heads_ok boolean, n_results long, recall_ok boolean",
+    )
+
+
+def _ssd_pipeline_oracle() -> str:
+    from sptag_spark.tables import QUERY_MODULUS
+
+    return f"""
+SELECT CAST(4 AS BIGINT) AS stages_ran, TRUE AS heads_ok,
+       CAST(count(*) * 10 AS BIGINT) AS n_results, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0
+"""
+
+
+register("ssd_serving_pipeline", _ssd_pipeline, _ssd_pipeline_oracle())
+
+
+# -- TSV reader round-trip (driver-checked) ---------------------------------
+#
+# TxtVectorReader parity (VectorSetReader: meta\tv1|v2|... with POSITIONAL
+# ids): write the canonical table out in the reference's TSV format, read
+# it back through the distributed reader, and hand the parsed rows to the
+# oracle — which states them straight from the embeddings table. Exercises
+# the write codec, the two-pass positional-id scheme, and the string→float
+# vector parse as a hash-checked query (previously pytest-only).
+
+
+def _tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.queries.ann_queries import _memo
+
+    def build():
+        import hashlib
+        import os
+        import tempfile
+
+        from sptag_spark.io.readers import read_tsv_vectors, write_tsv_vectors
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"sptag_tsv_{tag}")
+        write_tsv_vectors(vectors_table(spark, sf_dir), path)
+        df = read_tsv_vectors(spark, path).persist()
+        df.count()
+        return (df,)
+
+    (df,) = _memo(spark, sf_dir, "tsv_roundtrip", build)
+    # vec_ids are 0-based contiguous, and the writer orders by id, so the
+    # reader's positional ids coincide with the originals — checked by the
+    # oracle's direct id equality, not assumed silently
+    return df.select(
+        "id",
+        F.size("vector").alias("dim"),
+        F.round(F.element_at("vector", 1).cast("double"), ROUND).alias("v0"),
+        "meta",
+    )
+
+
+register(
+    "reader_tsv_roundtrip",
+    _tsv_roundtrip,
+    f"""
+SELECT vec_id AS id, len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), {ROUND}) AS v0,
+       CAST(label AS VARCHAR) AS meta
+FROM embeddings
+""",
+)
