@@ -246,3 +246,115 @@ SELECT vec_id AS id, len(embedding) AS dim,
 FROM embeddings
 """,
 )
+
+
+# -- DEFAULT binary reader round-trip (driver-checked) ----------------------
+#
+# DefaultVectorReader parity: the reference's DEFAULT file is
+# [int32 n][int32 dim][packed rows] with positional ids. Same contract as
+# reader_tsv_roundtrip, but the binary codec keeps float32 bit-exact.
+
+
+def _binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.queries.ann_queries import _memo
+
+    def build():
+        import hashlib
+        import os
+        import tempfile
+
+        import numpy as np
+
+        from sptag_spark.io.readers import read_binary_vectors, write_default_bin
+
+        rows = vectors_table(spark, sf_dir).orderBy("id").collect()
+        mat = np.array([list(r["vector"]) for r in rows], dtype=np.float32)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"sptag_bin_{tag}.bin")
+        write_default_bin(mat, path)
+        df = read_binary_vectors(spark, path, "default").persist()
+        df.count()
+        return (df,)
+
+    (df,) = _memo(spark, sf_dir, "bin_roundtrip", build)
+    return df.select(
+        "id",
+        F.size("vector").alias("dim"),
+        F.round(F.element_at("vector", 1).cast("double"), ROUND).alias("v0"),
+    )
+
+
+register(
+    "reader_binary_roundtrip",
+    _binary_roundtrip,
+    f"""
+SELECT vec_id AS id, len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), {ROUND}) AS v0
+FROM embeddings
+""",
+)
+
+
+# -- Save/LoadIndex round-trip (self-verifying) -----------------------------
+#
+# SaveIndex/LoadIndex (VectorIndex::SaveIndex — config + vector/meta/
+# tombstone/head/posting artifacts on disk): persist the live SPANN index,
+# load it back, and verify the structural contract: full vector cardinality,
+# heads present, every posting row pointing at a known head, replica counts
+# within [1, ReplicaCount], and the config surviving the round-trip.
+
+
+def _index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.queries.ann_queries import _memo, spann_index
+
+    def build():
+        import hashlib
+        import os
+        import tempfile
+
+        from sptag_spark.io.index_store import SptagIndex, load_index, save_index
+
+        heads, postings = spann_index(spark, sf_dir)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"sptag_idx_{tag}")
+        cfg = {"algo": "SPANN", "metric": "l2", "replica_count": 8}
+        save_index(
+            SptagIndex(
+                vectors=vectors_table(spark, sf_dir),
+                heads=heads,
+                postings=postings,
+                config=cfg,
+            ),
+            path,
+        )
+        loaded = load_index(spark, path)
+        return (loaded, cfg)
+
+    loaded, cfg = _memo(spark, sf_dir, "index_roundtrip", build)
+    per_id = loaded.postings.groupBy("id").agg(F.count("*").alias("replicas"))
+    head_ids = loaded.heads.select("head_id").distinct()
+    orphans = (
+        loaded.postings.select("head_id")
+        .distinct()
+        .join(head_ids, "head_id", "left_anti")
+        .count()
+    )
+    return per_id.agg(
+        F.lit(loaded.vectors.count()).cast("long").alias("n_vectors"),
+        F.lit(loaded.config == cfg).alias("config_ok"),
+        F.lit(orphans == 0).alias("postings_anchored"),
+        ((F.min("replicas") >= 1) & (F.max("replicas") <= 8)).alias(
+            "replicas_bounded"
+        ),
+    )
+
+
+def _index_roundtrip_oracle() -> str:
+    return """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors, TRUE AS config_ok,
+       TRUE AS postings_anchored, TRUE AS replicas_bounded
+FROM embeddings
+"""
+
+
+register("index_save_load", _index_roundtrip, _index_roundtrip_oracle())
