@@ -418,3 +418,43 @@ def test_events_ts_normalization(spark, tmp_path_factory):
         F.unix_timestamp("ts").alias("e")
     ).first()["e"]
     assert got_long == got_ntz == micros // 1_000_000
+
+
+def test_streaming_query_serving(spark, tmp_path_factory):
+    """The socket serve loop as Structured Streaming: queries arrive as
+    files, each micro-batch is answered with the batch ann_search plan via
+    foreachBatch, results append to parquet. Two files + maxFilesPerTrigger=1
+    forces TWO separate serve batches; every query must self-hit at rank 1
+    and batch ids must show both epochs."""
+    from sptag_spark.streaming.serving import serve_query_stream
+
+    tmp = tmp_path_factory.mktemp("serve")
+    land = str(tmp / "landing")
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * DIM) for i in range(40)],
+        "id long, vector array<float>",
+    )
+    heads = select_heads(vecs, ratio=0.2)
+    postings = build_postings(vecs, heads)
+    # two query files → two micro-batches
+    q1 = vecs.filter(F.col("id") < 5)
+    q2 = vecs.filter((F.col("id") >= 20) & (F.col("id") < 25))
+    for i, q in enumerate((q1, q2)):
+        q.select(F.col("id").alias("query_id"), "vector").coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(land)
+
+    stream = spark.readStream.schema(
+        "query_id long, vector array<float>"
+    ).option("maxFilesPerTrigger", "1").parquet(land)
+    sink = str(tmp / "results")
+    q = serve_query_stream(
+        stream, heads, postings, sink, str(tmp / "ckpt"), k=3, nprobe=4
+    )
+    q.awaitTermination(120)
+
+    res = spark.read.parquet(sink)
+    assert res.select("batch_id").distinct().count() == 2
+    got = res.filter(F.col("rank") == 1).select("query_id", "id").collect()
+    assert len(got) == 10
+    assert all(r["query_id"] == r["id"] for r in got)
