@@ -114,11 +114,15 @@ def ann_search(
     cand = postings.join(
         F.broadcast(routes.select("query_id", "head_id")), "head_id"
     ).select("query_id", "id", "vector")
-    # replica dedup before the expensive part (same row appears once per head)
-    cand = cand.dropDuplicates(["query_id", "id"])
-    # score with the same batched NumPy arithmetic as the exact kernel (the
+    # Replica dedup happens AFTER scoring, as a (query_id, id) min-agg:
+    # a pre-score dropDuplicates would shuffle candidate rows WITH their
+    # D-float vector payloads, while post-score rows are three scalars.
+    # Scoring a replica twice costs one extra BLAS row; shuffling vectors
+    # at 100 TB costs the job. The map-side partial agg also collapses
+    # duplicates within a partition before anything moves.
+    # Score with the same batched NumPy arithmetic as the exact kernel (the
     # query batch rides in the closure; per-pair exact recompute keeps
-    # values identical to knn()/the oracle)
+    # values identical to knn()/the oracle).
     from collections.abc import Iterator
 
     import numpy as np
@@ -146,9 +150,12 @@ def ann_search(
             )
 
     scored = cand.mapInPandas(score, schema="query_id long, id long, dist double")
+    # exact recompute ⇒ every replica of (query_id, id) scores identically;
+    # min() is pure dedup, never a value change
+    deduped = scored.groupBy("query_id", "id").agg(F.min("dist").alias("dist"))
     w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        deduped.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "dist")
     )

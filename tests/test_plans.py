@@ -247,3 +247,32 @@ def test_bucket_count_mismatch_still_correct(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bm_a")
         spark.sql("DROP TABLE IF EXISTS bm_b")
+
+
+def test_ann_serve_path_shuffles_no_vectors(spark, tmp_path_factory):
+    """SPANN serve contract at 100 TB: vector payloads are read at the
+    pruned posting scan, scored map-side, and ONLY (query_id, id, dist)
+    scalars ever cross an Exchange — replica dedup is a post-score min-agg,
+    not a pre-score dropDuplicates that would shuffle D floats per row.
+    Postings are materialized to parquet first (how production reads them),
+    so the plan is the serve path alone, not the one-time build."""
+    import re
+
+    from sptag_spark.index.ann import ann_search
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings, write_postings
+    from sptag_spark.tables import queries_table, vectors_table
+
+    v = vectors_table(spark, SF)
+    heads = select_heads(v, ratio=0.12)
+    pdir = str(tmp_path_factory.mktemp("postings"))
+    write_postings(build_postings(v, heads), pdir)
+    postings = spark.read.parquet(pdir)
+
+    df = ann_search(queries_table(spark, SF), heads, postings, k=5, nprobe=4)
+    p = plan(df)
+    exchanges = re.findall(r"\(\d+\) (?:Broadcast)?Exchange\n(.*?)\n\n", p, re.S)
+    assert exchanges, p
+    for body in exchanges:
+        inputs = [ln for ln in body.splitlines() if ln.startswith("Input")]
+        assert inputs and "vector#" not in inputs[0], body
