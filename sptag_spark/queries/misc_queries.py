@@ -358,3 +358,62 @@ FROM embeddings
 
 
 register("index_save_load", _index_roundtrip, _index_roundtrip_oracle())
+
+
+# -- SPANN iterative search pages (self-verifying) --------------------------
+#
+# SPANNResultIterator's Next(batch) contract (SPANN/SPANNResultIterator.h:
+# 20-65) with m_headBatch lazy probing: two k-row pages per query. The
+# verified contract: full pages, rank-contiguous, id-disjoint, and
+# monotone across the page boundary (RelaxedMono ≡ False — the ranking over
+# the probed pool is materialized, so ordering is true within it).
+
+
+def _spann_iterator_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.queries.ann_queries import _memo, spann_index
+    from sptag_spark.tables import DEFAULT_K
+
+    def build():
+        from sptag_spark.operators.iterator import SpannResultIterator
+
+        heads, postings = spann_index(spark, sf_dir)
+        it = SpannResultIterator(
+            queries_table(spark, sf_dir),
+            heads,
+            postings,
+            max_results=2 * DEFAULT_K,
+            head_batch=4,
+        )
+        p1 = it.next_batch(DEFAULT_K).persist()
+        p2 = it.next_batch(DEFAULT_K).persist()
+        p1.count(), p2.count()
+        return p1, p2
+
+    p1, p2 = _memo(spark, sf_dir, "spann_iter_pages", build)
+    u = p1.withColumn("pg", F.lit(1)).unionByName(
+        p2.withColumn("pg", F.lit(2))
+    )
+    one = F.col("pg") == 1
+    return u.groupBy("query_id").agg(
+        F.sum(one.cast("long")).alias("n_page1"),
+        F.sum((~one).cast("long")).alias("n_page2"),
+        (F.count_distinct("id") == F.count("*")).alias("pages_disjoint"),
+        (
+            F.max(F.when(one, F.col("dist")))
+            <= F.min(F.when(~one, F.col("dist")))
+        ).alias("boundary_monotone"),
+    )
+
+
+def _spann_iterator_oracle() -> str:
+    from sptag_spark.tables import QUERY_MODULUS
+
+    return f"""
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_page1,
+       CAST(10 AS BIGINT) AS n_page2, TRUE AS pages_disjoint,
+       TRUE AS boundary_monotone
+FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0
+"""
+
+
+register("spann_iterator_pages", _spann_iterator_pages, _spann_iterator_oracle())
