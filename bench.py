@@ -154,6 +154,36 @@ def main() -> None:
         (p for p in spann_curve if p["recall_at_10"] >= 0.9), spann_curve[-1]
     )
 
+    # Single-query latency percentiles in the reference harness's table
+    # shape (SSDIndex.h:288-345; BASELINE.md asks for this explicitly).
+    # Batch QPS above is Spark's natural serving mode; these are what a
+    # one-query-at-a-time deployment of the same plan would see.
+    lat_queries = queries_df.limit(8).collect()
+    lat_ms = []
+    for r in lat_queries:
+        one = spark.createDataFrame(
+            [(int(r["query_id"]), list(r["vector"]))],
+            "query_id long, vector array<float>",
+        )
+        t0 = time.time()
+        ann_search(
+            one, heads, postings, k=10, nprobe=spann_point["nprobe"]
+        ).write.format("noop").mode("overwrite").save()
+        lat_ms.append((time.time() - t0) * 1000)
+    lat_ms.sort()
+
+    def pct(p: float) -> float:
+        return round(lat_ms[min(len(lat_ms) - 1, int(p * len(lat_ms)))], 1)
+
+    spann_latency = {
+        "p50": pct(0.50),
+        "p90": pct(0.90),
+        "p99": pct(0.99),
+        "max": round(lat_ms[-1], 1),
+        "n": len(lat_ms),
+        "nprobe": spann_point["nprobe"],
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "total_query_wall_sec",
@@ -165,6 +195,7 @@ def main() -> None:
         "warmup_runs_per_query": warmup,
         "spann_operating_point": spann_point,
         "spann_operating_curve": spann_curve,
+        "spann_single_query_latency_ms": spann_latency,
         "index_build_sec": builds,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
