@@ -184,6 +184,36 @@ def main() -> None:
         "nprobe": spann_point["nprobe"],
     }
 
+    # Same queries through the in-memory serving replica
+    # (serving_local.py) — the reference's own serving shape (artifacts
+    # loaded into node RAM, no cluster job per query). Row-identical to the
+    # distributed plan (tests/test_serving_local.py); THIS is the figure
+    # comparable to the paper's ms-scale single-node latency.
+    import numpy as np
+
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    replica = LocalSpannReplica(heads, postings)
+    reps = [
+        (int(r["query_id"]), np.asarray(r["vector"], dtype=np.float64))
+        for r in queries_df.collect()
+    ]
+    replica.search_one(reps[0][1], k=10, nprobe=spann_point["nprobe"])  # warm
+    rlat = []
+    for _, qv in reps:
+        t0 = time.time()
+        replica.search_one(qv, k=10, nprobe=spann_point["nprobe"])
+        rlat.append((time.time() - t0) * 1000)
+    rlat.sort()
+    replica_latency = {
+        "p50": round(rlat[len(rlat) // 2], 3),
+        "p99": round(rlat[min(len(rlat) - 1, int(0.99 * len(rlat)))], 3),
+        "max": round(rlat[-1], 3),
+        "qps_single_thread": round(1000.0 / (sum(rlat) / len(rlat)), 1),
+        "n": len(rlat),
+        "nprobe": spann_point["nprobe"],
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "total_query_wall_sec",
@@ -196,6 +226,7 @@ def main() -> None:
         "spann_operating_point": spann_point,
         "spann_operating_curve": spann_curve,
         "spann_single_query_latency_ms": spann_latency,
+        "spann_local_replica_latency_ms": replica_latency,
         "index_build_sec": builds,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -1,0 +1,110 @@
+"""In-memory SPANN serving replica — ms-latency serving of Spark-built artifacts.
+
+The reference's deployment shape (SURVEY §2.11, `Server/ServiceContext.cpp`)
+is: indexes are BUILT offline, then every serving node loads the artifacts
+into RAM/SSD and answers queries from memory at ms latency; the aggregator
+shards queries across such replicas. In this engine, Spark IS the offline
+build tier (heads, partitioned postings — `index/`), and Spark batch plans
+are the high-throughput serve tier; but a per-query job costs ~1s of fixed
+scheduling at any scale, so the reference's ms-scale SINGLE-QUERY operating
+point needs the reference's own serving shape: load the Spark-built
+artifacts into a process-local replica and answer with NumPy.
+
+This module is that replica. It consumes exactly what the Spark side
+persists (`io/index_store.py` save_index layout, or live heads/postings
+DataFrames) and mirrors `index/ann.py`'s routing + scoring semantics —
+including the `limitDist > 0.1` ratio-cut guard and (dist, id) tie order —
+so `tests/test_serving_local.py` can pin replica results row-identical to
+the distributed `ann_search` plan.
+
+Scale contract: ONE replica must hold heads + postings in RAM — the same
+contract the reference imposes per serving node (SPANN keeps postings on
+local SSD). Sharding above that is the aggregator's job (`index/ann.py`
+route_queries is that same operator, distributed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from sptag_spark.index.ann import MAX_DIST_RATIO, SEARCH_INTERNAL_RESULT_NUM
+from sptag_spark.operators.knn import _exact_pair_dists
+
+
+class LocalSpannReplica:
+    """Process-local SPANN index: broadcast-free, job-free serving."""
+
+    def __init__(self, heads: DataFrame, postings: DataFrame) -> None:
+        hp = heads.select("head_id", "vector").toPandas()
+        self.head_ids = hp["head_id"].to_numpy(np.int64)
+        order = np.argsort(self.head_ids)
+        self.head_ids = self.head_ids[order]
+        self.H = np.array(hp["vector"].tolist(), dtype=np.float64)[order]
+
+        pp = postings.select("head_id", "id", "vector").toPandas()
+        slot = np.searchsorted(self.head_ids, pp["head_id"].to_numpy(np.int64))
+        porder = np.argsort(slot, kind="stable")
+        slot = slot[porder]
+        self.post_ids = pp["id"].to_numpy(np.int64)[porder]
+        self.post_V = np.array(pp["vector"].tolist(), dtype=np.float64)[porder]
+        self.indptr = np.searchsorted(slot, np.arange(len(self.head_ids) + 1))
+
+    @classmethod
+    def from_path(cls, spark: SparkSession, path: str) -> "LocalSpannReplica":
+        """Load from a save_index() directory — the handoff from the Spark
+        build tier to a serving node."""
+        import os
+
+        heads = spark.read.parquet(os.path.join(path, "heads"))
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        return cls(heads, postings)
+
+    def search_one(
+        self,
+        q: np.ndarray,
+        k: int = 10,
+        nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
+        metric: str = "l2",
+        max_dist_ratio: float = MAX_DIST_RATIO,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """→ (ids, dists), rank order. Same routing + scoring semantics as
+        the distributed plan (index/ann.py)."""
+        q = np.asarray(q, dtype=np.float64)
+        hd = _exact_pair_dists(self.H, q, metric)
+        sel = np.lexsort((self.head_ids, hd))[: min(nprobe, len(self.head_ids))]
+        if max_dist_ratio < float("inf"):
+            cut = hd[sel].min() * max_dist_ratio
+            if cut > 0.1:  # limitDist guard (SPANNIndex.cpp:217-230)
+                sel = sel[hd[sel] <= cut]
+        cand = np.concatenate(
+            [np.arange(self.indptr[s], self.indptr[s + 1]) for s in sel]
+        ) if len(sel) else np.empty(0, dtype=np.int64)
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        # replica dedup on vector id (same as the distributed min-agg)
+        ids = self.post_ids[cand]
+        _, first = np.unique(ids, return_index=True)
+        cand = cand[first]
+        ids = self.post_ids[cand]
+        d = _exact_pair_dists(self.post_V[cand], q, metric)
+        top = np.lexsort((ids, d))[: min(k, len(ids))]
+        return ids[top], d[top]
+
+    def batch_search(
+        self,
+        queries: list[tuple[int, np.ndarray]],
+        k: int = 10,
+        nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
+        metric: str = "l2",
+        max_dist_ratio: float = MAX_DIST_RATIO,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ rows of (query_id, rank, id, dist) — the QueryResult contract."""
+        out = []
+        for qid, q in queries:
+            ids, d = self.search_one(q, k, nprobe, metric, max_dist_ratio)
+            out.extend(
+                (int(qid), r + 1, int(i), float(dd))
+                for r, (i, dd) in enumerate(zip(ids, d))
+            )
+        return out

@@ -1,0 +1,93 @@
+"""LocalSpannReplica: row parity with the distributed plan + latency sanity.
+
+The replica is the reference's serving shape (artifacts loaded into RAM,
+per-query answers without a cluster job); these tests pin that it is the
+SAME index — identical rows to ann_search for every query — and that it
+serves a single query well under the fixed cost of a Spark job.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sptag_spark.index.ann import ann_search
+from sptag_spark.index.heads import select_heads
+from sptag_spark.index.postings import build_postings
+from sptag_spark.io.index_store import SptagIndex, load_index, save_index
+from sptag_spark.serving_local import LocalSpannReplica
+from sptag_spark.tables import queries_table, vectors_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    v = vectors_table(spark, SF)
+    heads = select_heads(v, ratio=0.12).persist()
+    postings = build_postings(v, heads).persist()
+    postings.count()
+    return v, heads, postings
+
+
+def _qlist(spark):
+    return [
+        (int(r["query_id"]), np.asarray(r["vector"], dtype=np.float64))
+        for r in queries_table(spark, SF).collect()
+    ]
+
+
+def test_replica_matches_distributed_plan(spark, built):
+    _, heads, postings = built
+    replica = LocalSpannReplica(heads, postings)
+    qs = _qlist(spark)
+    local = replica.batch_search(qs, k=10, nprobe=6)
+    dist_rows = sorted(
+        (r["query_id"], r["rank"], r["id"], r["dist"])
+        for r in ann_search(
+            queries_table(spark, SF), heads, postings, k=10, nprobe=6
+        ).collect()
+    )
+    assert sorted(local) == dist_rows
+
+
+def test_replica_loads_from_saved_index(spark, built, tmp_path_factory):
+    v, heads, postings = built
+    path = str(tmp_path_factory.mktemp("idx"))
+    save_index(
+        SptagIndex(vectors=v, heads=heads, postings=postings, config={}), path
+    )
+    replica = LocalSpannReplica.from_path(spark, path)
+    qs = _qlist(spark)
+    for qid, q in qs[:5]:
+        ids, d = replica.search_one(q, k=5, nprobe=6)
+        assert ids[0] == qid and d[0] == 0.0  # self-hit at rank 1
+
+
+def test_replica_single_query_latency(spark, built):
+    """The point of the replica: single-query latency far below a Spark
+    job's fixed ~1s scheduling floor (paper operating point is ms-scale)."""
+    _, heads, postings = built
+    replica = LocalSpannReplica(heads, postings)
+    qs = _qlist(spark)
+    # warm once, then time
+    replica.search_one(qs[0][1], k=10, nprobe=6)
+    t0 = time.time()
+    for _, q in qs:
+        replica.search_one(q, k=10, nprobe=6)
+    per_query_ms = (time.time() - t0) * 1000 / len(qs)
+    assert per_query_ms < 50, per_query_ms
+
+
+def test_replica_ip_metric_ratio_guard(spark, built):
+    """Inner-product distances are negative; the limitDist>0.1 guard must
+    keep all probed heads instead of cutting everything (same behavior the
+    distributed route_queries has)."""
+    _, heads, postings = built
+    replica = LocalSpannReplica(heads, postings)
+    qs = _qlist(spark)
+    ids, d = replica.search_one(qs[0][1], k=10, nprobe=6, metric="ip")
+    assert len(ids) == 10
