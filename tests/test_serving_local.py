@@ -91,3 +91,40 @@ def test_replica_ip_metric_ratio_guard(spark, built):
     qs = _qlist(spark)
     ids, d = replica.search_one(qs[0][1], k=10, nprobe=6, metric="ip")
     assert len(ids) == 10
+
+
+def test_sharded_aggregator_scatter_gather(spark, built):
+    """Head-sharded replicas + global merge-rank: the aggregator tier. With
+    per-shard nprobe, the probed head set is a superset of one replica's, so
+    the self-hit/top-1 must be identical and every returned distance is
+    from the same exact kernel; recall can only improve."""
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    _, heads, postings = built
+    one = LocalSpannReplica(heads, postings)
+    agg = ShardedSpannAggregator(heads, postings, n_shards=3)
+    qs = _qlist(spark)
+    for qid, q in qs:
+        ids_a, d_a = agg.search_one(q, k=10, nprobe=4)
+        ids_o, d_o = one.search_one(q, k=10, nprobe=4)
+        assert ids_a[0] == ids_o[0] == qid  # identical top-1 self-hit
+        assert len(ids_a) == 10
+        # sharded probes a superset of heads → its k-th distance can't be
+        # worse than the single replica's
+        assert d_a[-1] <= d_o[-1] + 1e-12
+
+
+def test_sharded_aggregator_exhaustive_equivalence(spark, built):
+    """With nprobe covering every head, sharded and single-replica answers
+    must be row-identical (both reduce to an exact scan over all postings)."""
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    _, heads, postings = built
+    n_heads = heads.count()
+    one = LocalSpannReplica(heads, postings)
+    agg = ShardedSpannAggregator(heads, postings, n_shards=3)
+    for qid, q in _qlist(spark)[:5]:
+        ids_a, d_a = agg.search_one(q, k=10, nprobe=n_heads)
+        ids_o, d_o = one.search_one(q, k=10, nprobe=n_heads)
+        assert list(ids_a) == list(ids_o)
+        assert np.allclose(d_a, d_o)
