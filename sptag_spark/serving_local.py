@@ -173,3 +173,77 @@ class ShardedSpannAggregator:
         ids, d = ids[first], d[first]
         top = np.lexsort((ids, d))[: min(k, len(ids))]
         return ids[top], d[top]
+
+
+class LocalPqSpannReplica:
+    """PQ-compressed serving replica: SPANN routing + ADC scoring, no full
+    vectors in RAM.
+
+    The reference's billion-scale node keeps full postings on SSD; the
+    RAM-resident twin at that scale needs compression — M bytes per vector
+    (PQ codes, `PQQuantizer.h`) instead of 4·D, a ~32× density win that
+    puts ~2B 64-d vectors in 16 GB. Routing stays full-precision (heads are
+    ~0.1·N and tiny); member scoring is the ADC LUT gather
+    (`index/pq.py adc_search` semantics, same rotation handling), so
+    returned distances are `adc_dist` — approximate, monotone enough for
+    the PQ recall regime (gate mirrors test_pq_adc_recall)."""
+
+    def __init__(
+        self, heads: DataFrame, postings: DataFrame, codes: DataFrame, books
+    ) -> None:
+        hp = heads.select("head_id", "vector").toPandas()
+        self.head_ids = hp["head_id"].to_numpy(np.int64)
+        order = np.argsort(self.head_ids)
+        self.head_ids = self.head_ids[order]
+        self.H = np.array(hp["vector"].tolist(), dtype=np.float64)[order]
+
+        cp = codes.select("id", "codes").toPandas()
+        self.code_ids = cp["id"].to_numpy(np.int64)
+        corder = np.argsort(self.code_ids)
+        self.code_ids = self.code_ids[corder]
+        self.codes = np.array(cp["codes"].tolist(), dtype=np.int64)[corder]
+
+        pp = postings.select("head_id", "id").toPandas()  # NO vectors
+        slot = np.searchsorted(self.head_ids, pp["head_id"].to_numpy(np.int64))
+        porder = np.argsort(slot, kind="stable")
+        self.post_rows = np.searchsorted(
+            self.code_ids, pp["id"].to_numpy(np.int64)[porder]
+        )
+        self.indptr = np.searchsorted(
+            slot[porder], np.arange(len(self.head_ids) + 1)
+        )
+        self.books = books
+
+    def search_one(
+        self,
+        q: np.ndarray,
+        k: int = 10,
+        nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
+        metric: str = "l2",
+        max_dist_ratio: float = MAX_DIST_RATIO,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """→ (ids, adc_dists) in rank order; distances are ADC estimates."""
+        q = np.asarray(q, dtype=np.float64)
+        hd = _exact_pair_dists(self.H, q, metric)
+        sel = np.lexsort((self.head_ids, hd))[: min(nprobe, len(self.head_ids))]
+        if max_dist_ratio < float("inf"):
+            cut = hd[sel].min() * max_dist_ratio
+            if cut > 0.1:
+                sel = sel[hd[sel] <= cut]
+        rows = np.concatenate(
+            [self.post_rows[self.indptr[s] : self.indptr[s + 1]] for s in sel]
+        ) if len(sel) else np.empty(0, dtype=np.int64)
+        if rows.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        rows = np.unique(rows)  # replica dedup (row index ≡ vector id)
+        cb, R = self.books.codebooks, self.books.rotation
+        m, n_codes, sub = cb.shape
+        qr = q @ R if R is not None else q
+        lut = np.empty((m, n_codes))
+        for i in range(m):
+            diff = cb[i] - qr[i * sub : (i + 1) * sub][None, :]
+            lut[i] = (diff * diff).sum(1)
+        d = lut[np.arange(m)[None, :], self.codes[rows]].sum(1)
+        ids = self.code_ids[rows]
+        top = np.lexsort((ids, d))[: min(k, len(ids))]
+        return ids[top], d[top]

@@ -128,3 +128,55 @@ def test_sharded_aggregator_exhaustive_equivalence(spark, built):
         ids_o, d_o = one.search_one(q, k=10, nprobe=n_heads)
         assert list(ids_a) == list(ids_o)
         assert np.allclose(d_a, d_o)
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "ip"])
+def test_replica_parity_all_metrics(spark, built, metric):
+    """Replica == distributed plan under every reference metric (same
+    kernels, same routing guards, same tie order)."""
+    _, heads, postings = built
+    replica = LocalSpannReplica(heads, postings)
+    qs = _qlist(spark)[:8]
+    # distances rounded to 1e-9: BLAS summation order differs between the
+    # candidate slices each path scores, so ip can differ by 1 ulp
+    local = sorted(
+        (q, r, i, round(d, 9))
+        for q, r, i, d in replica.batch_search(qs, k=5, nprobe=6, metric=metric)
+    )
+    qdf = queries_table(spark, SF).filter(
+        F.col("query_id").isin([q for q, _ in qs])
+    )
+    dist_rows = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in ann_search(
+            qdf, heads, postings, k=5, nprobe=6, metric=metric
+        ).collect()
+    )
+    assert local == dist_rows
+
+
+def test_pq_replica_recall_and_memory_shape(spark, built):
+    """PQ-compressed replica: no full posting vectors in RAM (M int codes
+    per vector), recall in the ADC regime (test_pq_adc_recall's gate)."""
+    from sptag_spark.index.pq import pq_encode, train_pq
+    from sptag_spark.operators.knn import knn
+    from sptag_spark.serving_local import LocalPqSpannReplica
+
+    v, heads, postings = built
+    books = train_pq(v, m=8)
+    codes = pq_encode(v, books)
+    replica = LocalPqSpannReplica(heads, postings, codes, books)
+    assert not hasattr(replica, "post_V")  # codes only — the memory claim
+    assert replica.codes.shape[1] == 8
+
+    qs = _qlist(spark)
+    truth = {
+        (r["query_id"], r["id"])
+        for r in knn(v, queries_table(spark, SF), k=10).collect()
+    }
+    hits = total = 0
+    for qid, q in qs:
+        ids, _ = replica.search_one(q, k=10, nprobe=8)
+        hits += sum((qid, int(i)) in truth for i in ids)
+        total += 10
+    assert hits / total >= 0.5, hits / total
