@@ -53,8 +53,13 @@ def _penalized_assign(
     return assign
 
 
-def _assign_kernel(centers: np.ndarray, lam: float):
+def _assign_kernel(bc, lam: float):
+    """bc: Broadcast of the centers matrix — at head-selection scale
+    (k up to ~0.1·N) the centers are executor-memory-sized, and a closure
+    would re-ship them per task where the broadcast lands once per node."""
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        centers = bc.value
         local = np.zeros(len(centers))
         for pdf in batches:
             if len(pdf) == 0:
@@ -68,11 +73,13 @@ def _assign_kernel(centers: np.ndarray, lam: float):
     return kernel
 
 
-def _stats_kernel(centers: np.ndarray, lam: float):
+def _stats_kernel(bc, lam: float):
     """Map-only statistics pass: emits this partition's per-cluster partial
-    (count, vector-sum) — k rows, not n."""
+    (count, vector-sum) — k rows, not n. Centers via Broadcast (see
+    _assign_kernel)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        centers = bc.value
         k = len(centers)
         local = np.zeros(k)
         sums = np.zeros_like(centers)
@@ -129,20 +136,27 @@ def balanced_kmeans(
         lam = float(np.maximum(d, 0).mean()) / max(n / (k * n_parts), 1.0)
     dim = centers.shape[1]
     src = vectors.select("id", "vector")
+    sc = vectors.sparkSession.sparkContext
     for _ in range(n_iter):
+        bc = sc.broadcast(centers)
         partials = src.mapInPandas(
-            _stats_kernel(centers, lam),
+            _stats_kernel(bc, lam),
             schema="cluster int, c long, s array<double>",
         ).collect()
+        bc.destroy()
         sums = np.zeros((k, dim))
         counts = np.zeros(k, dtype=np.int64)
         for r in partials:
             sums[r["cluster"]] += np.asarray(r["s"])
             counts[r["cluster"]] += r["c"]
         nonempty = counts > 0
+        centers = centers.copy()
         centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+    # the final assignment pass's broadcast must OUTLIVE this function (the
+    # returned plan is lazy) — no destroy; Spark GCs it with the context
     return src.mapInPandas(
-        _assign_kernel(centers, lam), schema="id long, cluster int"
+        _assign_kernel(sc.broadcast(centers), lam),
+        schema="id long, cluster int",
     )
 
 

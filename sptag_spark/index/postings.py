@@ -69,12 +69,19 @@ def assign_replicas(
     hrows = heads.select("head_id", "vector").collect()
     head_ids = np.array([r["head_id"] for r in hrows], dtype=np.int64)
     H = np.array([list(r["vector"]) for r in hrows], dtype=np.float64)
-    # head-head distances once in the closure (heads fit in memory by
-    # SPANN's own design) — recomputing the candidate×candidate block per
-    # row costs more than the whole assignment pass
-    HH = _block_distances(H, H, metric)
+    # Heads ride a BROADCAST variable, not the task closure: the head set is
+    # ~0.1·N (tens of GB at billion scale — the same per-node footprint the
+    # reference's in-memory head index has), and a closure re-ships it with
+    # every task while a broadcast lands once per executor.
+    # Head-head distances: precompute the full h×h block only while it is
+    # small; past that it is O(h²) memory (impossible at ≥1M heads) and the
+    # RNG prune only ever reads the c×c candidate block, which is cheap to
+    # compute per row from H directly.
+    HH = _block_distances(H, H, metric) if len(head_ids) <= 4096 else None
+    bc = vectors.sparkSession.sparkContext.broadcast((head_ids, H, HH))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        head_ids, H, HH = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -89,7 +96,11 @@ def assign_replicas(
                 cand = np.argpartition(row, c - 1)[:c] if c < len(head_ids) else np.arange(len(head_ids))
                 order = np.lexsort((head_ids[cand], row[cand]))
                 cand = cand[order]
-                hh = HH[np.ix_(cand, cand)]
+                hh = (
+                    HH[np.ix_(cand, cand)]
+                    if HH is not None
+                    else _block_distances(H[cand], H[cand], metric)
+                )
                 keep = _rng_prune(row[cand], hh, replica_count, rng_factor)
                 for j in keep:
                     out_head.append(head_ids[cand[j]])
