@@ -130,3 +130,87 @@ FROM counts
 QUALIFY rank <= 20
 """,
 )
+
+
+# -- composed cleaning pipeline (the end-to-end training-data shape) --------
+#
+# The point of the pipeline extensions is that they COMPOSE: quality
+# scoring → filter → language ID → exact first-wins dedup, one declarative
+# plan over the duplicate-bearing corpus (dedup_queries.corpus_table), the
+# standard pre-training cleaning pass. Catalyst fuses the quality/lang
+# expression trees into the same scan; the only wide ops are the dedup
+# window and nothing else — worth checking with .explain at scale.
+
+
+def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sptag_spark.queries.dedup_queries import corpus_table
+
+    docs = corpus_table(spark, sf_dir)
+    q = text_quality(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio"
+    )
+    l = lang_id(docs).select("doc_id", "lang_pred")
+    kept = (
+        docs.join(q, "doc_id")
+        .join(l, "doc_id")
+        .filter((F.col("n_tokens") >= 40) & (F.col("stopword_ratio") >= 0.03))
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "lang_pred",
+            "n_tokens",
+            F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        )
+    )
+
+
+def _clean_corpus_oracle() -> str:
+    from sptag_spark.queries.dedup_queries import ORACLE_CORPUS
+
+    sw = ", ".join("'" + w + "'" for w in STOPWORDS)
+    score = {
+        lang: (
+            "len(list_filter(toks, t -> t IN ("
+            + ", ".join("'" + m + "'" for m in LANG_MARKERS[lang])
+            + ")))"
+        )
+        for lang in LANGS
+    }
+    best = "greatest(" + ", ".join(score[lang] for lang in LANGS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in LANGS[:-1]
+    ) + f" ELSE '{LANGS[-1]}' END"
+    return rf"""
+WITH corpus AS ({ORACLE_CORPUS}),
+tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM corpus
+),
+scored AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> t IN ({sw}))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stopword_ratio,
+         {case} AS lang_pred
+  FROM tok
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM scored
+  WHERE n_tokens >= 40 AND stopword_ratio >= 0.03
+)
+SELECT doc_id, lang_pred, n_tokens, round(stopword_ratio, 4) AS stopword_ratio
+FROM kept WHERE rn = 1
+"""
+
+
+register("pipeline_clean_corpus", _clean_corpus, _clean_corpus_oracle())
