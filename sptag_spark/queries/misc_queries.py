@@ -417,3 +417,75 @@ FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0
 
 
 register("spann_iterator_pages", _spann_iterator_pages, _spann_iterator_oracle())
+
+
+# -- truth file round-trip, both formats (driver-checked) -------------------
+#
+# TruthSet readers (TruthSet.h:24-160): write the memoized exact truth as a
+# DEFAULT binary file AND a TXT file, read both back through the
+# distributed readers, and verify they agree row-for-row with each other —
+# returning the parsed rows for the oracle to compare against a
+# re-derivation of the same truth from the embeddings table is impossible
+# in pure SQL (the truth is a kNN), so the oracle states the structural
+# contract instead: positional query ids, k ids per query, both formats
+# byte-equal.
+
+
+def _truth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.queries.ann_queries import _memo, truth_topk
+    from sptag_spark.tables import DEFAULT_K
+
+    def build():
+        import hashlib
+        import os
+        import tempfile
+
+        import numpy as np
+
+        from sptag_spark.io.readers import (
+            read_truth_default,
+            read_truth_txt,
+            write_truth_default,
+            write_truth_txt,
+        )
+
+        trows = truth_topk(spark, sf_dir).orderBy("query_id", "rank").collect()
+        qids = sorted({r["query_id"] for r in trows})
+        pos = {q: i for i, q in enumerate(qids)}
+        mat = np.zeros((len(qids), DEFAULT_K), dtype=np.int32)
+        for r in trows:
+            mat[pos[r["query_id"]], r["rank"] - 1] = r["id"]
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        dpath = os.path.join(tempfile.gettempdir(), f"sptag_truth_{tag}.bin")
+        tpath = os.path.join(tempfile.gettempdir(), f"sptag_truth_{tag}.txt")
+        write_truth_default(mat, dpath)
+        write_truth_txt(mat, tpath)
+        a = read_truth_default(spark, dpath).persist()
+        b = read_truth_txt(spark, tpath).persist()
+        a.count(), b.count()
+        return a, b
+
+    a, b = _memo(spark, sf_dir, "truth_roundtrip", build)
+    joined = a.withColumnRenamed("id", "id_bin").join(
+        b.withColumnRenamed("id", "id_txt"), ["query_id", "rank"], "full"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("k_ids"),
+        F.max(F.col("id_bin") == F.col("id_txt")).alias("formats_agree"),
+        F.min(F.col("id_bin").isNotNull() & F.col("id_txt").isNotNull()).alias(
+            "no_gaps"
+        ),
+    )
+
+
+def _truth_roundtrip_oracle() -> str:
+    from sptag_spark.tables import QUERY_MODULUS
+
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS query_id,
+       CAST(10 AS BIGINT) AS k_ids, TRUE AS formats_agree, TRUE AS no_gaps
+FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0
+"""
+
+
+register("reader_truth_roundtrip", _truth_roundtrip, _truth_roundtrip_oracle())
