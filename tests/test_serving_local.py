@@ -180,3 +180,28 @@ def test_pq_replica_recall_and_memory_shape(spark, built):
         hits += sum((qid, int(i)) in truth for i in ids)
         total += 10
     assert hits / total >= 0.5, hits / total
+
+
+def test_replica_full_probe_equals_exact(spark, built):
+    """nprobe = all heads ⇒ the replica scans every posting, and since
+    every vector lands in ≥1 posting, the answer must equal exact
+    brute-force kNN — the accuracy knob degrades gracefully to exactness
+    (MaxCheck → ∞ semantics)."""
+    from sptag_spark.operators.knn import knn
+
+    v, heads, postings = built
+    replica = LocalSpannReplica(heads, postings)
+    n_heads = heads.count()
+    qs = _qlist(spark)[:6]
+    local = sorted(
+        (q, r, i, round(d, 9))
+        for q, r, i, d in replica.batch_search(qs, k=10, nprobe=n_heads)
+    )
+    qdf = queries_table(spark, SF).filter(
+        F.col("query_id").isin([q for q, _ in qs])
+    )
+    exact = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in knn(v, qdf, k=10).collect()
+    )
+    assert local == exact
