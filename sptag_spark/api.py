@@ -177,6 +177,21 @@ class SparkAnnIndex:
             )
         return attach_meta(res, self._vectors) if with_meta else res
 
+    def local_replica(self):
+        """Hand off the current ANN structure to the serving tier: a
+        LocalSpannReplica (serving_local.py) over this index's heads and
+        postings — the reference's deployment step of loading built
+        artifacts into a serving node's RAM. Builds/refreshes the ANN
+        structure first if mutations made it stale, so the replica always
+        snapshots the live view (and, being NumPy-side, stays a consistent
+        snapshot while the index mutates on)."""
+        from sptag_spark.serving_local import LocalSpannReplica
+
+        if self._ann is None or self._ann[0] != self._version:
+            self.build_ann()
+        _, heads, postings, _ = self._ann
+        return LocalSpannReplica(heads, postings)
+
     def search(self, query, k: int = 10, with_meta: bool = True) -> list:
         """Search: one query, materialized as [(id, dist[, meta])...]."""
         rows = self.batch_search(query, k, with_meta).orderBy("rank").collect()

@@ -125,3 +125,30 @@ def test_ann_serving_mode(spark):
     res2 = idx.batch_search(V[:1], k=3, ann=True).collect()
     assert all(r["id"] != 0 for r in res2)
     assert len(res2) == 3
+
+
+def test_local_replica_handoff(spark):
+    """api → serving tier: local_replica() snapshots the live view (stale
+    ANN structures rebuild first) and keeps serving that snapshot while the
+    index mutates on — DataFrame immutability giving the reference's
+    swap-under-lock guarantee for free."""
+    import numpy as np
+
+    from sptag_spark.api import SparkAnnIndex
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(60, 6)).astype(np.float64)
+    idx = SparkAnnIndex.build(spark, X, [str(i) for i in range(60)])
+    rep = idx.local_replica()
+    # the index stores float32; query with the same rounded value for an
+    # exact-zero self-distance
+    q7 = X[7].astype(np.float32).astype(np.float64)
+    ids, d = rep.search_one(q7, k=3, nprobe=4)
+    assert ids[0] == 7 and d[0] == 0.0
+    # mutate the index; the replica snapshot must keep answering consistently
+    idx.delete([7])
+    ids2, _ = rep.search_one(q7, k=3, nprobe=4)
+    assert ids2[0] == 7  # snapshot semantics (old artifacts)
+    rep2 = idx.local_replica()  # fresh handoff sees the delete
+    ids3, _ = rep2.search_one(q7, k=3, nprobe=4)
+    assert 7 not in ids3
