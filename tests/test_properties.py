@@ -104,3 +104,38 @@ def test_eps_margin_blocking_is_complete(n, k, d, threshold, rnd):
                 assert set(blocks[i]) & set(blocks[j]), (
                     i, j, S[i, j], blocks[i], blocks[j],
                 )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(2, 24),  # n candidates
+    st.integers(1, 8),  # replica cap
+    st.floats(0.5, 2.0),  # rng factor
+    st.integers(0, 10_000),  # seed
+)
+def test_rng_prune_invariants(n, replica, rng_factor, seed):
+    """RNG rule invariants (`RelativeNeighborhoodGraph.h:18-35`): the
+    closest candidate is ALWAYS accepted (posting membership is never
+    empty), at most `replica` survive, acceptance order preserves the
+    ascending-distance scan, and every rejected candidate j has an accepted
+    witness i with rng_factor·d(i,j) < d(v,j)."""
+    from sptag_spark.index.postings import _rng_prune
+
+    rng = np.random.default_rng(seed)
+    H = rng.normal(size=(n, 4))
+    v = rng.normal(size=4)
+    cd = np.sort(((H - v) ** 2).sum(1))
+    hh = _block_distances(H, H, "l2")
+    keep = _rng_prune(cd, hh, replica, rng_factor)
+
+    assert keep and keep[0] == 0  # closest head always survives
+    assert len(keep) <= replica
+    assert keep == sorted(keep)  # scan order preserved
+    kept = set(keep)
+    for j in range(len(cd)):
+        if j in kept or len(kept) >= replica and j > max(kept):
+            continue
+        if j < max(kept):  # rejected before the cap filled
+            assert any(
+                rng_factor * hh[i, j] < cd[j] for i in keep if i < j
+            ), (j, keep)
