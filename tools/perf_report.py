@@ -7,7 +7,7 @@ latency percentile table (`SSDIndex.h:288-345`) — against the prebuilt
 index structures, "so numbers are comparable in spirit" (BASELINE.md).
 
 Usage:
-    python tools/perf_report.py [spann|ivf|pq] [sf_dir] [k]
+    python tools/perf_report.py [spann|ivf|pq|replica] [sf_dir] [k]
 
 Batch throughput comes from the batched plan (Spark's natural execution);
 per-query latency percentiles come from single-query executions, which is
@@ -47,6 +47,58 @@ def main() -> None:
     n_queries = queries.count()
 
     t0 = time.time()
+    if mode == "replica":
+        # the serving tier: Spark-built artifacts loaded into process RAM
+        # (serving_local.py) — same JSON shape, ms-scale numbers
+        from sptag_spark.serving_local import LocalSpannReplica
+
+        heads, postings = spann_index(spark, sf_dir)
+        replica = LocalSpannReplica(heads, postings)
+        build_sec = round(time.time() - t0, 3)
+        truth = knn(vectors, queries, k=k)
+        truth_sets = {}
+        for r in truth.collect():
+            truth_sets.setdefault(r["query_id"], set()).add(r["id"])
+        qs = [
+            (int(r["query_id"]), np.asarray(r["vector"], dtype=np.float64))
+            for r in queries.collect()
+        ]
+        replica.search_one(qs[0][1], k=k, nprobe=10)  # warm
+        lat, hits, rr_sum = [], 0, 0.0
+        t0 = time.time()
+        for qid, q in qs:
+            t1 = time.time()
+            ids, _ = replica.search_one(q, k=k, nprobe=10)
+            lat.append((time.time() - t1) * 1000.0)
+            tset = truth_sets[qid]
+            hits += sum(int(i) in tset for i in ids)
+            first = next((r + 1 for r, i in enumerate(ids) if int(i) in tset), None)
+            rr_sum += 1.0 / first if first else 0.0
+        wall = time.time() - t0
+        lat = np.array(sorted(lat))
+        print(
+            json.dumps(
+                {
+                    "mode": mode,
+                    "sf_dir": sf_dir,
+                    "k": k,
+                    "n_queries": n_queries,
+                    "build_sec": build_sec,
+                    "qps_batch": round(n_queries / wall, 2),
+                    f"recall@{k}": round(hits / (n_queries * k), 4),
+                    f"mrr@{k}": round(rr_sum / n_queries, 4),
+                    "latency_ms": {
+                        "p50": round(float(np.percentile(lat, 50)), 3),
+                        "p90": round(float(np.percentile(lat, 90)), 3),
+                        "p95": round(float(np.percentile(lat, 95)), 3),
+                        "p99": round(float(np.percentile(lat, 99)), 3),
+                        "max": round(float(lat[-1]), 3),
+                    },
+                }
+            )
+        )
+        spark.stop()
+        return
     if mode == "spann":
         from sptag_spark.index.ann import ann_search
 
