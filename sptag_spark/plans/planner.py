@@ -30,6 +30,11 @@ contract, so the choice is a pure performance/recall trade):
 - IVF           — same shape with 1-replica lists (`index/ivf.py`);
   chosen over SPANN only when the caller supplies an IVF index (lists are
   ~8× smaller than SPANN postings, recall correspondingly lower).
+- GRAPH         — best-first RNG traversal (`index/graph.py`), the
+  in-memory BKT/KDT serving shape; chosen only when the caller supplies a
+  prebuilt (edges, entry-heads) graph index and no SPANN index (the
+  reference's own preference order: SPANN is the scale path, the graph is
+  the in-memory path).
 
 The planner never silently degrades exactness: `exact=True` (or
 `recall_target >= 0.999`) always yields BRUTE_KERNEL, matching the
@@ -142,13 +147,38 @@ class PlannedSearch:
             from sptag_spark.operators.knn import knn
 
             return knn(src, s.queries, k=s.k, metric=s.metric)
+        if self.strategy == "GRAPH":
+            from sptag_spark.index.graph import graph_search_broadcast
+
+            edges, entry_heads = self._index
+            # the walk MUST see the full vector table — edges reference
+            # every id; a filtered matrix would misalign the CSR index.
+            # The predicate applies to the walked results (post-filter —
+            # like the reference's in-traversal checkFilter, this can
+            # return <k; the exact path is the true-top-k-of-survivors
+            # semantic)
+            res = graph_search_broadcast(
+                s.vectors.select("id", "vector"), edges, s.queries,
+                k=s.k, heads=entry_heads, metric=s.metric,
+            )
+            if s.filter is not None:
+                from pyspark.sql import Window
+                from pyspark.sql import functions as F
+
+                w = Window.partitionBy("query_id").orderBy("dist", "id")
+                res = (
+                    res.join(src.select("id"), "id")
+                    .withColumn("rank", F.row_number().over(w).cast("long"))
+                    .filter(F.col("rank") <= s.k)
+                    .select("query_id", "rank", "id", "dist")
+                )
+            return res
         heads, postings = self._index
         if s.filter is not None:
             # the predicate prunes posting rows before scoring; same
             # filter-below-rank semantics as the exact path (survivor
             # top-k), at the cost of scanning the same routed postings
-            keep = src.select("id")
-            postings = postings.join(keep, "id")
+            postings = postings.join(src.select("id"), "id")
         if self.strategy == "IVF":
             from sptag_spark.index.ivf import ivf_search
 
@@ -168,6 +198,7 @@ def plan_topk(
     spec: TopKByDistance,
     spann_index: tuple[DataFrame, DataFrame] | None = None,
     ivf_index: tuple[DataFrame, DataFrame] | None = None,
+    graph_index: tuple[DataFrame, DataFrame] | None = None,
     brute_row_threshold: int = BRUTE_ROW_THRESHOLD,
 ) -> PlannedSearch:
     """Choose the physical strategy for a TopKByDistance node.
@@ -176,8 +207,9 @@ def plan_topk(
     joins from size stats + hints:
 
     1. exactness required  → BRUTE_KERNEL (never approximate silently)
-    2. prebuilt index supplied → use it (SPANN preferred over IVF: more
-       replicas → higher recall at the same nprobe)
+    2. prebuilt index supplied → use it, in the reference's own preference
+       order: SPANN (scale path, most replicas) > IVF > GRAPH (in-memory
+       path; graph_index = (edges, entry_heads))
     3. small V (Catalyst size estimate under threshold) → BRUTE_KERNEL
        (an index build would cost more than the scan it saves)
     4. otherwise → build SPANN once for the batch and search it
@@ -205,6 +237,13 @@ def plan_topk(
         reasons.append("prebuilt IVF index supplied — zero build cost")
         return PlannedSearch(
             "IVF", spec, reasons, est_rows, nprobe, _index=ivf_index
+        )
+    if graph_index is not None:
+        reasons.append(
+            "prebuilt RNG graph supplied — in-memory traversal serving"
+        )
+        return PlannedSearch(
+            "GRAPH", spec, reasons, est_rows, nprobe, _index=graph_index
         )
     if est_rows <= brute_row_threshold:
         reasons.append(

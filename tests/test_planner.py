@@ -145,3 +145,61 @@ def test_unknown_stats_fall_back_to_count(vecs):
     from sptag_spark.plans.planner import _estimate_rows
 
     assert _estimate_rows(vecs) == N
+
+
+def test_graph_index_strategy(spark, vecs, qs):
+    """A prebuilt RNG graph (and no SPANN/IVF index) selects the GRAPH
+    strategy; traversal self-hits every query and the k-row contract holds.
+    Preference order: SPANN beats GRAPH when both are supplied (the
+    reference's scale-path-first dispatch)."""
+    from sptag_spark.index.graph import build_rng_graph
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+
+    edges = build_rng_graph(vecs.select("id", "vector"), L=8, replicas=4)
+    entry = select_heads(vecs.select("id", "vector"), ratio=0.1)
+    p = plan_topk(
+        TopKByDistance(vecs, qs, k=K, recall_target=0.8),
+        graph_index=(edges, entry),
+    )
+    assert p.strategy == "GRAPH"
+    res = p.execute()
+    hits = res.filter(
+        (F.col("rank") == 1) & (F.col("id") == F.col("query_id"))
+    ).count()
+    assert hits == NQ
+
+    heads = select_heads(vecs.select("id", "vector"), ratio=0.1)
+    postings = build_postings(vecs.select("id", "vector"), heads)
+    both = plan_topk(
+        TopKByDistance(vecs, qs, k=K, recall_target=0.8),
+        spann_index=(heads, postings),
+        graph_index=(edges, entry),
+    )
+    assert both.strategy == "SPANN"
+
+
+def test_graph_strategy_filtered_post_filter(spark, vecs, qs):
+    """GRAPH + filter: post-filter semantics (like the reference's
+    in-traversal checkFilter, may return <k) — every returned id satisfies
+    the predicate and ranks are contiguous from 1."""
+    from sptag_spark.index.graph import build_rng_graph
+    from sptag_spark.index.heads import select_heads
+
+    edges = build_rng_graph(vecs.select("id", "vector"), L=8, replicas=4)
+    entry = select_heads(vecs.select("id", "vector"), ratio=0.1)
+    p = plan_topk(
+        TopKByDistance(
+            vecs, qs, k=K, recall_target=0.8, filter=F.col("meta") == "0"
+        ),
+        graph_index=(edges, entry),
+    )
+    assert p.strategy == "GRAPH"
+    res = p.execute().join(vecs.select("id", "meta"), "id")
+    assert res.count() > 0
+    assert res.filter(F.col("meta") != "0").count() == 0
+    ranks = res.groupBy("query_id").agg(
+        F.min("rank").alias("lo"), F.count("*").alias("n"), F.max("rank").alias("hi")
+    )
+    bad = ranks.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count()
+    assert bad == 0
