@@ -127,3 +127,47 @@ def top_tokens(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFram
         .filter(F.col("rank") <= k)
         .select("rank", "token", "cnt")
     )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥1 n-token
+    shingle with any benchmark doc. → (doc_id, contaminated BOOLEAN,
+    n_shared BIGINT distinct shared shingles).
+
+    The standard pre-training hygiene pass (n-gram overlap against eval
+    sets). 100 TB shape: the benchmark side is SMALL (eval sets are
+    thousands of docs) — its distinct shingle set broadcasts, so flagging
+    is a map-side semi-join over the corpus shingle stream plus one
+    doc_id-keyed count agg; the corpus text is scanned exactly once and
+    never shuffled. No reference analog (SPTAG is a vector engine) — this
+    extends the dedup family (operators/dedup.py) the same way
+    exact_jaccard does, sharing its shingle derivation.
+    """
+    from sptag_spark.operators.dedup import doc_shingles
+
+    bench_shingles = doc_shingles(benchmark, id_col, text_col, n).select(
+        "shingle"
+    ).distinct()
+    corpus_shingles = doc_shingles(corpus, id_col, text_col, n).dropDuplicates(
+        ["doc_id", "shingle"]
+    )
+    shared = (
+        corpus_shingles.join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shared").isNotNull().alias("contaminated"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        )
+    )

@@ -4,6 +4,7 @@ fingerprints, token stats)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sptag_spark.functions.text import STOPWORDS
 from sptag_spark.operators.textops import (
@@ -214,3 +215,49 @@ FROM kept WHERE rn = 1
 
 
 register("pipeline_clean_corpus", _clean_corpus, _clean_corpus_oracle())
+
+
+# -- benchmark decontamination ----------------------------------------------
+#
+# Every pre-training pipeline needs an n-gram-overlap decontamination pass
+# against eval sets. Benchmark := every 10th document (its text IS in the
+# corpus, so those must flag; any other doc flags iff it genuinely shares
+# an 8-gram). The benchmark shingle set broadcasts — corpus text is
+# scanned once, map-side.
+
+
+def _decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.textops import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return contamination_flags(docs, bench, n=8)
+
+
+register(
+    "decontamination",
+    _decontamination,
+    r"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle
+  FROM tok, UNNEST(range(1, greatest(len(toks) - 6, 1))) AS u(i)
+  WHERE len(toks) >= 8
+),
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % 10 = 0
+),
+shared AS (
+  SELECT s.doc_id, count(*) AS n_shared
+  FROM shingles s JOIN bench b USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       (sh.n_shared IS NOT NULL) AS contaminated,
+       CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared
+FROM documents d LEFT JOIN shared sh USING (doc_id)
+""",
+)
