@@ -269,6 +269,13 @@ def graph_search(
     parity and graph-quality evaluation (a graph nothing searches is not
     evidence of anything).
     """
+    if mode == "auto":
+        # index RAM footprint ≈ vectors (float64 matrix) + CSR adjacency;
+        # two metadata-cheap counts decide, same stats-driven dispatch as
+        # plans/planner.py
+        dim = len(queries.select("vector").first()["vector"])
+        est = vectors.count() * dim * 8 + edges.count() * 16
+        mode = "broadcast" if est <= BROADCAST_INDEX_MAX_BYTES else "hops"
     if mode == "broadcast":
         return graph_search_broadcast(
             vectors, edges, queries, k=k, seeds=seeds, n_seeds=n_seeds,

@@ -149,3 +149,27 @@ def test_broadcast_walk_head_seeding_recall(spark, sf_dir):
     summary = recall_summary(recall_per_query(got, truth, 10)).first()
     assert summary["avg_recall"] >= 0.85, summary
     assert summary["n_queries"] == queries.count()
+
+
+def test_graph_search_auto_mode(spark, sf_dir):
+    """mode='auto' picks the broadcast walk when the index fits the
+    per-executor budget (stats-driven dispatch, plans/planner.py style) and
+    returns the same contract."""
+    from sptag_spark.index.graph import build_rng_graph, graph_search
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.operators.knn import knn
+    from sptag_spark.tables import queries_table, vectors_table
+
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    edges = build_rng_graph(vectors, L=8, replicas=4).cache()
+    entry = select_heads(vectors, ratio=0.05)
+    seeds = knn(
+        entry.select(F.col("head_id").alias("id"), "vector"), queries, k=8
+    ).select("query_id", "id").cache()
+    kw = dict(k=10, seeds=seeds, max_hops=4, beam=16)
+    auto = graph_search(vectors, edges, queries, mode="auto", **kw)
+    explicit = graph_search(vectors, edges, queries, mode="broadcast", **kw)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
