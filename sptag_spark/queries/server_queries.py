@@ -154,13 +154,10 @@ register("search_tree_topk", _search_tree, _search_tree_oracle())
 
 
 def _opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sptag_spark.queries.ann_queries import (
-        opq_index,
-        pq_index,
-        self_verified_search,
-        truth_topk,
-    )
-    from sptag_spark.operators.recall import recall_per_query
+    from pyspark.sql import Window
+
+    from sptag_spark.operators.recall import recall_per_query, result_hits
+    from sptag_spark.queries.ann_queries import opq_index, pq_index, truth_topk
     from sptag_spark.tables import DEFAULT_K
 
     truth = truth_topk(spark, sf_dir)
@@ -169,26 +166,38 @@ def _opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     res_o = adc_search(codes_o, queries, books_o, k=DEFAULT_K).withColumnRenamed(
         "adc_dist", "dist"
     )
-    base = self_verified_search(
-        res_o, truth, DEFAULT_K, recall_gate=0.5, with_self_hit=False
+    # ONE execution of the OPQ search: counts, per-query recall, and the
+    # corpus gates all derive from a single result_hits frame (the branch-
+    # per-aggregate formulation re-ran the whole ADC plan per branch)
+    per_q = result_hits(res_o, truth).groupBy("query_id").agg(
+        F.count("*").alias("n_results"),
+        (F.sum(F.col("hit").cast("double")) / F.lit(float(DEFAULT_K))).alias(
+            "_recall"
+        ),
     )
+    w = Window.partitionBy()
     # OPQ's reason to exist: rotation must not lose recall vs plain PQ
     # (OPQQuantizer.h trains the rotation to REDUCE quantization error);
-    # 0.02 absolute slack for sampling noise in codebook training
+    # 0.02 absolute slack for sampling noise in codebook training. res_p
+    # executes once, reduced to one broadcast row.
     books_p, codes_p = pq_index(spark, sf_dir)
     res_p = adc_search(codes_p, queries, books_p, k=DEFAULT_K).withColumnRenamed(
         "adc_dist", "dist"
     )
-    avg_o = recall_per_query(res_o, truth, DEFAULT_K).agg(
-        F.avg("recall").alias("r_opq")
-    )
     avg_p = recall_per_query(res_p, truth, DEFAULT_K).agg(
         F.avg("recall").alias("r_pq")
     )
-    not_worse = avg_o.crossJoin(avg_p).select(
-        (F.col("r_opq") >= F.col("r_pq") - 0.02).alias("opq_not_worse")
+    return (
+        per_q.withColumn("recall_ok", F.avg("_recall").over(w) >= F.lit(0.5))
+        .withColumn("_r_opq", F.avg("_recall").over(w))
+        .crossJoin(F.broadcast(avg_p))
+        .select(
+            "query_id",
+            "n_results",
+            "recall_ok",
+            (F.col("_r_opq") >= F.col("r_pq") - 0.02).alias("opq_not_worse"),
+        )
     )
-    return base.crossJoin(F.broadcast(not_worse))
 
 
 def _opq_oracle() -> str:
