@@ -168,18 +168,19 @@ def _ssd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 },
             },
         )
-        return (out,)
+        # the verified scalars belong to the (memoized) run, not the
+        # per-invocation readback — re-counting the persisted results every
+        # call re-pays a scan of the offline artifact
+        return (
+            len(out["stages"]),
+            out["n_heads"] > 0,
+            out["results"].count(),
+            out["recall"] >= 0.88,
+        )
 
-    (out,) = _memo(spark, sf_dir, "ssdserving", build)
+    row = _memo(spark, sf_dir, "ssdserving", build)
     return spark.createDataFrame(
-        [
-            (
-                len(out["stages"]),
-                out["n_heads"] > 0,
-                out["results"].count(),
-                out["recall"] >= 0.88,
-            )
-        ],
+        [row],
         "stages_ran long, heads_ok boolean, n_results long, recall_ok boolean",
     )
 
