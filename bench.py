@@ -52,6 +52,7 @@ def main() -> None:
         _kdt_leaf_histogram,
         _rng_graph_degrees,
         ivf_index,
+        ivfpq_index,
         opq_index,
         pq_index,
         spann_index,
@@ -61,6 +62,7 @@ def main() -> None:
     for bname, builder in [
         ("spann", spann_index),
         ("ivf", ivf_index),
+        ("ivfpq", ivfpq_index),
         ("pq", pq_index),
         ("opq", opq_index),
         ("rng_graph", _rng_graph_degrees),

@@ -106,6 +106,26 @@ def test_pq_adc_recall(spark, sf_dir):
     assert summary_r["avg_recall"] >= 0.5, summary_r
 
 
+def test_ivf_multi_assignment_lifts_recall(spark, sf_dir):
+    """replicas=2 multi-assignment: every vector stored in exactly its two
+    nearest lists (rng_factor=inf → pure top-r cut, no RNG prune), and recall
+    at the same probe budget must not drop vs single assignment (measured
+    +0.10 at sf0.01, nprobe=12)."""
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    truth = knn(vectors, queries, k=10)
+
+    def run(replicas):
+        cents, lists = ivf_build(
+            vectors, n_lists_ratio=0.05, balanced=True, replicas=replicas
+        )
+        assert lists.count() == replicas * vectors.count()
+        res = ivf_search(queries, cents.cache(), lists.cache(), k=10, nprobe=12)
+        return recall_summary(recall_per_query(res, truth, 10)).first()["avg_recall"]
+
+    assert run(2) >= run(1) - 1e-9
+
+
 def test_balanced_ivf_beats_plain_ivf(spark, sf_dir):
     """Size-penalized lists must not lose recall vs nearest-head lists at
     the same probe budget (measured +0.12 at sf0.01) and every vector is
@@ -121,6 +141,38 @@ def test_balanced_ivf_beats_plain_ivf(spark, sf_dir):
         return recall_summary(recall_per_query(res, truth, 10)).first()["avg_recall"]
 
     assert run(True) >= run(False) - 1e-9
+
+
+def test_ivf_pq_rerank_recall(spark, sf_dir):
+    """IVFADC + exact refine: the code scan shortlist re-ranked with exact
+    distances must reach routing-limited recall (≥0.85 at sf0.01 — float
+    IVF at the same nprobe measures 0.945) and restore the self-hit plain
+    PQ loses. Without rerank the same search is quantization-limited."""
+    from sptag_spark.index.ivf import ivf_pq_encode, ivf_pq_search, ivf_pq_train
+
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    truth = knn(vectors, queries, k=10)
+    cents, lists = ivf_build(vectors, n_lists_ratio=0.05, balanced=True, replicas=2)
+    cents, lists = cents.cache(), lists.cache()
+    books = ivf_pq_train(lists, cents, m=16)
+    coded = ivf_pq_encode(lists, cents, books).cache()
+    nprobe = max(12, cents.count() // 4)
+    res = ivf_pq_search(
+        queries, cents, coded, books, k=10, nprobe=nprobe, rerank=40,
+        vectors=vectors,
+    ).withColumnRenamed("adc_dist", "dist")
+    summary = recall_summary(recall_per_query(res, truth, 10)).first()
+    assert summary["avg_recall"] >= 0.85, summary
+    # exact refine ⇒ every query's own vector comes back at rank 1, dist 0
+    self_hits = res.filter(
+        (F.col("rank") == 1) & (F.col("id") == F.col("query_id"))
+        & (F.col("dist") == 0.0)
+    ).count()
+    assert self_hits == queries.count()
+    # no-rerank variant is quantization-limited but still a valid ordering
+    res0 = ivf_pq_search(queries, cents, coded, books, k=10, nprobe=nprobe)
+    assert res0.groupBy("query_id").count().agg(F.min("count")).first()[0] == 10
 
 
 def test_opq_beats_pq_on_anisotropic_data(spark):
