@@ -60,6 +60,15 @@ def token_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
 
 
+def token_shingles_all(text: Column, n: int = 2) -> Column:
+    """ALL overlapping n-token shingles, duplicates preserved — the input to
+    intra-document repetition measures, where the duplicate count IS the
+    signal (token_shingles dedups because near-dup jaccard wants sets)."""
+    norm = F.regexp_replace(F.trim(text), r"\s+", " ")
+    pat = r"(?:^|(?<= ))(?=((?:\S+ ){%d}\S+))\S+ " % (n - 1)
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
+
+
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Distinct character n-grams of the trimmed text. Same overlapping-
     regex shape as token_shingles ((?s) so newlines count as characters,

@@ -129,6 +129,161 @@ def top_tokens(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFram
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher quality-rule family:
+    a doc dominated by one repeated phrase is boilerplate/spam):
+      top_ngram_frac — fraction of all n-gram occurrences taken by the
+        doc's single most frequent n-gram;
+      dup_ngram_ratio — fraction of n-gram occurrences that are repeats
+        (1 − distinct/total).
+    → (doc_id, n_ngrams, top_ngram_frac, dup_ngram_ratio); docs with < n
+    tokens report 0 n-grams and 0.0 ratios.
+
+    Shape: explode all n-grams → (doc, gram) count with map-side partial
+    agg → per-doc max/sum/count. The shuffle key is (doc_id, gram), which
+    is near-unique — no skew; text is scanned once."""
+    from sptag_spark.functions.text import token_shingles_all
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_shingles_all(F.col(text_col), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("_total"),
+        F.max("cnt").alias("_max"),
+        F.count("*").alias("_distinct"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_total", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.round(
+                F.coalesce(F.col("_max") / F.col("_total"), F.lit(0.0)), 4
+            ).alias("top_ngram_frac"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) - F.col("_distinct") / F.col("_total"), F.lit(0.0)
+                ),
+                4,
+            ).alias("dup_ngram_ratio"),
+        )
+    )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d()\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_mask(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing scan: replace email / IPv4 / international-phone
+    matches with typed placeholder tokens and report per-doc match counts —
+    the standard pre-training redaction pass. Pure column expressions
+    (regexp_count + chained regexp_replace), map-only, one scan, no
+    shuffle. → (doc_id, masked_text, n_email, n_ipv4, n_phone)."""
+    masked = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}"))
+        masked = F.regexp_replace(masked, pat, repl)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), masked.alias("masked_text"), *counts
+    )
+
+
+def domain_mix_sample(
+    docs: DataFrame,
+    target_total: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based domain mixing: sample a training corpus whose
+    source proportions follow count^alpha (alpha<1 flattens the natural
+    distribution toward uniform — the standard multi-source reweighting).
+    Deterministic: each source gets quota ≈ target_total·w_s/Σw (at least 1,
+    at most its size), filled by the docs with the smallest md5(doc_id)
+    within the source — a stable pseudo-random order both engines compute
+    identically. → (doc_id, source) of the kept sample.
+
+    Scale shape: the per-source weights are a tiny aggregate (|sources|
+    rows) broadcast back; the pick is one window rank per source partition.
+    A skewed giant source does not skew the shuffle — rank only orders the
+    md5 strings within each source partition."""
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("_n"))
+    wsum = Window.partitionBy()
+    quotas = counts.select(
+        source_col,
+        "_n",
+        F.least(
+            F.col("_n"),
+            F.ceil(
+                F.lit(float(target_total))
+                * F.pow("_n", F.lit(alpha))
+                / F.sum(F.pow("_n", F.lit(alpha))).over(wsum)
+            ),
+        ).alias("_quota"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), source_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(quotas.select(source_col, "_quota")), source_col)
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .select("doc_id", source_col)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str = "source",
+) -> DataFrame:
+    """Greedy sequence packing: concatenate documents (in doc_id order,
+    within each `part_col` group) into fixed token-budget packs — the
+    batching layout LLM trainers feed. pack_id = ⌊cumulative tokens before
+    this doc / budget⌋, so a pack holds consecutive docs until the budget
+    spills; a doc longer than the budget occupies its packs alone.
+    → (doc_id, source, n_tokens, pack_id).
+
+    Packing is per-group (windows partition by source) — the global
+    single-partition cumsum a naive formulation needs is exactly what a
+    100 TB corpus cannot do; per-source streams are how packing shards in
+    practice (group further by date/shard for tighter parallelism)."""
+    n_tok = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(part_col).alias("source"),
+        n_tok.alias("n_tokens"),
+        F.floor(
+            F.coalesce(F.sum(n_tok).over(w), F.lit(0)) / F.lit(budget)
+        ).cast("long").alias("pack_id"),
+    )
+
+
 def contamination_flags(
     corpus: DataFrame,
     benchmark: DataFrame,

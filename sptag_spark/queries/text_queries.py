@@ -11,7 +11,11 @@ from sptag_spark.operators.textops import (
     LANG_MARKERS,
     LANGS,
     doc_fingerprint,
+    domain_mix_sample,
     lang_id,
+    pack_sequences,
+    pii_mask,
+    repetition_stats,
     text_quality,
     top_tokens,
 )
@@ -129,6 +133,171 @@ SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
        token, cnt
 FROM counts
 QUALIFY rank <= 20
+""",
+)
+
+
+# -- intra-document repetition (Gopher-style quality rules) -----------------
+
+register(
+    "repetition_stats",
+    lambda spark, sf_dir: repetition_stats(_docs(spark, sf_dir)),
+    r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+  FROM tok, UNNEST(range(1, greatest(len(toks), 1))) AS u(i)
+  WHERE len(toks) >= 2
+),
+per_gram AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+),
+per_doc AS (
+  SELECT doc_id, sum(cnt) AS total, max(cnt) AS mx, count(*) AS dst
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.total, 0) AS BIGINT) AS n_ngrams,
+       round(coalesce(CAST(p.mx AS DOUBLE) / p.total, 0.0), 4) AS top_ngram_frac,
+       round(coalesce(1.0 - CAST(p.dst AS DOUBLE) / p.total, 0.0), 4) AS dup_ngram_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+
+
+# -- PII masking ------------------------------------------------------------
+#
+# The synthetic corpus carries no PII, so the query plants deterministic
+# email / IP+phone suffixes on a doc_id-keyed subset (both engines derive
+# the identical corpus) and the masking scan must find and replace exactly
+# those.
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    injected = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 call +1 555 01"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", injected.alias("text"))
+
+
+_PII_CORPUS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            WHEN doc_id % 11 = 0
+              THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.1 call +1 555 01' || CAST(doc_id AS VARCHAR)
+            ELSE text END AS text
+FROM documents
+"""
+
+
+def _pii_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_mask(_pii_corpus(spark, sf_dir))
+
+
+register(
+    "pii_mask",
+    _pii_query,
+    rf"""
+WITH corpus AS ({_PII_CORPUS_SQL})
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
+    '\+\d[\d()\- ]{{7,}}\d', '<PHONE>', 'g') AS masked_text,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\+\d[\d()\- ]{{7,}}\d')) AS BIGINT) AS n_phone
+FROM corpus
+""",
+)
+
+
+# -- temperature-based domain mixing ----------------------------------------
+
+
+def _domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    target = docs.count() // 2
+    return domain_mix_sample(docs, target_total=target, alpha=0.5)
+
+
+register(
+    "domain_mix_sample",
+    _domain_mix,
+    r"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+quotas AS (
+  SELECT source, n,
+         least(n, CAST(ceil(
+           (SELECT CAST(count(*) // 2 AS DOUBLE) FROM documents)
+           * pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM counts)
+         ) AS BIGINT)) AS quota
+  FROM counts
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.rk <= q.quota
+""",
+)
+
+
+# -- sequence packing -------------------------------------------------------
+
+register(
+    "pack_sequences",
+    lambda spark, sf_dir: pack_sequences(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        budget=512,
+    ),
+    r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 512.0) AS BIGINT) AS pack_id
+FROM tok
 """,
 )
 

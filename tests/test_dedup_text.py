@@ -195,3 +195,71 @@ def test_lsh_banding_subsets_candidates(corpus):
     assert c4 <= c1
     # exact duplicates agree on every minhash -> survive any banding
     assert (0, 1) in c1 and (0, 1) in c4
+
+
+def test_repetition_stats(spark):
+    from sptag_spark.operators.textops import repetition_stats
+
+    rows = [
+        (0, "spam spam spam spam spam"),          # one bigram repeated 4x
+        (1, "all words here are fully distinct"), # no repeated bigram
+        (2, "x"),                                  # < 2 tokens → no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[0]["n_ngrams"] == 4
+    assert out[0]["top_ngram_frac"] == 1.0 and out[0]["dup_ngram_ratio"] == 0.75
+    assert out[1]["top_ngram_frac"] == round(1 / 5, 4)
+    assert out[1]["dup_ngram_ratio"] == 0.0
+    assert out[2]["n_ngrams"] == 0 and out[2]["top_ngram_frac"] == 0.0
+
+
+def test_pii_mask(spark):
+    from sptag_spark.operators.textops import pii_mask
+
+    rows = [
+        (0, "mail me at jane.doe+x@sub.example.org thanks"),
+        (1, "server 192.168.1.254 and phone +44 20 7946 0958"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_mask(df).collect()}
+    assert out[0]["masked_text"] == "mail me at <EMAIL> thanks"
+    assert out[0]["n_email"] == 1
+    assert out[1]["masked_text"] == "server <IP> and phone <PHONE>"
+    assert out[1]["n_ipv4"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["masked_text"] == rows[2][1]
+    assert out[2]["n_email"] == out[2]["n_ipv4"] == out[2]["n_phone"] == 0
+
+
+def test_domain_mix_sample_flattens(spark):
+    from sptag_spark.operators.textops import domain_mix_sample
+
+    # 90/10 skew; alpha=0.5 → weights √90:√10 ≈ 3:1, so the small source
+    # keeps a much larger FRACTION of itself than the big one
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = domain_mix_sample(df, target_total=40, alpha=0.5)
+    sizes = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes["small"] >= 10 * 0.9  # nearly all of the small source
+    frac_big, frac_small = sizes["big"] / 90, sizes["small"] / 10
+    assert frac_small > 2 * frac_big
+    # deterministic: same call → same sample
+    again = domain_mix_sample(df, target_total=40, alpha=0.5)
+    assert kept.exceptAll(again).count() == 0 and again.exceptAll(kept).count() == 0
+
+
+def test_pack_sequences(spark):
+    from sptag_spark.operators.textops import pack_sequences
+
+    rows = [
+        (0, "s", "a b c d"),        # 4 tokens → pack 0 (cum_before 0)
+        (1, "s", "a b c"),          # cum_before 4 → pack 0
+        (2, "s", "a b c d e"),      # cum_before 7 → pack 0
+        (3, "s", "a b"),            # cum_before 12 → pack 1
+        (4, "t", "a b c d e f g"),  # separate group restarts at pack 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=10).collect()}
+    assert [out[i]["pack_id"] for i in range(5)] == [0, 0, 0, 1, 0]
+    assert out[3]["n_tokens"] == 2
