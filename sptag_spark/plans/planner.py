@@ -100,6 +100,73 @@ _EST_ROW_BYTES = 300
 
 
 @dataclass
+class CostModel:
+    """Observed-cost model: per-strategy throughputs measured from real
+    runs, refined online — the feedback loop a static row-count ladder
+    lacks (Catalyst's analog: CBO statistics refreshed by ANALYZE).
+
+    Units are work-items per second of the dominant kernel:
+      brute_pairs_per_sec  — (vector, query) pairs the exact kernel scores
+      scan_rows_per_sec    — posting candidate rows the ANN serve scores
+      build_rows_per_sec   — vectors the SPANN build assigns (kmeans +
+                             replica RNG prune, the expensive pass)
+    fixed_overhead_sec is the per-job floor (scheduling + Arrow spin-up)
+    every strategy pays regardless of size; it is what makes tiny inputs
+    brute-always even when throughput would say otherwise.
+
+    Seeds come from sf0.1 local[32] bench medians; `observe()` folds each
+    measured (units, seconds) into an EWMA so a deployment's own hardware
+    re-calibrates the model after a few queries."""
+
+    brute_pairs_per_sec: float = 2.0e6
+    scan_rows_per_sec: float = 1.0e6
+    build_rows_per_sec: float = 2.0e5
+    fixed_overhead_sec: float = 0.3
+    alpha: float = 0.5  # EWMA weight of the newest observation
+
+    _FIELD = {
+        "brute": "brute_pairs_per_sec",
+        "scan": "scan_rows_per_sec",
+        "build": "build_rows_per_sec",
+    }
+
+    def observe(self, kind: str, units: float, seconds: float) -> None:
+        """Fold one measured run (work-items, wall seconds) into the model.
+        Seconds below the fixed overhead are clamped — they would imply
+        infinite throughput."""
+        field_name = self._FIELD[kind]
+        eff = max(seconds - self.fixed_overhead_sec, 1e-3)
+        rate = units / eff
+        old = getattr(self, field_name)
+        setattr(self, field_name, (1 - self.alpha) * old + self.alpha * rate)
+
+    def brute_cost(self, n_vectors: int, n_queries: int) -> float:
+        return (
+            self.fixed_overhead_sec
+            + n_vectors * n_queries / self.brute_pairs_per_sec
+        )
+
+    def spann_serve_cost(
+        self, n_vectors: int, n_queries: int, nprobe: int
+    ) -> float:
+        # posting size ≈ replica_count / head_ratio, independent of N (both
+        # scale linearly) — bounded by the posting cut
+        from sptag_spark.index.postings import POSTING_LIMIT, REPLICA_COUNT
+
+        posting = min(REPLICA_COUNT / 0.12, float(POSTING_LIMIT))
+        cand = n_queries * nprobe * posting
+        return self.fixed_overhead_sec + cand / self.scan_rows_per_sec
+
+    def spann_build_cost(self, n_vectors: int) -> float:
+        return self.fixed_overhead_sec + n_vectors / self.build_rows_per_sec
+
+
+# module-level default: shared across plan_topk calls in a session so
+# observations accumulate
+DEFAULT_COST_MODEL = CostModel()
+
+
+@dataclass
 class TopKByDistance:
     """Logical node: for each query vector, the k nearest rows of
     ``vectors`` under ``metric`` — what `ORDER BY dist(vector, q) LIMIT k`
@@ -200,6 +267,7 @@ def plan_topk(
     ivf_index: tuple[DataFrame, DataFrame] | None = None,
     graph_index: tuple[DataFrame, DataFrame] | None = None,
     brute_row_threshold: int = BRUTE_ROW_THRESHOLD,
+    cost_model: CostModel | None = None,
 ) -> PlannedSearch:
     """Choose the physical strategy for a TopKByDistance node.
 
@@ -210,8 +278,12 @@ def plan_topk(
     2. prebuilt index supplied → use it, in the reference's own preference
        order: SPANN (scale path, most replicas) > IVF > GRAPH (in-memory
        path; graph_index = (edges, entry_heads))
-    3. small V (Catalyst size estimate under threshold) → BRUTE_KERNEL
-       (an index build would cost more than the scan it saves)
+    3. no cost_model: small V (Catalyst size estimate under threshold) →
+       BRUTE_KERNEL (an index build would cost more than the scan it saves)
+       — the static ladder.
+       With a cost_model: estimated seconds decide — brute_cost(|V|,|Q|)
+       vs spann_build_cost(|V|) + spann_serve_cost(...), from OBSERVED
+       throughputs (the ladder's thresholds, learned instead of guessed).
     4. otherwise → build SPANN once for the batch and search it
     """
     must_exact = bool(spec.exact) or (
@@ -245,17 +317,33 @@ def plan_topk(
         return PlannedSearch(
             "GRAPH", spec, reasons, est_rows, nprobe, _index=graph_index
         )
-    if est_rows <= brute_row_threshold:
+    if cost_model is not None:
+        est_q = _estimate_rows(spec.queries)
+        c_brute = cost_model.brute_cost(est_rows, est_q)
+        c_spann = cost_model.spann_build_cost(est_rows) + cost_model.spann_serve_cost(
+            est_rows, est_q, nprobe
+        )
+        if c_brute <= c_spann:
+            reasons.append(
+                f"observed-cost: brute ~{c_brute:.2f}s ≤ "
+                f"build+serve ~{c_spann:.2f}s"
+            )
+            return PlannedSearch("BRUTE_KERNEL", spec, reasons, est_rows)
+        reasons.append(
+            f"observed-cost: build+serve ~{c_spann:.2f}s < "
+            f"brute ~{c_brute:.2f}s — building SPANN"
+        )
+    elif est_rows <= brute_row_threshold:
         reasons.append(
             f"~{est_rows:,} rows ≤ threshold {brute_row_threshold:,}: "
             "exact scan is cheaper than an index build"
         )
         return PlannedSearch("BRUTE_KERNEL", spec, reasons, est_rows)
-
-    reasons.append(
-        f"~{est_rows:,} rows > threshold {brute_row_threshold:,}: "
-        "building SPANN (head routing + partition-pruned posting scan)"
-    )
+    else:
+        reasons.append(
+            f"~{est_rows:,} rows > threshold {brute_row_threshold:,}: "
+            "building SPANN (head routing + partition-pruned posting scan)"
+        )
     from sptag_spark.index.heads import select_heads
     from sptag_spark.index.postings import build_postings
 

@@ -88,7 +88,7 @@ for _metric in ("l2", "cosine", "ip"):
 
 
 def _planner_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sptag_spark.plans import TopKByDistance, plan_topk
+    from sptag_spark.plans import DEFAULT_COST_MODEL, TopKByDistance, plan_topk
 
     spec = TopKByDistance(
         vectors_table(spark, sf_dir).select("id", "vector"),
@@ -97,7 +97,10 @@ def _planner_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric="l2",
         recall_target=0.9,
     )
-    p = plan_topk(spec)
+    # observed-cost decision: at driver scale |V|·|Q| pairs cost well under
+    # a build+serve (two job floors + the build pass), so the model lands on
+    # the exact kernel and the oracle checks values bit-for-bit
+    p = plan_topk(spec, cost_model=DEFAULT_COST_MODEL)
     return (
         p.execute()
         .withColumn("dist", F.round("dist", ROUND))

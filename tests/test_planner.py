@@ -203,3 +203,56 @@ def test_graph_strategy_filtered_post_filter(spark, vecs, qs):
     )
     bad = ranks.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count()
     assert bad == 0
+
+
+def test_cost_model_small_table_brute(vecs, qs):
+    """With the observed-cost model, a tiny table still lands on the exact
+    kernel: the pair scan costs less than two job floors plus a build."""
+    from sptag_spark.plans import CostModel
+
+    p = plan_topk(
+        TopKByDistance(vecs, qs, k=K, recall_target=0.9),
+        cost_model=CostModel(),
+    )
+    assert p.strategy == "BRUTE_KERNEL"
+    assert "observed-cost" in "\n".join(p.reasons)
+
+
+def test_cost_model_crossover_builds_spann(vecs, qs):
+    """When observed brute throughput is poor enough that the estimated
+    scan exceeds build+serve, the planner switches to SPANN — the decision
+    follows the measurements, not a fixed row threshold."""
+    from sptag_spark.plans import CostModel
+
+    slow_brute = CostModel(brute_pairs_per_sec=10.0)  # ~720s est for 600×12
+    p = plan_topk(
+        TopKByDistance(vecs, qs, k=K, recall_target=0.9),
+        cost_model=slow_brute,
+    )
+    assert p.strategy == "SPANN"
+    res = p.execute()
+    hits = res.filter(
+        (F.col("rank") == 1) & (F.col("id") == F.col("query_id"))
+    ).count()
+    assert hits == NQ
+
+
+def test_cost_model_observe_flips_decision(vecs, qs):
+    """observe() feedback: start from a model that picks BRUTE, feed it a
+    measured run showing brute is slow on this 'hardware', and the same
+    spec now plans SPANN. Exactness still overrides the model."""
+    from sptag_spark.plans import CostModel
+
+    m = CostModel(alpha=1.0)  # adopt each observation outright
+    spec = TopKByDistance(vecs, qs, k=K, recall_target=0.9)
+    assert plan_topk(spec, cost_model=m).strategy == "BRUTE_KERNEL"
+    # observed: 7200 pairs took 600s of kernel time → ~12 pairs/s
+    m.observe("brute", units=N * NQ, seconds=600.0)
+    assert m.brute_pairs_per_sec < 20
+    assert plan_topk(spec, cost_model=m).strategy == "SPANN"
+    assert (
+        plan_topk(
+            TopKByDistance(vecs, qs, k=K, exact=True), cost_model=m
+        ).strategy
+        == "BRUTE_KERNEL"
+    )
