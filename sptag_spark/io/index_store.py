@@ -20,10 +20,14 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
 
 from sptag_spark.index.postings import write_postings
+
+if TYPE_CHECKING:
+    from sptag_spark.index.pq import PQCodebooks
 
 
 @dataclass
@@ -32,7 +36,43 @@ class SptagIndex:
     tombstones: DataFrame | None = None
     heads: DataFrame | None = None
     postings: DataFrame | None = None
+    quantizer: "PQCodebooks | None" = None
+    codes: DataFrame | None = None
     config: dict = field(default_factory=dict)
+
+
+def save_quantizer(books: "PQCodebooks", path: str) -> None:
+    """SaveQuantizer (`Common/PQQuantizer.h` Save/LoadQuantizer; SSDServing
+    `QuantizerFilePath`): codebooks (M, 256, sub) + optional OPQ rotation as
+    .npy blobs beside a small JSON header. Driver-side — the quantizer is
+    kilobytes, the per-vector codes live in Parquet like everything else."""
+    import numpy as np
+
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "codebooks.npy"), books.codebooks)
+    meta = {"m": int(books.m), "has_rotation": books.rotation is not None}
+    if books.rotation is not None:
+        np.save(os.path.join(path, "rotation.npy"), books.rotation)
+    with open(os.path.join(path, "quantizer.json"), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+
+
+def load_quantizer(path: str) -> "PQCodebooks":
+    import numpy as np
+
+    from sptag_spark.index.pq import PQCodebooks
+
+    with open(os.path.join(path, "quantizer.json")) as f:
+        meta = json.load(f)
+    rotation = (
+        np.load(os.path.join(path, "rotation.npy"))
+        if meta["has_rotation"]
+        else None
+    )
+    return PQCodebooks(
+        codebooks=np.load(os.path.join(path, "codebooks.npy")),
+        rotation=rotation,
+    )
 
 
 def save_index(index: SptagIndex, path: str) -> None:
@@ -50,6 +90,10 @@ def save_index(index: SptagIndex, path: str) -> None:
         index.heads.write.mode("overwrite").parquet(os.path.join(path, "heads"))
     if index.postings is not None:
         write_postings(index.postings, os.path.join(path, "postings"))
+    if index.quantizer is not None:
+        save_quantizer(index.quantizer, os.path.join(path, "quantizer"))
+    if index.codes is not None:
+        index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
 
 
 def load_index(spark: SparkSession, path: str) -> SptagIndex:
@@ -59,10 +103,13 @@ def load_index(spark: SparkSession, path: str) -> SptagIndex:
         p = os.path.join(path, name)
         return spark.read.parquet(p) if os.path.isdir(p) else None
 
+    qdir = os.path.join(path, "quantizer")
     return SptagIndex(
         vectors=spark.read.parquet(os.path.join(path, "vectors")),
         tombstones=_opt("tombstones"),
         heads=_opt("heads"),
         postings=_opt("postings"),
+        quantizer=load_quantizer(qdir) if os.path.isdir(qdir) else None,
+        codes=_opt("codes"),
         config=config,
     )

@@ -458,3 +458,38 @@ def test_streaming_query_serving(spark, tmp_path_factory):
     got = res.filter(F.col("rank") == 1).select("query_id", "id").collect()
     assert len(got) == 10
     assert all(r["query_id"] == r["id"] for r in got)
+
+
+def test_quantizer_save_load_roundtrip(spark, small_vectors, tmp_path_factory):
+    """SaveQuantizer/LoadQuantizer parity (PQQuantizer.h, SSDServing
+    QuantizerFilePath): codebooks + OPQ rotation survive the round trip
+    bit-for-bit and the reloaded quantizer produces identical ADC results."""
+    from sptag_spark.index.pq import adc_search, pq_encode, train_pq
+    from sptag_spark.io.index_store import load_quantizer, save_quantizer
+
+    d = str(tmp_path_factory.mktemp("quant"))
+    books = train_pq(small_vectors, m=2, nbits=4, opq_rotation=True)
+    save_quantizer(books, d)
+    back = load_quantizer(d)
+    assert np.array_equal(back.codebooks, books.codebooks)
+    assert np.array_equal(back.rotation, books.rotation)
+    q = small_vectors.limit(2).select(
+        F.col("id").alias("query_id"), "vector"
+    )
+    codes = pq_encode(small_vectors, books).cache()
+    a = adc_search(codes, q, books, k=5).collect()
+    b = adc_search(codes, q, back, k=5).collect()
+    assert [(r["query_id"], r["id"], r["adc_dist"]) for r in a] == [
+        (r["query_id"], r["id"], r["adc_dist"]) for r in b
+    ]
+    # full-index layout: a quantized index carries the blobs alongside
+    idx_dir = str(tmp_path_factory.mktemp("idxq"))
+    idx = SptagIndex(
+        vectors=small_vectors, quantizer=books, codes=codes,
+        config={"metric": "l2", "dim": DIM, "pq_m": 2},
+    )
+    save_index(idx, idx_dir)
+    back_idx = load_index(spark, idx_dir)
+    assert back_idx.quantizer is not None
+    assert np.array_equal(back_idx.quantizer.codebooks, books.codebooks)
+    assert back_idx.codes.count() == codes.count()
