@@ -1,0 +1,142 @@
+"""Distributed connected components — duplicate-CLUSTER extraction.
+
+Pairwise near-dup operators (dedup.py) emit edges; corpus-level dedup needs
+the transitive closure: if A~B and B~C, all three are one duplicate cluster
+and a pipeline keeps exactly one representative. The reference has no such
+operator (its dedup is the per-query seen-set, `QueryResultSet` dedup); this
+is one of the training-data pipeline extensions the engine exists for.
+
+Algorithm: min-label propagation with pointer jumping.
+- init: label(v) = min(v, min neighbor) — one shuffle;
+- per round: label(v) ← min(label(v), min over neighbors' labels) (one join
+  on the edge list), then label(v) ← label(label(v)) (pointer doubling —
+  one self-join). Combined, rounds needed = O(log diameter) instead of
+  O(diameter).
+- convergence is DETECTED (count of strictly-decreased labels == 0), not
+  assumed, so the result is exact, not best-effort.
+
+Scale notes (100 TB):
+- Each round is two shuffle joins on (node, label) pairs — rows, not
+  vectors; both sides shrink as labels stabilize. Duplicate clusters in web
+  corpora are short-diameter (stars/cliques from LSH buckets), so rounds ≈
+  3-5 in practice; pointer jumping bounds pathological chains at log d.
+- `localCheckpoint` per round truncates the otherwise exponentially growing
+  iterative lineage (same discipline as index/graph.py's hop loop).
+- The alternative O(log n) two-phase (large-star/small-star, Kiveris et al.
+  "Connected Components in MapReduce") optimizes the adversarial case —
+  long chains — at 2 joins/round as well; min-propagation + jumping wins on
+  the short-diameter graphs dedup actually produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node BIGINT, component BIGINT) for every node incident to an edge;
+    component = the minimum node id reachable (the canonical representative).
+
+    Raises if max_iter rounds don't converge — callers get exactness or an
+    error, never a silently-partial closure.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint()  # reused every round; cut the upstream plan
+
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nb"))
+        .select("a", F.least(F.col("a"), F.col("nb")).alias("label"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col("a").alias("b"), "label"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = labels.join(nbr_min, "a", "left").select(
+            "a",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: follow the current label one hop
+        parent = new.select(
+            F.col("a").alias("p_id"), F.col("label").alias("p_label")
+        )
+        new = (
+            new.join(parent, new["label"] == parent["p_id"], "left")
+            .select(
+                "a",
+                F.least(
+                    F.col("label"), F.coalesce("p_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "a")
+            .filter(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(
+                F.col("a").alias("node"), F.col("label").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate clusters over a corpus: transitive closure of
+    (exact-duplicate ∪ MinHash-LSH near-duplicate) edges.
+
+    Returns (doc_id, cluster_rep, cluster_size) for every doc in a cluster
+    of size ≥ 2; cluster_rep = min doc_id in the cluster (the doc a
+    keep-one-representative pipeline retains).
+    """
+    from sptag_spark.operators.dedup import (
+        dedup_exact_groups,
+        minhash_near_dup_pairs,
+    )
+
+    exact = dedup_exact_groups(docs, id_col=id_col, text_col=text_col)
+    exact_edges = exact.filter(F.col(id_col) != F.col("group_min")).select(
+        F.col(id_col).alias("src"), F.col("group_min").alias("dst")
+    )
+    near = minhash_near_dup_pairs(
+        docs, jaccard_threshold, id_col=id_col, text_col=text_col
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(exact_edges.union(near))
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("cluster_rep"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

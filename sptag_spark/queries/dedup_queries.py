@@ -188,6 +188,71 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+# -- duplicate clusters (connected components over dup edges) ---------------
+#
+# Oracle: DuckDB recursive CTE computes the transitive closure of the same
+# edge set (exact-dup edges doc→group_min ∪ exact-Jaccard ≥ τ pairs); the
+# closure is tiny at sf0.01 (≤ a few hundred edges). Spark runs the
+# distributed min-label-propagation operator — same clusters, proven by the
+# hash compare.
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.components import dedup_clusters
+
+    return dedup_clusters(corpus_table(spark, sf_dir), JACCARD_T)
+
+
+register(
+    "dedup_clusters",
+    _dedup_clusters,
+    f"""
+WITH RECURSIVE corpus AS ({ORACLE_CORPUS}),
+{_SH},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_T}
+),
+exact_groups AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS group_min
+  FROM corpus
+),
+exact_edges AS (
+  SELECT doc_id AS doc_a, group_min AS doc_b FROM exact_groups
+  WHERE doc_id <> group_min
+),
+all_pairs AS (SELECT * FROM near UNION SELECT * FROM exact_edges),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM all_pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM all_pairs
+),
+reach(a, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.a = e.b
+),
+comp AS (SELECT a AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY a),
+csizes AS (
+  SELECT cluster_rep, count(*) AS cluster_size FROM comp GROUP BY cluster_rep
+)
+SELECT comp.doc_id, comp.cluster_rep,
+       CAST(csizes.cluster_size AS BIGINT) AS cluster_size
+FROM comp JOIN csizes USING (cluster_rep)
+WHERE csizes.cluster_size > 1
+""",
+)
+
+
 register(
     "embedding_near_dup",
     _embedding_near_dup,

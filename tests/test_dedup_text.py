@@ -263,3 +263,57 @@ def test_pack_sequences(spark):
     out = {r["doc_id"]: r for r in pack_sequences(df, budget=10).collect()}
     assert [out[i]["pack_id"] for i in range(5)] == [0, 0, 0, 1, 0]
     assert out[3]["n_tokens"] == 2
+
+
+# -- connected components / duplicate clusters ------------------------------
+
+
+def test_connected_components_chain_and_convergence(spark):
+    from sptag_spark.operators.components import connected_components
+
+    # two components: a 17-node path (stresses pointer jumping: diameter 16
+    # must converge well inside max_iter=25 via log-rounds doubling) and a
+    # disjoint triangle with non-contiguous ids
+    path = [(i, i + 1) for i in range(100, 116)]
+    tri = [(7, 901), (901, 55), (55, 7)]
+    edges = spark.createDataFrame(path + tri, "src long, dst long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert {(i, 100) for i in range(100, 117)} <= got
+    assert {(7, 7), (55, 7), (901, 7)} <= got
+    assert len(got) == 20
+
+
+def test_connected_components_self_loop_only_dropped(spark):
+    from sptag_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([(5, 5), (1, 2)], "src long, dst long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    # node 5's only edge is a self-loop → not incident to any real edge
+    assert got == {(1, 1), (2, 1)}
+
+
+def test_dedup_clusters_transitive(spark):
+    from sptag_spark.operators.components import dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                       # A
+            (2, base),                       # exact dup of A
+            (3, base + " extra"),            # near-dup of A (high jaccard)
+            (10, "one two three four five six seven eight nine ten"),
+            (11, "completely different words with no overlap here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup_clusters(docs, 0.6).collect()
+    by_doc = {r["doc_id"]: (r["cluster_rep"], r["cluster_size"]) for r in rows}
+    # 1,2,3 form ONE cluster via transitivity (2 only links to 1 exactly,
+    # 3 only links near; closure merges them), rep = min id = 1
+    assert by_doc == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
