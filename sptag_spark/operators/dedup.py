@@ -483,3 +483,43 @@ def embedding_near_dup_pairs(
         block_pairs, schema="id_a long, id_b long, cos_sim double"
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact duplicate-SPAN statistics (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    n-token substrings across a corpus are memorization fuel; pipelines
+    measure and strip them).
+
+    A span = one of the overlapping n-token windows of a doc; a span is
+    duplicated if its text occurs ≥ 2 times anywhere in the corpus (other
+    docs OR elsewhere in the same doc). Returns per doc with ≥ 1 span:
+        (doc_id, n_spans, n_dup_spans, dup_frac)
+
+    Plan shape (100 TB): explode is map-side; span occurrence counting is a
+    groupBy on the span hash — partial map-side combine absorbs the heavy
+    hitters (boilerplate spans repeat millions of times; a window over the
+    hash would funnel each hot key through one partition, which is why this
+    is agg+join, not count-over-window). The join back is h↔h co-partitioned
+    with the agg output, and AQE skew-join splits any residual hot bucket.
+    The final per-doc rollup shuffles (doc_id) once.
+    """
+    from sptag_spark.functions.text import token_shingles_all
+
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_shingles_all(F.col(text_col), n)).alias("span"),
+    ).select("doc_id", md5_hex(F.col("span")).alias("h"))
+    counts = spans.groupBy("h").agg(F.count("*").alias("cnt"))
+    flagged = spans.join(counts, "h")
+    dup = (F.col("cnt") > 1).cast("long")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(dup).alias("n_dup_spans"),
+        F.round(F.sum(dup) / F.count("*"), 4).alias("dup_frac"),
+    )

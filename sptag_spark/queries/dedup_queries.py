@@ -188,6 +188,43 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+# -- corpus-wide duplicate spans --------------------------------------------
+
+SPAN_N = 10
+
+
+def _duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(corpus_table(spark, sf_dir), SPAN_N)
+
+
+register(
+    "duplicate_spans",
+    _duplicate_spans,
+    f"""
+WITH corpus AS ({ORACLE_CORPUS}),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+  FROM corpus
+),
+spans AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+{SPAN_N - 1}], ' ')) AS h
+  FROM tok, UNNEST(range(1, len(toks) - {SPAN_N} + 2)) AS u(i)
+  WHERE len(toks) >= {SPAN_N}
+),
+counts AS (SELECT h, count(*) AS cnt FROM spans GROUP BY h)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(sum(CASE WHEN cnt > 1 THEN 1.0 ELSE 0.0 END) / count(*), 4) AS dup_frac
+FROM spans JOIN counts USING (h)
+GROUP BY doc_id
+""",
+)
+
+
 # -- duplicate clusters (connected components over dup edges) ---------------
 #
 # Oracle: DuckDB recursive CTE computes the transitive closure of the same

@@ -317,3 +317,40 @@ def test_dedup_clusters_transitive(spark):
     # 1,2,3 form ONE cluster via transitivity (2 only links to 1 exactly,
     # 3 only links near; closure merges them), rep = min id = 1
     assert by_doc == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+
+
+def test_duplicate_spans(spark):
+    from sptag_spark.operators.dedup import duplicate_spans
+
+    ten = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, ten + " k"),          # spans: [a..j], [b..k]
+            (2, ten),                 # span [a..j] — duplicates doc 1's first
+            (3, "x " + ten),          # spans [x a..i], [a..j] — dup again
+            (4, "short doc"),         # < 10 tokens → no rows
+            (5, "p q r s t u v w x y z zz"),  # 3 unique spans
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"])
+        for r in duplicate_spans(docs, 10).collect()
+    }
+    assert rows[1] == (2, 1, 0.5)
+    assert rows[2] == (1, 1, 1.0)
+    assert rows[3] == (2, 1, 0.5)
+    assert 4 not in rows
+    assert rows[5] == (3, 0, 0.0)
+
+
+def test_duplicate_spans_intra_doc(spark):
+    from sptag_spark.operators.dedup import duplicate_spans
+
+    # the same 10-token span occurring twice INSIDE one doc is duplicated
+    ten = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, ten + " SEP " + ten)], "doc_id long, text string"
+    )
+    (r,) = duplicate_spans(docs, 10).collect()
+    assert r["n_spans"] == 12 and r["n_dup_spans"] == 2
