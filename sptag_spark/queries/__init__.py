@@ -11,5 +11,6 @@ import sptag_spark.queries.misc_queries  # noqa: F401
 import sptag_spark.queries.text_queries  # noqa: F401
 import sptag_spark.queries.multi_queries  # noqa: F401
 import sptag_spark.queries.mutation_queries  # noqa: F401
+import sptag_spark.queries.retrieval_queries  # noqa: F401
 import sptag_spark.queries.server_queries  # noqa: F401
 import sptag_spark.queries.streaming_queries  # noqa: F401

@@ -1,0 +1,146 @@
+"""Driver queries: BM25 keyword retrieval + hybrid keyword/vector fusion.
+
+Query terms are a fixed literal list (the corpus is synthetic OLAP-flavored
+text, so the terms are common corpus words — every engine run scores the
+same query). The hybrid query fuses the BM25 ranking with an exact cosine
+ranking for one fixed query vector over the SAME item universe (documents
+that have an embedding: vec_id = doc_id), which is the multimodal-corpus
+shape hybrid search assumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sptag_spark.registry import register
+from sptag_spark.tables import load_table
+
+BM25_TERMS = ["merge", "scan", "hash"]
+RETR_DEPTH = 100  # per-list candidate depth fed into fusion
+RRF_C = 60
+HYBRID_QUERY_ID = 0  # vec_id whose embedding is the vector query
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+# BM25 over lowercased whitespace tokens — the SQL twin of
+# operators/retrieval.py bm25_scores (same Okapi/Lucene formula).
+_BM25_SCORES = f"""
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+stats AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM tok),
+scal AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM stats),
+tf AS (
+  SELECT doc_id, dl, t.tok AS tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM stats, UNNEST(toks) AS t(tok)
+  WHERE t.tok IN ({_TERMS_SQL})
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+bm25 AS (
+  SELECT doc_id,
+         sum( ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+              * tf * (1.2 + 1.0)
+              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ) AS score
+  FROM tf JOIN dfs USING (tok), scal
+  GROUP BY doc_id
+)
+"""
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, BM25_TERMS, k=20)
+
+
+register(
+    "bm25_topk",
+    _bm25_topk,
+    f"""
+WITH {_BM25_SCORES}
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score, 4) AS bm25
+FROM bm25
+QUALIFY rank <= 20
+""",
+)
+
+
+# -- hybrid: BM25 rank ⊕ cosine rank via reciprocal-rank fusion --------------
+
+_COS_SIM_Q = (
+    "list_sum(list_transform(list_zip(e.embedding, q.qv), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)^2))) * "
+    "sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)^2))))"
+)
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.functions.distance import cosine_dist
+    from sptag_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = bm25_topk(docs, BM25_TERMS, k=RETR_DEPTH)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # same item universe as the text list: documents that have an embedding
+    emb = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") == HYBRID_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    w = Window.orderBy(F.col("cos_dist"), F.col("vec_id"))
+    vec = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", cosine_dist(F.col("embedding"), F.col("qv")).alias("cos_dist")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RETR_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse(lex, vec, k=20, c=RRF_C)
+
+
+register(
+    "hybrid_rrf_search",
+    _hybrid_rrf,
+    f"""
+WITH {_BM25_SCORES},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+  FROM bm25 QUALIFY ra <= {RETR_DEPTH}
+),
+emb AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id
+),
+q AS (SELECT embedding AS qv FROM emb WHERE vec_id = {HYBRID_QUERY_ID}),
+vec AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY greatest(0.0, 1.0 - ({_COS_SIM_Q})), vec_id
+         ) AS rb
+  FROM emb e, q
+  QUALIFY rb <= {RETR_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         COALESCE(1.0 / ({RRF_C} + ra), 0.0)
+           + COALESCE(1.0 / ({RRF_C} + rb), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(rrf, 6) AS rrf
+FROM fused
+QUALIFY rank <= 20
+""",
+)

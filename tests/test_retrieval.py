@@ -1,0 +1,55 @@
+"""BM25 + RRF fusion unit tests (hand-computed expectations)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def test_bm25_hand_computed(spark):
+    from sptag_spark.operators.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),     # tf(cat)=2, dl=3
+            (2, "cat mouse"),       # tf(cat)=1, dl=2
+            (3, "bird bird bird"),  # no query terms
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["cat"]).collect()}
+    n, avgdl, df, k1, b = 3.0, 8.0 / 3.0, 2.0, 1.2, 0.75
+
+    def score(tf, dl):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert set(got) == {1, 2}
+    assert got[1] == pytest.approx(score(2, 3), rel=1e-12)
+    assert got[2] == pytest.approx(score(1, 2), rel=1e-12)
+
+
+def test_bm25_case_insensitive_and_rank_ties(spark):
+    from sptag_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "Cat"), (2, "cat"), (3, "CAT")], "doc_id long, text string"
+    )
+    rows = bm25_topk(docs, ["cat"], k=3).collect()
+    # identical scores → rank by doc_id
+    assert [(r["rank"], r["doc_id"]) for r in rows] == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from sptag_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank long")
+    rows = rrf_fuse(a, b, k=3, c=60).collect()
+    got = {r["doc_id"]: (r["rank"], r["rrf"]) for r in rows}
+    # 20 appears in both lists → highest fused score
+    assert got[20][0] == 1
+    assert got[20][1] == pytest.approx(round(1 / 62 + 1 / 61, 6))
+    assert got[10] == (2, round(1 / 61, 6))
+    assert got[30] == (3, round(1 / 62, 6))
