@@ -39,9 +39,21 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_threshold: int = 500_000,
 ) -> DataFrame:
     """(node BIGINT, component BIGINT) for every node incident to an edge;
     component = the minimum node id reachable (the canonical representative).
+
+    Observed-size dispatch (the planner/graph_search discipline): the edge
+    list is materialized once (localCheckpoint — every path reuses it), and
+    its measured size picks the strategy:
+    - ≤ local_threshold edges → driver union-find. The EDGE LIST of a dup
+      graph is orders of magnitude smaller than the corpus (only docs with a
+      duplicate partner appear); a few hundred thousand edges union-find in
+      milliseconds where each distributed round costs whole shuffle stages.
+      This collects edges, never corpus rows.
+    - above → the distributed label-propagation loop; rounds = O(log
+      diameter), per-round cost two shuffle joins on (node, label) rows.
 
     Raises if max_iter rounds don't converge — callers get exactness or an
     error, never a silently-partial closure.
@@ -53,6 +65,9 @@ def connected_components(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     sym = sym.localCheckpoint()  # reused every round; cut the upstream plan
+
+    if sym.count() <= 2 * local_threshold:
+        return _local_components(sym)
 
     labels = (
         sym.groupBy("a")
@@ -99,6 +114,32 @@ def connected_components(
             )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def _local_components(sym: DataFrame) -> DataFrame:
+    """Driver union-find over a measured-small edge list (min id as root,
+    iterative path compression). Input is the symmetrized checkpointed edge
+    table; (a < b) rows carry every undirected edge once."""
+    pdf = sym.filter(F.col("a") < F.col("b")).toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # min id stays the root → canonical rep
+    rows = [(n, find(n)) for n in parent]
+    return sym.sparkSession.createDataFrame(
+        rows, "node long, component long"
     )
 
 

@@ -354,3 +354,20 @@ def test_duplicate_spans_intra_doc(spark):
     )
     (r,) = duplicate_spans(docs, 10).collect()
     assert r["n_spans"] == 12 and r["n_dup_spans"] == 2
+
+
+def test_connected_components_local_and_distributed_agree(spark):
+    from sptag_spark.operators.components import connected_components
+
+    path = [(i, i + 1) for i in range(100, 116)]
+    tri = [(7, 901), (901, 55), (55, 7)]
+    edges = spark.createDataFrame(path + tri, "src long, dst long")
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert local == dist and len(local) == 20
