@@ -117,11 +117,10 @@ def connected_components(
     )
 
 
-def _local_components(sym: DataFrame) -> DataFrame:
-    """Driver union-find over a measured-small edge list (min id as root,
-    iterative path compression). Input is the symmetrized checkpointed edge
-    table; (a < b) rows carry every undirected edge once."""
-    pdf = sym.filter(F.col("a") < F.col("b")).toPandas()
+def union_find(pairs) -> dict[int, int]:
+    """Pure driver union-find: iterable of (a, b) int pairs → {node: root},
+    root = min id of the node's component (iterative path compression,
+    min-id attachment so the canonical representative is deterministic)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -132,14 +131,22 @@ def _local_components(sym: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+    for a, b in pairs:
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo  # min id stays the root → canonical rep
-    rows = [(n, find(n)) for n in parent]
+    return {n: find(n) for n in parent}
+
+
+def _local_components(sym: DataFrame) -> DataFrame:
+    """Driver union-find over a measured-small edge list. Input is the
+    symmetrized checkpointed edge table; (a < b) rows carry every undirected
+    edge once."""
+    pdf = sym.filter(F.col("a") < F.col("b")).toPandas()
+    comp = union_find(zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()))
     return sym.sparkSession.createDataFrame(
-        rows, "node long, component long"
+        list(comp.items()), "node long, component long"
     )
 
 

@@ -280,3 +280,30 @@ def test_ann_serve_path_shuffles_no_vectors(spark, tmp_path_factory):
     # head_id= directories are read — the parquet translation of SPANN's
     # SSD seek (the README's core ANN-scale claim)
     assert "dynamicpruningexpression" in p, p
+
+
+def test_bm25_broadcasts_stats_and_prunes_terms(spark):
+    from sptag_spark.operators.retrieval import bm25_topk
+    from sptag_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    p = plan(bm25_topk(docs, ["merge", "scan", "hash"], k=20))
+    # df(t) and the corpus scalars join back as broadcasts — the per-doc
+    # term stream never shuffles to meet them
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # term filter applied map-side, before the tf aggregation's exchange
+    assert "array_contains" in p
+
+
+def test_duplicate_spans_partial_agg(spark):
+    from sptag_spark.operators.dedup import duplicate_spans
+    from sptag_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    p = plan(duplicate_spans(docs, 10))
+    # span-hash occurrence counting must partial-aggregate map-side (hot
+    # boilerplate spans), and the flag join must not be a cartesian
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

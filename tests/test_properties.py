@@ -139,3 +139,44 @@ def test_rng_prune_invariants(n, replica, rng_factor, seed):
             assert any(
                 rng_factor * hh[i, j] < cd[j] for i in keep if i < j
             ), (j, keep)
+
+
+# -- connected components: union-find vs BFS closure ------------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(edges_strategy)
+def test_union_find_matches_bfs(edges):
+    from collections import deque
+
+    from sptag_spark.operators.components import union_find
+
+    real = [(a, b) for a, b in edges if a != b]
+    got = union_find(real)
+
+    adj: dict[int, set[int]] = {}
+    for a, b in real:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, q = [], deque([start])
+        seen.add(start)
+        while q:
+            x = q.popleft()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        rep = min(comp)
+        for x in comp:
+            expected[x] = rep
+    assert got == expected
