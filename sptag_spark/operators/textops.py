@@ -326,3 +326,37 @@ def contamination_flags(
             F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
         )
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Model-based quality proxy: per-doc mean unigram log-probability under
+    the corpus's own empirical unigram distribution (the cheap stand-in for
+    a KenLM perplexity filter — docs of rare/garbled tokens score low, docs
+    of common fluent tokens score high).
+
+    Two aggregations over one exploded token stream (lowercased whitespace
+    tokens): corpus frequencies (groupBy token, map-side partial combine),
+    then token→freq join and a per-doc rollup. The freq table is vocab-
+    sized; the join shuffles on the token key where both sides are already
+    hash-partitioned by the preceding aggregations, and AQE's skew handling
+    covers hot function words at corpus scale.
+
+    Returns (doc_id, n_tokens, avg_logprob) — docs with ≥ 1 token.
+    """
+    from sptag_spark.functions.text import tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    scored = tok.join(freq, "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.avg(F.log(F.col("cnt") / F.col("total"))), 4
+        ).alias("avg_logprob"),
+    )

@@ -430,3 +430,30 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN shared sh USING (doc_id)
 """,
 )
+
+
+# -- unigram log-probability quality proxy ----------------------------------
+
+register(
+    "unigram_logprob",
+    lambda spark, sf_dir: __import__(
+        "sptag_spark.operators.textops", fromlist=["unigram_logprob"]
+    ).unigram_logprob(_docs(spark, sf_dir)),
+    r"""
+WITH tok AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+    FROM documents
+  ), UNNEST(toks) AS t(tok)
+),
+freq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok),
+total AS (SELECT sum(cnt) AS total FROM freq)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(cnt / total)), 4) AS avg_logprob
+FROM tok JOIN freq USING (tok), total
+GROUP BY doc_id
+""",
+)

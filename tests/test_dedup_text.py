@@ -371,3 +371,20 @@ def test_connected_components_local_and_distributed_agree(spark):
         for r in connected_components(edges, local_threshold=0).collect()
     }
     assert local == dist and len(local) == 20
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from sptag_spark.operators.textops import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(docs).collect()
+    }
+    # corpus: a×2, b×2, total 4 → p(a)=p(b)=0.5
+    lp = round(math.log(0.5), 4)
+    assert got == {1: (3, lp), 2: (1, lp)}  # doc 3 (empty) excluded

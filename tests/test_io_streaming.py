@@ -493,3 +493,88 @@ def test_quantizer_save_load_roundtrip(spark, small_vectors, tmp_path_factory):
     assert back_idx.quantizer is not None
     assert np.array_equal(back_idx.quantizer.codebooks, books.codebooks)
     assert back_idx.codes.count() == codes.count()
+
+
+def test_streaming_near_dup_cross_batch(spark, tmp_path_factory):
+    """Stateful MinHash-LSH near-dup: a doc arriving in batch 2 that is a
+    near-copy of a batch-1 doc yields a candidate pair against the EARLIER
+    doc — state (bucket signatures) survives the micro-batch boundary."""
+    import os
+
+    from sptag_spark.streaming.stateful import streaming_near_dup_candidates
+
+    d = tmp_path_factory.mktemp("near_dup_stream")
+    src, ckpt, out = str(d / "src"), str(d / "ckpt"), str(d / "out")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions beneath the ancient stone bridge at midnight"
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        cand = streaming_near_dup_candidates(stream, threshold=0.5)
+        q = (
+            cand.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about database join "
+                        "strategies and columnar storage formats in engines")],
+        schema,
+    )
+    b1.write.mode("append").parquet(src)
+    assert run_once() == set()  # nothing similar within batch 1
+
+    # batch 2: near-copy of doc 1 (one word changed), plus a fresh doc
+    b2 = spark.createDataFrame(
+        [(3, base.replace("midnight", "noon")),
+         (4, "yet another disjoint document mentioning vector indexes "
+             "postings replicas and balanced clustering procedures only")],
+        schema,
+    )
+    b2.write.mode("append").parquet(src)
+    pairs = run_once()
+    assert (1, 3) in pairs
+    assert all(a == 1 and b == 3 for a, b in pairs)  # no false positives
+
+
+def test_streaming_near_dup_exact_copy_same_batch(spark, tmp_path_factory):
+    import os
+
+    from sptag_spark.streaming.stateful import streaming_near_dup_candidates
+
+    d = tmp_path_factory.mktemp("near_dup_stream2")
+    src, ckpt, out = str(d / "src"), str(d / "ckpt"), str(d / "out")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    spark.createDataFrame([(7, text), (9, text)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    cand = streaming_near_dup_candidates(stream, threshold=0.9)
+    q = (
+        cand.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    # exact copy: every band bucket emits the pair with est_jaccard 1.0
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(7, 9)}
+    assert all(r["est_jaccard"] == 1.0 for r in rows)
