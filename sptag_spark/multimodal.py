@@ -152,3 +152,88 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))),
     )
     return frames.select("id", "frame_no")
+
+
+# -- audio ------------------------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "id long, media_type string, sample_rate int, channels int, "
+    "n_samples long, duration_sec double"
+)
+
+
+def _parse_wav(b: bytes) -> tuple[int, int, int] | None:
+    """WAV/RIFF: walk chunks for 'fmt ' (channels LE16@+2, sample_rate
+    LE32@+4, bits LE16@+14) and 'data' (payload size → sample count).
+    Returns (sample_rate, channels, n_samples) or None if not a WAV."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    sr = ch = bits = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            ch = int.from_bytes(b[i + 10 : i + 12], "little")
+            sr = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not (sr and ch and bits and data_size is not None):
+        return None
+    return sr, ch, data_size // max(ch * bits // 8, 1)
+
+
+def _fake_audio_one(payload: bytes) -> tuple[int, int, int]:
+    """md5-closed-form audio metadata (SQL-twin-able like _fake_decode_one):
+    sample_rate = 8000 + hex[0:2] % 8 · 4000, channels = 1 + hex[2:4] % 2,
+    n_samples = (hex[4:6] + 1) · 1000."""
+    h = hashlib.md5(payload).hexdigest()
+    sr = 8000 + (int(h[0:2], 16) % 8) * 4000
+    ch = 1 + int(h[2:4], 16) % 2
+    n = (int(h[4:6], 16) + 1) * 1000
+    return sr, ch, n
+
+
+def decode_audio(media: DataFrame, mode: str = "fake") -> DataFrame:
+    """(id, media, media_type) → AUDIO_SCHEMA. mode="real" parses WAV/RIFF
+    headers dependency-free (unrecognized payloads decode as 0s); "fake" is
+    the md5 closed form the DuckDB oracle replicates. The binary column is
+    consumed here and NOT emitted — downstream audio analytics shuffle only
+    scalar metadata."""
+    if mode not in ("fake", "real"):
+        raise ValueError(f"unknown decode mode {mode!r}")
+
+    def one(payload: bytes) -> tuple[int, int, int]:
+        if mode == "fake":
+            return _fake_audio_one(payload)
+        return _parse_wav(payload) or (0, 0, 0)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            srs, chs, ns = [], [], []
+            for payload in pdf["media"]:
+                sr, ch, n = one(bytes(payload))
+                srs.append(sr)
+                chs.append(ch)
+                ns.append(n)
+            sr_a = np.array(srs, dtype=np.int64)
+            n_a = np.array(ns, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media_type": pdf["media_type"],
+                    "sample_rate": np.array(srs, dtype=np.int32),
+                    "channels": np.array(chs, dtype=np.int32),
+                    "n_samples": n_a,
+                    "duration_sec": np.where(
+                        sr_a > 0, n_a / np.maximum(sr_a, 1), 0.0
+                    ),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=AUDIO_SCHEMA)

@@ -490,3 +490,39 @@ FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0
 
 
 register("reader_truth_roundtrip", _truth_roundtrip, _truth_roundtrip_oracle())
+
+
+# -- audio metadata decode (fake mode; md5 closed form, SQL twin below) -----
+
+
+def _audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.multimodal import decode_audio
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_fake_media(docs)
+    decoded = decode_audio(media, mode="fake")
+    return decoded.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "channels",
+        "n_samples",
+        F.round("duration_sec", ROUND).alias("duration_sec"),
+    )
+
+
+register(
+    "audio_meta",
+    _audio_meta,
+    f"""
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+)
+SELECT doc_id,
+  CAST(8000 + (({_HEX_AT.format(i=1, j=2)}) % 8) * 4000 AS INT) AS sample_rate,
+  CAST(1 + ({_HEX_AT.format(i=3, j=4)}) % 2 AS INT) AS channels,
+  CAST((({_HEX_AT.format(i=5, j=6)}) + 1) * 1000 AS BIGINT) AS n_samples,
+  round(CAST((({_HEX_AT.format(i=5, j=6)}) + 1) * 1000 AS DOUBLE)
+        / (8000 + (({_HEX_AT.format(i=1, j=2)}) % 8) * 4000), {ROUND}) AS duration_sec
+FROM hashed
+""",
+)

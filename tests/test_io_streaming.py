@@ -578,3 +578,49 @@ def test_streaming_near_dup_exact_copy_same_batch(spark, tmp_path_factory):
     # exact copy: every band bucket emits the pair with est_jaccard 1.0
     assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(7, 9)}
     assert all(r["est_jaccard"] == 1.0 for r in rows)
+
+
+def _wav_bytes(sr=16000, ch=2, bits=16, n_samples=1234) -> bytes:
+    """Minimal valid RIFF/WAVE: fmt chunk + silent data chunk."""
+    data_size = n_samples * ch * bits // 8
+    fmt = (
+        (1).to_bytes(2, "little")          # PCM
+        + ch.to_bytes(2, "little")
+        + sr.to_bytes(4, "little")
+        + (sr * ch * bits // 8).to_bytes(4, "little")
+        + (ch * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + data_size.to_bytes(4, "little") + b"\x00" * data_size
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_audio_real_wav(spark):
+    from sptag_spark.multimodal import decode_audio
+
+    rows = [
+        (1, bytearray(_wav_bytes(sr=16000, ch=2, bits=16, n_samples=1234)), "audio/wav"),
+        (2, bytearray(_wav_bytes(sr=8000, ch=1, bits=8, n_samples=4000)), "audio/wav"),
+        (3, bytearray(b"not audio at all"), "application/octet-stream"),
+    ]
+    media = spark.createDataFrame(rows, "id long, media binary, media_type string")
+    got = {
+        r["id"]: (r["sample_rate"], r["channels"], r["n_samples"], r["duration_sec"])
+        for r in decode_audio(media, mode="real").collect()
+    }
+    assert got[1] == (16000, 2, 1234, 1234 / 16000)
+    assert got[2] == (8000, 1, 4000, 0.5)
+    assert got[3] == (0, 0, 0, 0.0)
+
+
+def test_parse_wav_chunk_walk_past_extra_chunks(spark):
+    """fmt located after a LIST chunk; odd-sized chunk is word-aligned."""
+    from sptag_spark.multimodal import _parse_wav
+
+    wav = _wav_bytes(sr=44100, ch=1, bits=16, n_samples=100)
+    # splice a 3-byte junk chunk (padded to 4) right after "WAVE"
+    junk = b"JUNK" + (3).to_bytes(4, "little") + b"abc\x00"
+    spliced = wav[:12] + junk + wav[12:]
+    spliced = b"RIFF" + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    assert _parse_wav(spliced) == (44100, 1, 100)
