@@ -116,3 +116,32 @@ register(
         "SELECT query_id, rank, id, 'BRUTE_KERNEL' AS strategy,",
     ),
 )
+
+
+# -- SQL API door: the same k-NN through spark.sql text ---------------------
+#
+# Ad-hoc analysts use SQL, not the DataFrame kernel; this query proves the
+# SQL door returns the engine's exact contract (same oracle as knn_l2,
+# subset to a probe-sized batch — the SQL door's all-pairs plan is for
+# ad-hoc probes, the kernel is the big-batch path).
+
+SQL_DOOR_MODULUS = 250
+
+
+def _sql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.sql import sql_knn
+
+    return sql_knn(
+        spark, sf_dir, metric="l2", k=DEFAULT_K, query_modulus=SQL_DOOR_MODULUS
+    )
+
+
+register(
+    "sql_topk",
+    _sql_topk,
+    knn_oracle_sql("l2").replace(
+        "pairs AS (\n  SELECT",
+        f"qq AS (SELECT * FROM q WHERE query_id % {SQL_DOOR_MODULUS} = 0),\n"
+        "pairs AS (\n  SELECT",
+    ).replace("FROM q CROSS JOIN v", "FROM qq q CROSS JOIN v"),
+)

@@ -123,3 +123,27 @@ def test_ann_chunked_path_identical(spark, sf_dir):
     )
     assert base == chunked
     assert len(base) > 0
+
+
+def test_sql_door_matches_kernel(spark, sf_dir):
+    """spark.sql text (sql.py knn_sql) and the DataFrame kernel return
+    identical rows for every metric — the two front doors are one engine."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.knn import knn
+    from sptag_spark.sql import sql_knn
+    from sptag_spark.tables import queries_table, vectors_table
+
+    for metric in ("l2", "cosine", "ip"):
+        via_sql = {
+            (r["query_id"], r["rank"], r["id"], r["dist"])
+            for r in sql_knn(spark, sf_dir, metric=metric, k=5).collect()
+        }
+        kern = knn(
+            vectors_table(spark, sf_dir), queries_table(spark, sf_dir), 5, metric
+        ).withColumn("dist", F.round("dist", 4))
+        via_kernel = {
+            (r["query_id"], r["rank"], r["id"], r["dist"])
+            for r in kern.collect()
+        }
+        assert via_sql == via_kernel, metric
