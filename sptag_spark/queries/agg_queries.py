@@ -188,3 +188,68 @@ FROM events
 GROUP BY event_type
 """,
 )
+
+
+# -- events: per-user sessionization (session_window; gaps-and-islands twin) -
+#
+# Spark's native session_window (the SAME operator Structured Streaming
+# runs with a watermark for state expiry) merges a user's events into
+# sessions; a session's window is [start, last_ts + gap), so an event at
+# EXACTLY last_ts + gap begins a new session (gap >= threshold splits —
+# pinned by 12 real boundary sessions in the driver data). The DuckDB
+# oracle is the classic gaps-and-islands rewrite: flag rows whose lag-gap
+# reaches the threshold, running-sum the flags into session ids,
+# aggregate. Hash-equality of the two formulations is exactly the
+# session-semantics check; floor(epoch()) matches unix_timestamp's
+# truncation of fractional seconds.
+
+SESSION_GAP_MIN = 30
+
+
+def _user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+register(
+    "user_sessions",
+    _user_sessions,
+    f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts)) >= {SESSION_GAP_MIN * 60}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
