@@ -48,12 +48,37 @@ _CAND_SCHEMA = "query_id long, id long, dist double"
 
 
 def _as_matrix(series: pd.Series) -> np.ndarray:
-    return np.array(series.tolist(), dtype=np.float64)
+    """Vector column → (n, d) float64 matrix, with the reference's ingest
+    diagnostics instead of an opaque BLAS shape error: NULL vectors and
+    ragged dimensions raise DimensionSizeMismatch-style messages
+    (`src/Core/BKT/BKTIndex.cpp:924`) naming the defect."""
+    vals = series.tolist()
+    try:
+        m = np.array(vals, dtype=np.float64)
+    except ValueError:
+        m = None
+    if m is not None and m.ndim == 2:
+        return m
+    if any(v is None for v in vals):
+        raise ValueError(
+            "DimensionSizeMismatch: vector column contains NULL entries — "
+            "filter or repair them before search (reference rejects them "
+            "at AddIndex time)"
+        )
+    dims = {len(v) for v in vals}
+    raise ValueError(
+        f"DimensionSizeMismatch: vector column mixes dimensions {sorted(dims)}"
+    )
 
 
 def _block_distances(V: np.ndarray, Q: np.ndarray, metric: str) -> np.ndarray:
     """(n, q) distance block in float64. Direct (V-Q)^2 sums for L2 (better
     conditioned than the ||v||^2 - 2vq + ||q||^2 expansion near ties)."""
+    if V.shape[1] != Q.shape[1]:
+        raise ValueError(
+            f"DimensionSizeMismatch: vectors have dim {V.shape[1]} but "
+            f"queries have dim {Q.shape[1]}"
+        )
     if metric == "l2":
         # ||v||^2 - 2 v.q + ||q||^2 via BLAS: O(n*q*d) flops with only an
         # (n, q) result buffer (no n*q*d temp). Clamped at 0 so a vector's

@@ -147,3 +147,32 @@ def test_sql_door_matches_kernel(spark, sf_dir):
             for r in kern.collect()
         }
         assert via_sql == via_kernel, metric
+
+
+def test_dimension_mismatch_diagnostics(spark):
+    """NULL vectors and ragged/mismatched dims raise the reference's
+    DimensionSizeMismatch diagnostic, not an opaque BLAS shape error
+    (BKTIndex.cpp:924 rejects these at AddIndex time)."""
+    import pytest
+
+    from sptag_spark.operators.knn import knn
+
+    v = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        "id long, vector array<float>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.1])], "query_id long, vector array<float>"
+    )
+    with pytest.raises(Exception, match="DimensionSizeMismatch.*NULL"):
+        knn(v, q, 2, "l2").collect()
+
+    clean = v.filter(v.vector.isNotNull())
+    q3 = spark.createDataFrame(
+        [(7, [1.0, 2.0, 3.0])], "query_id long, vector array<float>"
+    )
+    with pytest.raises(Exception, match="DimensionSizeMismatch.*dim"):
+        knn(clean, q3, 2, "l2").collect()
+
+    # empty query batch is a degenerate success, not an error
+    assert knn(clean, q.filter(q.query_id < 0), 2, "l2").collect() == []

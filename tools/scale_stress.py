@@ -39,11 +39,21 @@ def scaled_docs(spark: SparkSession, scale: int) -> DataFrame:
     if scale == 1:
         return base
     copies = spark.range(scale).select(F.col("id").alias("copy"))
+    # per-copy suffix on EVERY token: copy k of a doc shares no shingles
+    # with copy j≠k, so the near-dup pair structure replicates linearly
+    # (suffixing only the end of the text leaves copies ~identical and
+    # fabricates a quadratic cross-copy pair explosion the real corpus
+    # doesn't have)
+    perturbed = F.array_join(
+        F.transform(
+            F.split(F.trim("text"), r"\s+"),
+            lambda t: F.concat(t, F.lit("c"), F.col("copy").cast("string")),
+        ),
+        " ",
+    )
     return base.crossJoin(copies).select(
         (F.col("doc_id") + F.col("copy") * 10_000_000).alias("doc_id"),
-        F.when(F.col("copy") == 0, F.col("text")).otherwise(
-            F.concat(F.col("text"), F.lit(" zcopy"), F.col("copy").cast("string"))
-        ).alias("text"),
+        F.when(F.col("copy") == 0, F.col("text")).otherwise(perturbed).alias("text"),
     )
 
 
