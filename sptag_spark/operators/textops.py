@@ -360,3 +360,40 @@ def unigram_logprob(
             F.avg(F.log(F.col("cnt") / F.col("total"))), 4
         ).alias("avg_logprob"),
     )
+
+
+def dataset_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash split into named fractions (train/val/test by
+    default) — the split a training pipeline must reproduce byte-for-byte
+    on every rerun and every engine.
+
+    Assignment: md5(seed || id) → first 6 hex chars → integer in [0, 2^24);
+    cumulative weight thresholds carve the range. Pure column expressions
+    (map-only, no shuffle); md5 keeps the bucket portable across engines —
+    the same doc lands in the same split in Spark, DuckDB, or anything else
+    with md5 (xxhash64 would be faster but engine-internal).
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    span = 1 << 24
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w / total
+        cond = bucket < F.lit(int(acc * span))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # the final threshold is int(span) == span, so otherwise() is unreachable
+    # except for rounding at acc ≈ 1.0 — route it to the last split
+    expr = expr.otherwise(list(weights)[-1])
+    return docs.withColumn("split", expr)

@@ -457,3 +457,57 @@ FROM tok JOIN freq USING (tok), total
 GROUP BY doc_id
 """,
 )
+
+
+# -- deterministic dataset split --------------------------------------------
+#
+# The oracle rebuilds the md5 bucket with instr arithmetic (conv() has no
+# DuckDB twin): value = pair1·65536 + pair2·256 + pair3 over the first six
+# hex chars — identical integers, identical thresholds, identical split.
+
+_SPLIT_SEED = 42
+_B24 = 1 << 24
+
+
+def _dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.textops import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    assigned = dataset_split(docs, seed=_SPLIT_SEED)
+    return assigned.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+_PAIR = (
+    "((instr('0123456789abcdef', substring(h, {i}, 1)) - 1) * 16 + "
+    "(instr('0123456789abcdef', substring(h, {j}, 1)) - 1))"
+)
+
+register(
+    "dataset_split",
+    _dataset_split,
+    f"""
+WITH hashed AS (
+  SELECT doc_id, source,
+         md5('{_SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+bucketed AS (
+  SELECT source,
+         {_PAIR.format(i=1, j=2)} * 65536
+         + {_PAIR.format(i=3, j=4)} * 256
+         + {_PAIR.format(i=5, j=6)} AS bucket
+  FROM hashed
+)
+SELECT source,
+       CASE WHEN bucket < {int(0.9 * _B24)} THEN 'train'
+            WHEN bucket < {int(0.95 * _B24)} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM bucketed
+GROUP BY 1, 2
+""",
+)

@@ -388,3 +388,28 @@ def test_unigram_logprob_hand_computed(spark):
     # corpus: a×2, b×2, total 4 → p(a)=p(b)=0.5
     lp = round(math.log(0.5), 4)
     assert got == {1: (3, lp), 2: (1, lp)}  # doc 3 (empty) excluded
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    from sptag_spark.operators.textops import dataset_split
+
+    docs = spark.range(10000).select(F.col("id").alias("doc_id"))
+    a = dataset_split(docs, seed=7).groupBy("split").count().collect()
+    b = dataset_split(docs, seed=7).groupBy("split").count().collect()
+    assert {(r["split"], r["count"]) for r in a} == {
+        (r["split"], r["count"]) for r in b
+    }
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 10000 - 0.9) < 0.02
+    assert abs(counts["val"] / 10000 - 0.05) < 0.01
+    # different seed → different assignment (overwhelmingly)
+    c = dataset_split(docs, seed=8)
+    moved = (
+        dataset_split(docs, seed=7)
+        .select("doc_id", F.col("split").alias("s7"))
+        .join(c.select("doc_id", F.col("split").alias("s8")), "doc_id")
+        .filter(F.col("s7") != F.col("s8"))
+        .count()
+    )
+    assert moved > 500
