@@ -99,6 +99,23 @@ def _estimate_rows(df: DataFrame) -> int:
 _EST_ROW_BYTES = 300
 
 
+def _query_batch_rows(df: DataFrame) -> int:
+    """Exact row count for the QUERY side of the cost comparison.
+
+    Catalyst's sizeInBytes cannot see the selectivity of a non-pushable
+    predicate (e.g. `id % 25 = 0` derives the query batch from the base
+    table): without CBO column stats the Filter inherits its child's
+    estimate, so an 80-row batch reads as the full table. Feeding that into
+    brute_cost() inflates |V|·|Q| ~28× and flips the decision to
+    build-an-index-per-batch — the most expensive possible mistake.
+
+    Query batches are small by contract (every serve path collects them to
+    a broadcast), so one count() job — a parquet-footer/metadata-only scan
+    — is strictly cheaper than a single misplanned strategy choice. The
+    big VECTORS side keeps the free Catalyst estimate."""
+    return max(1, df.count())
+
+
 @dataclass
 class CostModel:
     """Observed-cost model: per-strategy throughputs measured from real
@@ -318,7 +335,7 @@ def plan_topk(
             "GRAPH", spec, reasons, est_rows, nprobe, _index=graph_index
         )
     if cost_model is not None:
-        est_q = _estimate_rows(spec.queries)
+        est_q = _query_batch_rows(spec.queries)
         c_brute = cost_model.brute_cost(est_rows, est_q)
         c_spann = cost_model.spann_build_cost(est_rows) + cost_model.spann_serve_cost(
             est_rows, est_q, nprobe
