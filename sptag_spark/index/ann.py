@@ -73,6 +73,65 @@ def route_queries(
     )
 
 
+def topk_per_query(
+    scored: DataFrame, k: int, dist_col: str = "dist", with_rank: bool = True
+) -> DataFrame:
+    """One-shuffle dedup + top-k over scored candidates.
+
+    Input (query_id, id, <dist_col>) may hold replica duplicates of
+    (query_id, id); output keeps each id's MINIMUM distance, then the k
+    smallest by (dist, id) per query with rank 1..k — the engine-wide
+    tie-break contract (`QueryResultSet.h:17-26`).
+
+    This replaces the groupBy-min + window-rank tail: that shape pays two
+    Exchanges (hash(query_id,id), then hash(query_id)) plus a full
+    partition sort; here ONE hash shuffle on query_id lands each query's
+    candidate rows (three scalars each — vectors never reach this stage) in
+    a single group and an in-kernel np.lexsort does dedup and ranking
+    together. Candidates per query are bounded by nprobe·posting_limit —
+    a few thousand rows — so the group always fits in memory regardless of
+    corpus size; one fewer shuffle barrier at any scale."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = (
+        ["query_id", "rank", "id", dist_col]
+        if with_rank
+        else ["query_id", "id", dist_col]
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(np.int64)
+        d = pdf[dist_col].to_numpy(np.float64)
+        # keep min dist per id: sort by (id, dist), take each id's first row
+        order = np.lexsort((d, ids))
+        ids_s, d_s = ids[order], d[order]
+        keep = np.ones(len(ids_s), dtype=bool)
+        keep[1:] = ids_s[1:] != ids_s[:-1]
+        ids_u, d_u = ids_s[keep], d_s[keep]
+        # top-k by (dist, id)
+        top = np.lexsort((ids_u, d_u))[:k]
+        cols = {
+            "query_id": np.full(len(top), pdf["query_id"].iloc[0], np.int64),
+            "id": ids_u[top],
+            dist_col: d_u[top],
+        }
+        if with_rank:
+            cols["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        return pd.DataFrame(cols)[out_cols]
+
+    schema = ", ".join(
+        {
+            "query_id": "query_id long",
+            "rank": "rank long",
+            "id": "id long",
+            dist_col: f"{dist_col} double",
+        }[c]
+        for c in out_cols
+    )
+    return scored.groupBy("query_id").applyInPandas(kern, schema=schema)
+
+
 def ann_search(
     queries: DataFrame,
     heads: DataFrame,
@@ -151,14 +210,8 @@ def ann_search(
 
     scored = cand.mapInPandas(score, schema="query_id long, id long, dist double")
     # exact recompute ⇒ every replica of (query_id, id) scores identically;
-    # min() is pure dedup, never a value change
-    deduped = scored.groupBy("query_id", "id").agg(F.min("dist").alias("dist"))
-    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("id"))
-    return (
-        deduped.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "id", "dist")
-    )
+    # the min-dedup inside topk_per_query is pure dedup, never a value change
+    return topk_per_query(scored, k)
 
 
 def search_tree(

@@ -245,8 +245,6 @@ def ivf_pq_search(
     PQ-quantization-limited to routing-limited (measured 0.62 → 0.89 at
     sf0.1, nprobe=25%, m=16) for k·rerank exact distance computations per
     query. The returned adc_dist column is then the exact distance."""
-    from pyspark.sql import Window
-
     from sptag_spark.index.ann import route_queries
 
     cb, R = books.codebooks, books.rotation
@@ -304,28 +302,21 @@ def ivf_pq_search(
                 {"query_id": qids, "id": pdf["id"].to_numpy(), "adc_dist": dist}
             )
 
+    from sptag_spark.index.ann import topk_per_query
+
     scored = cand.mapInPandas(
         kernel, schema="query_id long, id long, adc_dist double"
     )
-    # a multi-assigned vector scores per list (residuals differ); keep its
-    # best approximation — min is both dedup and accuracy here
-    deduped = scored.groupBy("query_id", "id").agg(
-        F.min("adc_dist").alias("adc_dist")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("id"))
+    # a multi-assigned vector scores per list (residuals differ);
+    # topk_per_query keeps its best approximation — min is both dedup and
+    # accuracy here — and ranks in the same single shuffle
     if rerank <= 0:
-        return (
-            deduped.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "id", "adc_dist")
-        )
+        return topk_per_query(scored, k, dist_col="adc_dist")
     if vectors is None:
         raise ValueError("rerank > 0 requires the full-vector table")
-    shortlist = (
-        deduped.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max(rerank, k))
-        .select("query_id", "id")
-    )
+    shortlist = topk_per_query(
+        scored, max(rerank, k), dist_col="adc_dist", with_rank=False
+    ).select("query_id", "id")
     exact_cand = vectors.select("id", "vector").join(F.broadcast(shortlist), "id")
 
     def exact_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -347,8 +338,4 @@ def ivf_pq_search(
     refined = exact_cand.mapInPandas(
         exact_kernel, schema="query_id long, id long, adc_dist double"
     )
-    return (
-        refined.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "id", "adc_dist")
-    )
+    return topk_per_query(refined, k, dist_col="adc_dist")

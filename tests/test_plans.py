@@ -82,12 +82,18 @@ def test_ann_search_broadcasts_routes_and_dedups(spark):
     # routes broadcast to the posting join; postings never shuffle to join
     assert p.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
-    # replica dedup is partial/final aggregation before the global rank
-    # (SortAggregate: the dedup keys ride with an array column)
-    assert "SortAggregate" in p or "HashAggregate" in p
-    # Spark's rank-limit pushdown keeps per-partition top-k ahead of the
-    # final window — the partial/final top-k shape
-    assert "WindowGroupLimit" in p
+    # dedup + rank is the fused one-shuffle tail (topk_per_query): scored
+    # scalars hash once on query_id into a single grouped kernel — not the
+    # old aggregate-then-window double Exchange. (That no Exchange carries
+    # a vector payload is pinned by test_ann_serve_path_shuffles_no_vectors.)
+    assert "FlatMapGroupsInPandas" in p
+    lines = p.splitlines()
+    scoring_at = next(
+        i for i, ln in enumerate(lines)
+        if " MapInPandas (" in ln and "FlatMap" not in ln
+    )
+    tail = "\n".join(lines[:scoring_at])
+    assert tail.count("Exchange") == 1, tail
 
 
 def test_minhash_no_shingle_self_join_explosion(spark):
