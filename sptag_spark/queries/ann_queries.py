@@ -264,6 +264,48 @@ FROM ({ORACLE_PER_QUERY})
 )
 
 
+def sq_index(spark: SparkSession, sf_dir: str) -> tuple:
+    def build():
+        from sptag_spark.index.sq import sq_encode, train_sq
+
+        vectors = vectors_table(spark, sf_dir)
+        params = train_sq(vectors)
+        codes = sq_encode(vectors, params).persist()
+        codes.count()
+        return params, codes
+
+    return _memo(spark, sf_dir, "sq8", build)
+
+
+def _sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 int8-storage scan with exact refine: 4x less scan I/O than the
+    float table at near-lossless recall (the quantization grid is per-dim
+    min/max over the corpus). rerank=2k restores the self-hit guarantee the
+    rounding grid could cost, so the gate matches the exact path's."""
+    from sptag_spark.index.sq import sq_search
+
+    params, codes = sq_index(spark, sf_dir)
+    queries = queries_table(spark, sf_dir)
+    res = sq_search(
+        codes, queries, params, k=DEFAULT_K,
+        rerank=2 * DEFAULT_K, vectors=vectors_table(spark, sf_dir),
+    )
+    return self_verified_search(
+        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.95
+    )
+
+
+register(
+    "sq8_search",
+    _sq8,
+    f"""
+SELECT query_id, CAST({DEFAULT_K} AS BIGINT) AS n_results,
+       TRUE AS self_hit, TRUE AS recall_ok
+FROM ({ORACLE_PER_QUERY})
+""",
+)
+
+
 def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     books, codes = pq_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)

@@ -308,3 +308,58 @@ FROM a JOIN b ON id_a < id_b
 WHERE {_COS_SIM} >= {COS_T}
 """,
 )
+
+
+# -- semantic clustering (cluster-then-curate, SemDeDup-style) ---------------
+#
+# Self-verifying like the kmeans-derived ANN queries: the clustering itself
+# is not SQL-expressible, so the Spark side MEASURES its contract — full
+# coverage, k non-empty buckets, majority-own-centroid separation, one
+# valid exemplar per bucket — and the oracle states the expected outcome
+# from the base tables alone.
+
+CLUSTER_K = 16
+
+
+def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.curation import (
+        cluster_exemplars,
+        cluster_summary,
+        semantic_clusters,
+    )
+    from sptag_spark.queries.ann_queries import _memo
+    from sptag_spark.tables import vectors_table
+
+    def build():
+        v = vectors_table(spark, sf_dir).select("id", "vector")
+        assigned, scored = semantic_clusters(v, k=CLUSTER_K)
+        scored = scored.persist()
+        scored.count()
+        return (scored,)
+
+    (scored,) = _memo(spark, sf_dir, f"doc_clusters{CLUSTER_K}", build)
+    summary = cluster_summary(scored)
+    ex = cluster_exemplars(scored)
+    ex_inv = ex.agg(
+        (F.count("*") == CLUSTER_K).alias("exemplars_ok"),
+    )
+    agg = summary.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        (F.count("*") == CLUSTER_K).alias("k_clusters"),
+        (F.min("separation") >= 0.5).alias("separation_ok"),
+    )
+    cover = scored.agg(
+        (F.count_distinct("id") == F.count("*")).alias("cover_ok")
+    )
+    return agg.crossJoin(F.broadcast(ex_inv)).crossJoin(F.broadcast(cover))
+
+
+register(
+    "doc_clusters",
+    _doc_clusters,
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS k_clusters,
+       TRUE AS separation_ok, TRUE AS exemplars_ok, TRUE AS cover_ok
+FROM embeddings
+""",
+)

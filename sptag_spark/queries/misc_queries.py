@@ -526,3 +526,48 @@ SELECT doc_id,
 FROM hashed
 """,
 )
+
+
+# -- JSONL interchange roundtrip --------------------------------------------
+#
+# documents → gz-sharded JSONL → distributed read with explicit schema →
+# per-row identity vs the parquet original (the oracle states it from the
+# base table). Proves the corpus interchange boundary end-to-end: JSON
+# escaping of arbitrary text, gzip shards, schema-pinned read.
+
+
+def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.queries.ann_queries import _memo
+
+    def build():
+        import hashlib
+        import os
+        import tempfile
+
+        from sptag_spark.io.jsonl import read_jsonl, write_jsonl
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"sptag_jsonl_{tag}")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        write_jsonl(docs, path)
+        df = read_jsonl(spark, path, "doc_id long, text string").persist()
+        df.count()
+        return (df,)
+
+    (df,) = _memo(spark, sf_dir, "jsonl_roundtrip", build)
+    return df.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+register(
+    "jsonl_roundtrip",
+    _jsonl_roundtrip,
+    """
+SELECT doc_id, md5(text) AS text_hash,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+""",
+)

@@ -176,3 +176,40 @@ SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS id,
 FROM v WHERE id % {TOMBSTONE_MOD} <> 0
 """,
 )
+
+
+# -- point lookup (GetSample/GetMetadata, VectorIndex.h:64,112) -------------
+#
+# Deterministic id set: every 37th vector; tombstones are the standard
+# id % 10 set, so some requested ids are deleted and must return NO row
+# (lookup honors tombstones exactly like search does).
+
+LOOKUP_MOD = 37
+
+
+def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.lookup import get_samples
+
+    v = vectors_table(spark, sf_dir)
+    ids = v.select("id").filter(F.col("id") % LOOKUP_MOD == 0)
+    tombstones = v.select("id").filter(F.col("id") % TOMBSTONE_MOD == 0)
+    out = get_samples(v, ids, tombstones=tombstones)
+    return out.select(
+        "id",
+        "meta",
+        F.size("vector").alias("dim"),
+        F.round(F.element_at("vector", 1).cast("double"), ROUND).alias("v0"),
+    )
+
+
+register(
+    "point_lookup",
+    _point_lookup,
+    f"""
+SELECT vec_id AS id, CAST(label AS VARCHAR) AS meta,
+       CAST(len(embedding) AS INT) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), {ROUND}) AS v0
+FROM embeddings
+WHERE vec_id % {LOOKUP_MOD} = 0 AND vec_id % {TOMBSTONE_MOD} <> 0
+""",
+)

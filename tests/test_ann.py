@@ -340,3 +340,42 @@ def test_pq_decode_and_sdc(spark, sf_dir):
         )
         summary = recall_summary(recall_per_query(res, truth, 10)).first()
         assert summary["avg_recall"] >= 0.4, (opq, summary)
+
+
+def test_sq8_roundtrip_and_search(spark, sf_dir):
+    """SQ8 contract: codes in [0,255], reconstruction error bounded by the
+    grid (scale/2 per dim), refined search hits the exact-path gate."""
+    from sptag_spark.index.sq import sq_decode, sq_encode, sq_search, train_sq
+
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    params = train_sq(vectors)
+    codes = sq_encode(vectors, params).cache()
+    rng = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).first()
+    assert rng["lo"] >= 0 and rng["hi"] <= 255
+    # reconstruction: every component within scale/2 + eps of the original
+    recon = sq_decode(codes, params).withColumnRenamed("vector", "rvec")
+    max_scale = float(params.scale.max())
+    worst = (
+        recon.join(vectors, "id")
+        .select(
+            F.array_max(
+                F.zip_with("rvec", "vector", lambda a, b: F.abs(a - b))
+            ).alias("err")
+        )
+        .agg(F.max("err"))
+        .first()[0]
+    )
+    assert worst <= max_scale / 2 + 1e-5, (worst, max_scale)
+    truth = knn(vectors, queries, k=10)
+    res = sq_search(codes, queries, params, k=10, rerank=20, vectors=vectors)
+    summary = recall_summary(recall_per_query(res, truth, 10)).first()
+    assert summary["avg_recall"] >= 0.95, summary
+    # exact refine restores the self-hit guarantee
+    self_hits = res.filter(
+        (F.col("rank") == 1) & (F.col("id") == F.col("query_id"))
+    ).count()
+    assert self_hits == queries.count()

@@ -1,0 +1,80 @@
+"""Semantic clustering, point lookup, and JSONL interchange tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sptag_spark.tables import load_table, vectors_table
+
+
+def test_semantic_clusters_cover_and_separate(spark, sf_dir):
+    from sptag_spark.operators.curation import (
+        cluster_exemplars,
+        cluster_summary,
+        semantic_clusters,
+    )
+
+    v = vectors_table(spark, sf_dir).select("id", "vector")
+    n = v.count()
+    assigned, scored = semantic_clusters(v, k=8)
+    scored = scored.cache()
+    # full coverage, one bucket per vector
+    assert scored.count() == n
+    assert scored.select("id").distinct().count() == n
+    summary = cluster_summary(scored)
+    rows = summary.collect()
+    assert len(rows) == 8
+    assert sum(r["n_docs"] for r in rows) == n
+    # balanced loop keeps buckets near fair share (3x bound like the
+    # balanced_kmeans contract) and mostly own-centroid-closest
+    assert max(r["n_docs"] for r in rows) * 8 <= 3 * n
+    assert min(r["separation"] for r in rows) >= 0.5
+    # one exemplar per cluster; each belongs to its cluster and sits at
+    # the cluster's minimum own_dist
+    ex = cluster_exemplars(scored)
+    assert ex.count() == 8
+    chk = ex.join(
+        scored.groupBy("cluster").agg(F.min("own_dist").alias("mn")), "cluster"
+    )
+    assert chk.filter(F.col("own_dist") != F.col("mn")).count() == 0
+
+
+def test_cluster_exemplars_attach_text(spark, sf_dir):
+    from sptag_spark.operators.curation import cluster_exemplars, semantic_clusters
+
+    v = vectors_table(spark, sf_dir).select("id", "vector")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, scored = semantic_clusters(v, k=4)
+    ex = cluster_exemplars(scored, docs=docs)
+    assert ex.count() == 4
+    assert "text" in ex.columns
+
+
+def test_point_lookup_honors_tombstones(spark, sf_dir):
+    from sptag_spark.operators.lookup import get_samples
+
+    v = vectors_table(spark, sf_dir)
+    ids = v.select("id").filter(F.col("id") % 5 == 0)
+    dead = v.select("id").filter(F.col("id") % 10 == 0)
+    out = get_samples(v, ids, tombstones=dead).cache()
+    assert out.filter(F.col("id") % 10 == 0).count() == 0
+    expect = v.filter((F.col("id") % 5 == 0) & (F.col("id") % 10 != 0)).count()
+    assert out.count() == expect
+    assert set(out.columns) == set(v.columns)
+    # unknown ids produce no row
+    spark_ids = spark.range(10**9, 10**9 + 5).select(F.col("id"))
+    assert get_samples(v, spark_ids).count() == 0
+
+
+def test_jsonl_roundtrip_exact(tmp_path, spark, sf_dir):
+    from sptag_spark.io.jsonl import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "corpus")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, "doc_id long, text string")
+    # per-row identity both directions
+    a = docs.withColumn("h", F.md5("text")).select("doc_id", "h")
+    b = back.withColumn("h", F.md5("text")).select("doc_id", "h")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
