@@ -14,10 +14,10 @@ Spark translation — ONE logical plan:
 - posting selection = a semi-join on head_id. When postings are stored
   partitionBy(head_id), Catalyst's dynamic partition pruning turns this into
   reading only the routed directories — the SSD seek, for free;
-- scan+heap = batched NumPy scoring kernel + global window rank (exact over
-  the candidate set — strictly better than the reference's
-  concat-without-rerank aggregator, `AggregatorService.cpp:363-441`);
-- dedup = dropDuplicates(query_id, id) before ranking.
+- scan+heap = batched NumPy scoring kernel + fused one-shuffle dedup/rank
+  (topk_per_query; exact over the candidate set — strictly better than the
+  reference's concat-without-rerank aggregator,
+  `AggregatorService.cpp:363-441`), replica dedup included.
 
 Recall is governed by nprobe (SearchInternalResultNum) and the build's
 replica/posting-limit knobs, exactly like SPANN.
@@ -173,12 +173,11 @@ def ann_search(
     cand = postings.join(
         F.broadcast(routes.select("query_id", "head_id")), "head_id"
     ).select("query_id", "id", "vector")
-    # Replica dedup happens AFTER scoring, as a (query_id, id) min-agg:
+    # Replica dedup happens AFTER scoring, inside topk_per_query's min-dedup:
     # a pre-score dropDuplicates would shuffle candidate rows WITH their
     # D-float vector payloads, while post-score rows are three scalars.
     # Scoring a replica twice costs one extra BLAS row; shuffling vectors
-    # at 100 TB costs the job. The map-side partial agg also collapses
-    # duplicates within a partition before anything moves.
+    # at 100 TB costs the job.
     # Score with the same batched NumPy arithmetic as the exact kernel (the
     # query batch rides in the closure; per-pair exact recompute keeps
     # values identical to knn()/the oracle).

@@ -258,8 +258,9 @@ def test_bucket_count_mismatch_still_correct(spark):
 def test_ann_serve_path_shuffles_no_vectors(spark, tmp_path_factory):
     """SPANN serve contract at 100 TB: vector payloads are read at the
     pruned posting scan, scored map-side, and ONLY (query_id, id, dist)
-    scalars ever cross an Exchange — replica dedup is a post-score min-agg,
-    not a pre-score dropDuplicates that would shuffle D floats per row.
+    scalars ever cross an Exchange — replica dedup is post-score inside the
+    fused topk_per_query tail, not a pre-score dropDuplicates that would
+    shuffle D floats per row.
     Postings are materialized to parquet first (how production reads them),
     so the plan is the serve path alone, not the one-time build."""
     import re
