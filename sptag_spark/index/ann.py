@@ -34,6 +34,13 @@ SEARCH_INTERNAL_RESULT_NUM = 8  # heads probed per query (64 in SIFT1B cfg)
 MAX_DIST_RATIO = 8.0  # SPANN MaxDistRatio default
 
 
+# Above this many heads, routing falls back to the distributed knn kernel:
+# the in-memory path holds an h×D float64 matrix on the driver (4096 × 64
+# dims ≈ 2 MB — trivially fine; a billion-vector deployment's millions of
+# heads are not).
+ROUTE_INMEM_MAX_HEADS = 4096
+
+
 def route_queries(
     queries: DataFrame,
     heads: DataFrame,
@@ -43,7 +50,19 @@ def route_queries(
 ) -> DataFrame:
     """(query_id, head_id, head_dist): the posting lists each query must
     read, after the distance-ratio cut. This is also the aggregator's
-    center-routing (`AggregatorService.cpp:216-258`) — same operator."""
+    center-routing (`AggregatorService.cpp:216-258`) — same operator.
+
+    The reference searches its head index in RAM (`SPANNIndex.cpp:192-216`
+    — the whole point of heads is that they fit in memory); the Spark
+    translation of that fact: when the head table is small (≤
+    ROUTE_INMEM_MAX_HEADS), routing is a driver-side NumPy pass over the
+    collected centroid matrix — identical values and tie-break to the
+    distributed kernel (same _exact_pair_dists arithmetic, same (dist, id)
+    lexsort), but zero Spark stages for what is scalar work on two small
+    tables. Larger head sets use the distributed kernel unchanged."""
+    n_heads = heads.count()  # heads are persisted/memoized index artifacts
+    if n_heads <= ROUTE_INMEM_MAX_HEADS:
+        return _route_inmem(queries, heads, nprobe, metric, max_dist_ratio)
     head_vectors = heads.select(F.col("head_id").alias("id"), "vector")
     sel = knn(head_vectors, queries, k=nprobe, metric=metric)
     if not (max_dist_ratio < float("inf")):
@@ -71,6 +90,51 @@ def route_queries(
             F.col("dist").alias("head_dist"),
         )
     )
+
+
+def _route_inmem(
+    queries: DataFrame,
+    heads: DataFrame,
+    nprobe: int,
+    metric: str,
+    max_dist_ratio: float,
+) -> DataFrame:
+    """Driver-side head routing. Semantics identical to the distributed
+    path: top-nprobe heads per query by (dist, id), then the guarded
+    distance-ratio cut (`SPANNIndex.cpp:217-234` incl. the limitDist > 0.1
+    guard; skipped entirely when the ratio is infinite — see the NaN note
+    in route_queries' distributed branch)."""
+    import numpy as np
+
+    from sptag_spark.operators.knn import _exact_pair_dists
+
+    hrows = heads.select("head_id", "vector").collect()
+    head_ids = np.array([r["head_id"] for r in hrows], dtype=np.int64)
+    H = np.array([list(r["vector"]) for r in hrows], dtype=np.float64)
+    out = []
+    for r in queries.select("query_id", "vector").collect():
+        q = np.asarray(r["vector"], dtype=np.float64)
+        d = _exact_pair_dists(H, q, metric)
+        top = np.lexsort((head_ids, d))[:nprobe]
+        sel_ids, sel_d = head_ids[top], d[top]
+        if max_dist_ratio < float("inf"):
+            cut = sel_d.min() * max_dist_ratio
+            if cut > 0.1:
+                keep = sel_d <= cut
+                sel_ids, sel_d = sel_ids[keep], sel_d[keep]
+        qid = int(r["query_id"])
+        out.extend(
+            (qid, int(h), float(hd)) for h, hd in zip(sel_ids, sel_d)
+        )
+    df = queries.sparkSession.createDataFrame(
+        out, "query_id long, head_id long, head_dist double"
+    )
+    # knowing the routed set driver-side upgrades the posting scan from
+    # DYNAMIC partition pruning (runtime subquery) to STATIC pruning: a
+    # plain IN-filter on the partition column prunes head_id= directories
+    # at planning time. Consumers read this to apply it (ann_search).
+    df._sptag_routed_heads = sorted({h for _, h, _ in out})
+    return df
 
 
 def topk_per_query(
@@ -170,7 +234,14 @@ def ann_search(
     routes = route_queries(queries, heads, nprobe, metric, max_dist_ratio)
     # Selected postings: the equi-join on head_id is partition-pruned when
     # postings live in a head_id-partitioned table. routes is tiny → broadcast.
-    cand = postings.join(
+    # In-memory routing knows the routed set outright → static IN-filter on
+    # the partition column (planning-time directory pruning; the dynamic
+    # pruning subquery remains for the distributed-routing fallback).
+    routed = getattr(routes, "_sptag_routed_heads", None)
+    src = postings
+    if routed is not None:
+        src = src.filter(F.col("head_id").isin(routed))
+    cand = src.join(
         F.broadcast(routes.select("query_id", "head_id")), "head_id"
     ).select("query_id", "id", "vector")
     # Replica dedup happens AFTER scoring, inside topk_per_query's min-dedup:

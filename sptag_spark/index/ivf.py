@@ -252,7 +252,12 @@ def ivf_pq_search(
     routes = route_queries(
         queries, centroids, nprobe, metric="l2", max_dist_ratio=float("inf")
     )
-    cand = coded_lists.join(
+    routed = getattr(routes, "_sptag_routed_heads", None)
+    src = coded_lists
+    if routed is not None:
+        # static partition pruning on the code scan (see ann_search)
+        src = src.filter(F.col("head_id").isin(routed))
+    cand = src.join(
         F.broadcast(routes.select("query_id", "head_id")), "head_id"
     ).select("query_id", "head_id", "id", "codes")
 

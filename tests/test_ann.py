@@ -379,3 +379,27 @@ def test_sq8_roundtrip_and_search(spark, sf_dir):
         (F.col("rank") == 1) & (F.col("id") == F.col("query_id"))
     ).count()
     assert self_hits == queries.count()
+
+
+def test_route_inmem_matches_distributed(spark, sf_dir, monkeypatch):
+    """Driver-side head routing is value-identical to the distributed knn
+    routing it replaces (same arithmetic, same (dist, id) tie-break, same
+    guarded ratio cut) — for the default ratio and the inf (IVF) case."""
+    import sptag_spark.index.ann as A
+
+    vectors = vectors_table(spark, sf_dir)
+    queries = queries_table(spark, sf_dir)
+    heads = select_heads(vectors, ratio=0.12).cache()
+    for ratio in (8.0, float("inf")):
+        inmem = A.route_queries(
+            queries, heads, nprobe=4, max_dist_ratio=ratio
+        )
+        assert getattr(inmem, "_sptag_routed_heads", None) is not None
+        monkeypatch.setattr(A, "ROUTE_INMEM_MAX_HEADS", 0)
+        dist = A.route_queries(
+            queries, heads, nprobe=4, max_dist_ratio=ratio
+        )
+        monkeypatch.setattr(A, "ROUTE_INMEM_MAX_HEADS", 4096)
+        a = sorted(map(tuple, inmem.collect()))
+        b = sorted(map(tuple, dist.collect()))
+        assert a == b, (ratio, a[:3], b[:3])

@@ -283,10 +283,15 @@ def test_ann_serve_path_shuffles_no_vectors(spark, tmp_path_factory):
     for body in exchanges:
         inputs = [ln for ln in body.splitlines() if ln.startswith("Input")]
         assert inputs and "vector#" not in inputs[0], body
-    # dynamic partition pruning reaches the posting scan: only routed
-    # head_id= directories are read — the parquet translation of SPANN's
-    # SSD seek (the README's core ANN-scale claim)
-    assert "dynamicpruningexpression" in p, p
+    # partition pruning reaches the posting scan: only routed head_id=
+    # directories are read — the parquet translation of SPANN's SSD seek
+    # (the README's core ANN-scale claim). In-memory routing emits a STATIC
+    # IN-filter on the partition column (planning-time pruning); the
+    # distributed-routing fallback shows the dynamic pruning subquery.
+    assert (
+        "dynamicpruningexpression" in p
+        or re.search(r"PartitionFilters: \[head_id#\d+ IN", p)
+    ), p
 
 
 def test_bm25_broadcasts_stats_and_prunes_terms(spark):
