@@ -397,3 +397,69 @@ def dataset_split(
     # except for rounding at acc ≈ 1.0 — route it to the last split
     expr = expr.otherwise(list(weights)[-1])
     return docs.withColumn("split", expr)
+
+
+def rule_filters(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4/Gopher-style heuristic rule filters, one boolean per rule.
+
+    The standard cheap cleaning pass for web-scale corpora (C4, Raffel et
+    al. 2020; Gopher rules, Rae et al. 2021), as pure column expressions —
+    fully Catalyst-visible, whole-stage-codegen'd, zero Python. Rules
+    (keep = every rule true):
+
+      r_min_words       >= 5 whitespace tokens          (Gopher low bound)
+      r_max_words       <= 100_000 tokens               (Gopher high bound)
+      r_avg_word_len    mean token length in [2, 12]    (Gopher [3,10],
+                        widened: the synthetic corpus has short tokens)
+      r_terminal_punct  trimmed text ends in . ! ? " '  (C4 line rule,
+                        applied doc-level)
+      r_symbol_ratio    (# '#' chars + '...' runs)/tokens <= 0.1  (Gopher)
+      r_bullet_ratio    <= 90% of lines start with a bullet      (Gopher)
+      r_no_lorem        no 'lorem ipsum'                (C4 placeholder)
+      r_no_brace        no '{'                          (C4 code filter)
+      r_alpha_ratio     >= 80% of tokens contain a letter        (Gopher)
+
+    Every rule is plain ANSI-SQL-expressible, so the driver oracle checks
+    the whole operator exactly (no self-verification needed)."""
+    text = F.col(text_col)
+    trimmed = F.trim(text)
+    toks = F.split(trimmed, r"\s+")
+    n_tok = F.when(trimmed == "", F.lit(0)).otherwise(F.size(toks)).cast("long")
+    nonws_len = F.length(F.regexp_replace(text, r"\s+", "")).cast("double")
+    avg_len = F.when(n_tok > 0, nonws_len / n_tok).otherwise(F.lit(0.0))
+    hashes = F.length(F.regexp_replace(text, "[^#]", "")).cast("double")
+    ellipses = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    ).cast("double")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullets = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    rules = {
+        "r_min_words": n_tok >= 5,
+        "r_max_words": n_tok <= 100_000,
+        "r_avg_word_len": (avg_len >= 2.0) & (avg_len <= 12.0),
+        "r_terminal_punct": trimmed.rlike("[.!?\"']$"),
+        "r_symbol_ratio": F.when(
+            n_tok > 0, (hashes + ellipses) / n_tok <= 0.1
+        ).otherwise(F.lit(False)),
+        "r_bullet_ratio": F.when(
+            n_lines > 0, n_bullets / n_lines <= 0.9
+        ).otherwise(F.lit(True)),
+        "r_no_lorem": ~F.lower(text).contains("lorem ipsum"),
+        "r_no_brace": ~text.contains("{"),
+        "r_alpha_ratio": F.when(
+            n_tok > 0, alpha_toks / n_tok >= 0.8
+        ).otherwise(F.lit(False)),
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )

@@ -511,3 +511,57 @@ FROM bucketed
 GROUP BY 1, 2
 """,
 )
+
+
+# -- C4/Gopher rule filters --------------------------------------------------
+
+
+def _rule_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.textops import rule_filters
+
+    return rule_filters(_docs(spark, sf_dir))
+
+
+_RULES_SQL = """
+WITH base AS (
+  SELECT doc_id, text, trim(text) AS trimmed,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS nonws_len,
+         length(regexp_replace(text, '[^#]', '', 'g')) AS hashes,
+         (length(text) - length(replace(text, '...', ''))) / 3.0 AS ellipses,
+         string_split(text, chr(10)) AS lines,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_toks,
+         len(list_filter(string_split(text, chr(10)),
+             l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bullets
+  FROM documents
+),
+rules AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+    n_tok >= 5 AS r_min_words,
+    n_tok <= 100000 AS r_max_words,
+    (CASE WHEN n_tok > 0 THEN CAST(nonws_len AS DOUBLE) / n_tok ELSE 0.0 END)
+        BETWEEN 2.0 AND 12.0 AS r_avg_word_len,
+    regexp_matches(trimmed, '[.!?"'']$') AS r_terminal_punct,
+    CASE WHEN n_tok > 0 THEN (hashes + ellipses) / n_tok <= 0.1
+         ELSE FALSE END AS r_symbol_ratio,
+    CASE WHEN len(lines) > 0
+         THEN CAST(n_bullets AS DOUBLE) / len(lines) <= 0.9
+         ELSE TRUE END AS r_bullet_ratio,
+    NOT contains(lower(text), 'lorem ipsum') AS r_no_lorem,
+    NOT contains(text, '{') AS r_no_brace,
+    CASE WHEN n_tok > 0 THEN CAST(alpha_toks AS DOUBLE) / n_tok >= 0.8
+         ELSE FALSE END AS r_alpha_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, r_min_words, r_max_words, r_avg_word_len,
+       r_terminal_punct, r_symbol_ratio, r_bullet_ratio, r_no_lorem,
+       r_no_brace, r_alpha_ratio,
+       (r_min_words AND r_max_words AND r_avg_word_len AND r_terminal_punct
+        AND r_symbol_ratio AND r_bullet_ratio AND r_no_lorem AND r_no_brace
+        AND r_alpha_ratio) AS keep
+FROM rules
+"""
+
+register("rule_filters", _rule_filters, _RULES_SQL)

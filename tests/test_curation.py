@@ -78,3 +78,29 @@ def test_jsonl_roundtrip_exact(tmp_path, spark, sf_dir):
     b = back.withColumn("h", F.md5("text")).select("doc_id", "h")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_rule_filters_edges(spark):
+    from sptag_spark.operators.textops import rule_filters
+
+    rows = [
+        (1, "A clean sentence with enough words to pass every rule."),
+        (2, ""),  # empty: min_words fails
+        (3, "short text only."),  # < 5 tokens
+        (4, "this has lorem ipsum filler inside it somewhere."),
+        (5, "some code here { return x; } and more words after."),
+        (6, "- a\n- b\n- c\n- d"),  # all bullet lines
+        (7, "now ### many #### hashes ##### ruin the symbol ratio ###."),
+        (8, "1 2 3 4 5 6 7 8 9 0."),  # numeric tokens: alpha ratio fails
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in rule_filters(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_tokens"] == 0
+    assert out[3]["r_min_words"] is False
+    assert out[4]["r_no_lorem"] is False
+    assert out[5]["r_no_brace"] is False
+    assert out[6]["r_bullet_ratio"] is False
+    assert out[7]["r_symbol_ratio"] is False
+    assert out[8]["r_alpha_ratio"] is False
+    assert all(not out[i]["keep"] for i in range(2, 9))
