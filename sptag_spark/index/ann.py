@@ -47,10 +47,13 @@ def route_queries(
     nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
     metric: str = "l2",
     max_dist_ratio: float = MAX_DIST_RATIO,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """(query_id, head_id, head_dist): the posting lists each query must
     read, after the distance-ratio cut. This is also the aggregator's
     center-routing (`AggregatorService.cpp:216-258`) — same operator.
+    `q_rows`: the already-collected query rows, when the caller has them
+    (ann_search does) — saves the in-memory path a duplicate collect job.
 
     The reference searches its head index in RAM (`SPANNIndex.cpp:192-216`
     — the whole point of heads is that they fit in memory); the Spark
@@ -62,7 +65,9 @@ def route_queries(
     tables. Larger head sets use the distributed kernel unchanged."""
     n_heads = heads.count()  # heads are persisted/memoized index artifacts
     if n_heads <= ROUTE_INMEM_MAX_HEADS:
-        return _route_inmem(queries, heads, nprobe, metric, max_dist_ratio)
+        return _route_inmem(
+            queries, heads, nprobe, metric, max_dist_ratio, q_rows
+        )
     head_vectors = heads.select(F.col("head_id").alias("id"), "vector")
     sel = knn(head_vectors, queries, k=nprobe, metric=metric)
     if not (max_dist_ratio < float("inf")):
@@ -98,6 +103,7 @@ def _route_inmem(
     nprobe: int,
     metric: str,
     max_dist_ratio: float,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Driver-side head routing. Semantics identical to the distributed
     path: top-nprobe heads per query by (dist, id), then the guarded
@@ -112,7 +118,9 @@ def _route_inmem(
     head_ids = np.array([r["head_id"] for r in hrows], dtype=np.int64)
     H = np.array([list(r["vector"]) for r in hrows], dtype=np.float64)
     out = []
-    for r in queries.select("query_id", "vector").collect():
+    if q_rows is None:
+        q_rows = queries.select("query_id", "vector").collect()
+    for r in q_rows:
         q = np.asarray(r["vector"], dtype=np.float64)
         d = _exact_pair_dists(H, q, metric)
         top = np.lexsort((head_ids, d))[:nprobe]
@@ -231,7 +239,9 @@ def ann_search(
             )
             out = part if out is None else out.unionByName(part)
         return out
-    routes = route_queries(queries, heads, nprobe, metric, max_dist_ratio)
+    routes = route_queries(
+        queries, heads, nprobe, metric, max_dist_ratio, q_rows=q_all
+    )
     # Selected postings: the equi-join on head_id is partition-pruned when
     # postings live in a head_id-partitioned table. routes is tiny → broadcast.
     # In-memory routing knows the routed set outright → static IN-filter on
