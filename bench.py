@@ -58,6 +58,13 @@ def main() -> None:
         spann_index,
     )
 
+    # Fault isolation everywhere below: one query (or build) raising must
+    # cost ONE entry in `errors`, never the whole report — a run that dies
+    # mid-loop prints no JSON line at all, which reads as "bench crashed"
+    # rather than "query X regressed" (exactly what happened when a testdata
+    # regen changed the events `ts` encoding).
+    errors: dict[str, str] = {}
+
     builds: dict[str, float] = {}
     for bname, builder in [
         ("spann", spann_index),
@@ -69,8 +76,11 @@ def main() -> None:
         ("kdt", _kdt_leaf_histogram),
     ]:
         t0 = time.time()
-        builder(spark, sf_dir)
-        builds[bname] = round(time.time() - t0, 3)
+        try:
+            builder(spark, sf_dir)
+            builds[bname] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"build:{bname}"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Settle the JVM between the build stage and the timed serve loop — the
     # builds leave allocation debt (JIT queues, young-gen pressure) that
@@ -97,13 +107,17 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     for name, spec in specs.items():
         samples: list[float] = []
-        for i in range(warmup + n_runs):
-            t0 = time.time()
-            df = spec.query(spark, sf_dir)
-            # materialize the full result without driver collect
-            df.write.format("noop").mode("overwrite").save()
-            if i >= warmup:
-                samples.append(time.time() - t0)
+        try:
+            for i in range(warmup + n_runs):
+                t0 = time.time()
+                df = spec.query(spark, sf_dir)
+                # materialize the full result without driver collect
+                df.write.format("noop").mode("overwrite").save()
+                if i >= warmup:
+                    samples.append(time.time() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
@@ -118,103 +132,110 @@ def main() -> None:
     from sptag_spark.queries.ann_queries import spann_index, truth_topk
     from sptag_spark.tables import queries_table
 
-    heads, postings = spann_index(spark, sf_dir)
-    queries_df = queries_table(spark, sf_dir)
-    nq = queries_df.count()
-    truth = truth_topk(spark, sf_dir)
-    # operating CURVE, not one point: the paper's figure is recall-vs-QPS
-    # (SPANN Fig.5); nprobe is the knob (SearchInternalResultNum — the
-    # SIFT1B config probes 64 heads, so a fixed nprobe=10 under-reports
-    # recall when the head count grows with SF).
-    spann_curve = []
-    for nprobe in (8, 16, 24):
-        serve = lambda: ann_search(  # noqa: E731
-            queries_df, heads, postings, k=10, nprobe=nprobe
+    spann_point: dict = {}
+    spann_curve: list = []
+    spann_latency: dict = {}
+    replica_latency: dict = {}
+    try:
+        heads, postings = spann_index(spark, sf_dir)
+        queries_df = queries_table(spark, sf_dir)
+        nq = queries_df.count()
+        truth = truth_topk(spark, sf_dir)
+        # operating CURVE, not one point: the paper's figure is recall-vs-QPS
+        # (SPANN Fig.5); nprobe is the knob (SearchInternalResultNum — the
+        # SIFT1B config probes 64 heads, so a fixed nprobe=10 under-reports
+        # recall when the head count grows with SF).
+        spann_curve = []
+        for nprobe in (8, 16, 24):
+            serve = lambda: ann_search(  # noqa: E731
+                queries_df, heads, postings, k=10, nprobe=nprobe
+            )
+            samples = []
+            for i in range(warmup + n_runs):
+                t0 = time.time()
+                serve().write.format("noop").mode("overwrite").save()
+                if i >= warmup:
+                    samples.append(time.time() - t0)
+            samples.sort()
+            serve_sec = samples[len(samples) // 2]
+            rs = recall_summary(recall_per_query(serve(), truth, 10)).first()
+            spann_curve.append(
+                {
+                    "recall_at_10": round(rs["avg_recall"], 4),
+                    "mrr": round(rs["mrr"], 4),
+                    "batch_qps": round(nq / serve_sec, 1),
+                    "n_queries": nq,
+                    "nprobe": nprobe,
+                    "k": 10,
+                }
+            )
+        # headline point: the lowest-nprobe setting that clears the paper's
+        # ~0.9 recall@10 operating regime (falls back to the best measured)
+        spann_point = next(
+            (p for p in spann_curve if p["recall_at_10"] >= 0.9), spann_curve[-1]
         )
-        samples = []
-        for i in range(warmup + n_runs):
+
+        # Single-query latency percentiles in the reference harness's table
+        # shape (SSDIndex.h:288-345; BASELINE.md asks for this explicitly).
+        # Batch QPS above is Spark's natural serving mode; these are what a
+        # one-query-at-a-time deployment of the same plan would see.
+        lat_queries = queries_df.limit(8).collect()
+        lat_ms = []
+        for r in lat_queries:
+            one = spark.createDataFrame(
+                [(int(r["query_id"]), list(r["vector"]))],
+                "query_id long, vector array<float>",
+            )
             t0 = time.time()
-            serve().write.format("noop").mode("overwrite").save()
-            if i >= warmup:
-                samples.append(time.time() - t0)
-        samples.sort()
-        serve_sec = samples[len(samples) // 2]
-        rs = recall_summary(recall_per_query(serve(), truth, 10)).first()
-        spann_curve.append(
-            {
-                "recall_at_10": round(rs["avg_recall"], 4),
-                "mrr": round(rs["mrr"], 4),
-                "batch_qps": round(nq / serve_sec, 1),
-                "n_queries": nq,
-                "nprobe": nprobe,
-                "k": 10,
-            }
-        )
-    # headline point: the lowest-nprobe setting that clears the paper's
-    # ~0.9 recall@10 operating regime (falls back to the best measured)
-    spann_point = next(
-        (p for p in spann_curve if p["recall_at_10"] >= 0.9), spann_curve[-1]
-    )
+            ann_search(
+                one, heads, postings, k=10, nprobe=spann_point["nprobe"]
+            ).write.format("noop").mode("overwrite").save()
+            lat_ms.append((time.time() - t0) * 1000)
+        lat_ms.sort()
 
-    # Single-query latency percentiles in the reference harness's table
-    # shape (SSDIndex.h:288-345; BASELINE.md asks for this explicitly).
-    # Batch QPS above is Spark's natural serving mode; these are what a
-    # one-query-at-a-time deployment of the same plan would see.
-    lat_queries = queries_df.limit(8).collect()
-    lat_ms = []
-    for r in lat_queries:
-        one = spark.createDataFrame(
-            [(int(r["query_id"]), list(r["vector"]))],
-            "query_id long, vector array<float>",
-        )
-        t0 = time.time()
-        ann_search(
-            one, heads, postings, k=10, nprobe=spann_point["nprobe"]
-        ).write.format("noop").mode("overwrite").save()
-        lat_ms.append((time.time() - t0) * 1000)
-    lat_ms.sort()
+        def pct(p: float) -> float:
+            return round(lat_ms[min(len(lat_ms) - 1, int(p * len(lat_ms)))], 1)
 
-    def pct(p: float) -> float:
-        return round(lat_ms[min(len(lat_ms) - 1, int(p * len(lat_ms)))], 1)
+        spann_latency = {
+            "p50": pct(0.50),
+            "p90": pct(0.90),
+            "p99": pct(0.99),
+            "max": round(lat_ms[-1], 1),
+            "n": len(lat_ms),
+            "nprobe": spann_point["nprobe"],
+        }
 
-    spann_latency = {
-        "p50": pct(0.50),
-        "p90": pct(0.90),
-        "p99": pct(0.99),
-        "max": round(lat_ms[-1], 1),
-        "n": len(lat_ms),
-        "nprobe": spann_point["nprobe"],
-    }
+        # Same queries through the in-memory serving replica
+        # (serving_local.py) — the reference's own serving shape (artifacts
+        # loaded into node RAM, no cluster job per query). Row-identical to the
+        # distributed plan (tests/test_serving_local.py); THIS is the figure
+        # comparable to the paper's ms-scale single-node latency.
+        import numpy as np
 
-    # Same queries through the in-memory serving replica
-    # (serving_local.py) — the reference's own serving shape (artifacts
-    # loaded into node RAM, no cluster job per query). Row-identical to the
-    # distributed plan (tests/test_serving_local.py); THIS is the figure
-    # comparable to the paper's ms-scale single-node latency.
-    import numpy as np
+        from sptag_spark.serving_local import LocalSpannReplica
 
-    from sptag_spark.serving_local import LocalSpannReplica
-
-    replica = LocalSpannReplica(heads, postings)
-    reps = [
-        (int(r["query_id"]), np.asarray(r["vector"], dtype=np.float64))
-        for r in queries_df.collect()
-    ]
-    replica.search_one(reps[0][1], k=10, nprobe=spann_point["nprobe"])  # warm
-    rlat = []
-    for _, qv in reps:
-        t0 = time.time()
-        replica.search_one(qv, k=10, nprobe=spann_point["nprobe"])
-        rlat.append((time.time() - t0) * 1000)
-    rlat.sort()
-    replica_latency = {
-        "p50": round(rlat[len(rlat) // 2], 3),
-        "p99": round(rlat[min(len(rlat) - 1, int(0.99 * len(rlat)))], 3),
-        "max": round(rlat[-1], 3),
-        "qps_single_thread": round(1000.0 / (sum(rlat) / len(rlat)), 1),
-        "n": len(rlat),
-        "nprobe": spann_point["nprobe"],
-    }
+        replica = LocalSpannReplica(heads, postings)
+        reps = [
+            (int(r["query_id"]), np.asarray(r["vector"], dtype=np.float64))
+            for r in queries_df.collect()
+        ]
+        replica.search_one(reps[0][1], k=10, nprobe=spann_point["nprobe"])  # warm
+        rlat = []
+        for _, qv in reps:
+            t0 = time.time()
+            replica.search_one(qv, k=10, nprobe=spann_point["nprobe"])
+            rlat.append((time.time() - t0) * 1000)
+        rlat.sort()
+        replica_latency = {
+            "p50": round(rlat[len(rlat) // 2], 3),
+            "p99": round(rlat[min(len(rlat) - 1, int(0.99 * len(rlat)))], 3),
+            "max": round(rlat[-1], 3),
+            "qps_single_thread": round(1000.0 / (sum(rlat) / len(rlat)), 1),
+            "n": len(rlat),
+            "nprobe": spann_point["nprobe"],
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["spann_metrics"] = f"{type(exc).__name__}: {exc}"[:500]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -230,6 +251,7 @@ def main() -> None:
         "spann_single_query_latency_ms": spann_latency,
         "spann_local_replica_latency_ms": replica_latency,
         "index_build_sec": builds,
+        "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
