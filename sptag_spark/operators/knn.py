@@ -253,6 +253,81 @@ def knn_brute_expr(
     )
 
 
+def range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    metric: str = "l2",
+    chunk_size: int = KNN_QUERY_CHUNK,
+) -> DataFrame:
+    """Exact radius query: every (query, vector) pair with dist ≤ radius.
+
+    The fixed-radius companion to top-k — the dedup/curation side of a
+    pipeline asks "everything within ε", not "the k nearest" (the same
+    contract as embedding_near_dup_pairs' threshold, operators/dedup.py, but
+    query-against-corpus instead of corpus-against-itself). The reference's
+    engine exposes only top-k (QueryResultSet.h is a fixed-k heap); this is
+    a pipeline extension with the same distance semantics.
+
+    Plan shape: map-ONLY — each partition of `vectors` emits its in-range
+    rows against the broadcast query batch; no shuffle at any scale (the
+    result is not ranked; callers that need ranks sort the small output).
+    The BLAS block prefilters with a slack margin, then the exact per-pair
+    arithmetic (the oracle's arithmetic) decides inclusion and reports the
+    distance, so the radius cut never flips on dot-product-expansion noise.
+
+    Output: (query_id, id, dist), unordered.
+    """
+    qrows = queries.select("query_id", "vector").collect()
+    if not qrows:
+        return vectors.sparkSession.createDataFrame([], _CAND_SCHEMA)
+    if len(qrows) > chunk_size:
+        spark = vectors.sparkSession
+        src = vectors.select("id", "vector")
+        out = None
+        for s in range(0, len(qrows), chunk_size):
+            chunk = spark.createDataFrame(
+                [(int(r["query_id"]), list(r["vector"])) for r in qrows[s : s + chunk_size]],
+                "query_id long, vector array<float>",
+            )
+            part = range_search(src, chunk, radius, metric, chunk_size)
+            out = part if out is None else out.unionByName(part)
+        return out
+    query_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["vector"]) for r in qrows], dtype=np.float64)
+    slack = radius + 1e-6 + abs(radius) * 1e-9
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _as_matrix(pdf["vector"])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            D = _block_distances(V, Q, metric)
+            out_q, out_i, out_d = [], [], []
+            for j in range(Q.shape[0]):
+                cand = np.nonzero(D[:, j] <= slack)[0]
+                if len(cand) == 0:
+                    continue
+                exact = _exact_pair_dists(V[cand], Q[j], metric)
+                keep = exact <= radius
+                if not keep.any():
+                    continue
+                out_q.append(np.full(int(keep.sum()), query_ids[j], np.int64))
+                out_i.append(ids[cand[keep]])
+                out_d.append(exact[keep])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "id": np.concatenate(out_i),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+    return vectors.select("id", "vector").mapInPandas(kernel, schema=_CAND_SCHEMA)
+
+
 def attach_meta(results: DataFrame, vectors: DataFrame) -> DataFrame:
     """SearchWithMetaData (`BKTIndex.cpp:611-618`): join metadata back on id.
 

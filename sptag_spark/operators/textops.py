@@ -463,3 +463,89 @@ def rule_filters(
         *[c.alias(name) for name, c in rules.items()],
         keep.alias("keep"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 500,
+    stride: int = 400,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: fixed `window`-char chunks starting
+    every `stride` chars (overlap = window - stride) — the splitting pass
+    that feeds context-bounded training/embedding jobs.
+
+    Chunk starts are 0, stride, 2·stride, … while start < length (an empty
+    doc still yields its one empty chunk), so
+    n_chunks = max(1, ceil(length / stride)) and every character lands in at
+    least one chunk. Pure column expressions — sequence + explode + substring
+    is a map-only generate, no shuffle, no Python; at 100 TB this runs at
+    scan speed and the output is ~(1 + overlap/stride)× the input bytes.
+
+    → (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5); the md5 stands
+    in for the chunk text so downstream exact-dedup of chunks is a groupBy
+    away without re-shipping the text.
+    """
+    n = F.length(F.col(text_col)).cast("long")
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"), F.ceil(n / F.lit(float(stride))).cast("long")
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.substring(
+        F.col("_text"), (F.col("chunk_idx") * stride + 1).cast("int"), window
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+def vocab_pair_counts(
+    docs: DataFrame,
+    top: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies — the counting pass of a
+    BPE/WordPiece-style tokenizer-training round (the most frequent pair is
+    the next merge). Whitespace tokens (functions/text.py contract), pairs
+    are consecutive (tokens[i], tokens[i+1]) within a document.
+
+    Plan: per-doc pair arrays built by a codegen'd transform over the token
+    array (no Python), explode, then ONE count shuffle on the pair key and a
+    top-`top` rank. Pair keys are heavy-tailed but the partial (map-side)
+    count aggregation absorbs the skew — each executor pre-counts its
+    partition before the exchange, so hot pairs ship one row per partition,
+    not one per occurrence.
+
+    → (rank, pair, n), rank 1..top by (n desc, pair asc) — deterministic
+    under count ties.
+    """
+    with_toks = docs.select(tokens(F.col(text_col)).alias("toks"))
+    pairs = F.when(
+        F.size(F.col("toks")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(toks[i - 1], ' ', toks[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        with_toks.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top)
+        .select("rank", "pair", "n")
+    )

@@ -145,3 +145,40 @@ register(
         "pairs AS (\n  SELECT",
     ).replace("FROM q CROSS JOIN v", "FROM qq q CROSS JOIN v"),
 )
+
+
+# -- exact radius query (range search) --------------------------------------
+#
+# The fixed-radius companion to top-k (operators/knn.py range_search): every
+# (query, vector) pair with squared-L2 ≤ RANGE_RADIUS. Map-only plan — the
+# kernel emits in-range rows per partition against the broadcast query
+# batch; no shuffle, no rank. Radius 1.3 sits in a verified gap of the
+# distance distribution at both test SFs (no pair within 1e-6 of the cut),
+# so BLAS-vs-SQL summation-order noise cannot flip membership.
+
+RANGE_RADIUS = 1.3
+
+
+def _range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.knn import range_search
+
+    res = range_search(
+        vectors_table(spark, sf_dir).select("id", "vector"),
+        queries_table(spark, sf_dir),
+        radius=RANGE_RADIUS,
+        metric="l2",
+    )
+    return res.withColumn("dist", F.round("dist", ROUND))
+
+
+register(
+    "range_search",
+    _range_search,
+    f"""
+WITH v AS ({ORACLE_VECTORS}),
+     q AS ({ORACLE_QUERIES})
+SELECT q.query_id, v.id, round({_L2SQ}, {ROUND}) AS dist
+FROM q CROSS JOIN v
+WHERE {_L2SQ} <= {RANGE_RADIUS}
+""",
+)

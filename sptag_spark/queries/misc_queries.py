@@ -332,21 +332,33 @@ def _index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (loaded, cfg)
 
     loaded, cfg = _memo(spark, sf_dir, "index_roundtrip", build)
+    # ONE composed plan, not eager .count() calls: each driver-side count
+    # is its own sequential job (scheduler + GC floor apiece, ~6 jobs per
+    # bench run); as 1-row subtrees crossJoined together the three checks
+    # run as parallel stages of a single execution.
     per_id = loaded.postings.groupBy("id").agg(F.count("*").alias("replicas"))
+    rep = per_id.agg(
+        ((F.min("replicas") >= 1) & (F.max("replicas") <= 8)).alias(
+            "replicas_bounded"
+        )
+    )
+    nvec = loaded.vectors.agg(F.count("*").cast("long").alias("n_vectors"))
     head_ids = loaded.heads.select("head_id").distinct()
-    orphans = (
+    anchored = (
         loaded.postings.select("head_id")
         .distinct()
         .join(head_ids, "head_id", "left_anti")
-        .count()
+        .agg((F.count("*") == 0).alias("postings_anchored"))
     )
-    return per_id.agg(
-        F.lit(loaded.vectors.count()).cast("long").alias("n_vectors"),
-        F.lit(loaded.config == cfg).alias("config_ok"),
-        F.lit(orphans == 0).alias("postings_anchored"),
-        ((F.min("replicas") >= 1) & (F.max("replicas") <= 8)).alias(
-            "replicas_bounded"
-        ),
+    return (
+        nvec.crossJoin(anchored)
+        .crossJoin(rep)
+        .select(
+            "n_vectors",
+            F.lit(loaded.config == cfg).alias("config_ok"),
+            "postings_anchored",
+            "replicas_bounded",
+        )
     )
 
 

@@ -565,3 +565,68 @@ FROM rules
 """
 
 register("rule_filters", _rule_filters, _RULES_SQL)
+
+
+# -- sliding-window chunking ------------------------------------------------
+
+_CHUNK_WINDOW, _CHUNK_STRIDE = 500, 400
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.textops import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE
+    )
+
+
+register(
+    "doc_chunks",
+    _doc_chunks,
+    f"""
+WITH ex AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           greatest(CAST(ceil(length(text)/{_CHUNK_STRIDE}.0) AS BIGINT), 1) - 1
+         )) AS chunk_idx
+  FROM documents
+)
+SELECT doc_id, chunk_idx, chunk_idx*{_CHUNK_STRIDE} AS chunk_start,
+       CAST(length(substr(text, CAST(chunk_idx*{_CHUNK_STRIDE}+1 AS BIGINT),
+                          {_CHUNK_WINDOW})) AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(chunk_idx*{_CHUNK_STRIDE}+1 AS BIGINT),
+                  {_CHUNK_WINDOW})) AS chunk_md5
+FROM ex
+""",
+)
+
+
+# -- tokenizer-training pair counts -----------------------------------------
+
+_VOCAB_TOP = 30
+
+
+def _vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.textops import vocab_pair_counts
+
+    return vocab_pair_counts(_docs(spark, sf_dir), top=_VOCAB_TOP)
+
+
+register(
+    "vocab_pair_counts",
+    _vocab_pairs,
+    rf"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+), pairs AS (
+  SELECT unnest(CASE WHEN len(tk) >= 2
+         THEN list_transform(generate_series(1, len(tk)-1),
+                             i -> tk[i] || ' ' || tk[i+1])
+         ELSE [] END) AS pair
+  FROM toks
+), counted AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+SELECT row_number() OVER (ORDER BY n DESC, pair) AS rank, pair, n
+FROM counted QUALIFY rank <= {_VOCAB_TOP}
+""",
+)

@@ -413,3 +413,44 @@ def test_dataset_split_deterministic_and_proportional(spark):
         .count()
     )
     assert moved > 500
+
+
+def test_chunk_documents_covers_text(spark, sf_dir):
+    """Chunks tile every doc: idx 0..n-1, starts at stride multiples, all
+    chars covered, last chunk may be short, empty doc still yields 1 chunk."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 1000), (2, "b" * 399), (3, "c" * 401), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, window=500, stride=400).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert {d: len(v) for d, v in by_doc.items()} == {1: 3, 2: 1, 3: 2, 4: 1}
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["chunk_start"] == c["chunk_idx"] * 400 for c in chunks)
+    # doc 1: 1000 chars -> windows of 500,500,200; overlap covers all chars
+    assert [c["chunk_len"] for c in by_doc[1]] == [500, 500, 200]
+    assert by_doc[4][0]["chunk_len"] == 0
+
+
+def test_vocab_pair_counts_ranks_adjacent_pairs(spark):
+    from sptag_spark.operators.textops import vocab_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "x y q"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["pair"]: (r["rank"], r["n"]) for r in vocab_pair_counts(docs, top=10).collect()}
+    # "x y" appears 3 times (twice in doc1, once in doc2)
+    assert rows["x y"] == (1, 3)
+    # ties broken by pair asc
+    assert rows["y q"][1] == 1 and rows["y x"][1] == 1 and rows["y z"][1] == 1
+    assert rows["y q"][0] < rows["y x"][0] < rows["y z"][0]
+    assert "solo" not in " ".join(rows)  # single-token/empty docs yield no pairs

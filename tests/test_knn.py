@@ -176,3 +176,49 @@ def test_dimension_mismatch_diagnostics(spark):
 
     # empty query batch is a degenerate success, not an error
     assert knn(clean, q.filter(q.query_id < 0), 2, "l2").collect() == []
+
+
+def test_range_search_matches_brute(spark, sf_dir):
+    """Range search returns exactly the pairs the declarative filter keeps,
+    with the same distances."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.functions.distance import dist_expr
+    from sptag_spark.operators.knn import range_search
+    from sptag_spark.tables import queries_table, vectors_table
+
+    vectors = vectors_table(spark, sf_dir).select("id", "vector")
+    queries = queries_table(spark, sf_dir)
+    radius = 1.3
+    got = {
+        (r["query_id"], r["id"]): r["dist"]
+        for r in range_search(vectors, queries, radius).collect()
+    }
+    q = queries.select("query_id", F.col("vector").alias("qvector"))
+    ref = {
+        (r["query_id"], r["id"]): r["dist"]
+        for r in vectors.crossJoin(F.broadcast(q))
+        .withColumn("dist", dist_expr(F.col("qvector"), F.col("vector"), "l2"))
+        .filter(F.col("dist") <= radius)
+        .select("query_id", "id", "dist")
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for key, d in got.items():
+        assert abs(d - ref[key]) < 1e-9
+    # every query at least self-hits (queries are drawn from the corpus)
+    qids = {qid for qid, _ in got}
+    assert all((qid, qid) in got and got[(qid, qid)] == 0.0 for qid in qids)
+
+
+def test_range_search_plan_is_map_only(spark, sf_dir):
+    """No Exchange anywhere: the radius scan is a single map stage."""
+    from sptag_spark.operators.knn import range_search
+    from sptag_spark.tables import queries_table, vectors_table
+
+    plan = range_search(
+        vectors_table(spark, sf_dir).select("id", "vector"),
+        queries_table(spark, sf_dir),
+        radius=1.3,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
