@@ -24,7 +24,7 @@ def main() -> None:
     # local mode = one JVM for driver+executors: size the heap for 32
     # worker threads + persisted index structures, or GC noise dominates
     # the per-query timings
-    os.environ.setdefault("SPTAG_SPARK_DRIVER_MEM", "24g")
+    os.environ.setdefault("SPTAG_SPARK_DRIVER_MEM", "40g")
     # AQE replans every stage; at bench scale (tiny stages, local[32]) that
     # is fixed overhead with no runtime benefit to buy back — measured ~2×
     # on the index-build queries. On a real cluster leave it on (default).
@@ -106,6 +106,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, spec in specs.items():
+        # settle the allocator between queries (outside the timed region):
+        # without it a query's median carries the PREVIOUS queries'
+        # young-gen debt — measured as 1.5-4× inflation vs a clean session
+        # on the exact same plans.
+        spark._jvm.System.gc()
         samples: list[float] = []
         try:
             for i in range(warmup + n_runs):

@@ -106,7 +106,9 @@ def main() -> None:
     from sptag_spark.index.postings import build_postings
     from sptag_spark.operators.components import dedup_clusters
     from sptag_spark.operators.dedup import duplicate_spans, minhash_near_dup_pairs
+    from sptag_spark.operators.knn import range_search
     from sptag_spark.operators.retrieval import bm25_topk
+    from sptag_spark.operators.textops import chunk_documents, vocab_pair_counts
 
     results: list[dict] = []
 
@@ -134,6 +136,12 @@ def main() -> None:
         record("dedup_clusters", scale, nd, timed(
             lambda: dedup_clusters(docs, 0.6).write.format("noop").mode("overwrite").save()
         ))
+        record("doc_chunks", scale, nd, timed(
+            lambda: chunk_documents(docs).write.format("noop").mode("overwrite").save()
+        ))
+        record("vocab_pair_counts", scale, nd, timed(
+            lambda: vocab_pair_counts(docs).write.format("noop").mode("overwrite").save()
+        ))
 
         epath = materialize(
             scaled_embeddings(spark, scale), f"{WORK}/embeddings_x{scale}.parquet"
@@ -152,6 +160,10 @@ def main() -> None:
         nprobe = max(10, heads.count() * 85 // 1000)
         record("spann_serve", scale, nv, timed(
             lambda: ann_search(queries, heads, postings, k=10, nprobe=nprobe)
+            .write.format("noop").mode("overwrite").save()
+        ))
+        record("range_search", scale, nv, timed(
+            lambda: range_search(vecs, queries, radius=1.3)
             .write.format("noop").mode("overwrite").save()
         ))
         heads.unpersist()
