@@ -106,11 +106,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, spec in specs.items():
-        # settle the allocator between queries (outside the timed region):
-        # without it a query's median carries the PREVIOUS queries'
-        # young-gen debt — measured as 1.5-4× inflation vs a clean session
-        # on the exact same plans.
-        spark._jvm.System.gc()
+        # do NOT System.gc() between queries: a full GC frees hundreds of
+        # weakly-referenced Spark objects (broadcasts, shuffle deps,
+        # checkpointed RDDs) and the async ContextCleaner then storms
+        # block-removal RPCs straight through the timed runs — A/B measured
+        # 3.1s → 12.6s on dedup_clusters with a gc immediately before its
+        # block. Cleaner churn amortizes naturally across the run instead.
         samples: list[float] = []
         try:
             for i in range(warmup + n_runs):

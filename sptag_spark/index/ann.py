@@ -41,6 +41,19 @@ MAX_DIST_RATIO = 8.0  # SPANN MaxDistRatio default
 ROUTE_INMEM_MAX_HEADS = 4096
 
 
+def cached_count(df: DataFrame) -> int:
+    """count() for persisted/memoized index artifacts, computed once per
+    DataFrame OBJECT and remembered on it. Serve paths consult the head
+    count every call (nprobe scaling, in-memory-routing dispatch); an index
+    table is immutable once built, so re-running even a cheap count job per
+    query is pure scheduler overhead."""
+    n = getattr(df, "_sptag_cached_count", None)
+    if n is None:
+        n = df.count()
+        df._sptag_cached_count = n
+    return n
+
+
 def route_queries(
     queries: DataFrame,
     heads: DataFrame,
@@ -63,7 +76,7 @@ def route_queries(
     distributed kernel (same _exact_pair_dists arithmetic, same (dist, id)
     lexsort), but zero Spark stages for what is scalar work on two small
     tables. Larger head sets use the distributed kernel unchanged."""
-    n_heads = heads.count()  # heads are persisted/memoized index artifacts
+    n_heads = cached_count(heads)  # persisted/memoized index artifacts
     if n_heads <= ROUTE_INMEM_MAX_HEADS:
         return _route_inmem(
             queries, heads, nprobe, metric, max_dist_ratio, q_rows
@@ -280,12 +293,34 @@ def ann_search(
                 continue
             V = np.array(pdf["vector"].tolist(), dtype=np.float64)
             qids = pdf["query_id"].to_numpy(dtype=np.int64)
-            dist = np.empty(len(pdf))
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            out_q, out_i, out_d = [], [], []
             for qid in np.unique(qids):
                 idx = np.nonzero(qids == qid)[0]
-                dist[idx] = _exact_pair_dists(V[idx], qmap[int(qid)], metric)
+                d = _exact_pair_dists(V[idx], qmap[int(qid)], metric)
+                # map-side dedup + local top-k (the partial of the
+                # partial/final top-k): exact rescoring makes every replica
+                # of an id score identically, so dropping in-batch replicas
+                # then keeping this batch's k best by (dist, id) can never
+                # evict a global winner — the merge sees a superset of the
+                # true top-k. The shuffle then carries ≤ |Q|·k rows per
+                # batch instead of every candidate (posting_limit/k ≈ an
+                # order of magnitude at the default knobs).
+                bi = ids[idx]
+                order = np.lexsort((d, bi))
+                keep = np.ones(len(bi), dtype=bool)
+                keep[1:] = bi[order][1:] != bi[order][:-1]
+                uniq = order[keep]
+                top = uniq[np.lexsort((bi[uniq], d[uniq]))[:k]]
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_i.append(bi[top])
+                out_d.append(d[top])
             yield pd.DataFrame(
-                {"query_id": qids, "id": pdf["id"].to_numpy(), "dist": dist}
+                {
+                    "query_id": np.concatenate(out_q),
+                    "id": np.concatenate(out_i),
+                    "dist": np.concatenate(out_d),
+                }
             )
 
     scored = cand.mapInPandas(score, schema="query_id long, id long, dist double")

@@ -549,3 +549,67 @@ def vocab_pair_counts(
         .filter(F.col("rank") <= top)
         .select("rank", "pair", "n")
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by how
+    much more likely its tokens are under a TARGET domain's unigram
+    distribution than under the raw corpus's —
+    w(doc) = mean over token instances of [log p_target(tok) − log p_raw(tok)]
+    — and select the docs whose weight is positive (importance ratio > 1).
+    The paper uses hashed n-gram features; exact unigrams are the same
+    estimator on this vocabulary scale and keep the op SQL-twinned.
+
+    `target_pred`: boolean Column marking the in-domain subset (e.g.
+    F.col("source") == "wiki"). Laplace `smoothing` over the SHARED vocab
+    keeps log ratios finite for tokens absent from the target.
+
+    Plan shape (scales like unigram_logprob): one exploded token stream
+    feeds (1) a vocab-sized groupBy computing raw and target counts in the
+    SAME aggregate (the target count is a conditional sum — no second pass
+    over the corpus), (2) a broadcast totals row, (3) a token→log-ratio join
+    back and a per-doc rollup. Selection is the map-only predicate
+    avg > 0 — no global rank, nothing driver-side, no skewed window.
+
+    Returns (doc_id, n_tokens, avg_log_ratio, selected) for docs with ≥ 1
+    token.
+    """
+    from sptag_spark.functions.text import tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("int").alias("is_t"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    freq = tok.groupBy("tok").agg(
+        F.count("*").cast("double").alias("cnt_all"),
+        F.sum("is_t").cast("double").alias("cnt_t"),
+    )
+    tot = freq.agg(
+        F.sum("cnt_all").alias("total_all"),
+        F.sum("cnt_t").alias("total_t"),
+        F.count("*").cast("double").alias("v"),
+    )
+    s = F.lit(float(smoothing))
+    lr = (
+        F.log((F.col("cnt_t") + s) / (F.col("total_t") + s * F.col("v")))
+        - F.log((F.col("cnt_all") + s) / (F.col("total_all") + s * F.col("v")))
+    ).alias("lr")
+    ratio = freq.crossJoin(F.broadcast(tot)).select("tok", lr)
+    per_doc = tok.join(ratio, "tok").groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lr"), 4).alias("avg_log_ratio"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "avg_log_ratio",
+        (F.col("avg_log_ratio") > F.lit(0.0)).alias("selected"),
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sptag_spark.index.ann import ann_search
+from sptag_spark.index.ann import ann_search, cached_count
 from sptag_spark.index.balanced import balanced_kmeans, cluster_sizes
 from sptag_spark.index.heads import select_heads
 from sptag_spark.index.ivf import ivf_build, ivf_search
@@ -188,7 +188,7 @@ def _ann_spann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same knob with index size (SearchInternalResultNum=64 in the
     # SIFT1B config). 8.5% → 10 @ sf0.01, 21 @ sf0.1 — both ≥0.93, holding
     # the paper's ~0.9 recall@10 operating point at every test SF.
-    nprobe = max(10, -(-heads.count() * 85 // 1000))
+    nprobe = max(10, -(-cached_count(heads) * 85 // 1000))
     res = ann_search(queries, heads, postings, k=DEFAULT_K, nprobe=nprobe)
     return self_verified_search(
         res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.9
@@ -214,7 +214,7 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1. With replicas=2 multi-assignment, 25% of lists floored at 12
     # → 0.945 @ sf0.01, 0.89 @ sf0.1 — a real margin over the 0.75 gate
     # (single-assignment at 40% measured 0.85/0.86).
-    nprobe = max(12, -(-centroids.count() // 4))
+    nprobe = max(12, -(-cached_count(centroids) // 4))
     res = ivf_search(queries, centroids, lists, k=DEFAULT_K, nprobe=nprobe)
     return self_verified_search(
         res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.75
@@ -243,7 +243,7 @@ def _ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, _ = ivf_index(spark, sf_dir)
     books, coded = ivfpq_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
-    nprobe = max(12, -(-centroids.count() // 4))
+    nprobe = max(12, -(-cached_count(centroids) // 4))
     res = ivf_pq_search(
         queries, centroids, coded, books, k=DEFAULT_K, nprobe=nprobe,
         rerank=4 * DEFAULT_K, vectors=vectors_table(spark, sf_dir),
@@ -326,6 +326,76 @@ register(
     f"""
 SELECT query_id, CAST({DEFAULT_K} AS BIGINT) AS n_results, TRUE AS recall_ok
 FROM ({ORACLE_PER_QUERY})
+""",
+)
+
+
+def _sdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDC mode — the reference's EnableADC=false path (`PQQuantizer.h:
+    112-138`): the query is quantized too and distance is a table lookup of
+    code-to-code sub-distances, so serve never touches a float vector on
+    either side. Coarser than ADC by construction (both sides lossy): the
+    measured gate is 0.25 recall@10 (vs ADC's 0.5 on the same m=8 codes;
+    random top-10 of the corpus would score ~10/N ≈ 0.005, so the gate is
+    ~50× over chance). No self-hit claim — double quantization loses it."""
+    books, codes = pq_index(spark, sf_dir)
+    queries = queries_table(spark, sf_dir)
+    from sptag_spark.index.pq import sdc_search
+
+    res = sdc_search(codes, queries, books, k=DEFAULT_K).withColumnRenamed(
+        "sdc_dist", "dist"
+    )
+    return self_verified_search(
+        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.25,
+        with_self_hit=False,
+    )
+
+
+register(
+    "sdc_search",
+    _sdc,
+    f"""
+SELECT query_id, CAST({DEFAULT_K} AS BIGINT) AS n_results, TRUE AS recall_ok
+FROM ({ORACLE_PER_QUERY})
+""",
+)
+
+
+def _pq_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReconstructVector parity (`Common/IQuantizer.h` ReconstructVector /
+    `OPQQuantizer.h` ReconstructVector): decode the OPQ codes back to float
+    vectors (inverse rotation applied) and measure the relative
+    reconstruction error Σ‖v−v̂‖²/Σ‖v‖² over the whole corpus, as one
+    scan+join plan. Invariants: every vector decodes (count = N), the
+    decoded dimension matches, and the m=8×256 codebook captures ≥65% of
+    the corpus energy (measured 0.09 @ sf0.01, 0.22 @ sf0.1 relative
+    error; gate 0.35)."""
+    from sptag_spark.functions.distance import dist_expr
+    from sptag_spark.index.pq import pq_decode
+
+    books, codes = opq_index(spark, sf_dir)
+    recon = pq_decode(codes, books).withColumnRenamed("vector", "rvec")
+    v = vectors_table(spark, sf_dir).select("id", "vector")
+    j = v.join(recon, "id")
+    return j.select(
+        dist_expr(F.col("vector"), F.col("rvec"), "l2").alias("err"),
+        F.aggregate(
+            F.col("vector"), F.lit(0.0), lambda s, x: s + x.cast("double") * x
+        ).alias("nrm"),
+        (F.size("rvec") == F.size("vector")).alias("dim_ok"),
+    ).agg(
+        F.count("*").alias("n_vectors"),
+        F.min("dim_ok").alias("dims_match"),
+        ((F.sum("err") / F.sum("nrm")) <= F.lit(0.35)).alias("recon_err_ok"),
+    )
+
+
+register(
+    "pq_reconstruct",
+    _pq_reconstruct,
+    f"""
+SELECT n_vectors, TRUE AS dims_match, TRUE AS recon_err_ok
+FROM ({ORACLE_N})
 """,
 )
 

@@ -630,3 +630,55 @@ SELECT row_number() OVER (ORDER BY n DESC, pair) AS rank, pair, n
 FROM counted QUALIFY rank <= {_VOCAB_TOP}
 """,
 )
+
+
+# -- DSIR importance resampling ---------------------------------------------
+#
+# Target domain for the driver query: source='src0' (an arbitrary but
+# deterministic in-domain subset). The oracle recomputes the full estimator
+# in SQL — smoothed unigram log-ratio averaged per token instance — so the
+# weights themselves are hash-checked, not just the selection.
+
+
+def _dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.textops import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return dsir_importance_weights(docs, F.col("source") == "src0")
+
+
+register(
+    "dsir_sample",
+    _dsir,
+    r"""
+WITH tok AS (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+freq AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS cnt_all,
+         CAST(sum(is_t) AS DOUBLE) AS cnt_t
+  FROM tok GROUP BY tok
+),
+tot AS (
+  SELECT sum(cnt_all) AS total_all, sum(cnt_t) AS total_t,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM freq
+),
+ratio AS (
+  SELECT tok,
+         ln((cnt_t + 0.5) / (total_t + 0.5 * v))
+         - ln((cnt_all + 0.5) / (total_all + 0.5 * v)) AS lr
+  FROM freq CROSS JOIN tot
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lr), 4) AS avg_log_ratio,
+       (round(avg(lr), 4) > 0.0) AS selected
+FROM tok t JOIN ratio USING (tok)
+GROUP BY t.doc_id
+""",
+)

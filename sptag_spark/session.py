@@ -50,6 +50,15 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The generated-class cache defaults to 100 entries; a session that
+        # serves the full query inventory (70+ plans × several codegen
+        # stages each) evicts constantly and re-runs janino compilation on
+        # EVERY execution of EVERY plan — measured as queries timing 0.5s
+        # isolated but 3.5s inside the full-inventory session. The cache is
+        # a JVM singleton sized at first use, so this must be set at session
+        # build, and entries are compiled classes (small) — memory cost is
+        # negligible next to the heap.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

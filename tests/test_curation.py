@@ -104,3 +104,37 @@ def test_rule_filters_edges(spark):
     assert out[7]["r_symbol_ratio"] is False
     assert out[8]["r_alpha_ratio"] is False
     assert all(not out[i]["keep"] for i in range(2, 9))
+
+
+def test_dsir_importance_weights(spark):
+    """Target-exclusive vocabulary scores positive (selected); vocabulary
+    absent from the target scores negative; a doc mixing both sits between
+    the two extremes. Zero-token docs are dropped."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.textops import dsir_importance_weights
+
+    rows = [
+        (1, "wiki", "alpha beta alpha beta gamma"),
+        (2, "wiki", "alpha gamma gamma beta"),
+        (3, "web", "zeta eta theta zeta eta"),
+        (4, "web", "alpha beta zeta eta"),  # mixed vocab
+        (5, "web", "alpha beta gamma alpha"),  # target-like vocab, raw doc
+        (6, "web", ""),  # no tokens: dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            docs, F.col("source") == "wiki"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # pure target vocab → importance ratio > 1 regardless of which doc
+    for i in (1, 2, 5):
+        assert out[i]["avg_log_ratio"] > 0 and out[i]["selected"] is True
+    # vocab never seen in target → ratio < 1
+    assert out[3]["avg_log_ratio"] < 0 and out[3]["selected"] is False
+    # mixed doc sits strictly between the extremes
+    assert out[3]["avg_log_ratio"] < out[4]["avg_log_ratio"] < out[1]["avg_log_ratio"]
+    assert out[1]["n_tokens"] == 5
