@@ -268,6 +268,15 @@ def ivf_pq_search(
     }
     bc = queries.sparkSession.sparkContext.broadcast(_centroid_matrix(centroids))
 
+    # map-side cut: each batch keeps only its best `keep_n` ids per query
+    # (after in-batch min-dedup of multi-assigned copies). Same superset
+    # argument as ann_search's kernel — an id's global score is the min over
+    # its per-list copies, so if keep_n in-batch ids beat it, their global
+    # mins beat its global min too; the merge sees every possible winner.
+    # The shuffle then carries |Q|·keep_n rows per batch instead of every
+    # scored code row (nprobe·list_len per query).
+    keep_n = max(rerank, k)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         head_ids, C = bc.value
         pos = {int(h): i for i, h in enumerate(head_ids)}
@@ -295,6 +304,7 @@ def ivf_pq_search(
                 continue
             Cc = np.array(pdf["codes"].tolist(), dtype=np.int64)
             qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
             hids = pdf["head_id"].to_numpy(dtype=np.int64)
             dist = np.empty(len(pdf))
             keys = qids * (1 << 32) + hids
@@ -303,8 +313,24 @@ def ivf_pq_search(
                 dist[idx] = lut(int(qids[idx[0]]), int(hids[idx[0]]))[
                     cols, Cc[idx]
                 ].sum(1)
+            out_q, out_i, out_d = [], [], []
+            for qid in np.unique(qids):
+                idx = np.nonzero(qids == qid)[0]
+                bi, bd = ids[idx], dist[idx]
+                order = np.lexsort((bd, bi))  # id asc, dist asc within id
+                first = np.ones(len(bi), dtype=bool)
+                first[1:] = bi[order][1:] != bi[order][:-1]
+                uniq = order[first]  # min dist per in-batch id
+                top = uniq[np.lexsort((bi[uniq], bd[uniq]))[:keep_n]]
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_i.append(bi[top])
+                out_d.append(bd[top])
             yield pd.DataFrame(
-                {"query_id": qids, "id": pdf["id"].to_numpy(), "adc_dist": dist}
+                {
+                    "query_id": np.concatenate(out_q),
+                    "id": np.concatenate(out_i),
+                    "adc_dist": np.concatenate(out_d),
+                }
             )
 
     from sptag_spark.index.ann import topk_per_query

@@ -56,6 +56,7 @@ class SpannLiveIndex:
         self._base = vectors.select("id", "vector").persist()
         self._deltas: list[DataFrame] = []
         self._tombstones = self._spark.createDataFrame([], "id long")
+        self._n_tombstones = 0
         if prebuilt is not None:
             self.heads, self.postings = prebuilt
         else:
@@ -71,6 +72,8 @@ class SpannLiveIndex:
         out = self._base
         for d in self._deltas:
             out = out.unionByName(d)
+        if self._n_tombstones == 0:
+            return out
         return out.join(self._tombstones, "id", "left_anti")
 
     def add_batch(self, batch: DataFrame) -> None:
@@ -91,13 +94,21 @@ class SpannLiveIndex:
         self._tombstones = self._tombstones.unionByName(
             ids.select("id")
         ).dropDuplicates(["id"])
+        # known non-zero marker; the exact figure is never consulted, only
+        # zero-vs-nonzero gates the anti-join (an empty tombstone table
+        # still plans and shuffles the join on every search)
+        self._n_tombstones = 1
 
     def search(
         self, queries: DataFrame, k: int = 10, nprobe: int = 10
     ) -> DataFrame:
         """ann_search over the live view: streamed adds are visible the
         moment add_batch returns, deletes are filtered — no rebuild needed."""
-        live_postings = self.postings.join(self._tombstones, "id", "left_anti")
+        live_postings = self.postings
+        if self._n_tombstones:
+            live_postings = live_postings.join(
+                self._tombstones, "id", "left_anti"
+            )
         return ann_search(
             queries, self.heads, live_postings, k=k, nprobe=nprobe,
             metric=self._metric,
@@ -116,5 +127,6 @@ class SpannLiveIndex:
         self._base, self.heads, self.postings = new_base, new_heads, new_postings
         self._deltas = []
         self._tombstones = self._spark.createDataFrame([], "id long")
+        self._n_tombstones = 0
         self.adds_since_build = 0
         self.builds += 1
