@@ -231,10 +231,17 @@ def domain_mix_sample(
         "_n",
         F.least(
             F.col("_n"),
+            # round before ceil: the quota expression's last ulp differs
+            # between engines (pow/division order), and ceil amplifies a
+            # 1-ulp difference across an integer boundary into an off-by-one
+            # quota (observed at sf0.1: 2520 vs 2500 kept rows)
             F.ceil(
-                F.lit(float(target_total))
-                * F.pow("_n", F.lit(alpha))
-                / F.sum(F.pow("_n", F.lit(alpha))).over(wsum)
+                F.round(
+                    F.lit(float(target_total))
+                    * F.pow("_n", F.lit(alpha))
+                    / F.sum(F.pow("_n", F.lit(alpha))).over(wsum),
+                    6,
+                )
             ),
         ).alias("_quota"),
     )
@@ -605,7 +612,10 @@ def dsir_importance_weights(
     ratio = freq.crossJoin(F.broadcast(tot)).select("tok", lr)
     per_doc = tok.join(ratio, "tok").groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(F.avg("lr"), 4).alias("avg_log_ratio"),
+        # + 0.0 drops the sign bit when the rounded mean lands on -0.0
+        # (IEEE: -0.0 + 0.0 = +0.0) — engines otherwise disagree on the
+        # sign of a zero that arrives from below
+        (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("avg_log_ratio"),
     )
     return per_doc.select(
         "doc_id",

@@ -232,7 +232,7 @@ def _tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "id",
         F.size("vector").alias("dim"),
-        F.round(F.element_at("vector", 1).cast("double"), ROUND).alias("v0"),
+        (F.round(F.element_at("vector", 1).cast("double"), ROUND) + F.lit(0.0)).alias("v0"),
         "meta",
     )
 
@@ -242,7 +242,7 @@ register(
     _tsv_roundtrip,
     f"""
 SELECT vec_id AS id, len(embedding) AS dim,
-       round(CAST(embedding[1] AS DOUBLE), {ROUND}) AS v0,
+       round(CAST(embedding[1] AS DOUBLE), {ROUND}) + 0.0 AS v0,
        CAST(label AS VARCHAR) AS meta
 FROM embeddings
 """,
@@ -281,7 +281,7 @@ def _binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "id",
         F.size("vector").alias("dim"),
-        F.round(F.element_at("vector", 1).cast("double"), ROUND).alias("v0"),
+        (F.round(F.element_at("vector", 1).cast("double"), ROUND) + F.lit(0.0)).alias("v0"),
     )
 
 
@@ -290,7 +290,7 @@ register(
     _binary_roundtrip,
     f"""
 SELECT vec_id AS id, len(embedding) AS dim,
-       round(CAST(embedding[1] AS DOUBLE), {ROUND}) AS v0
+       round(CAST(embedding[1] AS DOUBLE), {ROUND}) + 0.0 AS v0
 FROM embeddings
 """,
 )

@@ -257,10 +257,10 @@ WITH counts AS (
 ),
 quotas AS (
   SELECT source, n,
-         least(n, CAST(ceil(
+         least(n, CAST(ceil(round(
            (SELECT CAST(count(*) // 2 AS DOUBLE) FROM documents)
            * pow(n, 0.5) / (SELECT sum(pow(n, 0.5)) FROM counts)
-         ) AS BIGINT)) AS quota
+         , 6)) AS BIGINT)) AS quota
   FROM counts
 ),
 ranked AS (
@@ -676,8 +676,8 @@ ratio AS (
   FROM freq CROSS JOIN tot
 )
 SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(lr), 4) AS avg_log_ratio,
-       (round(avg(lr), 4) > 0.0) AS selected
+       round(avg(lr), 4) + 0.0 AS avg_log_ratio,
+       (round(avg(lr), 4) + 0.0 > 0.0) AS selected
 FROM tok t JOIN ratio USING (tok)
 GROUP BY t.doc_id
 """,
