@@ -165,6 +165,35 @@ def main() -> None:
             samples.sort()
             serve_sec = samples[len(samples) // 2]
             rs = recall_summary(recall_per_query(serve(), truth, 10)).first()
+            # per-query I/O statistics in the reference harness's table shape
+            # (SSDIndex.h:288-345 logs Ex IOs / Ex Elements per query): how
+            # many posting lists each query reads and how many candidate
+            # rows it scans — the figures that stay bounded as the corpus
+            # grows, which is the whole point of the layout.
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            from sptag_spark.index.ann import route_queries
+
+            routes = route_queries(queries_df, heads, nprobe)
+            io = (
+                routes.join(
+                    postings.groupBy("head_id").agg(
+                        F.count("*").alias("plen")
+                    ),
+                    "head_id",
+                )
+                .groupBy("query_id")
+                .agg(
+                    F.count("*").alias("lists"),
+                    F.sum("plen").alias("rows"),
+                )
+                .agg(
+                    F.avg("lists").alias("al"),
+                    F.avg("rows").alias("ar"),
+                    F.max("rows").alias("mr"),
+                )
+                .first()
+            )
             spann_curve.append(
                 {
                     "recall_at_10": round(rs["avg_recall"], 4),
@@ -173,6 +202,9 @@ def main() -> None:
                     "n_queries": nq,
                     "nprobe": nprobe,
                     "k": 10,
+                    "avg_postings_read": round(io["al"], 1),
+                    "avg_rows_scanned": round(io["ar"], 1),
+                    "max_rows_scanned": int(io["mr"]),
                 }
             )
         # headline point: the lowest-nprobe setting that clears the paper's
