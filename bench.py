@@ -275,6 +275,18 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["spann_metrics"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Exact k-NN join throughput (BASELINE.md notes ask for this figure
+    # explicitly): queries/sec of the exact batch kernel, from the timed
+    # knn_l2 median — the TruthSet-semantics brute-force path.
+    exact_qps = None
+    try:
+        if timings.get("knn_l2"):
+            exact_qps = round(
+                queries_table(spark, sf_dir).count() / timings["knn_l2"], 1
+            )
+    except Exception:  # noqa: BLE001
+        pass
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "total_query_wall_sec",
@@ -284,6 +296,7 @@ def main() -> None:
         "query_spread": spread,
         "runs_per_query": n_runs,
         "warmup_runs_per_query": warmup,
+        "exact_knn_batch_qps": exact_qps,
         "spann_operating_point": spann_point,
         "spann_operating_curve": spann_curve,
         "spann_single_query_latency_ms": spann_latency,

@@ -186,3 +186,70 @@ FROM documents
 GROUP BY md5(text)
 """,
 )
+
+
+# -- streaming ANN serving (the socket serve loop, §2.11) --------------------
+#
+# Queries ARRIVE as a stream (landing directory); every micro-batch is
+# answered by the memoized SPANN index through the same ann_search plan the
+# batch path uses (streaming/serving.py foreachBatch bridge), appending to a
+# parquet sink. Determinism: one file → one micro-batch → the sink holds
+# exactly the batch-path answer, so the query self-verifies like ann_spann
+# (per-query n_results/self_hit + corpus recall vs exact truth).
+
+
+def _streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sptag_spark.index.ann import cached_count
+    from sptag_spark.queries.ann_queries import (
+        self_verified_search,
+        spann_index,
+        truth_topk,
+    )
+    from sptag_spark.streaming.serving import serve_query_stream
+    from sptag_spark.tables import DEFAULT_K, QUERY_MODULUS
+
+    heads, postings = spann_index(spark, sf_dir)
+    src_dir = _stream_source_dir(sf_dir, table="embeddings")
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    qstream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .filter(F.col("vec_id") % QUERY_MODULUS == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("vector"),
+        )
+    )
+    # fresh sink/checkpoint per run: the serve work is re-executed and
+    # re-timed every run instead of being absorbed by a stale checkpoint
+    work = tempfile.mkdtemp(prefix="sptag_stream_serve_")
+    nprobe = max(10, -(-cached_count(heads) * 85 // 1000))
+    q = serve_query_stream(
+        qstream, heads, postings,
+        sink_path=f"{work}/sink", checkpoint_path=f"{work}/ckpt",
+        k=DEFAULT_K, nprobe=nprobe,
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(f"{work}/sink").select(
+        "query_id", "rank", "id", "dist"
+    )
+    return self_verified_search(
+        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.9
+    )
+
+
+def _streaming_serving_oracle() -> str:
+    from sptag_spark.tables import DEFAULT_K, QUERY_MODULUS
+
+    return f"""
+SELECT vec_id AS query_id, CAST({DEFAULT_K} AS BIGINT) AS n_results,
+       TRUE AS self_hit, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0
+"""
+
+
+register(
+    "streaming_ann_serving", _streaming_ann_serving, _streaming_serving_oracle()
+)

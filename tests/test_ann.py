@@ -403,3 +403,20 @@ def test_route_inmem_matches_distributed(spark, sf_dir, monkeypatch):
         a = sorted(map(tuple, inmem.collect()))
         b = sorted(map(tuple, dist.collect()))
         assert a == b, (ratio, a[:3], b[:3])
+
+
+def test_ann_search_distributed_routing_matches(spark, sf_dir, monkeypatch):
+    """The full serve path is row-identical whether routing ran driver-side
+    (small head set, static IN pruning) or as the distributed knn kernel
+    (the 100 TB path: millions of heads, dynamic partition pruning). The
+    in-memory path is an optimization, never a semantic fork."""
+    import sptag_spark.index.ann as A
+
+    vectors = vectors_table(spark, sf_dir)
+    queries = queries_table(spark, sf_dir)
+    heads = select_heads(vectors, ratio=0.12).cache()
+    postings = build_postings(vectors, heads).cache()
+    base = A.ann_search(queries, heads, postings, k=10, nprobe=6).collect()
+    monkeypatch.setattr(A, "ROUTE_INMEM_MAX_HEADS", 0)
+    dist = A.ann_search(queries, heads, postings, k=10, nprobe=6).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, dist))
