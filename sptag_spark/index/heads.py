@@ -56,6 +56,56 @@ def lloyd_kmeans(
     return centers
 
 
+def hier_kmeans(
+    X: np.ndarray, k: int, iters: int = 10, seed: int = 42,
+    flat_max_k: int = 4096,
+) -> np.ndarray:
+    """Two-level Lloyd for large k — the Spark-side analog of the
+    reference's own HIERARCHICAL head structure (SelectHead walks a BKT,
+    not a flat k-means — `SPANNIndex.cpp:579-705`). Flat Lloyd is
+    O(n·k·d·iters); at k ≈ 0.12·n that is quadratic in n and dominated the
+    ×64 build (~15k centers over 128k rows). Training √k coarse centers,
+    partitioning the sample, then training size-proportional sub-centers
+    per coarse cell costs ~k1× less for the same coverage role (heads only
+    need to cover the space — recall is governed by replicas + nprobe
+    downstream; measured SPANN recall on the ×64 corpus is unchanged).
+    Falls back to flat Lloyd for small k, so test-scale indexes are
+    byte-identical to before."""
+    if k <= flat_max_k or len(X) < 2 * k:
+        return lloyd_kmeans(X, k, iters, seed)
+    k1 = max(2, int(np.sqrt(k)))
+    coarse = lloyd_kmeans(X, k1, iters, seed)
+    c2 = (coarse**2).sum(1)
+    block = max(256, int(2.5e7 / max(k1, 1)))
+    assign = np.empty(len(X), dtype=np.int64)
+    for s in range(0, len(X), block):
+        B = X[s : s + block]
+        assign[s : s + block] = (-2.0 * (B @ coarse.T) + c2[None, :]).argmin(1)
+    counts = np.bincount(assign, minlength=k1)
+    # largest-remainder allocation of k sub-centers proportional to cell
+    # size; every non-empty cell gets ≥ 1
+    quota = k * counts / max(counts.sum(), 1)
+    k_c = np.floor(quota).astype(np.int64)
+    k_c[counts > 0] = np.maximum(k_c[counts > 0], 1)
+    k_c = np.minimum(k_c, counts)  # can't pick more centers than members
+    rem = k - int(k_c.sum())
+    if rem > 0:
+        order = np.argsort(-(quota - np.floor(quota)))
+        for c in order:
+            if rem <= 0:
+                break
+            if counts[c] > k_c[c]:
+                k_c[c] += 1
+                rem -= 1
+    out = []
+    for c in range(k1):
+        if counts[c] == 0 or k_c[c] == 0:
+            continue
+        sub = X[assign == c]
+        out.append(lloyd_kmeans(sub, int(k_c[c]), iters, seed + 1 + c))
+    return np.vstack(out)
+
+
 def select_heads(
     vectors: DataFrame,
     ratio: float = DEFAULT_HEAD_RATIO,
@@ -77,24 +127,25 @@ def select_heads(
     rows = sample.select("id", "vector").collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     X = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
-    centers = lloyd_kmeans(X, k, iters=10, seed=seed)
+    centers = hier_kmeans(X, k, iters=10, seed=seed)
     if frac >= 1.0:
         # the sample IS the whole table → snap locally (same argmin the
-        # distributed kernel computes, minus three Spark jobs)
-        c2 = (centers**2).sum(1)
-        x2 = (X**2).sum(1)
+        # distributed kernel computes, minus three Spark jobs). Rows are
+        # pre-sorted by id so argmin's first-occurrence IS the smallest id
+        # among exact-distance ties (knn's (dist, id) ordering) — the
+        # masked-id formulation this replaces allocated a (block, n) int64
+        # temp per block and was memory-bandwidth-bound at large k·n.
+        order = np.argsort(ids, kind="stable")
+        ids_s, X_s = ids[order], X[order]
+        x2 = (X_s**2).sum(1)
         nearest = np.empty(len(centers), dtype=np.int64)
-        block = max(1, int(2.5e7 / max(len(X), 1)))
+        block = max(1, int(2.5e7 / max(len(X_s), 1)))
         for s in range(0, len(centers), block):
             D = (
-                -2.0 * (centers[s : s + block] @ X.T)
+                -2.0 * (centers[s : s + block] @ X_s.T)
                 + x2[None, :]
-                + c2[s : s + block, None]
             )
-            mins = D.min(axis=1, keepdims=True)
-            # smallest id among exact-min ties — knn's (dist, id) ordering
-            tied_ids = np.where(D <= mins, ids[None, :], np.iinfo(np.int64).max)
-            nearest[s : s + block] = tied_ids.min(axis=1)
+            nearest[s : s + block] = ids_s[D.argmin(axis=1)]
         head_ids = np.unique(nearest)
         spark = vectors.sparkSession
         chosen = {int(h) for h in head_ids}

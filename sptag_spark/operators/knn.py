@@ -52,6 +52,17 @@ def _as_matrix(series: pd.Series) -> np.ndarray:
     diagnostics instead of an opaque BLAS shape error: NULL vectors and
     ragged dimensions raise DimensionSizeMismatch-style messages
     (`src/Core/BKT/BKTIndex.cpp:924`) naming the defect."""
+    vals = series.to_numpy()
+    try:
+        # Arrow hands list<float> cells over as numpy float32 arrays —
+        # np.stack keeps the data numeric end-to-end. The tolist() fallback
+        # below boxes every component into a Python float first (measured as
+        # a large share of big build kernels' wall time).
+        m = np.stack(vals).astype(np.float64)
+    except (ValueError, TypeError):
+        m = None
+    if m is not None and m.ndim == 2:
+        return m
     vals = series.tolist()
     try:
         m = np.array(vals, dtype=np.float64)

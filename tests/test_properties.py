@@ -180,3 +180,35 @@ def test_union_find_matches_bfs(edges):
         for x in comp:
             expected[x] = rep
     assert got == expected
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=8),
+    st.floats(min_value=0.5, max_value=2.0),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_vectorized_prune_matches_sequential(n, replica, rng_factor, seed):
+    """The batched masked RNG prune inside assign_replicas' kernel accepts
+    exactly the candidates the sequential early-exit reference rule does,
+    for any (dists, head-head) configuration."""
+    import numpy as np
+
+    from sptag_spark.index.postings import _rng_prune
+
+    rng = np.random.default_rng(seed)
+    cd = np.sort(rng.uniform(0, 4, size=n))
+    hh = rng.uniform(0, 4, size=(n, n))
+    hh = (hh + hh.T) / 2
+    np.fill_diagonal(hh, 0.0)
+    seq = _rng_prune(cd, hh, replica, rng_factor)
+    # the vectorized loop from the kernel, specialized to one row
+    acc = np.zeros(n, dtype=bool)
+    cnt = 0
+    for j in range(n):
+        viol = acc & (rng_factor * hh[:, j] < cd[j])
+        ok = (not viol.any()) and cnt < replica
+        acc[j] = ok
+        cnt += ok
+    assert sorted(np.nonzero(acc)[0].tolist()) == sorted(seq)
