@@ -137,6 +137,13 @@ def balanced_kmeans(
     dim = centers.shape[1]
     src = vectors.select("id", "vector")
     sc = vectors.sparkSession.sparkContext
+    # build-time parallelism guard (assign_replicas has the same): the
+    # stats/assign kernels' parallelism is the input split count, and a
+    # compact parquet arrives as 1-2 row-group splits that would serialize
+    # every Lloyd pass on two cores; one repartition amortizes over all
+    # n_iter passes. Real large tables have more splits than cores.
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
     for _ in range(n_iter):
         bc = sc.broadcast(centers)
         partials = src.mapInPandas(
