@@ -45,14 +45,15 @@ def _cluster_centroids(assigned_vectors: DataFrame, k: int, dim: int) -> list:
             {"cluster": np.arange(k), "c": counts, "s": list(sums)}
         )
 
-    partials = assigned_vectors.select("cluster", "vector").mapInPandas(
+    # Arrow transfer, not Py4J Row marshalling (see balanced_kmeans)
+    pdf = assigned_vectors.select("cluster", "vector").mapInPandas(
         kernel, schema="cluster int, c long, s array<double>"
-    ).collect()
+    ).toPandas()
     sums = np.zeros((k, dim))
     counts = np.zeros(k, dtype=np.int64)
-    for r in partials:
-        sums[r["cluster"]] += np.asarray(r["s"])
-        counts[r["cluster"]] += r["c"]
+    cl = pdf["cluster"].to_numpy()
+    np.add.at(sums, cl, np.stack(pdf["s"].to_numpy()))
+    np.add.at(counts, cl, pdf["c"].to_numpy())
     out = []
     for c in range(k):
         if counts[c]:
