@@ -212,3 +212,21 @@ def test_vectorized_prune_matches_sequential(n, replica, rng_factor, seed):
         acc[j] = ok
         cnt += ok
     assert sorted(np.nonzero(acc)[0].tolist()) == sorted(seq)
+
+
+def test_hier_kmeans_center_count_contract():
+    """hier_kmeans returns at most k centers even when the coarse pass
+    yields many tiny cells (the >=1-per-cell bump must not overshoot k)."""
+    import numpy as np
+
+    from sptag_spark.index.heads import hier_kmeans
+
+    rng = np.random.default_rng(7)
+    # one dense blob + scattered far outliers -> singleton coarse cells
+    blob = rng.normal(0, 0.05, size=(20_000, 8))
+    outliers = rng.normal(0, 1, size=(80, 8)) * 500.0
+    X = np.vstack([blob, outliers])
+    k = 5000
+    centers = hier_kmeans(X, k, iters=3, seed=1)
+    assert len(centers) <= k
+    assert len(centers) >= k - 100  # still close to the request
