@@ -152,6 +152,15 @@ def main() -> None:
         # SIFT1B config probes 64 heads, so a fixed nprobe=10 under-reports
         # recall when the head count grows with SF).
         spann_curve = []
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from sptag_spark.index.ann import route_queries
+
+        # posting lengths are nprobe-invariant — aggregate once, reuse
+        # across the curve
+        plen = postings.groupBy("head_id").agg(F.count("*").alias("plen"))
+        plen = plen.persist()
+        plen.count()
         for nprobe in (8, 16, 24):
             serve = lambda: ann_search(  # noqa: E731
                 queries_df, heads, postings, k=10, nprobe=nprobe
@@ -170,18 +179,9 @@ def main() -> None:
             # many posting lists each query reads and how many candidate
             # rows it scans — the figures that stay bounded as the corpus
             # grows, which is the whole point of the layout.
-            from pyspark.sql import functions as F  # noqa: PLC0415
-
-            from sptag_spark.index.ann import route_queries
-
             routes = route_queries(queries_df, heads, nprobe)
             io = (
-                routes.join(
-                    postings.groupBy("head_id").agg(
-                        F.count("*").alias("plen")
-                    ),
-                    "head_id",
-                )
+                routes.join(plen, "head_id")
                 .groupBy("query_id")
                 .agg(
                     F.count("*").alias("lists"),

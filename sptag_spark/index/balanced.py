@@ -125,15 +125,6 @@ def balanced_kmeans(
     centers = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
     if len(centers) < k:
         centers = np.vstack([centers] * (k // len(centers) + 1))[:k]
-    n_parts = max(vectors.rdd.getNumPartitions(), 1)
-    if lam is None:
-        d = (
-            -2.0 * (sample @ centers.T)
-            + (centers**2).sum(1)[None, :]
-            + (sample**2).sum(1)[:, None]
-        )
-        # fair share PER PARTITION (counts accumulate within a partition pass)
-        lam = float(np.maximum(d, 0).mean()) / max(n / (k * n_parts), 1.0)
     dim = centers.shape[1]
     src = vectors.select("id", "vector")
     sc = vectors.sparkSession.sparkContext
@@ -144,6 +135,19 @@ def balanced_kmeans(
     # n_iter passes. Real large tables have more splits than cores.
     if src.rdd.getNumPartitions() < sc.defaultParallelism:
         src = src.repartition(sc.defaultParallelism)
+    # partition count AFTER the guard — lam is calibrated to the per-
+    # partition fair share, so it must see the partitioning the kernels
+    # actually run with (reading it pre-repartition weakened the penalty
+    # by the repartition factor)
+    n_parts = max(src.rdd.getNumPartitions(), 1)
+    if lam is None:
+        d = (
+            -2.0 * (sample @ centers.T)
+            + (centers**2).sum(1)[None, :]
+            + (sample**2).sum(1)[:, None]
+        )
+        # fair share PER PARTITION (counts accumulate within a partition pass)
+        lam = float(np.maximum(d, 0).mean()) / max(n / (k * n_parts), 1.0)
     for _ in range(n_iter):
         bc = sc.broadcast(centers)
         # Arrow transfer (toPandas), NOT collect(): the partials are

@@ -97,6 +97,18 @@ def hier_kmeans(
             if counts[c] > k_c[c]:
                 k_c[c] += 1
                 rem -= 1
+    elif rem < 0:
+        # the ≥1-per-non-empty-cell bump can overshoot k when many tiny
+        # coarse cells exist; shed the excess from the cells furthest above
+        # their proportional quota (never below 1) so ≤ k centers come back
+        # and select_heads' k = min(ratio·n, max_heads) contract holds
+        while rem < 0:
+            over = np.where(k_c > 1, k_c - quota, -np.inf)
+            c = int(np.argmax(over))
+            if not np.isfinite(over[c]):
+                break
+            k_c[c] -= 1
+            rem += 1
     out = []
     for c in range(k1):
         if counts[c] == 0 or k_c[c] == 0:

@@ -520,6 +520,12 @@ def duplicate_spans(
         F.explode(token_shingles_all(F.col(text_col), n)).alias("span"),
     ).select("doc_id", md5_hex(F.col("span")).alias("h"))
     per_doc_span = spans.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    # both downstream branches (the corpus totals AND the join probe side)
+    # consume per_doc_span; without materialization Catalyst re-executes
+    # the scan→explode→aggregate lineage once per branch — the heavy stage
+    # twice. localCheckpoint (the connected-components discipline) runs it
+    # once and both branches read the stored aggregated rows.
+    per_doc_span = per_doc_span.localCheckpoint()
     totals = per_doc_span.groupBy("h").agg(F.sum("c").alias("cnt"))
     flagged = per_doc_span.join(totals, "h")
     dup_rows = F.col("c") * (F.col("cnt") > 1).cast("long")

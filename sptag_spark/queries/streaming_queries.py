@@ -199,6 +199,7 @@ GROUP BY md5(text)
 
 
 def _streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import tempfile
 
     from sptag_spark.index.ann import cached_count
@@ -223,7 +224,18 @@ def _streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # fresh sink/checkpoint per run: the serve work is re-executed and
-    # re-timed every run instead of being absorbed by a stale checkpoint
+    # re-timed every run instead of being absorbed by a stale checkpoint.
+    # Dirs from PRIOR runs are reclaimed here (deleting the current run's
+    # sink after return would break the lazily-returned plan) — without
+    # this a bench loop leaks one |Q|·k parquet + checkpoint per
+    # execution.
+    import glob
+    import shutil
+
+    for old in glob.glob(
+        os.path.join(tempfile.gettempdir(), "sptag_stream_serve_*")
+    ):
+        shutil.rmtree(old, ignore_errors=True)
     work = tempfile.mkdtemp(prefix="sptag_stream_serve_")
     nprobe = max(10, -(-cached_count(heads) * 85 // 1000))
     q = serve_query_stream(

@@ -70,9 +70,13 @@ def main() -> None:
     # write postings as a REAL head_id-partitioned table so the audit shows
     # the partition-pruned scan a deployment serves from (the in-session
     # bench memoizes them as cached DataFrames instead)
-    pdir = "/tmp/plan_audit_postings"
-    if not os.path.exists(pdir):
-        postings.write.partitionBy("head_id").mode("overwrite").parquet(pdir)
+    # keyed by SF and always overwritten — a path-existence cache audited
+    # stale postings after an SF switch or an index-build change
+    import hashlib
+
+    tag = hashlib.md5(SF.encode()).hexdigest()[:8]
+    pdir = f"/tmp/plan_audit_postings_{tag}"
+    postings.write.partitionBy("head_id").mode("overwrite").parquet(pdir)
     postings_t = spark.read.parquet(pdir)
 
     sections = [
