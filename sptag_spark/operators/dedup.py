@@ -485,6 +485,22 @@ def embedding_near_dup_pairs(
     return pairs.dropDuplicates(["id_a", "id_b"])
 
 
+def _span_doc_counts(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(h, doc_id, c): per-(span-hash, doc) occurrence counts — the ONE
+    shuffle that touches the exploded span stream (map-side partial count
+    absorbs hot boilerplate spans). Split out so the plan shape stays
+    testable past the localCheckpoint that duplicate_spans puts above it."""
+    from sptag_spark.functions.text import token_shingles_all
+
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_shingles_all(F.col(text_col), n)).alias("span"),
+    ).select("doc_id", md5_hex(F.col("span")).alias("h"))
+    return spans.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+
+
 def duplicate_spans(
     docs: DataFrame,
     n: int = 10,
@@ -513,13 +529,7 @@ def duplicate_spans(
     twice — measured 26.4 s at 16× data vs 13.8 s for this shape. A window
     over h would instead funnel each hot key through one partition.
     """
-    from sptag_spark.functions.text import token_shingles_all
-
-    spans = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(token_shingles_all(F.col(text_col), n)).alias("span"),
-    ).select("doc_id", md5_hex(F.col("span")).alias("h"))
-    per_doc_span = spans.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    per_doc_span = _span_doc_counts(docs, n, id_col, text_col)
     # both downstream branches (the corpus totals AND the join probe side)
     # consume per_doc_span; without materialization Catalyst re-executes
     # the scan→explode→aggregate lineage once per branch — the heavy stage

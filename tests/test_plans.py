@@ -310,12 +310,21 @@ def test_bm25_broadcasts_stats_and_prunes_terms(spark):
 
 
 def test_duplicate_spans_partial_agg(spark):
-    from sptag_spark.operators.dedup import duplicate_spans
+    from sptag_spark.operators.dedup import _span_doc_counts, duplicate_spans
     from sptag_spark.tables import load_table
 
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # the pre-aggregation fragment (everything above duplicate_spans'
+    # localCheckpoint, which truncates the visible plan): span-hash
+    # occurrence counting must partial-aggregate map-side (hot boilerplate
+    # spans)
+    pre = plan(_span_doc_counts(docs, 10))
+    assert "partial_count" in pre
+    # ONE exchange over the exploded stream — the one-shuffle contract
+    # (formatted plans print each node twice: tree + details section)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", pre)) == 1
     p = plan(duplicate_spans(docs, 10))
-    # span-hash occurrence counting must partial-aggregate map-side (hot
-    # boilerplate spans), and the flag join must not be a cartesian
-    assert "partial_count" in p
+    # downstream of the checkpoint: the flag join must not be a cartesian
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
