@@ -85,16 +85,17 @@ def bm25_topk(
     text_col: str = "text",
 ) -> DataFrame:
     """(rank, doc_id, bm25) — top-k by (score desc, doc_id asc); rank on the
-    unrounded score, ties broken by id like every other top-k in the engine."""
-    from pyspark.sql import Window
+    unrounded score, ties broken by id like every other top-k in the engine.
+
+    The tail is TakeOrderedAndProject (per-partition heap), not a global
+    window — the scored candidate set (every doc matching ≥ 1 term) never
+    funnels through one task. See operators/rank.py.
+    """
+    from sptag_spark.operators.rank import ranked_topk
 
     scores = bm25_scores(docs, terms, k1=k1, b=b, id_col=id_col, text_col=text_col)
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    return (
-        scores.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "doc_id", F.round("bm25", 4).alias("bm25"))
-    )
+    top = ranked_topk(scores, [F.col("bm25").desc(), F.col("doc_id")], k)
+    return top.select("rank", "doc_id", F.round("bm25", 4).alias("bm25"))
 
 
 def rrf_fuse(
@@ -107,9 +108,11 @@ def rrf_fuse(
     """Reciprocal-rank fusion of two (id, rank) candidate lists:
     rrf(d) = Σ_lists 1/(c + rank_d); absent-from-a-list contributes 0.
 
-    Returns (rank, doc_id, rrf) top-k by (rrf desc, doc_id asc).
+    Returns (rank, doc_id, rrf) top-k by (rrf desc, doc_id asc). Tail is
+    TakeOrderedAndProject, not a global window (operators/rank.py) — the
+    fused candidate union can be |queries|·depth rows in a batch run.
     """
-    from pyspark.sql import Window
+    from sptag_spark.operators.rank import ranked_topk
 
     a = list_a.select(F.col(id_col).alias("doc_id"), F.col("rank").alias("ra"))
     bdf = list_b.select(F.col(id_col).alias("doc_id"), F.col("rank").alias("rb"))
@@ -120,9 +123,5 @@ def rrf_fuse(
             + F.coalesce(1.0 / (F.lit(c) + F.col("rb")), F.lit(0.0))
         ).alias("rrf"),
     )
-    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "doc_id", F.round("rrf", 6).alias("rrf"))
-    )
+    top = ranked_topk(fused, [F.col("rrf").desc(), F.col("doc_id")], k)
+    return top.select("rank", "doc_id", F.round("rrf", 6).alias("rrf"))

@@ -118,15 +118,14 @@ def doc_fingerprint(
 def top_tokens(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Corpus-level token frequency top-k: (rank, token, cnt). Partial
     aggregation makes the explode→groupBy map-side-combine; the final top-k
-    is a single window over the (small) distinct-token aggregate."""
+    is TakeOrderedAndProject over the distinct-token aggregate (a 100 TB
+    corpus's vocabulary does not fit one window task — operators/rank.py)."""
+    from sptag_spark.operators.rank import ranked_topk
+
     tok = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
     counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "token", "cnt")
-    )
+    top = ranked_topk(counts, [F.col("cnt").desc(), F.col("token")], k)
+    return top.select("rank", "token", "cnt")
 
 
 def repetition_stats(
@@ -550,12 +549,12 @@ def vocab_pair_counts(
         .groupBy("pair")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top)
-        .select("rank", "pair", "n")
-    )
+    # TakeOrderedAndProject tail, not a global window: the distinct-pair
+    # table is vocabulary², far too large for one task (operators/rank.py).
+    from sptag_spark.operators.rank import ranked_topk
+
+    topped = ranked_topk(counted, [F.col("n").desc(), F.col("pair")], top)
+    return topped.select("rank", "pair", "n")
 
 
 def dsir_importance_weights(

@@ -328,3 +328,43 @@ def test_duplicate_spans_partial_agg(spark):
     p = plan(duplicate_spans(docs, 10))
     # downstream of the checkpoint: the flag join must not be a cartesian
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_global_topk_tails_are_take_ordered(spark):
+    """The four corpus-level top-k tails must compile to
+    TakeOrderedAndProject (per-partition heap), never a full-data
+    single-partition window: the BM25 candidate set, the fused RRF union,
+    the distinct-token vocabulary and the distinct-pair table all grow with
+    the corpus. The rank window that numbers the <=k survivors sits ABOVE
+    the TakeOrdered and needs no Exchange (TakeOrdered's output is already
+    SinglePartition)."""
+    import re
+
+    from sptag_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from sptag_spark.operators.textops import top_tokens, vocab_pair_counts
+    from sptag_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    lst = bm25_topk(docs, ["merge", "scan"], k=10).select("doc_id", "rank")
+    cases = {
+        "bm25": bm25_topk(docs, ["merge", "scan", "hash"], k=20),
+        "rrf": rrf_fuse(lst, lst, k=10),
+        "top_tokens": top_tokens(docs, k=20),
+        "vocab_pairs": vocab_pair_counts(docs, top=30),
+    }
+    for name, df in cases.items():
+        p = plan(df)
+        assert "TakeOrderedAndProject" in p, name
+        assert "Exchange SinglePartition" not in p, name
+        # formatted-plan numbering is children-first (smaller number =
+        # deeper), so "Window consumes a TakeOrdered" = some TakeOrdered
+        # number strictly below the Window's
+        nums = {
+            kind: [int(m.group(1)) for m in
+                   re.finditer(rf"\((\d+)\) {kind}", p)]
+            for kind in ("Window", "TakeOrderedAndProject")
+        }
+        assert nums["TakeOrderedAndProject"], name
+        # each Window consumes a bounded (<=k-row) TakeOrdered output
+        for wn in nums["Window"]:
+            assert any(t < wn for t in nums["TakeOrderedAndProject"]), name
