@@ -485,20 +485,50 @@ def embedding_near_dup_pairs(
     return pairs.dropDuplicates(["id_a", "id_b"])
 
 
-def _span_doc_counts(
+def _span_stream(
     docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(h, doc_id, c): per-(span-hash, doc) occurrence counts — the ONE
-    shuffle that touches the exploded span stream (map-side partial count
-    absorbs hot boilerplate spans). Split out so the plan shape stays
-    testable past the localCheckpoint that duplicate_spans puts above it."""
-    from sptag_spark.functions.text import token_shingles_all
+    """(doc_id, h1, h2): one row per overlapping n-token span occurrence —
+    a map-only extract (no shuffle; split out so the plan stays testable
+    past the localCheckpoint duplicate_spans puts above it).
 
-    spans = docs.select(
+    Span identity is a PAIR of independent xxhash64 values (~128 bits:
+    false-dup probability ≈ pairs²/2¹²⁹, negligible at 10¹¹ spans), and the
+    span STRING is never materialized: tokens are hashed once per doc into
+    two long arrays (independent seeds), then each window position hashes a
+    10-long slice. The explode(sequence) Generate is the barrier that stops
+    Catalyst's projection collapse from re-inlining the token-hash
+    transform into every position's lambda (measured 105 s vs 7 s at ×16 —
+    without the barrier each position re-hashes the whole token array).
+    Two longs also shuffle/compare at a third of the bytes of the md5 hex
+    string this used to key on, and skip the digest + span-string build.
+
+    Small inputs are re-spread to the session's parallelism first (same
+    guard as shingle_sets): a corpus that arrives as one file is one scan
+    split and the extract would run on one core; at ≥ cores splits this
+    adds nothing."""
+    spark = docs.sparkSession
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    hashed = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(token_shingles_all(F.col(text_col), n)).alias("span"),
-    ).select("doc_id", md5_hex(F.col("span")).alias("h"))
-    return spans.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("th1"),
+        F.transform(toks, lambda t: F.xxhash64(F.lit(17), t)).alias("th2"),
+    ).filter(F.size("th1") >= n)
+    gen = hashed.select(
+        "doc_id",
+        "th1",
+        "th2",
+        F.explode(F.sequence(F.lit(1), F.size("th1") - (n - 1))).alias("i"),
+    )
+    return gen.select(
+        "doc_id",
+        F.xxhash64(F.slice("th1", F.col("i"), n)).alias("h1"),
+        F.xxhash64(F.lit(17), F.slice("th2", F.col("i"), n)).alias("h2"),
+    )
 
 
 def duplicate_spans(
@@ -517,30 +547,53 @@ def duplicate_spans(
     docs OR elsewhere in the same doc). Returns per doc with ≥ 1 span:
         (doc_id, n_spans, n_dup_spans, dup_frac)
 
-    Plan shape (100 TB): the exploded span stream is consumed by exactly ONE
-    shuffle — a (h, doc_id) pre-aggregation with map-side partial combine.
-    Everything after operates on the pre-aggregated rows (≤ one per distinct
-    (span, doc) pair, typically far fewer than raw spans): corpus totals per
-    h are a second groupBy OVER THE AGGREGATED rows, the dup flag joins
-    h↔h between two outputs that are already hash-partitioned on h (no
-    exchange on the big side; AQE skew-join splits residual hot boilerplate
-    hashes), and the per-doc rollup shuffles (doc_id) once. The naive
-    agg-then-join-raw formulation scans and shuffles the exploded stream
-    twice — measured 26.4 s at 16× data vs 13.8 s for this shape. A window
-    over h would instead funnel each hot key through one partition.
+    Plan shape (100 TB): the span stream is extracted map-only
+    (_span_stream — no span strings, no pre-aggregation) and consumed by
+    exactly TWO full-stream shuffles: the per-hash totals aggregation
+    (map-side partial count absorbs hot boilerplate spans — each map task
+    emits one row per distinct hash) and the dup-flag join probe. The flag
+    join is INNER against only the DUPLICATED hashes (totals filtered to
+    cnt > 1 before joining — typically 1-10 % of the distinct-span table,
+    since most spans are corpus-unique; a span whose repeats are all
+    within one doc still has cnt > 1, so no flag is lost) and AQE
+    skew-join splits any residual hot hash on the probe side. n_spans
+    needs no aggregation at all: a doc with t ≥ n tokens has exactly
+    t − n + 1 spans, a second map-only pass over the text column (cheaper
+    than a third full-stream rollup — measured). Earlier shapes, ×16
+    corpus: agg-then-join-raw 26.4 s → one-explode + (h, doc) pre-agg
+    13.8 s → this shape 7.3 s (SCALING.md).
     """
-    per_doc_span = _span_doc_counts(docs, n, id_col, text_col)
-    # both downstream branches (the corpus totals AND the join probe side)
-    # consume per_doc_span; without materialization Catalyst re-executes
-    # the scan→explode→aggregate lineage once per branch — the heavy stage
-    # twice. localCheckpoint (the connected-components discipline) runs it
-    # once and both branches read the stored aggregated rows.
-    per_doc_span = per_doc_span.localCheckpoint()
-    totals = per_doc_span.groupBy("h").agg(F.sum("c").alias("cnt"))
-    flagged = per_doc_span.join(totals, "h")
-    dup_rows = F.col("c") * (F.col("cnt") > 1).cast("long")
-    return flagged.groupBy("doc_id").agg(
-        F.sum("c").alias("n_spans"),
-        F.sum(dup_rows).alias("n_dup_spans"),
-        F.round(F.sum(dup_rows) / F.sum("c"), 4).alias("dup_frac"),
+    spans = _span_stream(docs, n, id_col, text_col)
+    # both downstream branches (dup totals, join probe) consume the
+    # stream; without materialization Catalyst re-executes the
+    # scan→tokenize→hash→explode lineage per branch. localCheckpoint (the
+    # connected-components discipline) runs it once; eager=False keeps
+    # DataFrame CONSTRUCTION lazy (plan tooling can inspect without
+    # executing) — the first action both materializes and truncates.
+    spans = spans.localCheckpoint(eager=False)
+    dup_totals = (
+        spans.groupBy("h1", "h2")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("h1", "h2")
+    )
+    dup_per_doc = (
+        spans.join(dup_totals, ["h1", "h2"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    doc_totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.size(toks) - (n - 1)).cast("long").alias("n_spans"),
+    ).filter(F.col("n_spans") >= 1)
+    return doc_totals.join(dup_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.round(
+            F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 4
+        ).alias("dup_frac"),
     )

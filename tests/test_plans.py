@@ -310,22 +310,27 @@ def test_bm25_broadcasts_stats_and_prunes_terms(spark):
 
 
 def test_duplicate_spans_partial_agg(spark):
-    from sptag_spark.operators.dedup import _span_doc_counts, duplicate_spans
+    import re
+
+    from sptag_spark.operators.dedup import _span_stream, duplicate_spans
     from sptag_spark.tables import load_table
 
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
-    # the pre-aggregation fragment (everything above duplicate_spans'
-    # localCheckpoint, which truncates the visible plan): span-hash
-    # occurrence counting must partial-aggregate map-side (hot boilerplate
-    # spans)
-    pre = plan(_span_doc_counts(docs, 10))
-    assert "partial_count" in pre
-    # ONE exchange over the exploded stream — the one-shuffle contract
-    # (formatted plans print each node twice: tree + details section)
-    import re
-
-    assert len(re.findall(r"\(\d+\) Exchange", pre)) == 1
+    # the extract fragment (everything above duplicate_spans'
+    # localCheckpoint, which truncates the visible plan) must be map-only:
+    # no hash-partition exchange touches the raw span stream (the only
+    # allowed exchange is the small-input RoundRobin parallelism guard),
+    # and the explode Generate barrier keeps token hashing once-per-doc
+    pre = plan(_span_stream(docs, 10))
+    assert "Generate" in pre and "xxhash64" in pre
+    assert "hashpartitioning" not in pre
+    # no span STRINGS: extraction slices token-hash arrays, never
+    # array_join/regex-builds the n-token text
+    assert "regexp_extract_all" not in pre and "array_join" not in pre
     p = plan(duplicate_spans(docs, 10))
+    # the dup-totals aggregation partial-combines map-side (hot
+    # boilerplate spans collapse to one row per hash per map task)
+    assert "partial_count" in p
     # downstream of the checkpoint: the flag join must not be a cartesian
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
