@@ -38,11 +38,28 @@ def multi_index_scan(
     queries: DataFrame,
     specs: list[IndexSpec],
     k: int = 10,
+    rank_fn=None,
 ) -> DataFrame:
     """vectors: (id, <spec.vec_col>...); queries: (query_id, <spec.query_col>...).
 
     Returns (query_id, rank, id, score) ascending by (score, id) — the
     reference's min-heap order with VID tie-break.
+
+    rank_fn is the analog of the reference's arbitrary rank function
+    (`inc/Core/MultiIndexScan.h:28` takes `float (*)(std::vector<float>)`
+    over the per-index distances; `Test/src/MultiIndexScanTest.cpp:104-123`
+    exercises a custom one). Here it must be VECTORIZED: a callable
+    mapping an (m, n_specs) float64 array of per-index distances to an
+    (m,) score array, applied Arrow-batch-wide inside the kernel — a
+    per-row Python float fn would be the row-at-a-time UDF anti-pattern.
+    Each spec's weight is pre-applied before rank_fn sees the distances
+    (the reference passes weighted members too); None = the default
+    WeightedRankFunc, Σ wᵢ·distᵢ (`MultiIndexScan.cpp:41-48`).
+
+    Non-monotone rank_fns note: candidate pre-selection runs the SAME
+    rank_fn on the block distances, so per-partition top-k pruning stays
+    exact for any fn (no monotonicity assumption — the partition's k best
+    under rank_fn ARE kept).
     """
     qrows = queries.select("query_id", *[s.query_col for s in specs]).collect()
     if not qrows:
@@ -61,9 +78,17 @@ def multi_index_scan(
                 continue
             ids = pdf["id"].to_numpy(dtype=np.int64)
             Vs = [_as_matrix(pdf[s.vec_col]) for s in specs]
-            S = np.zeros((len(ids), len(query_ids)))
-            for s, V, Q in zip(specs, Vs, Qs):
-                S += s.weight * _block_distances(V, Q, s.metric)
+            D = np.stack(
+                [
+                    s.weight * _block_distances(V, Q, s.metric)
+                    for s, V, Q in zip(specs, Vs, Qs)
+                ],
+                axis=-1,
+            )  # (n_rows, n_queries, n_specs)
+            if rank_fn is None:
+                S = D.sum(axis=-1)
+            else:
+                S = rank_fn(D.reshape(-1, len(specs))).reshape(D.shape[:2])
             kk = min(k, len(ids))
             out = []
             for j in range(len(query_ids)):
@@ -73,9 +98,14 @@ def multi_index_scan(
                     if kk < len(ids)
                     else np.arange(len(ids))
                 )
-                exact = np.zeros(len(cand))
-                for s, V, Q in zip(specs, Vs, Qs):
-                    exact += s.weight * _exact_pair_dists(V[cand], Q[j], s.metric)
+                Dx = np.stack(
+                    [
+                        s.weight * _exact_pair_dists(V[cand], Q[j], s.metric)
+                        for s, V, Q in zip(specs, Vs, Qs)
+                    ],
+                    axis=-1,
+                )
+                exact = Dx.sum(axis=-1) if rank_fn is None else rank_fn(Dx)
                 order = np.lexsort((ids[cand], exact))[:kk]
                 out.append(
                     pd.DataFrame(

@@ -77,6 +77,57 @@ FROM ranked WHERE rank <= {DEFAULT_K}
 )
 
 
+def _multi_index_rank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same two-index fixture, CUSTOM rank function: max of the weighted
+    per-index distances (Chebyshev-style fusion — an entity is only close
+    if it is close under EVERY index). Parity with the arbitrary
+    `float (*)(std::vector<float>)` of `inc/Core/MultiIndexScan.h:28` /
+    `Test/src/MultiIndexScanTest.cpp:104-123`; the fn is vectorized
+    (batch (m, n_specs) → (m,)) per the operator's contract."""
+    import numpy as np
+
+    v = vectors_table(spark, sf_dir).select(
+        "id",
+        F.col("vector").alias("vector_a"),
+        F.reverse("vector").alias("vector_b"),
+    )
+    q = queries_table(spark, sf_dir).select(
+        "query_id",
+        F.col("vector").alias("q_a"),
+        F.reverse("vector").alias("q_b"),
+    )
+    specs = [
+        IndexSpec("vector_a", "q_a", W_A, "l2"),
+        IndexSpec("vector_b", "q_b", W_B, "l2"),
+    ]
+    res = multi_index_scan(
+        v, q, specs, DEFAULT_K, rank_fn=lambda d: np.max(d, axis=1)
+    )
+    return res.withColumn("score", F.round("score", ROUND))
+
+
+register(
+    "multi_index_rank_fn",
+    _multi_index_rank_fn,
+    f"""
+WITH v AS ({ORACLE_VECTORS}),
+     q AS ({ORACLE_QUERIES}),
+pairs AS (
+  SELECT q.query_id, v.id,
+         greatest({W_A} * ({_L2SQ}), {W_B} * ({_L2SQ_REV})) AS s
+  FROM q CROSS JOIN v
+),
+ranked AS (
+  SELECT query_id, id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s, id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, id, round(s, {ROUND}) AS score
+FROM ranked WHERE rank <= {DEFAULT_K}
+""",
+)
+
+
 def _recall_restricted(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = vectors_table(spark, sf_dir)
     queries = queries_table(spark, sf_dir)

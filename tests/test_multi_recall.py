@@ -105,3 +105,45 @@ def test_distance_tie_credit(spark):
     )
     assert recall_per_query(results, truth, 1).first()["n_hits"] == 1
     assert recall_per_query(results, truth, 1, dist_tie_credit=False).first()["n_hits"] == 0
+
+
+def test_custom_rank_fn_matches_numpy(multi_fixture):
+    """Arbitrary-rank-fn parity (MultiIndexScan.h:28's float(*)(vector<float>);
+    MultiIndexScanTest.cpp:104-123): a non-linear vectorized fn — max of the
+    weighted per-index distances — must reproduce the brute-force ranking."""
+    vectors, queries, rows, qrows = multi_fixture
+    wa, wb = 0.3, 0.7
+    res = multi_index_scan(
+        vectors,
+        queries,
+        [IndexSpec("vector_a", "q_a", wa, "l2"), IndexSpec("vector_b", "q_b", wb, "l2")],
+        k=5,
+        rank_fn=lambda d: np.max(d, axis=1),
+    ).collect()
+    V_a = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    V_b = np.array([r[2] for r in rows], dtype=np.float32).astype(np.float64)
+    for qid, qa, qb in qrows:
+        qa = np.array(qa, dtype=np.float32).astype(np.float64)
+        qb = np.array(qb, dtype=np.float32).astype(np.float64)
+        s = np.maximum(
+            wa * ((V_a - qa) ** 2).sum(1), wb * ((V_b - qb) ** 2).sum(1)
+        )
+        expect = np.lexsort((np.arange(len(s)), s))[:5]
+        got = sorted((r for r in res if r["query_id"] == qid), key=lambda r: r["rank"])
+        assert [r["id"] for r in got] == list(expect)
+        for r, ei in zip(got, expect):
+            assert math.isclose(r["score"], s[ei], rel_tol=1e-9)
+
+
+def test_default_rank_fn_unchanged(multi_fixture):
+    """rank_fn=None must stay byte-identical to the weighted-sum path."""
+    vectors, queries, _, _ = multi_fixture
+    specs = [
+        IndexSpec("vector_a", "q_a", 0.3, "l2"),
+        IndexSpec("vector_b", "q_b", 0.7, "l2"),
+    ]
+    base = multi_index_scan(vectors, queries, specs, k=5).collect()
+    explicit = multi_index_scan(
+        vectors, queries, specs, k=5, rank_fn=lambda d: d.sum(axis=1)
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, explicit))
