@@ -262,30 +262,45 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     part_col: str = "source",
+    n_shards: int = 16,
 ) -> DataFrame:
     """Greedy sequence packing: concatenate documents (in doc_id order,
-    within each `part_col` group) into fixed token-budget packs — the
+    within each (source, shard) group) into fixed token-budget packs — the
     batching layout LLM trainers feed. pack_id = ⌊cumulative tokens before
-    this doc / budget⌋, so a pack holds consecutive docs until the budget
-    spills; a doc longer than the budget occupies its packs alone.
-    → (doc_id, source, n_tokens, pack_id).
+    this doc / budget⌋ within its group, so a pack holds consecutive docs
+    until the budget spills; a doc longer than the budget occupies its
+    packs alone. → (doc_id, source, shard, n_tokens, pack_id); a pack is
+    keyed (source, shard, pack_id).
 
-    Packing is per-group (windows partition by source) — the global
-    single-partition cumsum a naive formulation needs is exactly what a
-    100 TB corpus cannot do; per-source streams are how packing shards in
-    practice (group further by date/shard for tighter parallelism)."""
+    The cumulative-sum window partitions by (source, SHARD), not source
+    alone: shard = id mod n_shards is a deterministic sub-key, so one
+    giant source no longer serializes into a single window task —
+    parallelism is |sources| × n_shards, and each shard packs its own
+    budget-contiguous stream (trainers shard exactly this way; packs never
+    need to be globally contiguous, only internally dense). n_shards=1
+    recovers the per-source-stream layout. The modulus (rather than a
+    hash) keeps the shard function engine-portable for the SQL oracle
+    twin; ids are assumed integral, as positional VIDs are
+    (`inc/Core/Common.h` SizeType)."""
     n_tok = token_count(F.col(text_col))
+    shard = F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))
     w = (
-        Window.partitionBy(part_col)
+        Window.partitionBy(part_col, "shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(part_col).alias("source"),
+        shard.alias("shard"),
         n_tok.alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tokens",
         F.floor(
-            F.coalesce(F.sum(n_tok).over(w), F.lit(0)) / F.lit(budget)
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)
         ).cast("long").alias("pack_id"),
     )
 

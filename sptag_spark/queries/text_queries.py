@@ -288,13 +288,14 @@ register(
     ),
     r"""
 WITH tok AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, doc_id % 16 AS shard,
          len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens
   FROM documents
 )
-SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+SELECT doc_id, source, CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(floor(coalesce(sum(n_tokens) OVER (
-         PARTITION BY source ORDER BY doc_id
+         PARTITION BY source, shard ORDER BY doc_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
        ), 0) / 512.0) AS BIGINT) AS pack_id
 FROM tok

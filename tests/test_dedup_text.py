@@ -260,9 +260,33 @@ def test_pack_sequences(spark):
         (4, "t", "a b c d e f g"),  # separate group restarts at pack 0
     ]
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    out = {r["doc_id"]: r for r in pack_sequences(df, budget=10).collect()}
+    # n_shards=1: one contiguous stream per source
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, budget=10, n_shards=1).collect()
+    }
     assert [out[i]["pack_id"] for i in range(5)] == [0, 0, 0, 1, 0]
     assert out[3]["n_tokens"] == 2
+    assert all(r["shard"] == 0 for r in out.values())
+
+
+def test_pack_sequences_sharded(spark):
+    """The shard sub-key splits a giant source into n_shards independent
+    budget streams (the per-source window no longer serializes); each
+    shard's packs are budget-dense and restart at 0."""
+    from sptag_spark.operators.textops import pack_sequences
+
+    rows = [(i, "s", "a b c d e") for i in range(20)]  # 5 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(df, budget=10, n_shards=4).collect()
+    assert {r["shard"] for r in out} == {0, 1, 2, 3}
+    for s in range(4):
+        grp = sorted(
+            (r for r in out if r["shard"] == s), key=lambda r: r["doc_id"]
+        )
+        assert [r["doc_id"] % 4 for r in grp] == [s] * 5
+        # 5 docs × 5 tokens, budget 10 → packs 0,0,1,1,2 within the shard
+        assert [r["pack_id"] for r in grp] == [0, 0, 1, 1, 2]
 
 
 # -- connected components / duplicate clusters ------------------------------
