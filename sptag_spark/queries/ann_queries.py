@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from sptag_spark.index.ann import ann_search, cached_count
 from sptag_spark.index.balanced import balanced_kmeans, cluster_sizes
-from sptag_spark.index.heads import select_heads
+from sptag_spark.index.heads import DEFAULT_HEAD_RATIO, select_heads
 from sptag_spark.index.ivf import ivf_build, ivf_search
 from sptag_spark.index.postings import (
     POSTING_LIMIT,
@@ -58,7 +58,7 @@ def _memo(spark: SparkSession, sf_dir: str, kind: str, build):
 def spann_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     def build():
         vectors = vectors_table(spark, sf_dir)
-        heads = select_heads(vectors, ratio=0.12).persist()
+        heads = select_heads(vectors, ratio=DEFAULT_HEAD_RATIO).persist()
         postings = build_postings(vectors, heads).persist()
         postings.count()
         return heads, postings
@@ -589,7 +589,7 @@ def _graph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every query self-hitting at both SFs; hops are in-kernel NumPy
     # iterations in broadcast mode, not Spark stages, so the larger budget
     # costs no extra scheduling. N derives from the memoized head count
-    # (ratio 0.12) — no count job on the big table.
+    # (DEFAULT_HEAD_RATIO) — no count job on the big table.
     # Broadcast mode: the index rides to each executor once and queries
     # distribute — the reference's own in-memory serving shape (one stage
     # vs ~5 shuffles/hop; tests pin the two modes row-identical). Seeds
@@ -599,7 +599,7 @@ def _graph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.index.ann import cached_count
     from sptag_spark.index.graph import graph_search_broadcast
 
-    n_est = max(2, round(cached_count(heads) / 0.12))
+    n_est = max(2, round(cached_count(heads) / DEFAULT_HEAD_RATIO))
     hops = max(4, math.ceil(math.log2(n_est) / 2))
     beam = max(16, 4 * math.ceil(math.log2(n_est)))
     res = graph_search_broadcast(

@@ -225,18 +225,21 @@ def _streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fresh sink/checkpoint per run: the serve work is re-executed and
     # re-timed every run instead of being absorbed by a stale checkpoint.
-    # Dirs from PRIOR runs are reclaimed here (deleting the current run's
-    # sink after return would break the lazily-returned plan) — without
-    # this a bench loop leaks one |Q|·k parquet + checkpoint per
-    # execution.
+    # Dirs from PRIOR runs of THIS process are reclaimed here (deleting
+    # the current run's sink after return would break the lazily-returned
+    # plan) — without this a bench loop leaks one |Q|·k parquet +
+    # checkpoint per execution. The PID is part of the prefix so a
+    # concurrent bench/test process never has its live sink/checkpoint
+    # ripped out from under a running stream; each process reclaims only
+    # its own dirs, and a dead process's leftovers fall to the OS tempdir
+    # policy like any other tempfile.
     import glob
     import shutil
 
-    for old in glob.glob(
-        os.path.join(tempfile.gettempdir(), "sptag_stream_serve_*")
-    ):
+    prefix = f"sptag_stream_serve_{os.getpid()}_"
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}*")):
         shutil.rmtree(old, ignore_errors=True)
-    work = tempfile.mkdtemp(prefix="sptag_stream_serve_")
+    work = tempfile.mkdtemp(prefix=prefix)
     nprobe = max(10, -(-cached_count(heads) * 85 // 1000))
     q = serve_query_stream(
         qstream, heads, postings,
