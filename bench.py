@@ -100,7 +100,9 @@ def main() -> None:
     # JVM state, not query cost — the reference's own harness warms the
     # index before its QPS loop (SSDServing/SSDIndex.h search loop runs
     # after load+prefetch), so steady-state is the comparable figure.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # n=5: r4 medians still jittered ±10 % at n=3 (OS/THP noise on
+    # local[32]); two more samples tighten the median at ~35 % extra wall
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     specs = all_specs()
     timings: dict[str, float] = {}
@@ -275,6 +277,44 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["spann_metrics"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Multi-micro-batch streaming serve: the §2.11 serve LOOP as a
+    # sequence of micro-batches (queries land as N files,
+    # maxFilesPerTrigger=1 → one serve execution each), reporting
+    # per-micro-batch latency — the figure a deployment's stream monitor
+    # exports, and the demo that the streaming path amortizes (batch 2+
+    # skips the first batch's plan compile / worker spin-up).
+    stream_serve: dict = {}
+    try:
+        import shutil
+        import tempfile
+
+        from sptag_spark.streaming.serving import serve_query_stream
+
+        work = tempfile.mkdtemp(prefix=f"sptag_bench_serve_{os.getpid()}_")
+        queries_df.repartition(4).write.parquet(f"{work}/queries")
+        qstream = (
+            spark.readStream.schema("query_id long, vector array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{work}/queries")
+        )
+        batch_timings: list = []
+        sq = serve_query_stream(
+            qstream, heads, postings,
+            sink_path=f"{work}/sink", checkpoint_path=f"{work}/ckpt",
+            k=10, nprobe=spann_point.get("nprobe", 16),
+            timings=batch_timings,
+        )
+        sq.awaitTermination()
+        stream_serve = {
+            "n_micro_batches": len(batch_timings),
+            "per_batch_ms": [round(t["sec"] * 1000, 1) for t in batch_timings],
+            "queries_per_batch": [t["n_queries"] for t in batch_timings],
+            "nprobe": spann_point.get("nprobe", 16),
+        }
+        shutil.rmtree(work, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["stream_serve"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # Exact k-NN join throughput (BASELINE.md notes ask for this figure
     # explicitly): queries/sec of the exact batch kernel, from the timed
     # knn_l2 median — the TruthSet-semantics brute-force path.
@@ -301,6 +341,7 @@ def main() -> None:
         "spann_operating_curve": spann_curve,
         "spann_single_query_latency_ms": spann_latency,
         "spann_local_replica_latency_ms": replica_latency,
+        "streaming_serve_micro_batches": stream_serve,
         "index_build_sec": builds,
         "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -108,11 +108,21 @@ def balanced_kmeans(
     n_iter: int = 8,
     lam: float | None = None,
     seed: int = 42,
+    flat_max_k: int = 2048,
 ) -> DataFrame:
     """Returns (id, cluster INT). lam=None auto-scales the penalty to the
     data's distance magnitude (a simplified DynamicFactorSelect): lambda =
     avg_pairwise_dist_scale / (n/k), so a cluster at 2× its fair share pays
-    roughly one average distance unit."""
+    roughly one average distance unit.
+
+    Above flat_max_k the build goes HIERARCHICAL (balanced_kmeans_hier):
+    the flat loop is O(n·k·d·iters) — the same quadratic-in-n wall the ×64
+    head build hit (SCALING.md), and the reference's own BKT is a
+    hierarchy of small-k balanced splits, never one flat large-k solve
+    (`Common/BKTree.h:219-330` splits per node). Below the threshold the
+    flat path is untouched, so test-scale clusterings are byte-identical."""
+    if k > flat_max_k:
+        return balanced_kmeans_hier(vectors, k, n_iter, lam, seed)
     sample = np.array(
         [
             list(r["vector"])
@@ -173,6 +183,124 @@ def balanced_kmeans(
     return src.mapInPandas(
         _assign_kernel(sc.broadcast(centers), lam),
         schema="id long, cluster int",
+    )
+
+
+def _local_balanced_lloyd(
+    V: np.ndarray, kk: int, n_iter: int, seed: int
+) -> np.ndarray:
+    """In-memory penalized Lloyd over one coarse cell's rows — the same
+    greedy size-penalized assignment as the distributed loop, run where
+    the cell fits one task. Returns the final assignment (len(V),) in
+    [0, kk)."""
+    rng = np.random.default_rng(seed)
+    kk = max(1, min(kk, len(V)))
+    centers = V[rng.choice(len(V), size=kk, replace=False)].astype(np.float64)
+    d = (
+        -2.0 * (V @ centers.T)
+        + (centers**2).sum(1)[None, :]
+        + (V**2).sum(1)[:, None]
+    )
+    lam = float(np.maximum(d, 0).mean()) / max(len(V) / kk, 1.0)
+    assign = np.zeros(len(V), dtype=np.int32)
+    for _ in range(n_iter + 1):
+        assign = _penalized_assign(V, centers, lam, np.zeros(kk))
+        sums = np.zeros_like(centers)
+        counts = np.zeros(kk, dtype=np.int64)
+        np.add.at(sums, assign, V)
+        counts += np.bincount(assign, minlength=kk)
+        nonempty = counts > 0
+        centers = centers.copy()
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return assign
+
+
+def balanced_kmeans_hier(
+    vectors: DataFrame,
+    k: int,
+    n_iter: int = 8,
+    lam: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-level balanced k-means for large k — balance WITHIN coarse
+    cells, mirroring index/heads.py hier_kmeans (and the reference's BKT,
+    which is recursively-split small-k clusterings, `Common/BKTree.h`).
+
+    Level 1: the flat distributed loop with k1 ≈ √k centers (cheap — the
+    per-pass cost is n·k1·d). Because level 1 is itself BALANCED, cells
+    arrive ≈ equal-sized, so the per-cell sub-cluster quota is honest.
+    Level 2: ONE shuffle groups rows by coarse cell and each cell runs the
+    in-memory penalized Lloyd for its quota of sub-centers inside its own
+    task — k1 independent solves of size (n/k1 rows × k/k1 centers)
+    instead of one n×k solve: per-row work drops from k to √k centers,
+    and the solves parallelize across the cluster instead of iterating
+    n_iter synchronized full-data passes. Cell size is n/k1 ≈ n/√k rows —
+    bounded per-task memory that SHRINKS relative to n as k grows with it
+    (head-selection's regime, k = ratio·n).
+
+    Global ids are offset-encoded (cumsum of per-cell quotas), so exactly
+    k non-empty clusters come back when every cell has ≥ its quota rows.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    k1 = max(2, int(math.isqrt(k)))
+    coarse = balanced_kmeans(vectors, k1, n_iter, lam, seed).persist()
+    counts_rows = coarse.groupBy("cluster").count().collect()  # k1 rows
+    counts = np.zeros(k1, dtype=np.int64)
+    for r in counts_rows:
+        counts[r["cluster"]] = r["count"]
+    # largest-remainder allocation of k sub-clusters ∝ cell size (same
+    # discipline as hier_kmeans), capped by cell population
+    quota = k * counts / max(counts.sum(), 1)
+    k_c = np.floor(quota).astype(np.int64)
+    k_c[counts > 0] = np.maximum(k_c[counts > 0], 1)
+    k_c = np.minimum(k_c, counts)
+    rem = k - int(k_c.sum())
+    order = np.argsort(-(quota - np.floor(quota)))
+    while rem > 0:  # one sub-center at a time, capacity-capped
+        progressed = False
+        for c in order:
+            if rem <= 0:
+                break
+            if counts[c] > k_c[c]:
+                k_c[c] += 1
+                rem -= 1
+                progressed = True
+        if not progressed:  # fewer rows than k in total
+            break
+    while rem < 0:  # the ≥1-per-cell bump overshot (many tiny cells)
+        over = np.where(k_c > 1, k_c - quota, -np.inf)
+        c = int(np.argmax(over))
+        if not np.isfinite(over[c]):
+            break
+        k_c[c] -= 1
+        rem += 1
+    offsets = np.concatenate([[0], np.cumsum(k_c)]).astype(np.int64)
+    spark = vectors.sparkSession
+    bc_kc = spark.sparkContext.broadcast((k_c, offsets))
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        kc, offs = bc_kc.value
+        cell = int(pdf["cluster"].iloc[0])
+        kk = int(kc[cell])
+        if kk <= 0 or len(pdf) == 0:
+            return pd.DataFrame({"id": [], "cluster": []}).astype(
+                {"id": np.int64, "cluster": np.int32}
+            )
+        V = _as_matrix(pdf["vector"])
+        sub = _local_balanced_lloyd(V, kk, n_iter, seed + 1 + cell)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].to_numpy(dtype=np.int64),
+                "cluster": (offs[cell] + sub).astype(np.int32),
+            }
+        )
+
+    src = vectors.select("id", "vector").join(coarse, "id")
+    return src.groupBy("cluster").applyInPandas(
+        cell_kernel, schema="id long, cluster int"
     )
 
 

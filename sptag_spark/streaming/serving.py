@@ -31,31 +31,51 @@ def serve_query_stream(
     k: int = 10,
     nprobe: int = 8,
     metric: str = "l2",
+    timings: list | None = None,
 ) -> StreamingQuery:
     """Answer a streaming (query_id, vector) feed with SPANN searches.
 
     Each micro-batch runs the normal `ann_search` plan and APPENDS
     (query_id, rank, id, dist, batch_id) to `sink_path` (parquet). Returns
-    the StreamingQuery handle; callers control the trigger/termination.
+    the StreamingQuery handle; callers control the trigger/termination —
+    maxFilesPerTrigger on the source bounds queries per micro-batch (the
+    socket accept queue's backpressure role).
+
+    timings (optional): a list the serve loop appends one
+    {"epoch_id", "n_queries", "sec"} dict to per non-empty micro-batch —
+    the per-micro-batch serve latency a deployment would export as a
+    metric (reference logs per-batch latency in its serve loop;
+    bench.py reports these for the multi-batch demo).
     """
     from sptag_spark.index.ann import ann_search
 
     def answer(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        import time
+
         import pyspark.sql.functions as F
 
-        res = ann_search(
-            batch.select("query_id", "vector"),
-            heads,
-            postings,
-            k=k,
-            nprobe=nprobe,
-            metric=metric,
-        )
+        t0 = time.time()
+        batch = batch.select("query_id", "vector")
+        n = None
+        if timings is not None:
+            batch = batch.persist()
+            n = batch.count()
+        res = ann_search(batch, heads, postings, k=k, nprobe=nprobe,
+                         metric=metric)
         res.withColumn("batch_id", F.lit(epoch_id).cast("long")).write.mode(
             "append"
         ).parquet(sink_path)
+        if timings is not None:
+            batch.unpersist()
+            timings.append(
+                {
+                    "epoch_id": int(epoch_id),
+                    "n_queries": int(n),
+                    "sec": time.time() - t0,
+                }
+            )
 
     return (
         query_stream.writeStream.foreachBatch(answer)

@@ -248,6 +248,21 @@ def test_balanced_kmeans_balances(spark, sf_dir):
     assert max(sizes) <= 3 * n / k, sizes
 
 
+def test_balanced_kmeans_hier_matches_contract(spark, sf_dir):
+    """Above flat_max_k the build goes hierarchical (balance within coarse
+    cells — BKTree-style recursive splits); force the path with a low
+    threshold and hold it to the SAME contract as the flat loop: exactly k
+    non-empty clusters partitioning all rows, none above 3x fair share."""
+    vectors = vectors_table(spark, sf_dir)
+    k = 24
+    assigned = balanced_kmeans(vectors, k=k, n_iter=4, flat_max_k=8)
+    sizes = [r["n"] for r in cluster_sizes(assigned).collect()]
+    n = vectors.count()
+    assert sum(sizes) == n
+    assert len(sizes) == k
+    assert max(sizes) <= 3 * n / k, sizes
+
+
 def test_spann_cosine_metric(spark, sf_dir):
     """The SPANN path is metric-parameterized end to end (build + route +
     scan all cosine) — reference SPANN accepts any DistCalcMethod."""

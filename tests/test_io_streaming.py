@@ -448,8 +448,10 @@ def test_streaming_query_serving(spark, tmp_path_factory):
         "query_id long, vector array<float>"
     ).option("maxFilesPerTrigger", "1").parquet(land)
     sink = str(tmp / "results")
+    timings: list = []
     q = serve_query_stream(
-        stream, heads, postings, sink, str(tmp / "ckpt"), k=3, nprobe=4
+        stream, heads, postings, sink, str(tmp / "ckpt"), k=3, nprobe=4,
+        timings=timings,
     )
     q.awaitTermination(120)
 
@@ -458,6 +460,12 @@ def test_streaming_query_serving(spark, tmp_path_factory):
     got = res.filter(F.col("rank") == 1).select("query_id", "id").collect()
     assert len(got) == 10
     assert all(r["query_id"] == r["id"] for r in got)
+    # per-micro-batch latency surface: one entry per epoch, disjoint epoch
+    # ids, query counts matching the two 5-query files
+    assert len(timings) == 2
+    assert len({t["epoch_id"] for t in timings}) == 2
+    assert [t["n_queries"] for t in timings] == [5, 5]
+    assert all(t["sec"] > 0 for t in timings)
 
 
 def test_quantizer_save_load_roundtrip(spark, small_vectors, tmp_path_factory):
