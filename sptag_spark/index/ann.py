@@ -232,7 +232,11 @@ def ann_search(
 
     The scoring kernel ships the query batch in its closure; above
     chunk_size queries the batch is processed in bounded chunks and the
-    results unioned (identical per-query output — queries are independent)."""
+    results unioned (identical per-query output — queries are independent).
+    The union tree is ⌈|Q|/chunk⌉ subtrees — linear plan growth that only
+    offline mega-batches reach (a serve tier batches far smaller;
+    serving_local.py); each chunk's posting reads stay nprobe-pruned, so
+    unlike exact knn there is no per-chunk full scan."""
     from sptag_spark.operators.knn import KNN_QUERY_CHUNK
 
     if chunk_size is None:

@@ -192,7 +192,14 @@ def knn_arrays(
     Batches larger than chunk_size run as a union of per-chunk scans: the
     total distance work is unchanged (it is inherently |V|×|Q|), but each job
     ships a bounded closure — the block-nested-loop shape a 100 TB driver
-    batch needs."""
+    batch needs.
+
+    Plan-size bound: the union tree holds ⌈|Q|/chunk⌉ subtrees (~120 at
+    1M queries) — linear driver planning cost and one scan per chunk,
+    both dominated by the |V|·|Q| kernel arithmetic that batch implies;
+    a serving tier batches 3-4 orders of magnitude smaller
+    (serving_local.py), so the loop exists for offline truth/recall jobs
+    where the scan-per-chunk IS the intended block-nested-loop."""
     if len(query_ids) == 0:
         spark = vectors.sparkSession
         return spark.createDataFrame([], "query_id long, rank long, id long, dist double")

@@ -26,6 +26,43 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _bm25_stats(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, dl, toks) — the tokenized corpus stream."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("toks"),
+    ).select("doc_id", F.size("toks").cast("double").alias("dl"), "toks")
+
+
+def _bm25_tf(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, dl, tok, tf) for matching (doc, term) pairs. The term
+    filter runs MAP-SIDE against the (tiny, literal) term array before the
+    explode, so the aggregation shuffles only matching tokens — never the
+    corpus token stream. Split out so the plan stays testable past the
+    localCheckpoint bm25_scores puts above it (the duplicate_spans
+    discipline)."""
+    stats = _bm25_stats(docs, id_col, text_col)
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    return (
+        stats.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter("toks", lambda t: F.array_contains(term_arr, t))
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: list[str],
@@ -40,26 +77,19 @@ def bm25_scores(
     contribution = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
     over lowercased whitespace tokens.
     """
-    stats = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.lower(F.col(text_col))).alias("toks"),
-    ).select("doc_id", F.size("toks").cast("double").alias("dl"), "toks")
-    scal = stats.agg(
+    scal = _bm25_stats(docs, id_col, text_col).agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    term_arr = F.array(*[F.lit(t) for t in terms])
-    tf = (
-        stats.select(
-            "doc_id",
-            "dl",
-            F.explode(
-                F.filter("toks", lambda t: F.array_contains(term_arr, t))
-            ).alias("tok"),
-        )
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
+    tf = _bm25_tf(docs, terms, id_col, text_col)
+    # tf is consumed by the df(t) aggregate AND as the scoring probe;
+    # unmaterialized, the second branch re-runs the full scan+tokenize+
+    # explode lineage. tf is SMALL (≤ |matching docs|·|terms| rows — the
+    # term filter already pruned the corpus stream), so the checkpoint is
+    # cheap at any corpus size; eager=False keeps construction lazy. One
+    # full text scan remains for the corpus scalars (N, avgdl) — the
+    # classic two-pass BM25 shape.
+    tf = tf.localCheckpoint(eager=False)
     dfs = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
     idf = F.log(
         F.lit(1.0)

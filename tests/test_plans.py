@@ -295,7 +295,7 @@ def test_ann_serve_path_shuffles_no_vectors(spark, tmp_path_factory):
 
 
 def test_bm25_broadcasts_stats_and_prunes_terms(spark):
-    from sptag_spark.operators.retrieval import bm25_topk
+    from sptag_spark.operators.retrieval import _bm25_tf, bm25_topk
     from sptag_spark.tables import load_table
 
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
@@ -305,8 +305,14 @@ def test_bm25_broadcasts_stats_and_prunes_terms(spark):
     assert p.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
-    # term filter applied map-side, before the tf aggregation's exchange
-    assert "array_contains" in p
+    # the tf fragment (below bm25_scores' localCheckpoint, which truncates
+    # the visible plan): term filter applied map-side, before the tf
+    # aggregation's exchange — the corpus token stream never shuffles
+    pre = plan(_bm25_tf(docs, ["merge", "scan", "hash"]))
+    assert "array_contains" in pre
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", pre)) == 1
 
 
 def test_duplicate_spans_partial_agg(spark):

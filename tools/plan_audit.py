@@ -36,7 +36,8 @@ def summarize(plan: str) -> list[str]:
             r"^\(\d+\) (Scan|Exchange|BroadcastExchange|WholeStageCodegen|"
             r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|"
             r"BroadcastHashJoin|SortMergeJoin|CartesianProduct|"
-            r"BroadcastNestedLoopJoin|Window|HashAggregate|ObjectHashAggregate)",
+            r"BroadcastNestedLoopJoin|Window|HashAggregate|ObjectHashAggregate|"
+            r"TakeOrderedAndProject|ReusedExchange|Generate)",
             s,
         ):
             out.append(s)
@@ -58,6 +59,7 @@ def main() -> None:
         minhash_near_dup_pairs,
     )
     from sptag_spark.operators.knn import knn, range_search
+    from sptag_spark.operators.retrieval import bm25_topk
     from sptag_spark.queries.ann_queries import spann_index
     from sptag_spark.queries.dedup_queries import corpus_table
     from sptag_spark.tables import queries_table, vectors_table
@@ -110,9 +112,23 @@ def main() -> None:
         (
             "Duplicate spans (`operators/dedup.py duplicate_spans`)",
             duplicate_spans(docs),
-            "The exploded span stream feeds exactly ONE shuffle (the "
-            "(h, doc_id) pre-aggregation with partial combine); totals and "
-            "the dup flag operate on aggregated rows.",
+            "Map-only extract (token-hash slices, never span strings; the "
+            "explode Generate is the projection-collapse barrier) into a "
+            "lazily-checkpointed stream feeding TWO shuffles: the per-hash "
+            "totals agg (partial combine absorbs hot boilerplate) and the "
+            "dup-flag join probed against only the cnt>1 hashes; n_spans is "
+            "a second map-only pass. (The visible plan truncates at the "
+            "checkpoint — the extract fragment is pinned separately by "
+            "tests/test_plans.py.)",
+        ),
+        (
+            "BM25 top-k (`operators/retrieval.py bm25_topk`)",
+            bm25_topk(docs, ["merge", "scan", "hash"], k=20),
+            "Term filter applied map-side before the tf aggregation; df/"
+            "corpus scalars broadcast back; the global top-k tail is "
+            "TakeOrderedAndProject (per-partition heap) with the rank "
+            "window above it consuming <= k rows — no single-partition "
+            "Exchange anywhere.",
         ),
         (
             "Relational agg (TPC-H Q1 shape)",
