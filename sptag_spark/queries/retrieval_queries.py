@@ -84,7 +84,6 @@ _COS_SIM_Q = (
 def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.functions.distance import cosine_dist
     from sptag_spark.operators.retrieval import bm25_topk, rrf_fuse
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     lex = bm25_topk(docs, BM25_TERMS, k=RETR_DEPTH)
@@ -97,16 +96,16 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == HYBRID_QUERY_ID).select(
         F.col("embedding").alias("qv")
     )
-    w = Window.orderBy(F.col("cos_dist"), F.col("vec_id"))
-    vec = (
-        emb.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id", cosine_dist(F.col("embedding"), F.col("qv")).alias("cos_dist")
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= RETR_DEPTH)
-        .select(F.col("vec_id").alias("doc_id"), "rank")
+    # TakeOrderedAndProject tail (operators/rank.py), not a global window —
+    # the scored candidate set is the whole embedding table
+    from sptag_spark.operators.rank import ranked_topk
+
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", cosine_dist(F.col("embedding"), F.col("qv")).alias("cos_dist")
     )
+    vec = ranked_topk(
+        scored, [F.col("cos_dist"), F.col("vec_id")], RETR_DEPTH
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
     return rrf_fuse(lex, vec, k=20, c=RRF_C)
 
 
