@@ -230,3 +230,65 @@ def test_hier_kmeans_center_count_contract():
     centers = hier_kmeans(X, k, iters=3, seed=1)
     assert len(centers) <= k
     assert len(centers) >= k - 100  # still close to the request
+
+
+@given(
+    st.integers(2, 40),   # rows
+    st.integers(1, 8),    # k clusters
+    st.integers(2, 6),    # dim
+    st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_local_balanced_lloyd_invariants(n, k, d, seed):
+    """The in-task penalized Lloyd (hierarchical balanced k-means cell
+    solve): every row assigned, labels within [0, k'), and the greedy
+    size penalty keeps the largest cluster within 3x fair share +1 (the
+    same contract the distributed loop is gated on)."""
+    from sptag_spark.index.balanced import _local_balanced_lloyd
+
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(n, d))
+    assign = _local_balanced_lloyd(V, k, n_iter=4, seed=seed)
+    kk = min(k, n)
+    assert assign.shape == (n,)
+    assert assign.min() >= 0 and assign.max() < kk
+    counts = np.bincount(assign, minlength=kk)
+    assert counts.sum() == n
+    assert counts.max() <= 3 * (n / kk) + 1, counts
+
+
+@given(
+    st.integers(0, 30),   # rows
+    st.integers(1, 10),   # k
+    st.integers(0, 10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_ranked_topk_equals_window_rank(spark, n, k, seed):
+    """ranked_topk (TakeOrderedAndProject + rank over survivors) must be
+    row-identical to the naive global-window formulation it replaced, for
+    any data including ties and fewer-than-k inputs. (spark is the
+    session-scoped fixture — allowed with @given.)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.rank import ranked_topk
+
+    rng = np.random.default_rng(seed)
+    # coarse values force ties; id breaks them
+    pdf = pd.DataFrame(
+        {"id": np.arange(n, dtype=np.int64),
+         "score": rng.integers(0, 4, size=n).astype(float)}
+    )
+    df = spark.createDataFrame(pdf) if n else spark.createDataFrame(
+        [], "id long, score double"
+    )
+    order = [F.col("score").desc(), F.col("id")]
+    got = sorted(
+        map(tuple, ranked_topk(df, order, k).select("rank", "id", "score").collect())
+    )
+    exp_pdf = pdf.sort_values(["score", "id"], ascending=[False, True]).head(k)
+    expect = sorted(
+        (i + 1, int(r.id), float(r.score))
+        for i, r in enumerate(exp_pdf.itertuples())
+    )
+    assert got == expect
