@@ -8,9 +8,11 @@ distinct-token vocabulary of a 100 TB corpus does not fit one task.
 
 ``orderBy(...).limit(k)`` instead compiles to TakeOrderedAndProject: each
 partition keeps a k-row heap, and only ≤ #partitions·k rows reach the final
-merge. The rank window then runs over the ≤ k survivors — and since
-TakeOrderedAndProject's output is already SinglePartition, Catalyst inserts
-no extra Exchange for it (pinned by tests/test_plans.py).
+merge. The ≤ k survivors arrive in rank order on one partition (the
+operator's outputOrdering contract), so the rank column is a plain
+monotonically_increasing_id projection — no window node at all (plan shape
+pinned by tests/test_plans.py, value equivalence by
+tests/test_properties.py).
 
 Mirrors the reference's per-query top-k heap semantics
 (AnnService/inc/Core/Common/QueryResultSet.h) applied at corpus level.
@@ -18,7 +20,7 @@ Mirrors the reference's per-query top-k heap semantics
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -34,10 +36,23 @@ def ranked_topk(
     ``order`` must be a total order (break ties explicitly, e.g.
     ``[F.col("score").desc(), F.col("doc_id")]``) so rank assignment is
     deterministic.
+
+    Ranking the survivors uses NO window at all: TakeOrderedAndProject's
+    output ordering is part of its operator contract (it exposes
+    outputOrdering = the sort order, single partition), so
+    monotonically_increasing_id() over it yields 0..k-1 in rank order —
+    and being non-deterministic, the expression is never pushed below the
+    limit or reordered by Catalyst. An unpartitioned rank window here
+    would be harmless over ≤ k rows but logs WindowExec's move-all-data
+    warning, a false alarm that would mask real funnels in run logs (and
+    a constant partition key is folded away by EliminateWindowPartitions,
+    bringing the warning back). Correctness vs the window formulation is
+    property-tested (tests/test_properties.py), ties included.
     """
-    w = Window.orderBy(*order)
     return (
         df.orderBy(*order)
         .limit(k)
-        .withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .withColumn(
+            rank_col, (F.monotonically_increasing_id() + 1).cast("long")
+        )
     )

@@ -223,9 +223,17 @@ def domain_mix_sample(
     rows) broadcast back; the pick is one window rank per source partition.
     A skewed giant source does not skew the shuffle — rank only orders the
     md5 strings within each source partition."""
-    counts = docs.groupBy(source_col).agg(F.count("*").alias("_n"))
-    wsum = Window.partitionBy()
-    quotas = counts.select(
+    # counts is lazily checkpointed: the Σ w_s scalar and the per-source
+    # quota rows both read the one materialized |sources|-row frame (no
+    # second corpus aggregation, and no unpartitioned window — WindowExec's
+    # move-all-data warning is a false alarm at this size but floods logs)
+    counts = docs.groupBy(source_col).agg(
+        F.count("*").alias("_n")
+    ).localCheckpoint(eager=False)
+    tot = counts.agg(
+        F.sum(F.pow("_n", F.lit(alpha))).alias("_wsum")
+    )
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
         source_col,
         "_n",
         F.least(
@@ -238,7 +246,7 @@ def domain_mix_sample(
                 F.round(
                     F.lit(float(target_total))
                     * F.pow("_n", F.lit(alpha))
-                    / F.sum(F.pow("_n", F.lit(alpha))).over(wsum),
+                    / F.col("_wsum"),
                     6,
                 )
             ),

@@ -168,15 +168,19 @@ def self_verified_search(
             ).alias("self_hit")
         )
     per_q = hits.groupBy("query_id").agg(*aggs)
-    # corpus-average gate via a global window, NOT a separate agg branch
-    # crossJoined back (that re-executes per_q's whole lineage — search
-    # included — a second time). per_q is |Q| rows, so the single-partition
-    # window is driver-scale data; the search plan runs exactly once.
-    from pyspark.sql import Window
-
-    gate = F.avg("_recall").over(Window.partitionBy()) >= F.lit(recall_gate)
+    # corpus-average gate: per_q is lazily checkpointed so the search plan
+    # executes exactly once, then the |Q|-row frame feeds both the scalar
+    # average (broadcast back via crossJoin) and the output rows. A naive
+    # two-branch formulation without the checkpoint re-executes the whole
+    # search per branch (measured ~half the wall of the ann_* queries); an
+    # unpartitioned window avoids that but funnels through WindowExec and
+    # floods run logs with its move-all-data warning.
+    per_q = per_q.localCheckpoint(eager=False)
+    gate = per_q.agg(
+        (F.avg("_recall") >= F.lit(recall_gate)).alias("recall_ok")
+    )
     cols = ["query_id", "n_results"] + (["self_hit"] if with_self_hit else [])
-    return per_q.select(*cols, gate.alias("recall_ok"))
+    return per_q.crossJoin(F.broadcast(gate)).select(*cols, "recall_ok")
 
 
 def _ann_spann(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -154,8 +154,6 @@ register("search_tree_topk", _search_tree, _search_tree_oracle())
 
 
 def _opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from sptag_spark.operators.recall import recall_per_query, result_hits
     from sptag_spark.queries.ann_queries import opq_index, pq_index, truth_topk
     from sptag_spark.tables import DEFAULT_K
@@ -175,7 +173,12 @@ def _opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_recall"
         ),
     )
-    w = Window.partitionBy()
+    # per_q is lazily checkpointed: the corpus-average gate derives from
+    # the one materialized |Q|-row frame via a broadcast scalar instead of
+    # an unpartitioned window (whose move-all-data warning floods logs; a
+    # non-checkpointed agg branch would re-run the whole ADC plan).
+    per_q = per_q.localCheckpoint(eager=False)
+    avg_o = per_q.agg(F.avg("_recall").alias("_r_opq"))
     # OPQ's reason to exist: rotation must not lose recall vs plain PQ
     # (OPQQuantizer.h trains the rotation to REDUCE quantization error);
     # 0.02 absolute slack for sampling noise in codebook training. res_p
@@ -193,8 +196,8 @@ def _opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # grows — more near-ties inside one quantization cell); ~100× over
         # chance at both SFs. The compression-quality ladder above it is
         # covered by sq8 (0.95) and ivf_pq+refine (0.8).
-        per_q.withColumn("recall_ok", F.avg("_recall").over(w) >= F.lit(0.4))
-        .withColumn("_r_opq", F.avg("_recall").over(w))
+        per_q.crossJoin(F.broadcast(avg_o))
+        .withColumn("recall_ok", F.col("_r_opq") >= F.lit(0.4))
         .crossJoin(F.broadcast(avg_p))
         .select(
             "query_id",

@@ -367,15 +367,8 @@ def test_global_topk_tails_are_take_ordered(spark):
         p = plan(df)
         assert "TakeOrderedAndProject" in p, name
         assert "Exchange SinglePartition" not in p, name
-        # formatted-plan numbering is children-first (smaller number =
-        # deeper), so "Window consumes a TakeOrdered" = some TakeOrdered
-        # number strictly below the Window's
-        nums = {
-            kind: [int(m.group(1)) for m in
-                   re.finditer(rf"\((\d+)\) {kind}", p)]
-            for kind in ("Window", "TakeOrderedAndProject")
-        }
-        assert nums["TakeOrderedAndProject"], name
-        # each Window consumes a bounded (<=k-row) TakeOrdered output
-        for wn in nums["Window"]:
-            assert any(t < wn for t in nums["TakeOrderedAndProject"]), name
+        # the rank column is a monotonically_increasing_id projection over
+        # TakeOrdered's ordered single-partition output — no Window node
+        # exists in these plans at all (rrf composes two bm25 lists, so
+        # every window would come from a tail; ranked_topk has none)
+        assert not re.findall(r"\(\d+\) Window", p), name
