@@ -372,3 +372,21 @@ def test_global_topk_tails_are_take_ordered(spark):
         # exists in these plans at all (rrf composes two bm25 lists, so
         # every window would come from a tail; ranked_topk has none)
         assert not re.findall(r"\(\d+\) Window", p), name
+
+
+def test_pack_sequences_shards_the_window(spark):
+    """pack_sequences' cumsum window must partition by (source, SHARD) —
+    the exchange key includes the shard sub-key, so one giant source fans
+    out over n_shards window groups instead of one task."""
+    from sptag_spark.operators.textops import pack_sequences
+    from sptag_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    )
+    p = plan(pack_sequences(docs))
+    assert "Exchange SinglePartition" not in p
+    import re
+
+    m = re.search(r"hashpartitioning\(([^)]*)\)", p)
+    assert m and "source" in m.group(1) and "shard" in m.group(1), p[:2000]
