@@ -109,6 +109,7 @@ def balanced_kmeans(
     lam: float | None = None,
     seed: int = 42,
     flat_max_k: int = 2048,
+    should_abort=None,
 ) -> DataFrame:
     """Returns (id, cluster INT). lam=None auto-scales the penalty to the
     data's distance magnitude (a simplified DynamicFactorSelect): lambda =
@@ -120,9 +121,14 @@ def balanced_kmeans(
     head build hit (SCALING.md), and the reference's own BKT is a
     hierarchy of small-k balanced splits, never one flat large-k solve
     (`Common/BKTree.h:219-330` splits per node). Below the threshold the
-    flat path is untouched, so test-scale clusterings are byte-identical."""
+    flat path is untouched, so test-scale clusterings are byte-identical.
+
+    should_abort: optional zero-arg callable checked once per Lloyd pass
+    (IAbortOperation parity — the reference checks inside BuildTrees'
+    iteration loops, `Common/BKTree.h:347,384,490`); raises
+    ExternalAbortError, no partial structure escapes."""
     if k > flat_max_k:
-        return balanced_kmeans_hier(vectors, k, n_iter, lam, seed)
+        return balanced_kmeans_hier(vectors, k, n_iter, lam, seed, should_abort)
     sample = np.array(
         [
             list(r["vector"])
@@ -158,7 +164,10 @@ def balanced_kmeans(
         )
         # fair share PER PARTITION (counts accumulate within a partition pass)
         lam = float(np.maximum(d, 0).mean()) / max(n / (k * n_parts), 1.0)
+    from sptag_spark.errors import check_abort
+
     for _ in range(n_iter):
+        check_abort(should_abort)
         bc = sc.broadcast(centers)
         # Arrow transfer (toPandas), NOT collect(): the partials are
         # k×partitions rows each carrying a d-double sum array; Py4J Row
@@ -221,6 +230,7 @@ def balanced_kmeans_hier(
     n_iter: int = 8,
     lam: float | None = None,
     seed: int = 42,
+    should_abort=None,
 ) -> DataFrame:
     """Two-level balanced k-means for large k — balance WITHIN coarse
     cells, mirroring index/heads.py hier_kmeans (and the reference's BKT,
@@ -246,7 +256,9 @@ def balanced_kmeans_hier(
     from pyspark.sql import functions as F
 
     k1 = max(2, int(math.isqrt(k)))
-    coarse = balanced_kmeans(vectors, k1, n_iter, lam, seed).persist()
+    coarse = balanced_kmeans(
+        vectors, k1, n_iter, lam, seed, should_abort=should_abort
+    ).persist()
     counts_rows = coarse.groupBy("cluster").count().collect()  # k1 rows
     counts = np.zeros(k1, dtype=np.int64)
     for r in counts_rows:

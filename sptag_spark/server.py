@@ -10,9 +10,11 @@ Reference (SURVEY.md §2.11): SPTAG's socket server accepts a query STRING of
 search, and attaches metadata when asked.
 
 Spark translation: parsing is driver-side (a query string is a request, not
-data); the execution is the same batch-kNN DataFrame plan as every other
-search — the socket/packet layer itself is subsumed by Spark's driver
-(SURVEY.md §3.3) and intentionally not replicated.
+data); batch execution is the same batch-kNN DataFrame plan as every other
+search (`execute_queries`). The serve LOOP itself exists too —
+`AnnTcpServer` answers the same wire format over a real TCP socket from the
+in-RAM replica tier (newline framing in place of the reference's custom
+binary packets, which are transport plumbing with no analytical content).
 """
 
 from __future__ import annotations
@@ -160,3 +162,94 @@ def execute_queries(
         )
         out = res if out is None else out.unionByName(res)
     return out
+
+
+class AnnTcpServer:
+    """The socket serve loop itself — line-oriented TCP over the in-RAM
+    replica tier.
+
+    Parity target: the reference's server accepts framed query strings over
+    sockets and answers from the in-memory index
+    (`src/Server/SearchService.cpp`, connection loop + `SearchExecutor`);
+    its custom binary packet framing (`src/Socket/Packet.cpp`) is transport
+    plumbing with no analytical content, so the framing here is
+    newline-delimited: one request line in the SAME `$option:value`/
+    `#base64` wire format `parse_query` handles, one JSON response line
+    ``{"results": [{"rank", "id", "dist"}, ...]}`` (or ``{"error": ...}``).
+
+    The backend is `serving_local.LocalSpannReplica` — a point query is
+    answered from node RAM in ~0.5 ms with no cluster job, exactly the
+    reference's serving shape. Spark remains the BUILD and BATCH tier
+    (`execute_queries`, `streaming/serving.py`); this loop exists for
+    protocol-level completeness and point-lookup clients.
+    Connections are served one thread each (ThreadingTCPServer) and stay
+    open for any number of request lines, like the reference's sessions.
+    """
+
+    def __init__(
+        self,
+        replica,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        k: int = 10,
+        nprobe: int = 8,
+        metric: str = "l2",
+    ) -> None:
+        import json
+        import socketserver
+        import threading
+
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                for raw in self.rfile:
+                    line = raw.decode("utf-8", errors="replace").strip()
+                    if not line:
+                        continue
+                    try:
+                        p = parse_query(line)
+                        kk = p.result_num or outer.k
+                        ids, dists = outer.replica.search_one(
+                            p.vector, k=kk, nprobe=outer.nprobe,
+                            metric=outer.metric,
+                        )
+                        resp = {
+                            "results": [
+                                {
+                                    "rank": r + 1,
+                                    "id": int(i),
+                                    "dist": float(d),
+                                }
+                                for r, (i, d) in enumerate(zip(ids, dists))
+                            ]
+                        }
+                    except Exception as exc:  # noqa: BLE001 - wire boundary
+                        resp = {"error": f"{type(exc).__name__}: {exc}"}
+                    self.wfile.write(
+                        (json.dumps(resp) + "\n").encode("utf-8")
+                    )
+                    self.wfile.flush()
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.replica = replica
+        self.k = k
+        self.nprobe = nprobe
+        self.metric = metric
+        self._server = Server((host, port), Handler)
+        self.address = self._server.server_address  # (host, bound port)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    def start(self) -> "AnnTcpServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=10)

@@ -114,16 +114,28 @@ class SpannLiveIndex:
             metric=self._metric,
         )
 
-    def rebuild(self) -> None:
+    def rebuild(self, should_abort=None) -> None:
         """The reference's background rebuild: fold deltas into the base,
-        drop tombstoned rows, re-select heads, re-cut postings, swap."""
+        drop tombstoned rows, re-select heads, re-cut postings, swap.
+
+        should_abort: optional zero-arg callable checked between the three
+        phases (IAbortOperation parity — `inc/Core/VectorIndex.h:22-26`,
+        `RefineIndex` checks at `BKTIndex.cpp:855,861`). An abort raises
+        ExternalAbortError and, because the swap is the LAST step, leaves
+        the serving index exactly as it was."""
+        from sptag_spark.errors import check_abort
+
+        check_abort(should_abort)
         new_base = self.live_vectors().persist()
         new_base.count()
+        check_abort(should_abort)
         new_heads = select_heads(
             new_base, ratio=self._ratio, metric=self._metric
         ).persist()
+        check_abort(should_abort)
         new_postings = build_postings(new_base, new_heads, self._metric).persist()
         new_postings.count()
+        check_abort(should_abort)
         self._base, self.heads, self.postings = new_base, new_heads, new_postings
         self._deltas = []
         self._tombstones = self._spark.createDataFrame([], "id long")

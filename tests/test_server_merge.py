@@ -99,3 +99,90 @@ def test_merge_index_remaps_and_drops(spark):
     rows = {r["id"]: r["meta"] for r in merge_index(v1, t1, v2, t2).collect()}
     # live1 = {0, 5}; offset = 6; live2 = {2} -> 8
     assert rows == {0: "a", 5: "c", 8: "y"}
+
+
+def test_tcp_serve_loop(spark):
+    """The socket serve loop (SearchService parity, newline framing): a
+    client sends wire-format query lines over a real TCP connection and
+    gets JSON result lines answered by the in-RAM replica — self-hits at
+    rank 1, $resultnum honored, malformed input answered with an error
+    line instead of a dropped connection, multiple requests per session."""
+    import json
+    import socket
+
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 6) for i in range(40)],
+        "id long, vector array<float>",
+    )
+    heads = select_heads(vecs, ratio=0.2)
+    postings = build_postings(vecs, heads)
+    srv = AnnTcpServer(
+        LocalSpannReplica(heads, postings), k=3, nprobe=4
+    ).start()
+    try:
+        with socket.create_connection(srv.address, timeout=30) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            # request 1: plain literal vector — self-hit at rank 1
+            f.write(encode_query([7.0] * 6) + "\n")
+            f.flush()
+            r1 = json.loads(f.readline())
+            assert r1["results"][0] == {"rank": 1, "id": 7, "dist": 0.0}
+            assert len(r1["results"]) == 3
+            # request 2, same session: base64 payload + $resultnum:2
+            f.write(
+                encode_query([12.0] * 6, base64_payload=True, resultnum=2)
+                + "\n"
+            )
+            f.flush()
+            r2 = json.loads(f.readline())
+            assert [x["id"] for x in r2["results"]][:1] == [12]
+            assert len(r2["results"]) == 2
+            # request 3: garbage — error response, connection stays up
+            f.write("$datatype:nonsense#zzz\n")
+            f.flush()
+            assert "error" in json.loads(f.readline())
+            f.write(encode_query([0.0] * 6) + "\n")
+            f.flush()
+            assert json.loads(f.readline())["results"][0]["id"] == 0
+    finally:
+        srv.stop()
+
+
+def test_abort_hook_rebuild_and_kmeans(spark):
+    """IAbortOperation parity (VectorIndex.h:22-26; ErrorCode::ExternalAbort
+    DefinitionList.h:66): a should_abort hook stops a rebuild between
+    phases leaving the serving index untouched, and stops the balanced
+    k-means iteration loop; None-hook behavior is unchanged."""
+    import pytest as _pytest
+
+    from sptag_spark.errors import ExternalAbortError
+    from sptag_spark.index.balanced import balanced_kmeans
+    from sptag_spark.streaming.spfresh import SpannLiveIndex
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), float(i % 7)]) for i in range(60)],
+        "id long, vector array<float>",
+    )
+    idx = SpannLiveIndex(vecs, rebuild_threshold=10**9)
+    old = (idx.heads, idx.postings, idx.builds)
+    calls = {"n": 0}
+
+    def abort_second_phase() -> bool:
+        calls["n"] += 1
+        return calls["n"] >= 2
+
+    with _pytest.raises(ExternalAbortError):
+        idx.rebuild(should_abort=abort_second_phase)
+    assert (idx.heads, idx.postings, idx.builds) == old  # swap never ran
+    idx.rebuild()  # None hook: completes
+    assert idx.builds == old[2] + 1
+
+    with _pytest.raises(ExternalAbortError):
+        balanced_kmeans(
+            vecs, k=4, n_iter=4, should_abort=lambda: True
+        ).count()
