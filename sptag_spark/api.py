@@ -24,6 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sptag_spark.index.heads import DEFAULT_HEAD_RATIO
 from sptag_spark.operators.knn import attach_meta, knn_arrays
 from sptag_spark.operators.mutate import (
     apply_tombstones,
@@ -129,7 +130,9 @@ class SparkAnnIndex:
     def live(self) -> DataFrame:
         return apply_tombstones(self._vectors, self._tombstones)
 
-    def build_ann(self, ratio: float = 0.12, nprobe: int = 10) -> None:
+    def build_ann(
+        self, ratio: float = DEFAULT_HEAD_RATIO, nprobe: int = 10
+    ) -> None:
         """Build the SPANN serving structure over the current live view —
         the reference's BuildIndex step that turns brute force into
         sub-linear serve. Mutations invalidate it lazily (the version

@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sptag_spark.index.heads import DEFAULT_HEAD_RATIO
+
 BKT_KMEANS_K = 8  # m_iBKTKmeansK (reference default 32; 8 suits test scale)
 BKT_LEAF_SIZE = 8  # m_iBKTLeafSize
 BKT_SAMPLES = 1024  # Samples per split (reference: 1000)
@@ -271,7 +273,7 @@ def _select_walk(
 
 def select_heads_bkt(
     vectors: DataFrame,
-    ratio: float = 0.12,
+    ratio: float = DEFAULT_HEAD_RATIO,
     kmeans_k: int = BKT_KMEANS_K,
     leaf_size: int = BKT_LEAF_SIZE,
     select_threshold: int = 12,

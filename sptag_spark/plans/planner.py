@@ -168,9 +168,10 @@ class CostModel:
     ) -> float:
         # posting size ≈ replica_count / head_ratio, independent of N (both
         # scale linearly) — bounded by the posting cut
+        from sptag_spark.index.heads import DEFAULT_HEAD_RATIO
         from sptag_spark.index.postings import POSTING_LIMIT, REPLICA_COUNT
 
-        posting = min(REPLICA_COUNT / 0.12, float(POSTING_LIMIT))
+        posting = min(REPLICA_COUNT / DEFAULT_HEAD_RATIO, float(POSTING_LIMIT))
         cand = n_queries * nprobe * posting
         return self.fixed_overhead_sec + cand / self.scan_rows_per_sec
 

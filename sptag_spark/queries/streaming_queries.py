@@ -96,7 +96,7 @@ GROUP BY 1, 2
 
 
 def _spfresh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.heads import DEFAULT_HEAD_RATIO, select_heads
     from sptag_spark.index.postings import build_postings
     from sptag_spark.queries.ann_queries import _memo
     from sptag_spark.streaming.spfresh import SpannLiveIndex
@@ -106,7 +106,7 @@ def _spfresh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = v.filter(F.col("id") % 2 == 0)
 
     def build():
-        heads = select_heads(even, ratio=0.12).persist()
+        heads = select_heads(even, ratio=DEFAULT_HEAD_RATIO).persist()
         postings = build_postings(even, heads).persist()
         postings.count()
         return heads, postings

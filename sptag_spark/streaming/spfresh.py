@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sptag_spark.index.ann import ann_search
-from sptag_spark.index.heads import select_heads
+from sptag_spark.index.heads import DEFAULT_HEAD_RATIO, select_heads
 from sptag_spark.index.postings import assign_replicas, build_postings
 from sptag_spark.streaming.ingest import ADD_COUNT_FOR_REBUILD
 
@@ -41,7 +41,7 @@ class SpannLiveIndex:
     def __init__(
         self,
         vectors: DataFrame,
-        ratio: float = 0.12,
+        ratio: float = DEFAULT_HEAD_RATIO,
         metric: str = "l2",
         rebuild_threshold: int = ADD_COUNT_FOR_REBUILD,
         prebuilt: tuple[DataFrame, DataFrame] | None = None,
