@@ -53,10 +53,13 @@ def _penalized_assign(
     return assign
 
 
-def _assign_kernel(bc, lam: float):
+def _assign_kernel(bc, lam: float, with_vector: bool = False):
     """bc: Broadcast of the centers matrix — at head-selection scale
     (k up to ~0.1·N) the centers are executor-memory-sized, and a closure
-    would re-ship them per task where the broadcast lands once per node."""
+    would re-ship them per task where the broadcast lands once per node.
+    with_vector=True passes the vector column through — the hierarchical
+    path consumes (id, vector, cluster) directly so the cell stage never
+    joins the assignment back to the vector table."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         centers = bc.value
@@ -66,9 +69,10 @@ def _assign_kernel(bc, lam: float):
                 continue
             V = _as_matrix(pdf["vector"])
             assign = _penalized_assign(V, centers, lam, local)
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "cluster": assign}
-            )
+            out = {"id": pdf["id"].to_numpy(), "cluster": assign}
+            if with_vector:
+                out["vector"] = pdf["vector"]
+            yield pd.DataFrame(out)
 
     return kernel
 
@@ -110,6 +114,7 @@ def balanced_kmeans(
     seed: int = 42,
     flat_max_k: int = 2048,
     should_abort=None,
+    _emit_vector: bool = False,
 ) -> DataFrame:
     """Returns (id, cluster INT). lam=None auto-scales the penalty to the
     data's distance magnitude (a simplified DynamicFactorSelect): lambda =
@@ -189,9 +194,12 @@ def balanced_kmeans(
         centers[nonempty] = sums[nonempty] / counts[nonempty, None]
     # the final assignment pass's broadcast must OUTLIVE this function (the
     # returned plan is lazy) — no destroy; Spark GCs it with the context
+    schema = "id long, cluster int"
+    if _emit_vector:
+        schema = f"id long, cluster int, vector {dict(src.dtypes)['vector']}"
     return src.mapInPandas(
-        _assign_kernel(sc.broadcast(centers), lam),
-        schema="id long, cluster int",
+        _assign_kernel(sc.broadcast(centers), lam, with_vector=_emit_vector),
+        schema=schema,
     )
 
 
@@ -256,8 +264,13 @@ def balanced_kmeans_hier(
     from pyspark.sql import functions as F
 
     k1 = max(2, int(math.isqrt(k)))
+    # the coarse assignment CARRIES the vector column (_emit_vector) — the
+    # cell stage groups (id, vector, cluster) directly, so the vector
+    # table is never shuffle-joined back to its assignment; the one
+    # vector-payload shuffle is the unavoidable groupBy(cell) itself
     coarse = balanced_kmeans(
-        vectors, k1, n_iter, lam, seed, should_abort=should_abort
+        vectors, k1, n_iter, lam, seed,
+        should_abort=should_abort, _emit_vector=True,
     ).persist()
     counts_rows = coarse.groupBy("cluster").count().collect()  # k1 rows
     counts = np.zeros(k1, dtype=np.int64)
@@ -310,8 +323,7 @@ def balanced_kmeans_hier(
             }
         )
 
-    src = vectors.select("id", "vector").join(coarse, "id")
-    return src.groupBy("cluster").applyInPandas(
+    return coarse.groupBy("cluster").applyInPandas(
         cell_kernel, schema="id long, cluster int"
     )
 
