@@ -380,7 +380,15 @@ def unigram_logprob(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
-    freq = tok.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
+    # tok feeds the vocab aggregate AND the join probe, freq feeds the
+    # total AND the join build — without materialization each branch
+    # re-runs its full upstream lineage (3 corpus scans). Lazy
+    # localCheckpoints run the stream once and the vocab aggregate once
+    # (the duplicate_spans/dsir discipline).
+    tok = tok.localCheckpoint(eager=False)
+    freq = tok.groupBy("tok").agg(
+        F.count("*").cast("double").alias("cnt")
+    ).localCheckpoint(eager=False)
     total = freq.agg(F.sum("cnt").alias("total"))
     scored = tok.join(freq, "tok").crossJoin(F.broadcast(total))
     return scored.groupBy("doc_id").agg(
@@ -626,7 +634,7 @@ def dsir_importance_weights(
     freq = tok.groupBy("tok").agg(
         F.count("*").cast("double").alias("cnt_all"),
         F.sum("is_t").cast("double").alias("cnt_t"),
-    )
+    ).localCheckpoint(eager=False)  # feeds tot AND the ratio join build
     tot = freq.agg(
         F.sum("cnt_all").alias("total_all"),
         F.sum("cnt_t").alias("total_t"),
