@@ -268,3 +268,114 @@ FROM embeddings WHERE vec_id % {QUERY_MODULUS} = 0
 register(
     "streaming_ann_serving", _streaming_ann_serving, _streaming_serving_oracle()
 )
+
+
+# -- streaming near-dup dedup (stateful MinHash-LSH over the ingest feed) ----
+#
+# The streaming twin of minhash_near_dup, run as a REAL two-micro-batch
+# stateful query: the dedup corpus lands as two files, maxFilesPerTrigger=1,
+# so pairs whose members arrive in DIFFERENT batches are only findable
+# through the cross-batch LSH-bucket state (applyInPandasWithState). The
+# emitted candidates are exact-Jaccard-verified batch-side against the
+# corpus shingle sets, so the final pair set equals the batch operator's —
+# and the DuckDB oracle is the same brute-force all-pairs Jaccard. Emitted
+# pairs are batch-order-independent (a pair surfaces when its SECOND member
+# arrives, whichever order the two batches run).
+#
+# LSH recall budget: 32 hashes in 16 two-row bands. True pairs here have
+# J ≥ ~0.9 (exact copies and drop-first-token copies), so a pair misses a
+# band with prob 1−J² ≈ 0.19 and ALL 16 bands with ≈ 3e-12 — the same
+# determinism-by-overwhelming-probability argument minhash_near_dup's
+# oracle documents. The est-jaccard gate is set low (0.3) because the exact
+# verify decides membership.
+
+
+def _streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sptag_spark.operators.dedup import shingle_hashes
+    from sptag_spark.queries.dedup_queries import JACCARD_T, corpus_table
+    from sptag_spark.streaming.stateful import streaming_near_dup_candidates
+
+    prefix = f"sptag_stream_neardup_{os.getpid()}_"
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}*")):
+        shutil.rmtree(old, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix=prefix)
+    corpus = corpus_table(spark, sf_dir)
+    # two files split by doc parity → two micro-batches; near/exact copies
+    # land in the opposite batch from many of their originals, exercising
+    # the cross-batch state path
+    corpus.repartition(2, F.col("doc_id") % 2).write.parquet(f"{work}/docs")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/docs")
+    )
+    cand = streaming_near_dup_candidates(
+        stream, threshold=0.3, bands=16, n_hashes=32
+    )
+    sink = "stream_near_dup_sink"
+    q = (
+        cand.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = spark.table(sink).select("doc_a", "doc_b").dropDuplicates()
+    # exact verify, batch-side, against the corpus shingle sets — identical
+    # discipline to minhash_near_dup_pairs' verify join
+    sets = shingle_hashes(corpus)
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hh").alias("hh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hh").alias("hh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("hh_a"), F.col("hh_b")))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter)
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _streaming_near_dup_oracle() -> str:
+    from sptag_spark.queries.dedup_queries import (
+        _SH,
+        JACCARD_T,
+        ORACLE_CORPUS,
+    )
+
+    return f"""
+WITH corpus AS ({ORACLE_CORPUS}),
+{_SH},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_T}
+"""
+
+
+register("streaming_near_dup", _streaming_near_dup, _streaming_near_dup_oracle())
