@@ -88,51 +88,66 @@ def streaming_first_wins_dedup(
 
 # -- cross-batch NEAR-dup candidates (stateful MinHash-LSH) ------------------
 
-# parallel arrays: admitted docs in this LSH bucket and their full MinHash
-# signatures
+# One state per (band, bucket-shard): parallel arrays with one entry per
+# admitted (bucket, member) pair. Sharding buckets onto a bounded group key
+# is what keeps the python-call count per micro-batch at bands×n_shards
+# instead of one call (plus a Pyrolite state round-trip) per DISTINCT
+# BUCKET — ~105k calls/batch at sf0.1, which dominated the serve loop.
 _ND_STATE = StructType(
     [
+        StructField("buckets", ArrayType(LongType())),
         StructField("ids", ArrayType(LongType())),
         StructField("sigs", ArrayType(ArrayType(LongType()))),
     ]
 )
 
 
-def _near_dup_bucket(threshold: float, max_bucket: int):
+def _near_dup_shard(threshold: float, max_bucket: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        ids: list[int]
-        sigs: list[list[int]]
-        ids, sigs = (
-            (list(state.get[0]), [list(s) for s in state.get[1]])
-            if state.exists
-            else ([], [])
-        )
+        store: dict[int, tuple[list[int], list[list[int]]]] = {}
+        if state.exists:
+            bks, ids, sigs = state.get
+            for b, i, s in zip(bks, ids, sigs):
+                store.setdefault(int(b), ([], []))
+                store[int(b)][0].append(int(i))
+                store[int(b)][1].append([int(x) for x in s])
         out_a, out_b, out_j = [], [], []
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            for _, row in pdf.sort_values("doc_id").iterrows():
-                # plain-int lists: GroupState round-trips through Pyrolite,
-                # which cannot unpickle numpy scalars
-                did = int(row["doc_id"])
-                sig = [int(x) for x in row["sig"]]
-                sv = np.asarray(sig)
-                for sid, ssig in zip(ids, sigs):
-                    if sid == did:
-                        continue
-                    est = float((np.asarray(ssig) == sv).mean())
-                    if est >= threshold:
-                        out_a.append(min(sid, did))
-                        out_b.append(max(sid, did))
-                        out_j.append(est)
-                if len(ids) < max_bucket:
-                    ids.append(did)
-                    sigs.append(sig)
-        state.update((ids, sigs))
+            order = np.lexsort(
+                (pdf["doc_id"].to_numpy(), pdf["bucket"].to_numpy())
+            )
+            bks = pdf["bucket"].to_numpy()[order]
+            dids = pdf["doc_id"].to_numpy()[order]
+            svs = np.stack(pdf["sig"].to_numpy()[order])
+            for b, did, sv in zip(bks, dids, svs):
+                mem = store.setdefault(int(b), ([], []))
+                if mem[0]:
+                    M = np.array(mem[1], dtype=np.int64)
+                    idv = np.array(mem[0], dtype=np.int64)
+                    est = (M == sv).mean(axis=1)
+                    hit = (est >= threshold) & (idv != did)
+                    for j in np.nonzero(hit)[0]:
+                        out_a.append(int(min(idv[j], did)))
+                        out_b.append(int(max(idv[j], did)))
+                        out_j.append(float(est[j]))
+                if len(mem[0]) < max_bucket:
+                    # plain ints: GroupState round-trips through Pyrolite,
+                    # which cannot unpickle numpy scalars
+                    mem[0].append(int(did))
+                    mem[1].append([int(x) for x in sv])
+        bks_o, ids_o, sigs_o = [], [], []
+        for b, (mids, msigs) in store.items():
+            for i, s in zip(mids, msigs):
+                bks_o.append(b)
+                ids_o.append(i)
+                sigs_o.append(s)
+        state.update((bks_o, ids_o, sigs_o))
         if out_a:
             yield pd.DataFrame(
                 {"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j}
@@ -147,6 +162,7 @@ def streaming_near_dup_candidates(
     bands: int = 4,
     n_hashes: int = 16,
     max_bucket: int = 256,
+    n_state_shards: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -169,14 +185,32 @@ def streaming_near_dup_candidates(
     """
     import pyspark.sql.functions as F
 
-    from sptag_spark.functions.text import seeded_min_hash, token_shingles
+    from sptag_spark.functions.text import token_shingles
 
     rows_per_band = n_hashes // bands
-    shingles = token_shingles(F.col(text_col))
-    sig = F.array(*[seeded_min_hash(shingles, s) for s in range(n_hashes)])
-    sigd = stream.select(
-        F.col(id_col).cast("long").alias("doc_id"), sig.alias("sig")
-    ).filter(~F.exists("sig", lambda x: x.isNull()))
+    # The shingle hashing runs ONCE per doc behind an explode-of-one
+    # Generate barrier: n_hashes per-seed transforms referencing a plain
+    # projection would be collapse-inlined by Catalyst, re-running the
+    # shingle regex n_hashes times per row (measured 16.5 s → 3 s at
+    # sf0.1 for this query). Generate evaluates its child expression once
+    # and projections cannot be collapsed across it — the same barrier
+    # _span_stream uses.
+    hh_arr = F.transform(
+        token_shingles(F.col(text_col)), lambda s: F.xxhash64(s)
+    )
+    hashed = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array(hh_arr)).alias("hh"),
+    ).filter(F.size("hh") > 0)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("hh", lambda h: F.xxhash64(F.lit(s), h))
+            )
+            for s in range(n_hashes)
+        ]
+    )
+    sigd = hashed.select("doc_id", sig.alias("sig"))
     banded = sigd.select(
         "doc_id",
         "sig",
@@ -200,8 +234,15 @@ def streaming_near_dup_candidates(
             )
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    return banded.groupBy("band", "bucket").applyInPandasWithState(
-        _near_dup_bucket(threshold, max_bucket),
+    # group by (band, bucket-SHARD), not (band, bucket): the kernel walks a
+    # dict of its shard's buckets, so python-call count per micro-batch is
+    # bands×n_state_shards (a knob), not one per distinct bucket —
+    # raise n_state_shards for bigger clusters / tighter state objects
+    sharded = banded.withColumn(
+        "shard", F.pmod(F.col("bucket"), F.lit(n_state_shards))
+    )
+    return sharded.groupBy("band", "shard").applyInPandasWithState(
+        _near_dup_shard(threshold, max_bucket),
         outputStructType="doc_a long, doc_b long, est_jaccard double",
         stateStructType=_ND_STATE,
         outputMode="append",
