@@ -363,3 +363,110 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS k_clusters,
 FROM embeddings
 """,
 )
+
+
+# -- quality-retention dedup (keep the BEST doc per duplicate cluster) ------
+#
+# The production near-dedup policy: inside each duplicate cluster keep the
+# highest-quality member (here: most tokens, doc_id tie-break), not the
+# arbitrary smallest id; singletons pass through. Composes the connected-
+# components operator with the text-quality scan — the standard curation
+# step after clustering. The per-cluster argmax is a window PARTITIONED by
+# cluster rep (scalable — cluster sizes are bounded by the dedup
+# structure), never a global rank.
+
+
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sptag_spark.functions.text import token_count
+    from sptag_spark.operators.components import dedup_clusters
+
+    corpus = corpus_table(spark, sf_dir)
+    clusters = dedup_clusters(corpus, JACCARD_T)
+    toks = corpus.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    multi = clusters.join(toks, "doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    kept_multi = (
+        multi.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", "n_tokens", F.col("cluster_size"))
+    )
+    singles = (
+        toks.join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", F.lit(1).cast("long").alias("cluster_size"))
+    )
+    return kept_multi.unionByName(singles)
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+WITH RECURSIVE corpus AS ({ORACLE_CORPUS}),
+{_SH},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_T}
+),
+exact_groups AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS group_min
+  FROM corpus
+),
+exact_edges AS (
+  SELECT doc_id AS doc_a, group_min AS doc_b FROM exact_groups
+  WHERE doc_id <> group_min
+),
+all_pairs AS (SELECT * FROM near UNION SELECT * FROM exact_edges),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM all_pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM all_pairs
+),
+reach(a, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.a = e.b
+),
+comp AS (SELECT a AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY a),
+csizes AS (
+  SELECT cluster_rep, count(*) AS cluster_size FROM comp GROUP BY cluster_rep
+),
+tokc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM corpus
+),
+multi AS (
+  SELECT comp.doc_id, comp.cluster_rep, csizes.cluster_size
+  FROM comp JOIN csizes USING (cluster_rep)
+  WHERE csizes.cluster_size > 1
+),
+ranked AS (
+  SELECT m.doc_id, t.n_tokens, m.cluster_size,
+         row_number() OVER (
+           PARTITION BY m.cluster_rep ORDER BY t.n_tokens DESC, m.doc_id
+         ) AS rk
+  FROM multi m JOIN tokc t USING (doc_id)
+)
+SELECT doc_id, n_tokens, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rk = 1
+UNION ALL
+SELECT t.doc_id, t.n_tokens, CAST(1 AS BIGINT) AS cluster_size
+FROM tokc t LEFT JOIN multi m USING (doc_id)
+WHERE m.doc_id IS NULL
+"""
+
+
+register("dedup_keep_best", _dedup_keep_best, _keep_best_oracle())
