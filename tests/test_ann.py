@@ -300,6 +300,15 @@ def test_empty_and_tiny_inputs_are_graceful(spark):
     v0 = spark.createDataFrame([], "id long, vector array<float>")
     q1 = spark.createDataFrame([(0, [1.0, 2.0])], "query_id long, vector array<float>")
     assert knn(v0, q1, k=3).count() == 0
+    # span dedup: empty corpus and all-too-short docs yield empty stats,
+    # never a crash in the token-hash slice path
+    from sptag_spark.operators.dedup import duplicate_spans
+
+    assert duplicate_spans(docs0, 10).count() == 0
+    tiny = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "")], "doc_id long, text string"
+    )
+    assert duplicate_spans(tiny, 10).count() == 0
 
 
 def test_spann_ip_metric(spark, sf_dir):
