@@ -292,3 +292,43 @@ def test_ranked_topk_equals_window_rank(spark, n, k, seed):
         for i, r in enumerate(exp_pdf.itertuples())
     )
     assert got == expect
+
+
+@given(
+    st.lists(  # corpus: up to 8 docs of 0..14 tokens from a 4-word vocab
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=14),
+        max_size=8,
+    ),
+    st.integers(2, 4),  # span length n
+)
+@settings(max_examples=30, deadline=None)
+def test_duplicate_spans_matches_naive(spark, docs_tokens, n):
+    """duplicate_spans (token-hash slice extraction, filtered flag join,
+    map-only n_spans) must equal the naive in-memory computation — exact
+    duplicated-span counts per doc for ANY corpus, including within-doc
+    repeats, all-too-short docs and empty texts."""
+    from collections import Counter
+
+    from sptag_spark.operators.dedup import duplicate_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        if rows
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in duplicate_spans(df, n).collect()
+    }
+    spans_by_doc = {
+        i: [tuple(t[j : j + n]) for j in range(len(t) - n + 1)]
+        for i, t in enumerate(docs_tokens)
+        if len(t) >= n
+    }
+    corpus_counts = Counter(s for sp in spans_by_doc.values() for s in sp)
+    expect = {
+        i: (len(sp), sum(1 for s in sp if corpus_counts[s] > 1))
+        for i, sp in spans_by_doc.items()
+    }
+    assert got == expect
