@@ -186,3 +186,58 @@ def test_abort_hook_rebuild_and_kmeans(spark):
         balanced_kmeans(
             vecs, k=4, n_iter=4, should_abort=lambda: True
         ).count()
+
+
+def test_tcp_server_agrees_with_batch_executor(spark):
+    """Tier consistency: the same wire-format query answered by the TCP
+    serve loop (in-RAM replica, exhaustive nprobe) and by the Spark batch
+    executor (exact brute-force knn) must produce identical ids and
+    distances — the reference's single SearchIndex semantics regardless of
+    entry point."""
+    import json
+    import socket
+
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 13) for j in range(5)], str(i))
+        for i in range(30)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "id long, vector array<float>, meta string"
+    )
+    heads = select_heads(vecs.select("id", "vector"), ratio=0.3)
+    postings = build_postings(vecs.select("id", "vector"), heads)
+    n_heads = heads.count()
+    srv = AnnTcpServer(
+        LocalSpannReplica(heads, postings), k=4, nprobe=int(n_heads)
+    ).start()
+    qvecs = [rows[3][1], rows[17][1], [0.5] * 5]
+    try:
+        with socket.create_connection(srv.address, timeout=30) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            tcp_res = []
+            for qv in qvecs:
+                f.write(encode_query(qv) + "\n")
+                f.flush()
+                tcp_res.append(json.loads(f.readline())["results"])
+    finally:
+        srv.stop()
+    batch = execute_queries(
+        {"default": vecs},
+        [encode_query(qv) for qv in qvecs],
+        default_k=4,
+    ).collect()
+    for qid, tres in enumerate(tcp_res):
+        bres = sorted(
+            (r for r in batch if r["query_id"] == qid),
+            key=lambda r: r["rank"],
+        )
+        assert [(x["rank"], x["id"]) for x in tres] == [
+            (r["rank"], r["id"]) for r in bres
+        ]
+        for x, r in zip(tres, bres):
+            assert abs(x["dist"] - r["dist"]) < 1e-6
