@@ -29,6 +29,16 @@ def _replica_pool_worker(args):
     return len(qs)
 
 
+def _replica_pool_init(warm_q, nprobe):
+    # Pool initializer: runs exactly once in EVERY worker (map() has no
+    # worker-affinity guarantee, so a map-based warm-up can leave some
+    # workers cold and let numpy import + COW fault-in pollute the timed
+    # window)
+    import numpy as np  # noqa: PLC0415
+
+    _REPLICA.search_one(np.asarray(warm_q), k=10, nprobe=nprobe)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -292,15 +302,17 @@ def main() -> None:
 
         global _REPLICA
         _REPLICA = replica
-        n_procs = min(16, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        n_procs = min(16, cpus)
         qvs = [qv for _, qv in reps] * 8
         chunks = [
             (qvs[i::n_procs], 10, spann_point["nprobe"])
             for i in range(n_procs)
         ]
-        with mp.get_context("fork").Pool(n_procs) as pool:
-            # fork + import warm-up outside the timed window
-            pool.map(_replica_pool_worker, [([qvs[0]], 10, 4)] * n_procs)
+        with mp.get_context("fork").Pool(
+            n_procs,
+            initializer=_replica_pool_init,
+            initargs=(qvs[0], spann_point["nprobe"]),
+        ) as pool:
             t0 = time.time()
             done = sum(pool.map(_replica_pool_worker, chunks))
             mp_wall = time.time() - t0

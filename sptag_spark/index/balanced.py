@@ -133,7 +133,9 @@ def balanced_kmeans(
     iteration loops, `Common/BKTree.h:347,384,490`); raises
     ExternalAbortError, no partial structure escapes."""
     if k > flat_max_k:
-        return balanced_kmeans_hier(vectors, k, n_iter, lam, seed, should_abort)
+        return balanced_kmeans_hier(
+            vectors, k, n_iter, lam, seed, should_abort, flat_max_k
+        )
     sample = np.array(
         [
             list(r["vector"])
@@ -239,6 +241,7 @@ def balanced_kmeans_hier(
     lam: float | None = None,
     seed: int = 42,
     should_abort=None,
+    flat_max_k: int = 2048,
 ) -> DataFrame:
     """Two-level balanced k-means for large k — balance WITHIN coarse
     cells, mirroring index/heads.py hier_kmeans (and the reference's BKT,
@@ -263,13 +266,18 @@ def balanced_kmeans_hier(
 
     from pyspark.sql import functions as F
 
-    k1 = max(2, int(math.isqrt(k)))
+    # k1 is capped at flat_max_k so the coarse call ALWAYS takes the flat
+    # path (which honors _emit_vector; a recursive hier coarse would drop
+    # the vector column the cell stage needs). Above flat_max_k² total
+    # clusters this yields wider cells (k/flat_max_k sub-centers each)
+    # rather than a third level — still per-cell-bounded work.
+    k1 = max(2, min(int(math.isqrt(k)), flat_max_k))
     # the coarse assignment CARRIES the vector column (_emit_vector) — the
     # cell stage groups (id, vector, cluster) directly, so the vector
     # table is never shuffle-joined back to its assignment; the one
     # vector-payload shuffle is the unavoidable groupBy(cell) itself
     coarse = balanced_kmeans(
-        vectors, k1, n_iter, lam, seed,
+        vectors, k1, n_iter, lam, seed, flat_max_k=flat_max_k,
         should_abort=should_abort, _emit_vector=True,
     ).persist()
     counts_rows = coarse.groupBy("cluster").count().collect()  # k1 rows

@@ -507,12 +507,12 @@ def _span_stream(
     guard as shingle_sets): a corpus that arrives as one file is one scan
     split and the extract would run on one core; at ≥ cores splits this
     adds nothing."""
+    from sptag_spark.functions.text import tokens
+
     spark = docs.sparkSession
     if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
+    toks = tokens(F.col(text_col))
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("th1"),
@@ -582,12 +582,13 @@ def duplicate_spans(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_dup_spans"))
     )
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
+    from sptag_spark.functions.text import token_count
+
+    # token_count is the SAME tokenization as _span_stream's tokens() —
+    # the two passes must agree or dup_frac denominators drift
     doc_totals = docs.select(
         F.col(id_col).alias("doc_id"),
-        (F.size(toks) - (n - 1)).cast("long").alias("n_spans"),
+        (token_count(F.col(text_col)) - (n - 1)).alias("n_spans"),
     ).filter(F.col("n_spans") >= 1)
     return doc_totals.join(dup_per_doc, "doc_id", "left").select(
         "doc_id",

@@ -78,16 +78,21 @@ def multi_index_scan(
                 continue
             ids = pdf["id"].to_numpy(dtype=np.int64)
             Vs = [_as_matrix(pdf[s.vec_col]) for s in specs]
-            D = np.stack(
-                [
-                    s.weight * _block_distances(V, Q, s.metric)
-                    for s, V, Q in zip(specs, Vs, Qs)
-                ],
-                axis=-1,
-            )  # (n_rows, n_queries, n_specs)
             if rank_fn is None:
-                S = D.sum(axis=-1)
+                # default weighted sum accumulates into ONE
+                # (n_rows, n_queries) buffer — only a custom fn pays for
+                # the n_specs-times-larger stacked matrix
+                S = np.zeros((len(ids), len(query_ids)))
+                for s, V, Q in zip(specs, Vs, Qs):
+                    S += s.weight * _block_distances(V, Q, s.metric)
             else:
+                D = np.stack(
+                    [
+                        s.weight * _block_distances(V, Q, s.metric)
+                        for s, V, Q in zip(specs, Vs, Qs)
+                    ],
+                    axis=-1,
+                )  # (n_rows, n_queries, n_specs)
                 S = rank_fn(D.reshape(-1, len(specs))).reshape(D.shape[:2])
             kk = min(k, len(ids))
             out = []
@@ -98,14 +103,22 @@ def multi_index_scan(
                     if kk < len(ids)
                     else np.arange(len(ids))
                 )
-                Dx = np.stack(
-                    [
-                        s.weight * _exact_pair_dists(V[cand], Q[j], s.metric)
-                        for s, V, Q in zip(specs, Vs, Qs)
-                    ],
-                    axis=-1,
-                )
-                exact = Dx.sum(axis=-1) if rank_fn is None else rank_fn(Dx)
+                if rank_fn is None:
+                    exact = np.zeros(len(cand))
+                    for s, V, Q in zip(specs, Vs, Qs):
+                        exact += s.weight * _exact_pair_dists(
+                            V[cand], Q[j], s.metric
+                        )
+                else:
+                    Dx = np.stack(
+                        [
+                            s.weight
+                            * _exact_pair_dists(V[cand], Q[j], s.metric)
+                            for s, V, Q in zip(specs, Vs, Qs)
+                        ],
+                        axis=-1,
+                    )
+                    exact = rank_fn(Dx)
                 order = np.lexsort((ids[cand], exact))[:kk]
                 out.append(
                     pd.DataFrame(

@@ -291,7 +291,6 @@ register(
 
 
 def _streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import os
     import shutil
     import tempfile
@@ -311,15 +310,21 @@ def _streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"sptag_stream_neardup_{os.getpid()}_{tag}"
     )
     corpus = corpus_table(spark, sf_dir)
-    if not os.path.exists(f"{work}/docs/_SUCCESS"):
+    if not os.path.exists(f"{work}/docs/_landed"):
         shutil.rmtree(work, ignore_errors=True)
-        os.makedirs(work, exist_ok=True)
+        os.makedirs(f"{work}/docs", exist_ok=True)
         # two files split by doc parity → two micro-batches; near/exact
         # copies land in the opposite batch from many of their originals,
-        # exercising the cross-batch state path
-        corpus.repartition(2, F.col("doc_id") % 2).write.parquet(
-            f"{work}/docs"
-        )
+        # exercising the cross-batch state path. The halves are written
+        # EXPLICITLY (one file each): repartition(2, doc_id % 2) hash-
+        # partitions the parity VALUE, and murmur3(0) and murmur3(1) are
+        # both odd — every row lands in one partition and the second
+        # micro-batch would be empty (verified).
+        for parity in (0, 1):
+            corpus.filter(F.col("doc_id") % 2 == parity).coalesce(
+                1
+            ).write.mode("append").parquet(f"{work}/docs")
+        open(f"{work}/docs/_landed", "w").close()
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")

@@ -252,4 +252,5 @@ class AnnTcpServer:
     def stop(self) -> None:
         self._server.shutdown()
         self._server.server_close()
-        self._thread.join(timeout=10)
+        if self._thread.is_alive():  # stop() before/without start()
+            self._thread.join(timeout=10)

@@ -123,19 +123,33 @@ class SpannLiveIndex:
         `RefineIndex` checks at `BKTIndex.cpp:855,861`). An abort raises
         ExternalAbortError and, because the swap is the LAST step, leaves
         the serving index exactly as it was."""
-        from sptag_spark.errors import check_abort
+        from sptag_spark.errors import ExternalAbortError, check_abort
 
         check_abort(should_abort)
-        new_base = self.live_vectors().persist()
-        new_base.count()
-        check_abort(should_abort)
-        new_heads = select_heads(
-            new_base, ratio=self._ratio, metric=self._metric
-        ).persist()
-        check_abort(should_abort)
-        new_postings = build_postings(new_base, new_heads, self._metric).persist()
-        new_postings.count()
-        check_abort(should_abort)
+        built = []
+        try:
+            new_base = self.live_vectors().persist()
+            built.append(new_base)
+            new_base.count()
+            check_abort(should_abort)
+            new_heads = select_heads(
+                new_base, ratio=self._ratio, metric=self._metric
+            ).persist()
+            built.append(new_heads)
+            check_abort(should_abort)
+            new_postings = build_postings(
+                new_base, new_heads, self._metric
+            ).persist()
+            built.append(new_postings)
+            new_postings.count()
+            check_abort(should_abort)
+        except ExternalAbortError:
+            # release the partially built frames — without this every
+            # aborted rebuild pins a full materialized index copy in
+            # executor storage for the session lifetime
+            for df in built:
+                df.unpersist()
+            raise
         self._base, self.heads, self.postings = new_base, new_heads, new_postings
         self._deltas = []
         self._tombstones = self._spark.createDataFrame([], "id long")

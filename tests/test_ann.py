@@ -261,6 +261,12 @@ def test_balanced_kmeans_hier_matches_contract(spark, sf_dir):
     assert sum(sizes) == n
     assert len(sizes) == k
     assert max(sizes) <= 3 * n / k, sizes
+    # k > flat_max_k**2: the coarse level is capped at flat_max_k (the
+    # hier recursion would drop the vector passthrough the cell stage
+    # needs) — wider cells, same contract
+    deep = balanced_kmeans(vectors, k=k, n_iter=4, flat_max_k=4)
+    dsizes = [r["n"] for r in cluster_sizes(deep).collect()]
+    assert sum(dsizes) == n and len(dsizes) == k
 
 
 def test_spann_cosine_metric(spark, sf_dir):
