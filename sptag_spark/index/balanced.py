@@ -171,6 +171,12 @@ def balanced_kmeans(
         )
         # fair share PER PARTITION (counts accumulate within a partition pass)
         lam = float(np.maximum(d, 0).mean()) / max(n / (k * n_parts), 1.0)
+        # floor at a small positive value: a degenerate sample of identical
+        # vectors gives mean distance 0 → lam 0 → the greedy argmin dumps
+        # every row into cluster 0; with any positive lam the count penalty
+        # round-robins ties across clusters instead (real corpora do carry
+        # duplicate embeddings)
+        lam = max(lam, 1e-12)
     from sptag_spark.errors import check_abort
 
     for _ in range(n_iter):
@@ -220,7 +226,11 @@ def _local_balanced_lloyd(
         + (centers**2).sum(1)[None, :]
         + (V**2).sum(1)[:, None]
     )
-    lam = float(np.maximum(d, 0).mean()) / max(len(V) / kk, 1.0)
+    # floor: a cell of identical vectors has mean distance 0 → lam 0 →
+    # every row lands in sub-center 0, breaking the hier path's "exactly k
+    # non-empty clusters" contract; any positive lam makes the count
+    # penalty round-robin the ties instead (tests pin counts.min() > 0)
+    lam = max(float(np.maximum(d, 0).mean()) / max(len(V) / kk, 1.0), 1e-12)
     assign = np.zeros(len(V), dtype=np.int32)
     for _ in range(n_iter + 1):
         assign = _penalized_assign(V, centers, lam, np.zeros(kk))

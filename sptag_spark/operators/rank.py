@@ -48,10 +48,21 @@ def ranked_topk(
     a constant partition key is folded away by EliminateWindowPartitions,
     bringing the warning back). Correctness vs the window formulation is
     property-tested (tests/test_properties.py), ties included.
+
+    The sortWithinPartitions below is a defensive no-op sort over the ≤ k
+    survivors: rank correctness must not DEPEND on the physical plan
+    compiling to TakeOrderedAndProject. If the planner ever falls back to
+    Sort + GlobalLimit (e.g. spark.sql.execution.topKSortFallbackThreshold
+    lowered below k), the single-partition shuffle feeding GlobalLimit
+    does not preserve order — the local re-sort restores it for pennies
+    (k rows), while under TakeOrderedAndProject the physical
+    RemoveRedundantSorts rule elides it (child outputOrdering already
+    satisfies it), so the pinned plan shape is unchanged.
     """
     return (
         df.orderBy(*order)
         .limit(k)
+        .sortWithinPartitions(*order)
         .withColumn(
             rank_col, (F.monotonically_increasing_id() + 1).cast("long")
         )

@@ -244,13 +244,20 @@ class AnnTcpServer:
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
         )
+        self._started = False
 
     def start(self) -> "AnnTcpServer":
         self._thread.start()
+        self._started = True
         return self
 
     def stop(self) -> None:
-        self._server.shutdown()
-        self._server.server_close()
-        if self._thread.is_alive():  # stop() before/without start()
+        # shutdown() blocks on an event that only serve_forever() sets —
+        # calling it on a never-started server deadlocks, so gate on the
+        # started flag (an already-exited serve_forever has set the event,
+        # so shutdown() returns immediately in that case). server_close()
+        # releases the listening socket in every path.
+        if self._started:
+            self._server.shutdown()
             self._thread.join(timeout=10)
+        self._server.server_close()

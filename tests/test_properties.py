@@ -255,6 +255,24 @@ def test_local_balanced_lloyd_invariants(n, k, d, seed):
     counts = np.bincount(assign, minlength=kk)
     assert counts.sum() == n
     assert counts.max() <= 3 * (n / kk) + 1, counts
+    # no empty sub-centers when rows >= k — the hier path's offset
+    # encoding counts on every quota'd sub-center being used
+    assert counts.min() > 0, counts
+
+
+def test_local_balanced_lloyd_degenerate_identical_vectors():
+    """A cell of IDENTICAL vectors (duplicate embeddings are common in
+    real corpora) has mean distance 0; with lam floored at a positive
+    epsilon the count penalty must round-robin the ties so every
+    sub-center is non-empty — not dump all rows into sub-center 0."""
+    from sptag_spark.index.balanced import _local_balanced_lloyd
+
+    V = np.ones((24, 4), dtype=np.float64)
+    assign = _local_balanced_lloyd(V, 6, n_iter=4, seed=0)
+    counts = np.bincount(assign, minlength=6)
+    assert counts.sum() == 24
+    assert counts.min() > 0, counts
+    assert counts.max() == 4, counts  # perfectly balanced under pure ties
 
 
 @given(
