@@ -230,37 +230,27 @@ def ann_search(
     """Approximate top-k: (query_id, rank, id, dist). Same output contract as
     the exact knn() — recall vs it is the quality metric (F6: ≥0.9@10).
 
-    The scoring kernel ships the query batch in its closure; above
-    chunk_size queries the batch is processed in bounded chunks and the
-    results unioned (identical per-query output — queries are independent).
-    The union tree is ⌈|Q|/chunk⌉ subtrees — linear plan growth that only
-    offline mega-batches reach (a serve tier batches far smaller;
-    serving_local.py); each chunk's posting reads stay nprobe-pruned, so
-    unlike exact knn there is no per-chunk full scan."""
+    The scoring kernel ships serve-sized query batches in its closure;
+    above chunk_size queries the (query_id, vector) matrix rides a Spark
+    Broadcast instead (one copy per executor) and the kernel looks queries
+    up by id — identical per-query output, ONE plan whose node count is
+    constant in |Q| (the former union-of-chunks grew ⌈|Q|/chunk⌉ subtrees;
+    plan-pinned by tests/test_plans.py). The routes join likewise switches
+    from broadcast to shuffle join above chunk_size — a mega-batch's
+    |Q|·nprobe route set outgrows a broadcast, and posting reads stay
+    nprobe-pruned either way."""
     from sptag_spark.operators.knn import KNN_QUERY_CHUNK
 
     if chunk_size is None:
         chunk_size = KNN_QUERY_CHUNK
     q_all = queries.select("query_id", "vector").collect()
-    if len(q_all) > chunk_size:
-        spark = queries.sparkSession
-        out = None
-        for s in range(0, len(q_all), chunk_size):
-            chunk_df = spark.createDataFrame(
-                [(int(r["query_id"]), list(r["vector"])) for r in q_all[s : s + chunk_size]],
-                "query_id long, vector array<float>",
-            )
-            part = ann_search(
-                chunk_df, heads, postings, k, nprobe, metric, max_dist_ratio,
-                chunk_size,
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
+    mega = len(q_all) > chunk_size
     routes = route_queries(
         queries, heads, nprobe, metric, max_dist_ratio, q_rows=q_all
     )
     # Selected postings: the equi-join on head_id is partition-pruned when
-    # postings live in a head_id-partitioned table. routes is tiny → broadcast.
+    # postings live in a head_id-partitioned table. Serve-sized routes →
+    # broadcast; mega-batch routes → ordinary shuffle join (AQE re-plans).
     # In-memory routing knows the routed set outright → static IN-filter on
     # the partition column (planning-time directory pruning; the dynamic
     # pruning subquery remains for the distributed-routing fallback).
@@ -268,9 +258,10 @@ def ann_search(
     src = postings
     if routed is not None:
         src = src.filter(F.col("head_id").isin(routed))
-    cand = src.join(
-        F.broadcast(routes.select("query_id", "head_id")), "head_id"
-    ).select("query_id", "id", "vector")
+    route_sel = routes.select("query_id", "head_id")
+    if not mega:
+        route_sel = F.broadcast(route_sel)
+    cand = src.join(route_sel, "head_id").select("query_id", "id", "vector")
     # Replica dedup happens AFTER scoring, inside topk_per_query's min-dedup:
     # a pre-score dropDuplicates would shuffle candidate rows WITH their
     # D-float vector payloads, while post-score rows are three scalars.
@@ -286,12 +277,24 @@ def ann_search(
 
     from sptag_spark.operators.knn import _exact_pair_dists
 
-    qmap = {
-        int(r["query_id"]): np.asarray(r["vector"], dtype=np.float64)
-        for r in q_all
-    }
+    # query lookup table, sorted by query_id for in-kernel searchsorted.
+    # Serve-sized batches ship it in the closure (as before); mega batches
+    # ship ONE Broadcast so tasks carry a handle, not the matrix.
+    q_ids = np.array([int(r["query_id"]) for r in q_all], dtype=np.int64)
+    Q_mat = np.array([list(r["vector"]) for r in q_all], dtype=np.float64)
+    if len(q_ids):
+        qorder = np.argsort(q_ids)
+        q_ids, Q_mat = q_ids[qorder], Q_mat[qorder]
+    qref = (
+        queries.sparkSession.sparkContext.broadcast((q_ids, Q_mat))
+        if mega
+        else (q_ids, Q_mat)
+    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark.broadcast import Broadcast
+
+        qids_s, Qm = qref.value if isinstance(qref, Broadcast) else qref
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -301,7 +304,8 @@ def ann_search(
             out_q, out_i, out_d = [], [], []
             for qid in np.unique(qids):
                 idx = np.nonzero(qids == qid)[0]
-                d = _exact_pair_dists(V[idx], qmap[int(qid)], metric)
+                q_vec = Qm[np.searchsorted(qids_s, qid)]
+                d = _exact_pair_dists(V[idx], q_vec, metric)
                 # map-side dedup + local top-k (the partial of the
                 # partial/final top-k): exact rescoring makes every replica
                 # of an id score identically, so dropping in-batch replicas

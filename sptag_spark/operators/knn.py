@@ -134,8 +134,41 @@ def _exact_pair_dists(V: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
     return -(V @ q)
 
 
+def _topk_frame(
+    V: np.ndarray,
+    ids: np.ndarray,
+    query_ids: np.ndarray,
+    Q: np.ndarray,
+    k: int,
+    metric: str,
+) -> pd.DataFrame:
+    """One partition-block × one query-chunk: per query, the k smallest by
+    (dist, id) — reference tie-break (QueryResultSet.h:17-26). BLAS block
+    selects candidates; exact per-pair recompute on the k winners fixes the
+    ~1e-15 noise the dot-product expansion introduces."""
+    D = _block_distances(V, Q, metric)
+    kk = min(k, len(ids))
+    out_q, out_i, out_d = [], [], []
+    for j in range(Q.shape[0]):
+        col = D[:, j]
+        cand = np.argpartition(col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+        exact = _exact_pair_dists(V[cand], Q[j], metric)
+        order = np.lexsort((ids[cand], exact))[:kk]
+        out_q.append(np.full(kk, query_ids[j], dtype=np.int64))
+        out_i.append(ids[cand[order]])
+        out_d.append(exact[order])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "id": np.concatenate(out_i),
+            "dist": np.concatenate(out_d),
+        }
+    )
+
+
 def local_topk_kernel(query_ids: np.ndarray, Q: np.ndarray, k: int, metric: str):
-    """Returns a mapInPandas function emitting per-batch top-k candidates."""
+    """Returns a mapInPandas function emitting per-batch top-k candidates
+    (query batch rides in the task closure — serve-sized batches only)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -143,28 +176,33 @@ def local_topk_kernel(query_ids: np.ndarray, Q: np.ndarray, k: int, metric: str)
                 continue
             V = _as_matrix(pdf["vector"])
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            D = _block_distances(V, Q, metric)
-            kk = min(k, len(ids))
-            # per query: k smallest by (dist, id) — reference tie-break
-            # (QueryResultSet.h:17-26). BLAS block selects candidates; exact
-            # per-pair recompute on the k winners fixes the ~1e-15 noise the
-            # dot-product expansion introduces.
-            out_q, out_i, out_d = [], [], []
-            for j in range(Q.shape[0]):
-                col = D[:, j]
-                cand = np.argpartition(col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-                exact = _exact_pair_dists(V[cand], Q[j], metric)
-                order = np.lexsort((ids[cand], exact))[:kk]
-                out_q.append(np.full(kk, query_ids[j], dtype=np.int64))
-                out_i.append(ids[cand[order]])
-                out_d.append(exact[order])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "id": np.concatenate(out_i),
-                    "dist": np.concatenate(out_d),
-                }
-            )
+            yield _topk_frame(V, ids, query_ids, Q, k, metric)
+
+    return kernel
+
+
+def broadcast_topk_kernel(bc, k: int, metric: str, chunk_size: int):
+    """Mega-batch variant: the FULL (query_ids, Q) pair rides a Spark
+    Broadcast (one torrent copy per executor, not per task) and the kernel
+    walks it in chunk_size query slices — identical per-query output to the
+    closure kernel, but the plan stays ONE scan regardless of |Q|, where a
+    union-of-chunks grew ⌈|Q|/chunk⌉ subtrees (and re-scanned the vector
+    table once per chunk). Per-slice peak memory is the same (n_block ×
+    chunk distance buffer); the |V|·|Q| arithmetic is inherent to the exact
+    batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        query_ids, Q = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _as_matrix(pdf["vector"])
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            for s in range(0, len(query_ids), chunk_size):
+                yield _topk_frame(
+                    V, ids, query_ids[s : s + chunk_size],
+                    Q[s : s + chunk_size], k, metric,
+                )
 
     return kernel
 
@@ -189,33 +227,35 @@ def knn_arrays(
     createDataFrame→collect Py4J round-trip, which costs more than the whole
     Lloyd training at head scale.
 
-    Batches larger than chunk_size run as a union of per-chunk scans: the
-    total distance work is unchanged (it is inherently |V|×|Q|), but each job
-    ships a bounded closure — the block-nested-loop shape a 100 TB driver
-    batch needs.
-
-    Plan-size bound: the union tree holds ⌈|Q|/chunk⌉ subtrees (~120 at
-    1M queries) — linear driver planning cost and one scan per chunk,
-    both dominated by the |V|·|Q| kernel arithmetic that batch implies;
-    a serving tier batches 3-4 orders of magnitude smaller
-    (serving_local.py), so the loop exists for offline truth/recall jobs
-    where the scan-per-chunk IS the intended block-nested-loop."""
+    Batches larger than chunk_size ship the query matrix as a Spark
+    Broadcast instead of a task closure, and the kernel walks it in
+    chunk_size slices (broadcast_topk_kernel): ONE vector-table scan and a
+    constant-size plan at ANY |Q| — the block-nested-loop shape a 100 TB
+    driver batch (offline truth/recall jobs run millions of queries) needs.
+    The total |V|·|Q| arithmetic is inherent; what's bounded is per-task
+    closure size, per-slice memory, and plan size (plan-pinned by
+    tests/test_plans.py test_mega_batch_knn_plan_is_union_free)."""
     if len(query_ids) == 0:
         spark = vectors.sparkSession
         return spark.createDataFrame([], "query_id long, rank long, id long, dist double")
     if len(query_ids) > chunk_size:
-        src = vectors.select("id", "vector")
-        out = None
-        for s in range(0, len(query_ids), chunk_size):
-            part = knn_arrays(
-                src, query_ids[s : s + chunk_size], Q[s : s + chunk_size],
-                k, metric, chunk_size,
+        sc = vectors.sparkSession.sparkContext
+        # the broadcast must outlive this function (the returned plan is
+        # lazy) — no destroy; Spark GCs it with the context
+        bc = sc.broadcast(
+            (
+                np.asarray(query_ids, dtype=np.int64),
+                np.asarray(Q, dtype=np.float64),
             )
-            out = part if out is None else out.unionByName(part)
-        return out
-    cand = vectors.select("id", "vector").mapInPandas(
-        local_topk_kernel(query_ids, Q, k, metric), schema=_CAND_SCHEMA
-    )
+        )
+        cand = vectors.select("id", "vector").mapInPandas(
+            broadcast_topk_kernel(bc, k, metric, chunk_size),
+            schema=_CAND_SCHEMA,
+        )
+    else:
+        cand = vectors.select("id", "vector").mapInPandas(
+            local_topk_kernel(query_ids, Q, k, metric), schema=_CAND_SCHEMA
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("id"))
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -299,49 +339,61 @@ def range_search(
     qrows = queries.select("query_id", "vector").collect()
     if not qrows:
         return vectors.sparkSession.createDataFrame([], _CAND_SCHEMA)
-    if len(qrows) > chunk_size:
-        spark = vectors.sparkSession
-        src = vectors.select("id", "vector")
-        out = None
-        for s in range(0, len(qrows), chunk_size):
-            chunk = spark.createDataFrame(
-                [(int(r["query_id"]), list(r["vector"])) for r in qrows[s : s + chunk_size]],
-                "query_id long, vector array<float>",
-            )
-            part = range_search(src, chunk, radius, metric, chunk_size)
-            out = part if out is None else out.unionByName(part)
-        return out
     query_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([list(r["vector"]) for r in qrows], dtype=np.float64)
     slack = radius + 1e-6 + abs(radius) * 1e-9
+    # above chunk_size queries the matrix rides a Broadcast and the kernel
+    # walks it in slices — same single-scan, constant-plan-size discipline
+    # as knn_arrays' mega path (no union-of-chunks, no per-chunk rescan)
+    mega = len(qrows) > chunk_size
+    qref = (
+        vectors.sparkSession.sparkContext.broadcast((query_ids, Q))
+        if mega
+        else (query_ids, Q)
+    )
+
+    def _frames(
+        V: np.ndarray, ids: np.ndarray, qids: np.ndarray, Qc: np.ndarray
+    ) -> pd.DataFrame | None:
+        D = _block_distances(V, Qc, metric)
+        out_q, out_i, out_d = [], [], []
+        for j in range(Qc.shape[0]):
+            cand = np.nonzero(D[:, j] <= slack)[0]
+            if len(cand) == 0:
+                continue
+            exact = _exact_pair_dists(V[cand], Qc[j], metric)
+            keep = exact <= radius
+            if not keep.any():
+                continue
+            out_q.append(np.full(int(keep.sum()), qids[j], np.int64))
+            out_i.append(ids[cand[keep]])
+            out_d.append(exact[keep])
+        if not out_q:
+            return None
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "id": np.concatenate(out_i),
+                "dist": np.concatenate(out_d),
+            }
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark.broadcast import Broadcast
+
+        qids_all, Q_all = qref.value if isinstance(qref, Broadcast) else qref
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = _as_matrix(pdf["vector"])
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            D = _block_distances(V, Q, metric)
-            out_q, out_i, out_d = [], [], []
-            for j in range(Q.shape[0]):
-                cand = np.nonzero(D[:, j] <= slack)[0]
-                if len(cand) == 0:
-                    continue
-                exact = _exact_pair_dists(V[cand], Q[j], metric)
-                keep = exact <= radius
-                if not keep.any():
-                    continue
-                out_q.append(np.full(int(keep.sum()), query_ids[j], np.int64))
-                out_i.append(ids[cand[keep]])
-                out_d.append(exact[keep])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        "id": np.concatenate(out_i),
-                        "dist": np.concatenate(out_d),
-                    }
+            for s in range(0, len(qids_all), chunk_size):
+                out = _frames(
+                    V, ids, qids_all[s : s + chunk_size],
+                    Q_all[s : s + chunk_size],
                 )
+                if out is not None:
+                    yield out
 
     return vectors.select("id", "vector").mapInPandas(kernel, schema=_CAND_SCHEMA)
 

@@ -390,3 +390,48 @@ def test_pack_sequences_shards_the_window(spark):
 
     m = re.search(r"hashpartitioning\(([^)]*)\)", p)
     assert m and "source" in m.group(1) and "shard" in m.group(1), p[:2000]
+
+
+def _plan_nodes(p: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) ", p))
+
+
+def test_mega_batch_knn_plan_is_union_free(spark):
+    """knn_arrays above chunk_size must stay ONE vector-table scan whose
+    kernel walks a BROADCAST query matrix — plan node count constant in
+    |Q|. The former union-of-chunks grew ⌈|Q|/chunk⌉ subtrees and
+    re-scanned the vector table once per chunk; at the 1M-query offline
+    truth/recall batches a 100 TB deployment runs, that was ~120 scans."""
+    import numpy as np
+
+    from sptag_spark.operators.knn import knn_arrays
+    from sptag_spark.tables import vectors_table
+
+    vectors = vectors_table(spark, SF).select("id", "vector")
+    dim = len(vectors.select("vector").first()["vector"])
+    rng = np.random.default_rng(0)
+    Q = rng.normal(size=(40, dim))
+    qids = np.arange(40, dtype=np.int64)
+    p_mega = plan(knn_arrays(vectors, qids, Q, k=3, chunk_size=8))
+    p_small = plan(knn_arrays(vectors, qids[:4], Q[:4], k=3, chunk_size=8))
+    assert "Union" not in p_mega
+    assert _plan_nodes(p_mega) == _plan_nodes(p_small)  # constant in |Q|
+
+
+def test_mega_batch_ann_plan_is_union_free(spark):
+    """ann_search above chunk_size: one plan (no union-of-chunks), node
+    count constant in |Q|; the mega path trades the routes broadcast join
+    for a shuffle join (a mega-batch's |Q|·nprobe route set outgrows a
+    broadcast) but posting reads stay nprobe-pruned."""
+    from sptag_spark.index.ann import ann_search
+    from sptag_spark.queries.ann_queries import spann_index
+    from sptag_spark.tables import queries_table
+
+    heads, postings = spann_index(spark, SF)
+    queries = queries_table(spark, SF)
+    p_mega = plan(ann_search(queries, heads, postings, k=5, chunk_size=7))
+    assert "Union" not in p_mega
+    p_mega2 = plan(ann_search(queries, heads, postings, k=5, chunk_size=3))
+    assert _plan_nodes(p_mega) == _plan_nodes(p_mega2)  # constant in |Q|/chunk
