@@ -141,11 +141,28 @@ class SparkAnnIndex:
         from sptag_spark.index.heads import select_heads
         from sptag_spark.index.postings import build_postings
 
+        self._release_ann()  # a rebuild must not leak the stale structure
         live = self.live().persist()
         heads = select_heads(live, ratio=ratio, metric=self.metric).persist()
         postings = build_postings(live, heads, self.metric).persist()
         postings.count()
-        self._ann = (self._version, heads, postings, nprobe)
+        self._ann = (self._version, heads, postings, nprobe, live)
+
+    def _release_ann(self) -> None:
+        if self._ann is not None:
+            from sptag_spark.resources import release
+
+            for df in self._ann[1:3] + self._ann[4:]:
+                release(df)
+            self._ann = None
+
+    def close(self) -> None:
+        """Release every persisted artifact this index pinned (the
+        reference's index owns its memory and frees it on close,
+        `inc/Core/VectorIndex.h` lifecycle; here 'memory' is executor
+        storage). The index object remains usable — the next ann search
+        simply rebuilds."""
+        self._release_ann()
 
     def batch_search(
         self, queries, k: int = 10, with_meta: bool = True, ann: bool = False
@@ -164,7 +181,7 @@ class SparkAnnIndex:
         if ann:
             if self._ann is None or self._ann[0] != self._version:
                 self.build_ann()
-            _, heads, postings, nprobe = self._ann
+            _, heads, postings, nprobe, _live = self._ann
             from sptag_spark.index.ann import ann_search
 
             qdf = self.spark.createDataFrame(
@@ -192,7 +209,7 @@ class SparkAnnIndex:
 
         if self._ann is None or self._ann[0] != self._version:
             self.build_ann()
-        _, heads, postings, _ = self._ann
+        _, heads, postings, _, _live = self._ann
         return LocalSpannReplica(heads, postings)
 
     def search(self, query, k: int = 10, with_meta: bool = True) -> list:

@@ -341,8 +341,16 @@ def balanced_kmeans_hier(
             }
         )
 
-    return coarse.groupBy("cluster").applyInPandas(
-        cell_kernel, schema="id long, cluster int"
+    from sptag_spark.resources import attach_artifacts
+
+    # the coarse assignment stays persisted for the returned plan's
+    # lifetime; the owner calls resources.release(result) once the
+    # assignment is consumed (tests/test_resources.py pins no leak)
+    return attach_artifacts(
+        coarse.groupBy("cluster").applyInPandas(
+            cell_kernel, schema="id long, cluster int"
+        ),
+        [coarse],
     )
 
 

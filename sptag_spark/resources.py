@@ -1,0 +1,54 @@
+"""Lifecycle handles for persisted index artifacts.
+
+Index builds persist intermediates that the RETURNED plan still references
+lazily (the hierarchical balanced-k-means coarse assignment, a SPANN
+structure's live/heads/postings trio). The build function cannot unpersist
+them — the caller hasn't executed the plan yet — so without a handle they
+stay pinned in executor storage for the SparkContext's lifetime. On a
+long-lived session (a serving driver, a notebook, the bench loop) that is a
+slow storage leak the reference never has: its index owns its memory and
+frees it on close (`AnnService/inc/Core/VectorIndex.h` lifecycle).
+
+The pattern: builders attach their persisted intermediates to the result
+DataFrame (``attach_artifacts``); whoever ultimately owns the result calls
+``release(df)`` once the plan's outputs are materialized (written, collected,
+or re-persisted themselves). Releasing is always SAFE for correctness —
+unpersisting only drops the cached copy; a late re-execution recomputes from
+lineage — so the worst case of releasing too early is wasted recompute, never
+wrong results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def attach_artifacts(result: DataFrame, persisted: list[DataFrame]) -> DataFrame:
+    """Record persisted intermediates the lazy ``result`` plan depends on,
+    so the eventual owner can ``release`` them. Appends to any already
+    attached (builders compose)."""
+    existing = list(getattr(result, "_sptag_artifacts", []))
+    result._sptag_artifacts = existing + list(persisted)
+    return result
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist every intermediate attached to ``df``, then ``df`` itself
+    (a no-op when not persisted). Idempotent."""
+    for a in getattr(df, "_sptag_artifacts", []):
+        try:
+            a.unpersist()
+        except Exception:  # noqa: BLE001 - context may already be stopped
+            pass
+    df._sptag_artifacts = []
+    try:
+        df.unpersist()
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def persisted_rdd_count(spark) -> int:
+    """Number of RDDs currently pinned in storage — the leak gauge tests
+    assert on (a cached DataFrame registers its RDD here once
+    materialized)."""
+    return spark.sparkContext._jsc.getPersistentRDDs().size()

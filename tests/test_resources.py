@@ -1,0 +1,61 @@
+"""Persisted-artifact lifecycle: index builds must not leak executor
+storage across a build → search → close cycle (VERDICT r5 task 5). The
+gauge is SparkContext.getPersistentRDDs — a cached DataFrame registers its
+RDD there once materialized and leaves on unpersist."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sptag_spark.resources import persisted_rdd_count, release
+
+
+def _vectors_df(spark, n=240, dim=4, seed=7):
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(n, dim))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "id long, vector array<float>",
+    )
+
+
+def test_hier_kmeans_release_unpins_coarse(spark):
+    """balanced_kmeans_hier persists its coarse assignment for the returned
+    plan's lifetime; release(result) must drop it back out of storage."""
+    from sptag_spark.index.balanced import balanced_kmeans_hier
+
+    base = persisted_rdd_count(spark)
+    out = balanced_kmeans_hier(_vectors_df(spark), k=8, n_iter=2, flat_max_k=4)
+    rows = out.collect()
+    assert len(rows) == 240
+    assert len({r["cluster"] for r in rows}) == 8
+    assert persisted_rdd_count(spark) > base  # coarse is pinned
+    release(out)
+    assert persisted_rdd_count(spark) == base
+    # idempotent, and the plan stays executable (recomputes from lineage)
+    release(out)
+    assert len(out.collect()) == 240
+
+
+def test_spark_ann_index_close_releases_artifacts(spark):
+    """SparkAnnIndex.build_ann pins live/heads/postings; close() must
+    release all three, and a REBUILD must not leak the stale trio."""
+    from sptag_spark.api import SparkAnnIndex
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(120, 4)).astype(np.float32)
+    base = persisted_rdd_count(spark)
+    idx = SparkAnnIndex.build(spark, V)
+    res = idx.batch_search(V[:3], k=3, with_meta=False, ann=True).collect()
+    assert {r["query_id"] for r in res} == {0, 1, 2}
+    assert persisted_rdd_count(spark) > base
+    # mutate → rebuild: the stale structure must be released, not leaked
+    idx.add(rng.normal(size=(10, 4)).astype(np.float32))
+    idx.batch_search(V[:1], k=3, with_meta=False, ann=True).collect()
+    idx.close()
+    assert persisted_rdd_count(spark) == base
+    # index remains usable after close — next ann search rebuilds
+    res2 = idx.batch_search(V[:1], k=3, with_meta=False, ann=True).collect()
+    assert res2
+    idx.close()
+    assert persisted_rdd_count(spark) == base
