@@ -210,10 +210,27 @@ class AnnTcpServer:
                     try:
                         p = parse_query(line)
                         kk = p.result_num or outer.k
-                        ids, dists = outer.replica.search_one(
-                            p.vector, k=kk, nprobe=outer.nprobe,
-                            metric=outer.metric,
+                        # $timeout:<ms> → per-query budget with partial
+                        # results, when the backend is a sharded aggregator
+                        # (AggregatorService.cpp:280-323 semantics); a
+                        # single replica has no shards to drop, so the
+                        # option is ignored there.
+                        budget = p.options.get("timeout")
+                        deadline_fn = getattr(
+                            outer.replica, "search_with_deadline", None
                         )
+                        partial = None
+                        if budget is not None and deadline_fn is not None:
+                            ids, dists, partial = deadline_fn(
+                                p.vector, k=kk, nprobe=outer.nprobe,
+                                metric=outer.metric,
+                                budget_ms=float(budget),
+                            )
+                        else:
+                            ids, dists = outer.replica.search_one(
+                                p.vector, k=kk, nprobe=outer.nprobe,
+                                metric=outer.metric,
+                            )
                         resp = {
                             "results": [
                                 {
@@ -224,6 +241,8 @@ class AnnTcpServer:
                                 for r, (i, d) in enumerate(zip(ids, dists))
                             ]
                         }
+                        if partial is not None:
+                            resp["partial"] = partial
                     except Exception as exc:  # noqa: BLE001 - wire boundary
                         resp = {"error": f"{type(exc).__name__}: {exc}"}
                     self.wfile.write(

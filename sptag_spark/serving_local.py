@@ -142,6 +142,7 @@ class ShardedSpannAggregator:
             hids[(len(hids) * i) // n_shards] for i in range(1, n_shards)
         ] + [np.iinfo(np.int64).max]
         self.replicas = []
+        self._pool = None  # lazy scatter pool for search_with_deadline
         lo = np.iinfo(np.int64).min
         for hi in bounds:
             sel = (F.col("head_id") >= int(lo)) & (F.col("head_id") < int(hi))
@@ -163,16 +164,72 @@ class ShardedSpannAggregator:
             ids, d = rep.search_one(q, k, nprobe, metric, max_dist_ratio)
             ids_all.append(ids)
             d_all.append(d)
+        return self._merge(ids_all, d_all, k)
+
+    @staticmethod
+    def _merge(
+        ids_all: list, d_all: list, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Gather = global re-rank with (dist, id) ties; dedup ids (a vector
+        replicated into heads of different shards answers once)."""
+        if not ids_all:
+            return np.empty(0, dtype=np.int64), np.empty(0)
         ids = np.concatenate(ids_all)
         d = np.concatenate(d_all)
         if ids.size == 0:
             return ids, d
-        # gather = global re-rank with (dist, id) ties; dedup ids (a vector
-        # replicated into heads of different shards answers once)
         _, first = np.unique(ids, return_index=True)
         ids, d = ids[first], d[first]
         top = np.lexsort((ids, d))[: min(k, len(ids))]
         return ids[top], d[top]
+
+    def search_with_deadline(
+        self,
+        q: np.ndarray,
+        k: int = 10,
+        nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
+        metric: str = "l2",
+        max_dist_ratio: float = MAX_DIST_RATIO,
+        budget_ms: float = 50.0,
+    ) -> tuple[np.ndarray, np.ndarray, bool]:
+        """Per-query time budget with PARTIAL results — the reference
+        aggregator's shard-timeout semantics (`AggregatorService.cpp:
+        280-323`: when a child index misses the deadline, the merged answer
+        carries whatever shards DID answer, flagged partial). → (ids,
+        dists, partial); partial=True when ≥1 shard missed the budget (its
+        result is dropped; the straggler thread finishes into the void —
+        shard answers are read-only so nothing dangles).
+
+        This lives in the driver-side serving tier precisely because Spark
+        STAGES are all-or-nothing (the documented divergence, README) —
+        here each shard is an independent in-RAM replica, so a deadline is
+        honest."""
+        import concurrent.futures as cf
+
+        if self._pool is None:
+            self._pool = cf.ThreadPoolExecutor(
+                max_workers=max(len(self.replicas), 1),
+                thread_name_prefix="spann-shard",
+            )
+        futs = [
+            self._pool.submit(
+                rep.search_one, q, k, nprobe, metric, max_dist_ratio
+            )
+            for rep in self.replicas
+        ]
+        done, not_done = cf.wait(futs, timeout=budget_ms / 1000.0)
+        ids_all, d_all = [], []
+        for f in done:
+            ids, d = f.result()
+            ids_all.append(ids)
+            d_all.append(d)
+        ids, d = self._merge(ids_all, d_all, k)
+        return ids, d, bool(not_done)
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
 
 class LocalPqSpannReplica:

@@ -241,3 +241,138 @@ def test_tcp_server_agrees_with_batch_executor(spark):
         ]
         for x, r in zip(tres, bres):
             assert abs(x["dist"] - r["dist"]) < 1e-6
+
+
+def test_tcp_server_concurrent_clients(spark):
+    """N concurrent sessions against one serve loop (the reference's
+    connection manager handles many sockets, `src/Socket/Server.cpp`):
+    every client gets ITS OWN answers in order on its own connection —
+    no cross-session bleed — and shutdown is clean while clients have
+    open sockets."""
+    import json
+    import socket
+    import threading
+
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 6) for i in range(40)],
+        "id long, vector array<float>",
+    )
+    heads = select_heads(vecs, ratio=0.2)
+    postings = build_postings(vecs, heads)
+    srv = AnnTcpServer(
+        LocalSpannReplica(heads, postings), k=3, nprobe=4
+    ).start()
+    n_clients, n_reqs = 8, 12
+    failures: list[str] = []
+
+    def session(ci: int) -> None:
+        try:
+            with socket.create_connection(srv.address, timeout=30) as s:
+                f = s.makefile("rw", encoding="utf-8")
+                for j in range(n_reqs):
+                    target = (ci * 5 + j) % 40  # distinct stream per client
+                    f.write(encode_query([float(target)] * 6) + "\n")
+                    f.flush()
+                    r = json.loads(f.readline())
+                    got = r["results"][0]
+                    if got["id"] != target or got["dist"] != 0.0:
+                        failures.append(
+                            f"client {ci} req {j}: want {target} got {got}"
+                        )
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"client {ci}: {type(exc).__name__}: {exc}")
+
+    threads = [
+        threading.Thread(target=session, args=(ci,)) for ci in range(n_clients)
+    ]
+    held = socket.create_connection(srv.address, timeout=30)  # idle session
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not failures, failures[:5]
+        assert not any(t.is_alive() for t in threads)
+    finally:
+        srv.stop()  # must return promptly even with `held` still open
+        held.close()
+
+
+def test_tcp_server_stop_without_start_returns(spark):
+    """Regression: stop() on a never-started server must return instead of
+    deadlocking on the serve_forever shutdown event (ADVICE r5)."""
+    import threading
+
+    from sptag_spark.server import AnnTcpServer
+
+    class _NullReplica:
+        def search_one(self, *a, **kw):
+            raise AssertionError("never called")
+
+    srv = AnnTcpServer(_NullReplica())
+    t = threading.Thread(target=srv.stop)
+    t.start()
+    t.join(timeout=5)
+    assert not t.is_alive()  # returned, no deadlock
+
+
+def test_tcp_timeout_option_returns_partial(spark):
+    """$timeout:<ms> over the wire: with a sharded-aggregator backend whose
+    one shard stalls past the budget, the response carries partial=true and
+    still answers from the fast shards; without the option no partial key
+    is present (single-replica semantics unchanged)."""
+    import json
+    import socket
+    import time
+
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 6) for i in range(40)],
+        "id long, vector array<float>",
+    )
+    heads = select_heads(vecs, ratio=0.2)
+    postings = build_postings(vecs, heads)
+    agg = ShardedSpannAggregator(heads, postings, n_shards=3)
+
+    class _Slow:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def search_one(self, *a, **kw):
+            time.sleep(1.0)
+            return self.inner.search_one(*a, **kw)
+
+    agg.replicas[1] = _Slow(agg.replicas[1])
+    srv = AnnTcpServer(agg, k=3, nprobe=4).start()
+    try:
+        with socket.create_connection(srv.address, timeout=30) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            f.write(encode_query([1.0] * 6, timeout=150) + "\n")
+            f.flush()
+            r = json.loads(f.readline())
+            assert r["partial"] is True
+            assert r["results"]  # fast shards still answered
+            # generous budget → complete answer, flag present and false
+            f.write(encode_query([1.0] * 6, timeout=30000) + "\n")
+            f.flush()
+            r2 = json.loads(f.readline())
+            assert r2["partial"] is False
+            assert r2["results"][0]["id"] == 1
+            # no $timeout → no partial key (plain scatter-gather path)
+            f.write(encode_query([2.0] * 6) + "\n")
+            f.flush()
+            r3 = json.loads(f.readline())
+            assert "partial" not in r3
+            assert r3["results"][0]["id"] == 2
+    finally:
+        srv.stop()
+        agg.close()

@@ -205,3 +205,59 @@ def test_replica_full_probe_equals_exact(spark, built):
         for r in knn(v, qdf, k=10).collect()
     )
     assert local == exact
+
+
+class _SlowReplica:
+    """Delegate that stalls one shard — the reference's slow child index
+    (AggregatorService timeout path)."""
+
+    def __init__(self, inner, delay_s):
+        self.inner, self.delay_s = inner, delay_s
+
+    def search_one(self, *a, **kw):
+        import time
+
+        time.sleep(self.delay_s)
+        return self.inner.search_one(*a, **kw)
+
+
+def test_aggregator_deadline_partial_results(spark, built):
+    """search_with_deadline (AggregatorService.cpp:280-323 parity): a shard
+    missing the per-query budget is dropped from the merge and the answer
+    is flagged partial; a generous budget returns the full merge,
+    unflagged, identical to search_one."""
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    _, heads, postings = built
+    agg = ShardedSpannAggregator(heads, postings, n_shards=3)
+    qid, q = _qlist(spark)[0]
+    full_ids, full_d = agg.search_one(q, k=10, nprobe=4)
+
+    # generous budget: full answer, not partial
+    ids, d, partial = agg.search_with_deadline(
+        q, k=10, nprobe=4, budget_ms=30_000
+    )
+    assert not partial
+    assert list(ids) == list(full_ids) and np.allclose(d, full_d)
+
+    # stall one shard past the budget: flagged partial, and the answer is
+    # exactly the merge of the two fast shards (deterministic — shard
+    # results are per-head-range, so dropping shard 1 drops its ids)
+    slow = agg.replicas[1]
+    agg.replicas[1] = _SlowReplica(slow, delay_s=1.0)
+    try:
+        ids_p, d_p, partial = agg.search_with_deadline(
+            q, k=10, nprobe=4, budget_ms=150
+        )
+        assert partial
+        fast_ids, fast_d = [], []
+        for rep in (agg.replicas[0], agg.replicas[2]):
+            i2, d2 = rep.search_one(q, k=10, nprobe=4)
+            fast_ids.append(i2)
+            fast_d.append(d2)
+        exp_ids, exp_d = ShardedSpannAggregator._merge(fast_ids, fast_d, 10)
+        assert list(ids_p) == list(exp_ids)
+        assert np.allclose(d_p, exp_d)
+    finally:
+        agg.replicas[1] = slow
+        agg.close()
