@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType,
+    BinaryType,
     BooleanType,
     LongType,
     StructField,
@@ -88,16 +88,21 @@ def streaming_first_wins_dedup(
 
 # -- cross-batch NEAR-dup candidates (stateful MinHash-LSH) ------------------
 
-# One state per (band, bucket-shard): parallel arrays with one entry per
-# admitted (bucket, member) pair. Sharding buckets onto a bounded group key
-# is what keeps the python-call count per micro-batch at bands×n_shards
-# instead of one call (plus a Pyrolite state round-trip) per DISTINCT
-# BUCKET — ~105k calls/batch at sf0.1, which dominated the serve loop.
+# One state per (band, bucket-shard): ONE packed int64 blob holding the
+# shard's admitted (bucket, member-id, signature) entries, bucket-sorted.
+# Sharding buckets onto a bounded group key keeps the python-call count per
+# micro-batch at bands×n_shards instead of one call per DISTINCT BUCKET
+# (~105k calls/batch at sf0.1, which dominated the serve loop). The blob
+# layout matters just as much: GroupState round-trips the WHOLE shard value
+# through Pyrolite every batch, so nested Array<Array<Long>> state was
+# O(total-state) boxed-int conversions per batch — per-batch wall grew with
+# CUMULATIVE corpus (measured ×64 probe: 18.6 s batch 0 → 63-89 s batches
+# 1-3). A byte[] blob is a memcpy both ways and numpy parses it zero-copy;
+# untouched shards skip the write-back entirely (SCALING.md r6).
 _ND_STATE = StructType(
     [
-        StructField("buckets", ArrayType(LongType())),
-        StructField("ids", ArrayType(LongType())),
-        StructField("sigs", ArrayType(ArrayType(LongType()))),
+        StructField("n_hashes", LongType()),
+        StructField("blob", BinaryType()),
     ]
 )
 
@@ -108,14 +113,33 @@ def _near_dup_shard(threshold: float, max_bucket: int):
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        store: dict[int, tuple[list[int], list[list[int]]]] = {}
+        # unpack this shard's state: bucket-sorted parallel arrays
+        # (buckets[n], ids[n], sigs[n, n_h]) from one contiguous buffer
+        n_h: int | None = None
+        sb = sid = ssig = None
         if state.exists:
-            bks, ids, sigs = state.get
-            for b, i, s in zip(bks, ids, sigs):
-                store.setdefault(int(b), ([], []))
-                store[int(b)][0].append(int(i))
-                store[int(b)][1].append([int(x) for x in s])
-        out_a, out_b, out_j = [], [], []
+            nh_raw, blob = state.get
+            n_h = int(nh_raw)
+            arr = np.frombuffer(blob, dtype=np.int64)
+            n = len(arr) // (2 + n_h)
+            sb, sid = arr[:n], arr[n : 2 * n]
+            ssig = arr[2 * n :].reshape(n, n_h)
+        new_b: list[int] = []
+        new_id: list[int] = []
+        new_sig: list[np.ndarray] = []
+        added: dict[int, list[int]] = {}  # bucket → indices into new_*
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+
+        def emit(idv: np.ndarray, M: np.ndarray, did: int, sv: np.ndarray):
+            est = (M == sv).mean(axis=1)
+            hit = (est >= threshold) & (idv != did)
+            for j in np.nonzero(hit)[0]:
+                out_a.append(int(min(idv[j], did)))
+                out_b.append(int(max(idv[j], did)))
+                out_j.append(float(est[j]))
+
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -124,30 +148,41 @@ def _near_dup_shard(threshold: float, max_bucket: int):
             )
             bks = pdf["bucket"].to_numpy()[order]
             dids = pdf["doc_id"].to_numpy()[order]
-            svs = np.stack(pdf["sig"].to_numpy()[order])
+            svs = np.stack(pdf["sig"].to_numpy()[order]).astype(np.int64)
+            if n_h is None:
+                n_h = svs.shape[1]
+                sb = np.empty(0, np.int64)
+                sid = np.empty(0, np.int64)
+                ssig = np.empty((0, n_h), np.int64)
             for b, did, sv in zip(bks, dids, svs):
-                mem = store.setdefault(int(b), ([], []))
-                if mem[0]:
-                    M = np.array(mem[1], dtype=np.int64)
-                    idv = np.array(mem[0], dtype=np.int64)
-                    est = (M == sv).mean(axis=1)
-                    hit = (est >= threshold) & (idv != did)
-                    for j in np.nonzero(hit)[0]:
-                        out_a.append(int(min(idv[j], did)))
-                        out_b.append(int(max(idv[j], did)))
-                        out_j.append(float(est[j]))
-                if len(mem[0]) < max_bucket:
-                    # plain ints: GroupState round-trips through Pyrolite,
-                    # which cannot unpickle numpy scalars
-                    mem[0].append(int(did))
-                    mem[1].append([int(x) for x in sv])
-        bks_o, ids_o, sigs_o = [], [], []
-        for b, (mids, msigs) in store.items():
-            for i, s in zip(mids, msigs):
-                bks_o.append(b)
-                ids_o.append(i)
-                sigs_o.append(s)
-        state.update((bks_o, ids_o, sigs_o))
+                b, did = int(b), int(did)
+                # residents from prior batches: a sorted-array slice, no
+                # dict rebuild of the whole shard
+                lo = np.searchsorted(sb, b, side="left")
+                hi = np.searchsorted(sb, b, side="right")
+                if hi > lo:
+                    emit(sid[lo:hi], ssig[lo:hi], did, sv)
+                ba = added.get(b, ())
+                if ba:
+                    emit(
+                        np.array([new_id[i] for i in ba], np.int64),
+                        np.stack([new_sig[i] for i in ba]),
+                        did, sv,
+                    )
+                if (hi - lo) + len(ba) < max_bucket:
+                    added.setdefault(b, []).append(len(new_b))
+                    new_b.append(b)
+                    new_id.append(did)
+                    new_sig.append(sv)
+        if new_b:  # untouched shards skip the state write entirely
+            ab = np.concatenate([sb, np.array(new_b, np.int64)])
+            aid = np.concatenate([sid, np.array(new_id, np.int64)])
+            asig = np.vstack([ssig, np.stack(new_sig)])
+            o = np.argsort(ab, kind="stable")
+            blob = np.concatenate(
+                [ab[o], aid[o], asig[o].ravel()]
+            ).tobytes()
+            state.update((int(n_h), blob))
         if out_a:
             yield pd.DataFrame(
                 {"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j}

@@ -1,0 +1,106 @@
+"""One-shot fresh-process scale probes for the r6 additions (SCALING.md
+protocol): `dedup_keep_best` (components + per-cluster argmax) and
+`streaming_near_dup` (cross-batch stateful LSH — per-micro-batch wall as
+cumulative state grows).
+
+Usage: python tools/probe_r6.py <keep_best|stream_neardup> <scale>
+One (op, scale) per process — repeated checkpoint/state runs in one session
+accumulate storage blocks whose deferred cleanup pollutes later timings
+(measured r5; see SCALING.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+op, scale = sys.argv[1], int(sys.argv[2])
+os.environ.setdefault("SPTAG_SPARK_DRIVER_MEM", "48g")
+
+from scale_stress import WORK, materialize, scaled_docs  # noqa: E402
+
+from sptag_spark.session import get_spark  # noqa: E402
+
+spark = get_spark("probe-r6", cpus=32, shuffle_partitions=64)
+os.makedirs(WORK, exist_ok=True)
+dpath = materialize(scaled_docs(spark, scale), f"{WORK}/documents_x{scale}.parquet")
+docs = spark.read.parquet(dpath)
+nd = docs.count()
+
+if op == "keep_best":
+    from pyspark.sql import Window
+
+    from sptag_spark.functions.text import token_count
+    from sptag_spark.operators.components import dedup_clusters
+
+    def run() -> None:
+        clusters = dedup_clusters(docs, 0.6)
+        toks = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        multi = clusters.join(toks, "doc_id")
+        w = Window.partitionBy("cluster_rep").orderBy(
+            F.col("n_tokens").desc(), "doc_id"
+        )
+        kept = (
+            multi.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("doc_id", "n_tokens", "cluster_size")
+        )
+        singles = toks.join(
+            clusters.select("doc_id"), "doc_id", "left_anti"
+        ).select(
+            "doc_id", "n_tokens", F.lit(1).cast("long").alias("cluster_size")
+        )
+        kept.unionByName(singles).write.format("noop").mode("overwrite").save()
+
+    t0 = time.time()
+    run()
+    print(json.dumps({"op": "dedup_keep_best", "scale": scale, "rows_in": nd,
+                      "sec": round(time.time() - t0, 2)}))
+
+elif op == "stream_neardup":
+    from sptag_spark.streaming.stateful import streaming_near_dup_candidates
+
+    # 4 equal files → 4 micro-batches; state accumulates across them, so
+    # flat per-batch wall = state lookups stay bounded as state grows
+    work = f"{WORK}/stream_neardup_x{scale}_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(f"{work}/docs", exist_ok=True)
+    for part in range(4):
+        docs.filter(F.col("doc_id") % 4 == part).select(
+            "doc_id", "text"
+        ).coalesce(1).write.mode("append").parquet(f"{work}/docs")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/docs")
+    )
+    cand = streaming_near_dup_candidates(stream, threshold=0.3, bands=16, n_hashes=32)
+    t0 = time.time()
+    q = (
+        cand.writeStream.format("noop")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    per_batch = [
+        {"batch": p["batchId"], "ms": p["batchDuration"],
+         "rows_in": p["numInputRows"]}
+        for p in q.recentProgress
+    ]
+    print(json.dumps({"op": "streaming_near_dup", "scale": scale,
+                      "rows_in": nd, "sec": round(wall, 2),
+                      "per_batch": per_batch}))
+    shutil.rmtree(work, ignore_errors=True)
+
+spark.stop()
