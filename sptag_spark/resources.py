@@ -48,7 +48,19 @@ def release(df: DataFrame) -> None:
 
 
 def persisted_rdd_count(spark) -> int:
-    """Number of RDDs currently pinned in storage — the leak gauge tests
-    assert on (a cached DataFrame registers its RDD here once
-    materialized)."""
+    """Number of RDDs currently pinned in storage — the leak gauge (a
+    cached DataFrame registers its RDD here once materialized)."""
     return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def persisted_rdd_ids(spark) -> set[int]:
+    """Ids of the RDDs currently pinned. Leak tests on a SHARED session
+    diff id-sets instead of counts: the async ContextCleaner may reap an
+    unreferenced cached RDD from an earlier test at any moment, so a raw
+    before/after count comparison is racy while 'none of MY new ids
+    survive release' is not."""
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(int(it.next()))
+    return ids

@@ -1,13 +1,17 @@
 """Persisted-artifact lifecycle: index builds must not leak executor
 storage across a build → search → close cycle (VERDICT r5 task 5). The
 gauge is SparkContext.getPersistentRDDs — a cached DataFrame registers its
-RDD there once materialized and leaves on unpersist."""
+RDD there once materialized and leaves on unpersist. Assertions diff
+RDD-ID SETS, not counts: on the shared test session the async
+ContextCleaner may reap earlier tests' unreferenced cache entries at any
+moment, so only 'none of the ids THIS test pinned survive release' is
+race-free."""
 
 from __future__ import annotations
 
 import numpy as np
 
-from sptag_spark.resources import persisted_rdd_count, release
+from sptag_spark.resources import persisted_rdd_ids, release
 
 
 def _vectors_df(spark, n=240, dim=4, seed=7):
@@ -24,14 +28,15 @@ def test_hier_kmeans_release_unpins_coarse(spark):
     plan's lifetime; release(result) must drop it back out of storage."""
     from sptag_spark.index.balanced import balanced_kmeans_hier
 
-    base = persisted_rdd_count(spark)
+    before = persisted_rdd_ids(spark)
     out = balanced_kmeans_hier(_vectors_df(spark), k=8, n_iter=2, flat_max_k=4)
     rows = out.collect()
     assert len(rows) == 240
     assert len({r["cluster"] for r in rows}) == 8
-    assert persisted_rdd_count(spark) > base  # coarse is pinned
+    pinned = persisted_rdd_ids(spark) - before
+    assert pinned  # coarse is in storage
     release(out)
-    assert persisted_rdd_count(spark) == base
+    assert not (persisted_rdd_ids(spark) & pinned)
     # idempotent, and the plan stays executable (recomputes from lineage)
     release(out)
     assert len(out.collect()) == 240
@@ -44,18 +49,21 @@ def test_spark_ann_index_close_releases_artifacts(spark):
 
     rng = np.random.default_rng(3)
     V = rng.normal(size=(120, 4)).astype(np.float32)
-    base = persisted_rdd_count(spark)
+    before = persisted_rdd_ids(spark)
     idx = SparkAnnIndex.build(spark, V)
     res = idx.batch_search(V[:3], k=3, with_meta=False, ann=True).collect()
     assert {r["query_id"] for r in res} == {0, 1, 2}
-    assert persisted_rdd_count(spark) > base
+    pinned = persisted_rdd_ids(spark) - before
+    assert pinned
     # mutate → rebuild: the stale structure must be released, not leaked
     idx.add(rng.normal(size=(10, 4)).astype(np.float32))
     idx.batch_search(V[:1], k=3, with_meta=False, ann=True).collect()
+    pinned |= persisted_rdd_ids(spark) - before
     idx.close()
-    assert persisted_rdd_count(spark) == base
+    assert not (persisted_rdd_ids(spark) & pinned)
     # index remains usable after close — next ann search rebuilds
     res2 = idx.batch_search(V[:1], k=3, with_meta=False, ann=True).collect()
     assert res2
+    pinned2 = persisted_rdd_ids(spark) - before
     idx.close()
-    assert persisted_rdd_count(spark) == base
+    assert not (persisted_rdd_ids(spark) & pinned2)
