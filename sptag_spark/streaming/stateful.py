@@ -25,60 +25,99 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
-    BooleanType,
     LongType,
     StructField,
     StructType,
 )
 
-_STATE_SCHEMA = StructType([StructField("seen", BooleanType())])
+# One state per key-SHARD (not per key): a packed blob of the shard's seen
+# 128-bit key fingerprints, sorted. Per-key GroupState costs one python
+# call + one Pyrolite state round-trip per DISTINCT KEY per batch — the
+# same per-group overhead the LSH operator below sharded away; here the
+# fingerprints double as the membership test, so state is 16 bytes/key of
+# memcpy-speed blob. 128-bit identity is the repo's exact-dedup convention
+# (operators/dedup.py dedup_exact keys on md5) — collision odds ~2^-64 at
+# billions of keys.
+_FW_STATE = StructType([StructField("blob", BinaryType())])
+_PAIR_DT = [("a", "<i8"), ("b", "<i8")]
 
 
-def _first_wins(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        # key already admitted in an earlier batch — drop everything
-        for _ in pdfs:
-            pass
-        return
-    first: pd.DataFrame | None = None
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        cand = pdf.sort_values("_order").head(1)
-        if first is None or cand["_order"].iloc[0] < first["_order"].iloc[0]:
-            first = cand
-    if first is not None:
-        state.update((True,))
-        yield first.drop(columns=["_order"])
+def _first_wins_shard(key_col: str, cols: list[str]):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        dt = np.dtype(_PAIR_DT)
+        if state.exists:
+            (blob,) = state.get
+            seen = np.frombuffer(blob, dtype=dt)
+        else:
+            seen = np.empty(0, dtype=dt)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else frames[0]
+        )
+        # in-batch first-wins: smallest _order per key, stable on ties
+        pdf = pdf.sort_values("_order", kind="stable").drop_duplicates(
+            subset=[key_col], keep="first"
+        )
+        q = np.empty(len(pdf), dtype=dt)
+        q["a"] = pdf["_h1"].to_numpy(np.int64)
+        q["b"] = pdf["_h2"].to_numpy(np.int64)
+        if len(seen):
+            # lexicographic membership via structured searchsorted
+            pos = np.searchsorted(seen, q)
+            member = pos < len(seen)
+            member &= seen[np.minimum(pos, len(seen) - 1)] == q
+        else:
+            member = np.zeros(len(pdf), dtype=bool)
+        fresh = pdf.loc[~member]
+        if len(fresh):  # untouched shards skip the state write
+            state.update(
+                (np.sort(np.concatenate([seen, q[~member]])).tobytes(),)
+            )
+            yield fresh[cols]
+
+    return fn
 
 
 def streaming_first_wins_dedup(
     stream: DataFrame,
     key_col: str,
     order_col: str,
+    n_state_shards: int = 32,
 ) -> DataFrame:
     """First-wins cross-batch dedup on a streaming DataFrame.
 
     Emits each key's first-ever row (smallest order_col in its arrival
-    batch); subsequent arrivals — same batch or any later one — are dropped.
-    State per key is one boolean; at 100 TB key-space you would swap the
-    per-key GroupState for a partitioned bloom-filter table, same plan
-    shape."""
+    batch); subsequent arrivals — same batch or any later one — are
+    dropped. Keys are identified by a 128-bit fingerprint (two-seed
+    xxhash64 — the engine's exact-dedup identity convention, see
+    operators/dedup.py), and state lives per key-SHARD as one sorted
+    fingerprint blob: python calls and state round-trips per micro-batch
+    are n_state_shards (a knob), not per-distinct-key, and each shard's
+    state is 16 bytes/key moved at memcpy speed."""
     import pyspark.sql.functions as F
 
     cols = [c for c in stream.columns]
     out_schema = StructType.fromJson(stream.schema.jsonValue())
-    withorder = stream.withColumn("_order", F.col(order_col).cast("long"))
+    withh = (
+        stream.withColumn("_order", F.col(order_col).cast("long"))
+        .withColumn("_h1", F.xxhash64(F.col(key_col)))
+        .withColumn("_h2", F.xxhash64(F.lit(1), F.col(key_col)))
+        .withColumn("_shard", F.pmod(F.col("_h1"), F.lit(n_state_shards)))
+    )
     return (
-        withorder.groupBy(key_col)
+        withh.groupBy("_shard")
         .applyInPandasWithState(
-            _first_wins,
+            _first_wins_shard(key_col, cols),
             outputStructType=out_schema,
-            stateStructType=_STATE_SCHEMA,
+            stateStructType=_FW_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
