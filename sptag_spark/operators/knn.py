@@ -276,8 +276,9 @@ def knn(
     vectors: (id, vector [, ...extra cols ignored])
     queries: (query_id, vector) — collected to the driver and shipped in the
         kernel closure (SPTAG holds the query in memory per thread the same
-        way); batches above chunk_size are processed as bounded-closure
-        chunks (see knn_arrays).
+        way); batches above chunk_size ride a Spark Broadcast and the kernel
+        walks them in chunk slices — one scan, plan size constant in |Q|
+        (see knn_arrays).
     """
     qrows = queries.select("query_id", "vector").collect()
     query_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)

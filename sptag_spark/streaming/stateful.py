@@ -127,8 +127,9 @@ def streaming_first_wins_dedup(
 
 # -- cross-batch NEAR-dup candidates (stateful MinHash-LSH) ------------------
 
-# One state per (band, bucket-shard): ONE packed int64 blob holding the
-# shard's admitted (bucket, member-id, signature) entries, bucket-sorted.
+# One state per (band, bucket-shard): ONE packed byte blob holding the
+# shard's admitted (bucket, member-id, quantized-signature) entries,
+# bucket-sorted.
 # Sharding buckets onto a bounded group key keeps the python-call count per
 # micro-batch at bands×n_shards instead of one call per DISTINCT BUCKET
 # (~105k calls/batch at sf0.1, which dominated the serve loop). The blob
@@ -153,16 +154,28 @@ def _near_dup_shard(threshold: float, max_bucket: int):
         import numpy as np
 
         # unpack this shard's state: bucket-sorted parallel arrays
-        # (buckets[n], ids[n], sigs[n, n_h]) from one contiguous buffer
+        # (buckets[n] i64, ids[n] i64, sigs[n, n_h] u8) from one buffer.
+        # Signatures are stored QUANTIZED to their low byte: the estimate
+        # compares hash EQUALITY, and equal 64-bit minhashes have equal low
+        # bytes, so matching positions still match; a non-matching position
+        # spuriously matches with p=1/256, inflating est by ~0.004 — noise
+        # against any useful threshold, and the candidate set can only grow
+        # (downstream exact verification is unchanged). Bucket collision
+        # keeps the full 64-bit hash, so false-positive CANDIDACY is
+        # unaffected. This is 48 B/entry instead of 272 — the ×64 probe's
+        # ~1 GB cumulative state (re-shipped per batch: every shard is
+        # touched every batch) becomes ~180 MB.
         n_h: int | None = None
         sb = sid = ssig = None
         if state.exists:
             nh_raw, blob = state.get
             n_h = int(nh_raw)
-            arr = np.frombuffer(blob, dtype=np.int64)
-            n = len(arr) // (2 + n_h)
-            sb, sid = arr[:n], arr[n : 2 * n]
-            ssig = arr[2 * n :].reshape(n, n_h)
+            n = len(blob) // (16 + n_h)
+            sb = np.frombuffer(blob, dtype=np.int64, count=n)
+            sid = np.frombuffer(blob, dtype=np.int64, count=n, offset=8 * n)
+            ssig = np.frombuffer(
+                blob, dtype=np.uint8, offset=16 * n
+            ).reshape(n, n_h)
         new_b: list[int] = []
         new_id: list[int] = []
         new_sig: list[np.ndarray] = []
@@ -187,12 +200,16 @@ def _near_dup_shard(threshold: float, max_bucket: int):
             )
             bks = pdf["bucket"].to_numpy()[order]
             dids = pdf["doc_id"].to_numpy()[order]
-            svs = np.stack(pdf["sig"].to_numpy()[order]).astype(np.int64)
+            svs = (
+                np.stack(pdf["sig"].to_numpy()[order])
+                .astype(np.int64)
+                .astype(np.uint8)  # low byte (see state layout note)
+            )
             if n_h is None:
                 n_h = svs.shape[1]
                 sb = np.empty(0, np.int64)
                 sid = np.empty(0, np.int64)
-                ssig = np.empty((0, n_h), np.int64)
+                ssig = np.empty((0, n_h), np.uint8)
             for b, did, sv in zip(bks, dids, svs):
                 b, did = int(b), int(did)
                 # residents from prior batches: a sorted-array slice, no
@@ -218,9 +235,9 @@ def _near_dup_shard(threshold: float, max_bucket: int):
             aid = np.concatenate([sid, np.array(new_id, np.int64)])
             asig = np.vstack([ssig, np.stack(new_sig)])
             o = np.argsort(ab, kind="stable")
-            blob = np.concatenate(
-                [ab[o], aid[o], asig[o].ravel()]
-            ).tobytes()
+            blob = (
+                ab[o].tobytes() + aid[o].tobytes() + asig[o].tobytes()
+            )
             state.update((int(n_h), blob))
         if out_a:
             yield pd.DataFrame(

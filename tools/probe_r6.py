@@ -65,6 +65,44 @@ if op == "keep_best":
     print(json.dumps({"op": "dedup_keep_best", "scale": scale, "rows_in": nd,
                       "sec": round(time.time() - t0, 2)}))
 
+elif op == "stream_dedup":
+    from sptag_spark.streaming.stateful import streaming_first_wins_dedup
+
+    # ~50% of keys repeat (doc_id mod nd/2) and every key re-arrives in
+    # later batches, so cumulative state is exercised batch over batch
+    work = f"{WORK}/stream_dedup_x{scale}_{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(f"{work}/docs", exist_ok=True)
+    for part in range(4):
+        docs.filter(F.col("doc_id") % 4 == part).select(
+            "doc_id", F.pmod("doc_id", F.lit(nd // 2)).alias("k"), "text"
+        ).coalesce(1).write.mode("append").parquet(f"{work}/docs")
+    stream = (
+        spark.readStream.schema("doc_id long, k long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/docs")
+    )
+    dedup = streaming_first_wins_dedup(stream, "k", "doc_id")
+    t0 = time.time()
+    q = (
+        dedup.writeStream.format("noop")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    per_batch = [
+        {"batch": p["batchId"], "ms": p["batchDuration"],
+         "rows_in": p["numInputRows"]}
+        for p in q.recentProgress
+    ]
+    print(json.dumps({"op": "streaming_first_wins_dedup", "scale": scale,
+                      "rows_in": nd, "sec": round(wall, 2),
+                      "per_batch": per_batch}))
+    shutil.rmtree(work, ignore_errors=True)
+
 elif op == "stream_neardup":
     from sptag_spark.streaming.stateful import streaming_near_dup_candidates
 
