@@ -99,6 +99,7 @@ def boot_program(
     vectors = _load_vectors(
         spark, base["VectorPath"], base.get("VectorType", "PARQUET")
     ).persist()
+    persisted = [vectors]  # released at pipeline end (resources.py pattern)
 
     heads_path = os.path.join(index_dir, "heads.parquet")
     postings_path = os.path.join(index_dir, "postings")
@@ -115,6 +116,7 @@ def boot_program(
             leaf_size=int(get("SelectHead", "BKTLeafSize", "8")),
             select_threshold=int(get("SelectHead", "SelectThreshold", "12")),
         ).persist()
+        persisted.append(heads)
         out["stages"]["SelectHead"] = round(time.time() - t0, 3)
         out["n_heads"] = heads.count()
 
@@ -186,4 +188,16 @@ def boot_program(
             ).first()
             out["recall"] = summary["avg_recall"]
             out["mrr"] = summary["mrr"]
+    # persisted-artifact lifecycle: the stage OUTPUTS are on disk (parquet)
+    # — only `results` is handed back as a live plan. Attach the pinned
+    # intermediates to it so release(out["results"]) drops everything; a
+    # pure build run (no Search stage) has no live consumer, so unpersist
+    # immediately.
+    if "results" in out:
+        from sptag_spark.resources import attach_artifacts
+
+        attach_artifacts(out["results"], persisted)
+    else:
+        for df in persisted:
+            df.unpersist()
     return out

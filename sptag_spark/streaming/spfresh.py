@@ -57,6 +57,12 @@ class SpannLiveIndex:
         self._deltas: list[DataFrame] = []
         self._tombstones = self._spark.createDataFrame([], "id long")
         self._n_tombstones = 0
+        # every DataFrame THIS index persisted and currently serves from —
+        # released on rebuild-swap and close() (resources.py discipline;
+        # prebuilt heads/postings belong to the caller and are never
+        # unpersisted here). Unpersisting a frame an in-flight reader still
+        # references is safe: it recomputes from lineage.
+        self._pinned: list[DataFrame] = [self._base]
         if prebuilt is not None:
             self.heads, self.postings = prebuilt
         else:
@@ -65,6 +71,7 @@ class SpannLiveIndex:
             ).persist()
             self.postings = build_postings(self._base, self.heads, metric).persist()
             self.postings.count()
+            self._pinned += [self.heads, self.postings]
         self.adds_since_build = 0
         self.builds = 0
 
@@ -84,6 +91,7 @@ class SpannLiveIndex:
         delta = assign_replicas(batch, self.heads, self._metric).persist()
         delta.count()
         self._deltas.append(batch)
+        self._pinned += [batch, delta]
         # atomic reference swap — readers keep their snapshot
         self.postings = self.postings.unionByName(delta)
         self.adds_since_build += n
@@ -151,8 +159,21 @@ class SpannLiveIndex:
                 df.unpersist()
             raise
         self._base, self.heads, self.postings = new_base, new_heads, new_postings
+        # swap done — release every frame the PREVIOUS structure pinned
+        # (old base, old heads/postings if owned, per-batch deltas)
+        for df in self._pinned:
+            df.unpersist()
+        self._pinned = built
         self._deltas = []
         self._tombstones = self._spark.createDataFrame([], "id long")
         self._n_tombstones = 0
         self.adds_since_build = 0
         self.builds += 1
+
+    def close(self) -> None:
+        """Release every persisted frame this index owns (VectorIndex.h
+        lifecycle parity — the reference frees its index memory on close).
+        The object is dead afterwards; build a new one to serve again."""
+        for df in self._pinned:
+            df.unpersist()
+        self._pinned = []

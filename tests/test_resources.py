@@ -67,3 +67,33 @@ def test_spark_ann_index_close_releases_artifacts(spark):
     pinned2 = persisted_rdd_ids(spark) - before
     idx.close()
     assert not (persisted_rdd_ids(spark) & pinned2)
+
+
+def test_spann_live_index_rebuild_and_close_release(spark):
+    """SpannLiveIndex must release the OLD structure's frames on the
+    rebuild swap (base, heads, postings, per-batch deltas) and everything
+    on close() — a serving driver rebuilds for the process lifetime."""
+    from sptag_spark.streaming.spfresh import SpannLiveIndex
+
+    before = persisted_rdd_ids(spark)
+    idx = SpannLiveIndex(
+        _vectors_df(spark, n=120), ratio=0.1, rebuild_threshold=50
+    )
+    idx.search(
+        spark.createDataFrame(
+            [(0, [0.0] * 4)], "query_id long, vector array<float>"
+        ),
+        k=3,
+    ).collect()
+    pinned0 = persisted_rdd_ids(spark) - before
+    assert pinned0
+    # two adds cross the threshold → rebuild fires inside add_batch
+    idx.add_batch(_vectors_df(spark, n=30, seed=11))
+    idx.add_batch(_vectors_df(spark, n=30, seed=12))
+    assert idx.builds == 1
+    after_rebuild = persisted_rdd_ids(spark)
+    # the new structure is pinned, but nothing from BEFORE the rebuild is
+    assert after_rebuild - before
+    assert not (after_rebuild & pinned0)
+    idx.close()
+    assert not (persisted_rdd_ids(spark) - before)
