@@ -95,6 +95,9 @@ GROUP BY 1, 2
 # if streamed vectors are searchable mid-stream.
 
 
+_last_spfresh_idx = None
+
+
 def _spfresh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.index.heads import DEFAULT_HEAD_RATIO, select_heads
     from sptag_spark.index.postings import build_postings
@@ -114,7 +117,14 @@ def _spfresh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the base half-index is an OFFLINE artifact (memoized like every other
     # index build); the timed path is add_batch + search — serve/maintain
     prebuilt = _memo(spark, sf_dir, "spfresh_base", build)
+    # each run builds a fresh live index that pins base/batch/delta frames;
+    # close the PREVIOUS run's (its result has been materialized by then)
+    # so repeated bench runs don't accumulate pinned copies
+    global _last_spfresh_idx
+    if _last_spfresh_idx is not None:
+        _last_spfresh_idx.close()
     idx = SpannLiveIndex(even, rebuild_threshold=1 << 62, prebuilt=prebuilt)
+    _last_spfresh_idx = idx
     idx.add_batch(v.filter(F.col("id") % 2 == 1))
     res = idx.search(queries_table(spark, sf_dir), k=10, nprobe=10)
     return res.groupBy("query_id").agg(
