@@ -297,10 +297,15 @@ def main() -> None:
         import multiprocessing as mp
 
         ctx = mp.get_context("spawn")
-        n_procs = min(16, cpus)
+        n_procs = min(16, cpus, max(len(reps), 1))
         qvs = [qv for _, qv in reps] * 8
         ready_q, done_q = ctx.Queue(), ctx.Queue()
         start_ev = ctx.Event()
+        # daemon=True: if a child dies before ready.put (or the barrier
+        # fails for any reason), the survivors block in start.wait()
+        # forever — as non-daemons multiprocessing's atexit join would
+        # then hang the WHOLE bench at interpreter exit after the report
+        # printed. Daemons are terminated with the parent instead.
         procs = [
             ctx.Process(
                 target=_replica_proc_main,
@@ -308,19 +313,25 @@ def main() -> None:
                     replica, qvs[i::n_procs], 10, spann_point["nprobe"],
                     ready_q, start_ev, done_q,
                 ),
+                daemon=True,
             )
             for i in range(n_procs)
         ]
-        for p in procs:
-            p.start()
-        for _ in procs:
-            ready_q.get(timeout=120)
-        t0 = time.time()
-        start_ev.set()
-        done = sum(done_q.get(timeout=600) for _ in procs)
-        mp_wall = time.time() - t0
-        for p in procs:
-            p.join(timeout=30)
+        try:
+            for p in procs:
+                p.start()
+            for _ in procs:
+                ready_q.get(timeout=120)
+            t0 = time.time()
+            start_ev.set()
+            done = sum(done_q.get(timeout=600) for _ in procs)
+            mp_wall = time.time() - t0
+            for p in procs:
+                p.join(timeout=30)
+        finally:
+            for p in procs:  # reap stragglers; no-op on clean exit
+                if p.is_alive():
+                    p.terminate()
         replica_latency = {
             "p50": round(rlat[len(rlat) // 2], 3),
             "p99": round(rlat[min(len(rlat) - 1, int(0.99 * len(rlat)))], 3),

@@ -145,14 +145,19 @@ class SparkAnnIndex:
         live = self.live().persist()
         heads = select_heads(live, ratio=ratio, metric=self.metric).persist()
         postings = build_postings(live, heads, self.metric).persist()
+        heads.count()  # materialize both caches while live is still cached
         postings.count()
-        self._ann = (self._version, heads, postings, nprobe, live)
+        # live is build-time scratch: nothing reads it after the build, so
+        # keeping it pinned would hold a full extra copy of the vector
+        # table in executor storage for the index lifetime
+        live.unpersist()
+        self._ann = (self._version, heads, postings, nprobe)
 
     def _release_ann(self) -> None:
         if self._ann is not None:
             from sptag_spark.resources import release
 
-            for df in self._ann[1:3] + self._ann[4:]:
+            for df in self._ann[1:3]:
                 release(df)
             self._ann = None
 
@@ -181,7 +186,7 @@ class SparkAnnIndex:
         if ann:
             if self._ann is None or self._ann[0] != self._version:
                 self.build_ann()
-            _, heads, postings, nprobe, _live = self._ann
+            _, heads, postings, nprobe = self._ann
             from sptag_spark.index.ann import ann_search
 
             qdf = self.spark.createDataFrame(
@@ -209,7 +214,7 @@ class SparkAnnIndex:
 
         if self._ann is None or self._ann[0] != self._version:
             self.build_ann()
-        _, heads, postings, _, _live = self._ann
+        _, heads, postings, _ = self._ann
         return LocalSpannReplica(heads, postings)
 
     def search(self, query, k: int = 10, with_meta: bool = True) -> list:

@@ -92,21 +92,31 @@ def ivf_build(
         centroids = spark.createDataFrame(
             _cluster_centroids(joined, k, dim), "head_id long, vector array<float>"
         )
+        from sptag_spark.resources import attach_artifacts, release
+
         if replicas > 1:
             # re-assign against the refined balanced centroids: primary
             # assignment tracks the balanced partition, spill copies go to
-            # the next-nearest lists
+            # the next-nearest lists. centroids were COLLECTED (driver
+            # rows, no lineage), so neither joined nor the hier coarse
+            # assignment is referenced any more — release them now
             lists = assign_replicas(
                 src, centroids, metric=metric, replica_count=replicas,
                 candidate_num=max(2 * replicas, 4), rng_factor=float("inf"),
             )
+            release(assigned, include_self=False)
+            joined.unpersist()
             return centroids, lists
         # dist (to own centroid) is unused by the serve path, which rescores
         # candidates against the query — keep the postings schema w/o an
-        # extra scan
+        # extra scan. lists still reads through joined's cache, so hand the
+        # pinned frames (joined + any hier coarse assignment) to the owner
         lists = joined.select(
             F.col("cluster").cast("long").alias("head_id"),
             "id", "vector", F.lit(0.0).alias("dist"),
+        )
+        attach_artifacts(
+            lists, getattr(assigned, "_sptag_artifacts", []) + [joined]
         )
         return centroids, lists
     heads = select_heads(vectors, ratio=n_lists_ratio, metric=metric, seed=seed)

@@ -87,7 +87,12 @@ def semantic_clusters(
         kernel,
         schema="id long, cluster int, own_dist double, best_other_dist double",
     )
-    return assigned, scored
+    # hier-path balanced_kmeans pins its coarse assignment and attaches the
+    # handle to `assigned`; scored derives from it, so carry the handle —
+    # the owner releases via resources.release once scored is materialized
+    from sptag_spark.resources import carry_artifacts
+
+    return assigned, carry_artifacts(scored, assigned)
 
 
 def cluster_exemplars(scored: DataFrame, docs: DataFrame | None = None) -> DataFrame:

@@ -331,10 +331,15 @@ def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.tables import vectors_table
 
     def build():
+        from sptag_spark.resources import release
+
         v = vectors_table(spark, sf_dir).select("id", "vector")
         assigned, scored = semantic_clusters(v, k=CLUSTER_K)
         scored = scored.persist()
         scored.count()
+        # scored's cache now holds the data — drop any build-time frames
+        # the hier k-means path pinned (no-op on the flat path)
+        release(scored, include_self=False)
         return (scored,)
 
     (scored,) = _memo(spark, sf_dir, f"doc_clusters{CLUSTER_K}", build)

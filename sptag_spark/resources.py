@@ -32,15 +32,29 @@ def attach_artifacts(result: DataFrame, persisted: list[DataFrame]) -> DataFrame
     return result
 
 
-def release(df: DataFrame) -> None:
+def carry_artifacts(dst: DataFrame, src: DataFrame) -> DataFrame:
+    """Propagate ``src``'s attached artifacts onto ``dst``. Needed because
+    the attachment is a Python attribute: every DataFrame TRANSFORMATION
+    returns a new object without it, so a builder that derives its result
+    from an artifact-carrying frame must re-attach explicitly or the
+    handle (and the leak fix) is silently lost."""
+    return attach_artifacts(dst, getattr(src, "_sptag_artifacts", []))
+
+
+def release(df: DataFrame, include_self: bool = True) -> None:
     """Unpersist every intermediate attached to ``df``, then ``df`` itself
-    (a no-op when not persisted). Idempotent."""
+    (a no-op when not persisted). ``include_self=False`` drops only the
+    attached intermediates — for an owner that has just persisted and
+    materialized ``df`` and wants to keep THAT cache while releasing the
+    build-time frames behind it. Idempotent."""
     for a in getattr(df, "_sptag_artifacts", []):
         try:
             a.unpersist()
         except Exception:  # noqa: BLE001 - context may already be stopped
             pass
     df._sptag_artifacts = []
+    if not include_self:
+        return
     try:
         df.unpersist()
     except Exception:  # noqa: BLE001

@@ -203,21 +203,32 @@ class ShardedSpannAggregator:
         This lives in the driver-side serving tier precisely because Spark
         STAGES are all-or-nothing (the documented divergence, README) —
         here each shard is an independent in-RAM replica, so a deadline is
-        honest."""
+        honest.
+
+        Each call gets its OWN executor, torn down without waiting: a
+        shared fixed-size pool would let one stuck shard's straggler
+        thread occupy a worker and eat LATER queries' budgets (queue wait
+        counts against cf.wait), turning one slow shard into
+        false partials for every subsequent query. Creating ≤ n_shards
+        threads per deadline call is microseconds against a ms-scale
+        budget; queued-but-unstarted tasks are cancelled, finished-late
+        threads die into a dead executor nothing references."""
         import concurrent.futures as cf
 
-        if self._pool is None:
-            self._pool = cf.ThreadPoolExecutor(
-                max_workers=max(len(self.replicas), 1),
-                thread_name_prefix="spann-shard",
-            )
-        futs = [
-            self._pool.submit(
-                rep.search_one, q, k, nprobe, metric, max_dist_ratio
-            )
-            for rep in self.replicas
-        ]
-        done, not_done = cf.wait(futs, timeout=budget_ms / 1000.0)
+        ex = cf.ThreadPoolExecutor(
+            max_workers=max(len(self.replicas), 1),
+            thread_name_prefix="spann-shard",
+        )
+        try:
+            futs = [
+                ex.submit(
+                    rep.search_one, q, k, nprobe, metric, max_dist_ratio
+                )
+                for rep in self.replicas
+            ]
+            done, not_done = cf.wait(futs, timeout=budget_ms / 1000.0)
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
         ids_all, d_all = [], []
         for f in done:
             ids, d = f.result()
@@ -227,9 +238,10 @@ class ShardedSpannAggregator:
         return ids, d, bool(not_done)
 
     def close(self) -> None:
-        if self._pool is not None:
-            self._pool.shutdown(wait=False)
-            self._pool = None
+        """Kept for symmetry with the other serving handles — the deadline
+        path now tears its executor down per call, so there is no pooled
+        state to release."""
+        self._pool = None
 
 
 class LocalPqSpannReplica:

@@ -161,8 +161,7 @@ class SpannLiveIndex:
         self._base, self.heads, self.postings = new_base, new_heads, new_postings
         # swap done — release every frame the PREVIOUS structure pinned
         # (old base, old heads/postings if owned, per-batch deltas)
-        for df in self._pinned:
-            df.unpersist()
+        self._unpersist_pinned()
         self._pinned = built
         self._deltas = []
         self._tombstones = self._spark.createDataFrame([], "id long")
@@ -170,10 +169,20 @@ class SpannLiveIndex:
         self.adds_since_build = 0
         self.builds += 1
 
+    def _unpersist_pinned(self) -> None:
+        # resources.release discipline: the SparkContext (or the whole
+        # session) may already be gone when a long-lived holder finally
+        # closes — releasing storage must never raise
+        for df in self._pinned:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+
     def close(self) -> None:
         """Release every persisted frame this index owns (VectorIndex.h
         lifecycle parity — the reference frees its index memory on close).
-        The object is dead afterwards; build a new one to serve again."""
-        for df in self._pinned:
-            df.unpersist()
+        The object is dead afterwards; build a new one to serve again.
+        Safe to call on a stopped/replaced Spark session."""
+        self._unpersist_pinned()
         self._pinned = []

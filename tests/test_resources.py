@@ -97,3 +97,32 @@ def test_spann_live_index_rebuild_and_close_release(spark):
     assert not (after_rebuild & pinned0)
     idx.close()
     assert not (persisted_rdd_ids(spark) - before)
+
+
+def test_carry_artifacts_and_partial_release(spark):
+    """Transformations drop the artifact attribute (it's a Python attr on
+    the object), so builders must carry_artifacts onto derived frames;
+    release(include_self=False) then drops only the build-time frames,
+    keeping the owner's own cache."""
+    from sptag_spark.resources import (
+        attach_artifacts,
+        carry_artifacts,
+        release,
+    )
+
+    before = persisted_rdd_ids(spark)
+    pinned = _vectors_df(spark, n=12).persist()
+    pinned.count()
+    new_ids = persisted_rdd_ids(spark) - before
+    assert new_ids
+    src = attach_artifacts(_vectors_df(spark, n=6), [pinned])
+    derived = src.selectExpr("id")  # attribute lost here...
+    assert not getattr(derived, "_sptag_artifacts", [])
+    derived = carry_artifacts(derived, src)  # ...and re-attached here
+    derived = derived.persist()
+    derived.count()
+    release(derived, include_self=False)  # drops pinned, keeps derived
+    remaining = persisted_rdd_ids(spark) - before
+    assert not (remaining & new_ids)  # build-time frame gone
+    assert remaining  # the owner's own cache survived
+    derived.unpersist()

@@ -86,6 +86,9 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: selfcheck.py [--json PATH] [name ...]")
+            return 2
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     names = argv
