@@ -18,6 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sptag_spark.operators.rank import (
+    global_row_number_arbitrary,
+    global_row_number_by,
+)
+
 # Reference: exact-match threshold for delete-by-vector is dist < 1e-6
 # (`BKTIndex.cpp:884` — search then tombstone everything at distance ~0).
 EXACT_MATCH_EPS = 1e-6
@@ -116,8 +121,11 @@ def add_batch(vectors: DataFrame, new_vectors: DataFrame) -> DataFrame:
     fixed at creation (`CoreInterface.h:19`).
 
     Note: like the reference (single add lock, `m_dataAddLock`), id assignment
-    is a serial decision; we take max(id)+row_number over the batch. The batch
-    is small (a micro-batch), so the window over a single partition is fine.
+    is a serial decision: new rows get max(id)+1.. in an arbitrary but
+    internally consistent order. Numbering is distributed
+    (global_row_number_arbitrary: per-partition offsets, map-only — no
+    single-partition window), so a large offline add batch does not funnel
+    through one task.
     """
     first = vectors.select(F.size("vector").alias("d")).first()
     if first is not None:
@@ -129,10 +137,11 @@ def add_batch(vectors: DataFrame, new_vectors: DataFrame) -> DataFrame:
                 f"index dimension {dim}"
             )
     start = vectors.agg(F.coalesce(F.max("id") + 1, F.lit(0))).first()[0]
-    w = Window.orderBy(F.monotonically_increasing_id())
-    numbered = new_vectors.withColumn(
-        "id", (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
-    ).select("id", "vector", "meta")
+    numbered = (
+        global_row_number_arbitrary(new_vectors, out_col="_rn")
+        .withColumn("id", (F.col("_rn") + F.lit(start)).cast("long"))
+        .select("id", "vector", "meta")
+    )
     return vectors.select("id", "vector", "meta").unionByName(numbered)
 
 
@@ -150,16 +159,18 @@ def refine_index(vectors: DataFrame, tombstones: DataFrame) -> DataFrame:
     and remap ids densely (ascending old id → 0..n-1), returning the new index
     with an old_id column for side-table remapping.
 
-    At scale: the global row_number is a single range-partitioned sort —
-    acceptable for the rare compaction job (the reference also rewrites
-    everything). zipWithIndex-style tricks avoid the sort but lose the
-    deterministic old-id order the reference keeps.
+    At scale: dense renumbering is distributed (global_row_number_by:
+    quantile range buckets on the unique old id + per-bucket offsets), so
+    the compaction rewrite parallelizes across buckets instead of funneling
+    the whole index through one global-sort task, while keeping the
+    reference's deterministic ascending-old-id order.
     """
     live = apply_tombstones(vectors, tombstones)
-    w = Window.orderBy("id")
     return (
-        live.withColumn("old_id", F.col("id"))
-        .withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+        global_row_number_by(
+            live.withColumn("old_id", F.col("id")), "old_id", out_col="_rn"
+        )
+        .withColumn("id", F.col("_rn"))
         .select("id", "old_id", "vector", "meta")
     )
 

@@ -20,8 +20,12 @@ Mirrors the reference's per-query top-k heap semantics
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# monotonically_increasing_id() = partition_id * 2^33 + row-offset-in-partition
+# (documented bit layout: upper 31 bits partition id, lower 33 bits offset).
+_MID_PARTITION_STRIDE = 1 << 33
 
 
 def ranked_topk(
@@ -67,3 +71,140 @@ def ranked_topk(
             rank_col, (F.monotonically_increasing_id() + 1).cast("long")
         )
     )
+
+
+def _bucket_offsets(counts: dict[int, int], n_buckets: int) -> dict[int, int]:
+    """Exclusive prefix sums over dense bucket ids 0..n_buckets-1 (missing
+    buckets count 0)."""
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    return offsets
+
+
+def global_row_number_by(
+    df: DataFrame,
+    key: str,
+    out_col: str = "rn",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """0-based global row number ordered by a UNIQUE, DETERMINISTIC numeric
+    ``key`` column — without the single-partition window funnel.
+
+    ``row_number() OVER (ORDER BY key)`` moves every row through one task.
+    This instead (1) samples ~``num_buckets`` approximate quantile split
+    points of ``key`` (a column-pruned scan of the key alone), (2) assigns
+    each row a range bucket with a pure column expression (deterministic, so
+    recomputation across the two jobs is safe — no pin needed), (3) collects
+    the per-bucket counts (≤ num_buckets scalars) to form exclusive prefix
+    offsets, and (4) numbers rows with a PARTITIONED window
+    ``row_number() OVER (PARTITION BY bucket ORDER BY key)`` plus the
+    bucket's offset. Every stage is parallel in num_buckets; only bucket
+    counts touch the driver. Quantile error only skews bucket sizes, never
+    correctness.
+
+    Requires ``key`` to be unique (ties across a bucket split point would
+    otherwise make numbering ambiguous) and deterministic (it is evaluated
+    in two independent jobs).
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 256
+        )
+    kcol = F.col(key).cast("double")
+    if num_buckets > 1:
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        bounds = sorted(
+            {
+                b
+                for b in df.select(
+                    F.percentile_approx(kcol, probs, 10000).alias("b")
+                ).first()["b"]
+                or []
+                if b is not None
+            }
+        )
+    else:
+        bounds = []
+    if bounds:
+        bucket = F.aggregate(
+            F.array(*[F.lit(float(b)) for b in bounds]),
+            F.lit(0),
+            lambda acc, b: acc + F.when(kcol >= b, 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("_gbkt", bucket)
+    counts = {
+        r["_gbkt"]: r["count"]
+        for r in bucketed.groupBy("_gbkt").count().collect()
+    }
+    offsets = _bucket_offsets(counts, len(bounds) + 1)
+    off_expr = (
+        F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for b, off in offsets.items()
+                    for x in (b, off)
+                ]
+            ),
+            F.col("_gbkt"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_gbkt").orderBy(key)
+    return (
+        bucketed.withColumn(
+            out_col,
+            (F.row_number().over(w) - 1 + off_expr).cast("long"),
+        )
+        .drop("_gbkt")
+    )
+
+
+def global_row_number_arbitrary(
+    df: DataFrame, out_col: str = "rn"
+) -> DataFrame:
+    """0-based global row number in an ARBITRARY but internally consistent
+    order (positional-append semantics: the caller needs unique dense
+    numbers, not any particular ordering) — no single-partition window.
+
+    The input is pinned with a lazy localCheckpoint so its partition layout
+    is frozen across the two jobs (per-partition counts, then numbering) —
+    without the pin a shuffle upstream could replay differently between
+    jobs. Numbering is then map-only: offset-of-my-partition (exclusive
+    prefix sums of the collected per-partition counts — ≤ #partitions
+    scalars on the driver) plus my row offset within the partition,
+    recovered from monotonically_increasing_id()'s documented layout
+    (upper 31 bits partition id, lower 33 bits record number) — no Sort, no
+    Window, no Exchange at all.
+    """
+    pinned = df.localCheckpoint(eager=False)
+    pidded = pinned.withColumn("_gpid", F.spark_partition_id())
+    counts = {
+        r["_gpid"]: r["count"]
+        for r in pidded.groupBy("_gpid").count().collect()
+    }
+    n_parts = (max(counts) + 1) if counts else 0
+    offsets = _bucket_offsets(counts, n_parts)
+    off_expr = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for p, off in offsets.items() for x in (p, off)]
+            ),
+            F.col("_gpid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    local = F.monotonically_increasing_id().bitwiseAND(
+        F.lit(_MID_PARTITION_STRIDE - 1)
+    )
+    return pidded.withColumn(
+        out_col, (off_expr + local).cast("long")
+    ).drop("_gpid")

@@ -93,3 +93,61 @@ def test_add_batch_dim_mismatch(spark, idx):
     ).withColumn("meta", F.lit("x"))
     with pytest.raises(ValueError, match="DimensionSizeMismatch"):
         add_batch(base, bad)
+
+
+def test_global_row_number_by_matches_sorted_enumeration(spark):
+    """Distributed dense numbering == row_number() OVER (ORDER BY id):
+    random unique keys over several partitions, exact 0..n-1 in key order."""
+    import random
+
+    from sptag_spark.operators.rank import global_row_number_by
+
+    rng = random.Random(11)
+    ids = rng.sample(range(1_000_000), 4000)
+    df = spark.createDataFrame(
+        [(i,) for i in ids], "id long"
+    ).repartition(16)
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number_by(df, "id", out_col="rn").collect()
+    }
+    assert got == {v: i for i, v in enumerate(sorted(ids))}
+
+
+def test_global_row_number_by_handles_tiny_and_empty(spark):
+    from sptag_spark.operators.rank import global_row_number_by
+
+    empty = spark.createDataFrame([], "id long")
+    assert global_row_number_by(empty, "id").count() == 0
+    one = spark.createDataFrame([(42,)], "id long")
+    assert global_row_number_by(one, "id", out_col="rn").first()["rn"] == 0
+
+
+def test_global_row_number_arbitrary_is_dense_permutation(spark):
+    from sptag_spark.operators.rank import global_row_number_arbitrary
+
+    df = spark.createDataFrame(
+        [(f"m{i}",) for i in range(2500)], "meta string"
+    ).repartition(9)
+    out = global_row_number_arbitrary(df, out_col="rn")
+    vals = sorted(r["rn"] for r in out.collect())
+    assert vals == list(range(2500))
+    # stable across re-execution of the same frame (pin holds)
+    again = sorted(r["rn"] for r in out.collect())
+    assert again == vals
+    empty = spark.createDataFrame([], "meta string")
+    assert global_row_number_arbitrary(empty).count() == 0
+
+
+def test_add_batch_ids_dense_after_max(spark, idx):
+    new = spark.createDataFrame(
+        [([float(j)] * DIM, f"new{j}") for j in range(40)],
+        "vector array<float>, meta string",
+    ).repartition(6)
+    merged = add_batch(idx, new)
+    got = sorted(r["id"] for r in merged.collect())
+    assert got == list(range(140))
+    new_metas = {
+        r["meta"] for r in merged.filter(F.col("id") >= 100).collect()
+    }
+    assert new_metas == {f"new{j}" for j in range(40)}

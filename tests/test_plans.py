@@ -435,3 +435,32 @@ def test_mega_batch_ann_plan_is_union_free(spark):
     assert "Union" not in p_mega
     p_mega2 = plan(ann_search(queries, heads, postings, k=5, chunk_size=3))
     assert _plan_nodes(p_mega) == _plan_nodes(p_mega2)  # constant in |Q|/chunk
+
+
+def test_refine_and_add_batch_number_without_global_window(spark):
+    """The last two unpartitioned windows are gone: refine_index renumbers
+    with a PARTITIONED window over quantile range buckets (the Exchange key
+    is the bucket, never SinglePartition), and add_batch's positional
+    numbering is map-only (partition offset + monotonic-id low bits — no
+    Window, no Exchange at all on the numbering branch)."""
+    import re
+
+    from sptag_spark.operators.mutate import add_batch, refine_index
+
+    vec = spark.createDataFrame(
+        [(i, [float(i), 0.0], str(i)) for i in range(300)],
+        "id long, vector array<float>, meta string",
+    ).repartition(8)
+    tomb = spark.createDataFrame([(i,) for i in range(0, 300, 2)], "id long")
+    p = plan(refine_index(vec, tomb))
+    assert "Exchange SinglePartition" not in p
+    m = re.search(r"hashpartitioning\(([^)]*)\)", p)
+    assert m and "_gbkt" in m.group(1), p[:2000]
+
+    new = spark.createDataFrame(
+        [([float(j), 1.0], f"n{j}") for j in range(50)],
+        "vector array<float>, meta string",
+    ).repartition(4)
+    p2 = plan(add_batch(vec, new))
+    assert "Exchange SinglePartition" not in p2
+    assert not re.findall(r"\(\d+\) Window", p2), p2[:2000]
