@@ -160,15 +160,22 @@ def refine_index(vectors: DataFrame, tombstones: DataFrame) -> DataFrame:
     with an old_id column for side-table remapping.
 
     At scale: dense renumbering is distributed (global_row_number_by:
-    quantile range buckets on the unique old id + per-bucket offsets), so
-    the compaction rewrite parallelizes across buckets instead of funneling
+    sampled range-partitioned sort + map-only partition offsets), so the
+    compaction rewrite parallelizes across partitions instead of funneling
     the whole index through one global-sort task, while keeping the
-    reference's deterministic ascending-old-id order.
+    reference's deterministic ascending-old-id order. Small indexes (below
+    global_row_number_by's measured dispatch threshold) take the one-task
+    sort instead — sized by the PRE-anti-join base count, a column-pruned
+    (often footer-only) count that never re-evaluates the anti-join; any
+    upper bound on the live rows is a correct dispatch key.
     """
     live = apply_tombstones(vectors, tombstones)
     return (
         global_row_number_by(
-            live.withColumn("old_id", F.col("id")), "old_id", out_col="_rn"
+            live.withColumn("old_id", F.col("id")),
+            "old_id",
+            out_col="_rn",
+            known_count=vectors.count(),
         )
         .withColumn("id", F.col("_rn"))
         .select("id", "old_id", "vector", "meta")

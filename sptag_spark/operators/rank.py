@@ -20,7 +20,7 @@ Mirrors the reference's per-query top-k heap semantics
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # monotonically_increasing_id() = partition_id * 2^33 + row-offset-in-partition
@@ -84,87 +84,59 @@ def _bucket_offsets(counts: dict[int, int], n_buckets: int) -> dict[int, int]:
     return offsets
 
 
+# Below this many rows the distributed renumbering's fixed overhead (a
+# range-sample job, a checkpoint materialization, a counts job) loses to
+# simply sorting in one task: fresh-process A/B at 128k/512k rows measured
+# 2.0 s/3.4 s distributed vs 0.8 s/1.6 s single-task (tools/probe_r6.py
+# refine_ab). 1M rows × ~0.5 KB (a 128-dim float vector + row overhead)
+# ≈ 0.5 GB through one task — fine on any real executor; above that the
+# funnel starts to matter and the parallel path wins on a cluster.
+_SMALL_SORT_ROWS = 1 << 20
+
+
 def global_row_number_by(
     df: DataFrame,
     key: str,
     out_col: str = "rn",
-    num_buckets: int | None = None,
+    known_count: int | None = None,
 ) -> DataFrame:
     """0-based global row number ordered by a UNIQUE, DETERMINISTIC numeric
     ``key`` column — without the single-partition window funnel.
 
     ``row_number() OVER (ORDER BY key)`` moves every row through one task.
-    This instead (1) samples ~``num_buckets`` approximate quantile split
-    points of ``key`` (a column-pruned scan of the key alone), (2) assigns
-    each row a range bucket with a pure column expression (deterministic, so
-    recomputation across the two jobs is safe — no pin needed), (3) collects
-    the per-bucket counts (≤ num_buckets scalars) to form exclusive prefix
-    offsets, and (4) numbers rows with a PARTITIONED window
-    ``row_number() OVER (PARTITION BY bucket ORDER BY key)`` plus the
-    bucket's offset. Every stage is parallel in num_buckets; only bucket
-    counts touch the driver. Quantile error only skews bucket sizes, never
-    correctness.
+    This instead runs Spark's own distributed sort — ``orderBy(key)`` range-
+    partitions on SAMPLED split points, so clustering/skew in the key space
+    is absorbed by the partitioner, unlike fixed-width value buckets — and
+    then numbers the sorted partitions with the map-only partition-offset
+    scheme of :func:`global_row_number_arbitrary` (the lazy localCheckpoint
+    there pins the sorted layout across the counts and numbering jobs;
+    range partition ids are ordered, so offset + in-partition position IS
+    the global rank). No window node, no single-partition exchange; only
+    per-partition counts touch the driver.
 
-    Requires ``key`` to be unique (ties across a bucket split point would
-    otherwise make numbering ambiguous) and deterministic (it is evaluated
-    in two independent jobs).
+    Requires ``key`` to be unique (ties straddling a range-partition
+    boundary would otherwise make numbering ambiguous).
+
+    ``known_count`` (any cheap UPPER BOUND on ``df``'s rows, e.g. the
+    pre-anti-join base-table count in refine_index) dispatches inputs below
+    ``_SMALL_SORT_ROWS`` to an honest one-task sort —
+    ``repartitionByRange(1, key)`` (a single exchange; upstream scan/joins
+    stay parallel, unlike a narrow coalesce which would serialize them, and
+    unlike round-robin repartition it skips the defensive
+    sortBeforeRepartition local sort of every input partition — measured
+    1.3 s vs 1.4-2.7 s at 512k rows) + local sort +
+    monotonically_increasing_id (0..n-1 on the single partition) — which
+    beats the multi-job distributed path at probe scale (the components.py
+    measured-size-dispatch pattern, and no WindowExec move-all-data warning
+    in run logs).
     """
-    spark = df.sparkSession
-    if num_buckets is None:
-        num_buckets = min(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 256
+    if known_count is not None and known_count <= _SMALL_SORT_ROWS:
+        return (
+            df.repartitionByRange(1, key)
+            .sortWithinPartitions(key)
+            .withColumn(out_col, F.monotonically_increasing_id().cast("long"))
         )
-    kcol = F.col(key).cast("double")
-    if num_buckets > 1:
-        probs = [i / num_buckets for i in range(1, num_buckets)]
-        bounds = sorted(
-            {
-                b
-                for b in df.select(
-                    F.percentile_approx(kcol, probs, 10000).alias("b")
-                ).first()["b"]
-                or []
-                if b is not None
-            }
-        )
-    else:
-        bounds = []
-    if bounds:
-        bucket = F.aggregate(
-            F.array(*[F.lit(float(b)) for b in bounds]),
-            F.lit(0),
-            lambda acc, b: acc + F.when(kcol >= b, 1).otherwise(0),
-        )
-    else:
-        bucket = F.lit(0)
-    bucketed = df.withColumn("_gbkt", bucket)
-    counts = {
-        r["_gbkt"]: r["count"]
-        for r in bucketed.groupBy("_gbkt").count().collect()
-    }
-    offsets = _bucket_offsets(counts, len(bounds) + 1)
-    off_expr = (
-        F.element_at(
-            F.create_map(
-                *[
-                    F.lit(x)
-                    for b, off in offsets.items()
-                    for x in (b, off)
-                ]
-            ),
-            F.col("_gbkt"),
-        )
-        if offsets
-        else F.lit(0)
-    )
-    w = Window.partitionBy("_gbkt").orderBy(key)
-    return (
-        bucketed.withColumn(
-            out_col,
-            (F.row_number().over(w) - 1 + off_expr).cast("long"),
-        )
-        .drop("_gbkt")
-    )
+    return global_row_number_arbitrary(df.orderBy(key), out_col=out_col)
 
 
 def global_row_number_arbitrary(
@@ -192,19 +164,17 @@ def global_row_number_arbitrary(
     }
     n_parts = (max(counts) + 1) if counts else 0
     offsets = _bucket_offsets(counts, n_parts)
-    off_expr = (
-        F.element_at(
-            F.create_map(
-                *[F.lit(x) for p, off in offsets.items() for x in (p, off)]
-            ),
-            F.col("_gpid"),
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(p, off) for p, off in offsets.items()] or [(0, 0)],
+            "_gpid int, _goff long",
         )
-        if offsets
-        else F.lit(0)
     )
     local = F.monotonically_increasing_id().bitwiseAND(
         F.lit(_MID_PARTITION_STRIDE - 1)
     )
-    return pidded.withColumn(
-        out_col, (off_expr + local).cast("long")
-    ).drop("_gpid")
+    return (
+        pidded.join(off_df, "_gpid")
+        .withColumn(out_col, (F.col("_goff") + local).cast("long"))
+        .drop("_gpid", "_goff")
+    )

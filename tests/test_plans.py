@@ -438,24 +438,40 @@ def test_mega_batch_ann_plan_is_union_free(spark):
 
 
 def test_refine_and_add_batch_number_without_global_window(spark):
-    """The last two unpartitioned windows are gone: refine_index renumbers
-    with a PARTITIONED window over quantile range buckets (the Exchange key
-    is the bucket, never SinglePartition), and add_batch's positional
+    """The last two unpartitioned windows are gone: big-input renumbering
+    is Spark's own range-partitioned sort (sampled split points — never
+    Exchange SinglePartition, no Window node) plus map-only partition
+    offsets; small inputs (refine_index's measured-size dispatch) take an
+    honest one-task sort with NO Window either; and add_batch's positional
     numbering is map-only (partition offset + monotonic-id low bits — no
     Window, no Exchange at all on the numbering branch)."""
     import re
 
     from sptag_spark.operators.mutate import add_batch, refine_index
+    from sptag_spark.operators.rank import global_row_number_by
 
     vec = spark.createDataFrame(
         [(i, [float(i), 0.0], str(i)) for i in range(300)],
         "id long, vector array<float>, meta string",
     ).repartition(8)
     tomb = spark.createDataFrame([(i,) for i in range(0, 300, 2)], "id long")
-    p = plan(refine_index(vec, tomb))
+    # forced big path (no known_count): the numbering plan over the pinned
+    # range-sorted input is MAP-ONLY — no Window, no SinglePartition funnel,
+    # and the only Exchange is the broadcast of the ≤#partitions offsets
+    # (the range sort itself lives behind the localCheckpoint pin, hence
+    # Scan ExistingRDD)
+    p = plan(global_row_number_by(vec, "id", out_col="_rn"))
     assert "Exchange SinglePartition" not in p
-    m = re.search(r"hashpartitioning\(([^)]*)\)", p)
-    assert m and "_gbkt" in m.group(1), p[:2000]
+    assert "Scan ExistingRDD" in p, p[:2000]
+    assert not re.findall(r"\(\d+\) Window", p), p[:2000]
+    assert not [
+        ln for ln in p.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ], p[:2000]
+    # refine_index below the dispatch threshold: one-task sort, still no
+    # Window node (no WindowExec move-all-data warning path)
+    p1 = plan(refine_index(vec, tomb))
+    assert not re.findall(r"\(\d+\) Window", p1), p1[:2000]
 
     new = spark.createDataFrame(
         [([float(j), 1.0], f"n{j}") for j in range(50)],

@@ -31,9 +31,12 @@ from sptag_spark.session import get_spark  # noqa: E402
 
 spark = get_spark("probe-r6", cpus=32, shuffle_partitions=64)
 os.makedirs(WORK, exist_ok=True)
-dpath = materialize(scaled_docs(spark, scale), f"{WORK}/documents_x{scale}.parquet")
-docs = spark.read.parquet(dpath)
-nd = docs.count()
+if op in ("keep_best", "stream_dedup", "stream_neardup", "bm25"):
+    dpath = materialize(
+        scaled_docs(spark, scale), f"{WORK}/documents_x{scale}.parquet"
+    )
+    docs = spark.read.parquet(dpath)
+    nd = docs.count()
 
 if op == "keep_best":
     from pyspark.sql import Window
@@ -140,5 +143,91 @@ elif op == "stream_neardup":
                       "rows_in": nd, "sec": round(wall, 2),
                       "per_batch": per_batch}))
     shutil.rmtree(work, ignore_errors=True)
+
+elif op == "refine_ab":
+    # A/B: distributed quantile-bucket renumbering (shipped) vs the old
+    # row_number() OVER (ORDER BY id) global window, at 40% tombstones.
+    # Both write all columns to the noop sink (count() would prune the
+    # vector column and flatter both paths).
+    from pyspark.sql import Window
+
+    from scale_stress import scaled_embeddings
+
+    from sptag_spark.operators.mutate import apply_tombstones, refine_index
+
+    vpath = materialize(
+        scaled_embeddings(spark, scale).withColumn(
+            "meta", F.col("id").cast("string")
+        ),
+        f"{WORK}/vectors_x{scale}.parquet",
+    )
+    vec = spark.read.parquet(vpath)
+    nv = vec.count()
+    tomb = vec.select("id").filter(F.pmod("id", F.lit(5)) < 2)
+
+    def refine_old():
+        live = apply_tombstones(vec, tomb)
+        w = Window.orderBy("id")
+        return (
+            live.withColumn("old_id", F.col("id"))
+            .withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+            .select("id", "old_id", "vector", "meta")
+        )
+
+    def refine_distributed():
+        # the big-input path forced (no known_count): range-partitioned
+        # sort + map-only partition-offset numbering
+        from sptag_spark.operators.rank import global_row_number_by
+
+        live = apply_tombstones(vec, tomb)
+        return (
+            global_row_number_by(
+                live.withColumn("old_id", F.col("id")), "old_id",
+                out_col="_rn",
+            )
+            .withColumn("id", F.col("_rn"))
+            .select("id", "old_id", "vector", "meta")
+        )
+
+    out = {"op": "refine_index_ab", "scale": scale, "rows_in": nv}
+    for name, fn in (("dispatched_sec", lambda: refine_index(vec, tomb)),
+                     ("old_window_sec", refine_old),
+                     ("distributed_sec", refine_distributed)):
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+
+elif op == "add_batch":
+    from scale_stress import scaled_embeddings
+
+    from sptag_spark.operators.mutate import add_batch
+
+    vpath = materialize(
+        scaled_embeddings(spark, scale).withColumn(
+            "meta", F.col("id").cast("string")
+        ),
+        f"{WORK}/vectors_x{scale}.parquet",
+    )
+    vec = spark.read.parquet(vpath)
+    nv = vec.count()
+    half = vec.filter(F.pmod("id", F.lit(2)) == 0).select("vector", "meta")
+    t0 = time.time()
+    add_batch(vec, half).write.format("noop").mode("overwrite").save()
+    print(json.dumps({"op": "add_batch", "scale": scale, "rows_in": nv,
+                      "batch_rows": nv // 2,
+                      "sec": round(time.time() - t0, 2)}))
+
+elif op == "bm25":
+    # Selective-term retrieval over a growing corpus: the matched set stays
+    # ~constant (scaled copies suffix every token) while the corpus-stats
+    # scan (doc lengths, avgdl) grows with the data — the realistic shape
+    # of rare-term search on a big corpus.
+    from sptag_spark.operators.retrieval import bm25_topk
+
+    t0 = time.time()
+    n_hits = bm25_topk(docs, ["merge", "scan", "hash"], k=20).count()
+    print(json.dumps({"op": "bm25_topk", "scale": scale, "rows_in": nd,
+                      "hits": n_hits, "sec": round(time.time() - t0, 2)}))
 
 spark.stop()
