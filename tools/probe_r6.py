@@ -145,10 +145,11 @@ elif op == "stream_neardup":
     shutil.rmtree(work, ignore_errors=True)
 
 elif op == "refine_ab":
-    # A/B: distributed quantile-bucket renumbering (shipped) vs the old
-    # row_number() OVER (ORDER BY id) global window, at 40% tombstones.
-    # Both write all columns to the noop sink (count() would prune the
-    # vector column and flatter both paths).
+    # A/B at 40% tombstones: refine_index as shipped (measured-size
+    # dispatch), the old row_number() OVER (ORDER BY id) global window,
+    # and the forced big path (range-partitioned sort + map-only offsets).
+    # All write all columns to the noop sink (count() would prune the
+    # vector column and flatter every path).
     from pyspark.sql import Window
 
     from scale_stress import scaled_embeddings
