@@ -14,6 +14,8 @@ same plan bounds its state by dropping events later than the watermark.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -21,6 +23,29 @@ from sptag_spark.registry import register
 from sptag_spark.streaming.ingest import streaming_event_window_counts
 
 _SINK = "stream_window_counts_sink"
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Size the STATE-STORE partition count for a stateful streaming query.
+
+    State partitioning is frozen from ``spark.sql.shuffle.partitions`` when
+    the checkpoint is created, and every micro-batch commits one delta file
+    per state partition — fixed overhead that scales with the partition
+    count, not the data (NOTES backlog: the remaining streaming-block knob).
+    These bench-scale demos (fresh checkpoint per run, ≤ tens of thousands
+    of state rows) size it down; a production deployment keeps the session
+    default so state spreads across the cluster. Scope covers start() AND
+    awaitTermination() — availableNow plans every micro-batch inside it —
+    then restores, so the batch-side verify joins that execute later keep
+    the session's parallelism.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _stream_source_dir(sf_dir: str, table: str = "events") -> str:
@@ -55,14 +80,15 @@ def _streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema).parquet(src_dir)
     )
     agg = streaming_event_window_counts(stream, window="5 minutes", watermark="10 minutes")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     snap = spark.table(_SINK)
     return snap.select(
         F.unix_timestamp("window_start").alias("window_epoch"),
@@ -176,14 +202,15 @@ def _streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("text").alias("text_hash"))
     )
     deduped = streaming_first_wins_dedup(stream, "text_hash", "doc_id")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(_DEDUP_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(_DEDUP_SINK)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(_DEDUP_SINK).select("doc_id", "text_hash")
 
 
@@ -344,14 +371,15 @@ def _streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, threshold=0.3, bands=16, n_hashes=32
     )
     sink = "stream_near_dup_sink"
-    q = (
-        cand.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (
+            cand.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     pairs = spark.table(sink).select("doc_a", "doc_b").dropDuplicates()
     # exact verify, batch-side, against the corpus shingle sets — identical
     # discipline to minhash_near_dup_pairs' verify join

@@ -144,6 +144,18 @@ elif op == "stream_neardup":
                       "per_batch": per_batch}))
     shutil.rmtree(work, ignore_errors=True)
 
+elif op == "bm25":
+    from sptag_spark.operators.retrieval import bm25_topk
+
+    # multi-term query over the scaled corpus — the tf stream prunes to
+    # these terms map-side, so the probe measures exactly the stages that
+    # grow with the corpus (tokenize+filter scan, (doc,term) agg, score join)
+    terms = ["data", "model", "training", "search", "index"]
+    t0 = time.time()
+    bm25_topk(docs, terms, k=20).write.format("noop").mode("overwrite").save()
+    print(json.dumps({"op": "bm25_topk", "scale": scale, "rows_in": nd,
+                      "sec": round(time.time() - t0, 2)}))
+
 elif op == "refine_ab":
     # A/B at 40% tombstones: refine_index as shipped (measured-size
     # dispatch), the old row_number() OVER (ORDER BY id) global window,
