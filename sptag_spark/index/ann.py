@@ -294,6 +294,8 @@ def ann_search(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark.broadcast import Broadcast
 
+        from sptag_spark.functions.npgroup import group_slices
+
         qids_s, Qm = qref.value if isinstance(qref, Broadcast) else qref
         for pdf in batches:
             if len(pdf) == 0:
@@ -302,8 +304,8 @@ def ann_search(
             qids = pdf["query_id"].to_numpy(dtype=np.int64)
             ids = pdf["id"].to_numpy(dtype=np.int64)
             out_q, out_i, out_d = [], [], []
-            for qid in np.unique(qids):
-                idx = np.nonzero(qids == qid)[0]
+            for idx in group_slices(qids):
+                qid = qids[idx[0]]
                 q_vec = Qm[np.searchsorted(qids_s, qid)]
                 d = _exact_pair_dists(V[idx], q_vec, metric)
                 # map-side dedup + local top-k (the partial of the

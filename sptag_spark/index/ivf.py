@@ -289,6 +289,8 @@ def ivf_pq_search(
     keep_n = max(rerank, k)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sptag_spark.functions.npgroup import group_slices
+
         head_ids, C = bc.value
         pos = {int(h): i for i, h in enumerate(head_ids)}
         cols = np.arange(m)[None, :]
@@ -301,12 +303,10 @@ def ivf_pq_search(
                 x = qmap[qid] - C[pos[hid]]
                 if R is not None:
                     x = x @ R
-                t = np.stack(
-                    [
-                        ((x[i * sub : (i + 1) * sub, None] - cb[i].T) ** 2).sum(0)
-                        for i in range(m)
-                    ]
-                )  # (M, 256)
+                # all M sub-tables in one vectorized op (bit-identical to
+                # the per-subspace loop: same pairwise diffs, same sum
+                # order over the sub axis)
+                t = ((x[: m * sub].reshape(m, 1, sub) - cb) ** 2).sum(-1)
                 lut_cache[key] = t
             return t
 
@@ -318,15 +318,13 @@ def ivf_pq_search(
             ids = pdf["id"].to_numpy(dtype=np.int64)
             hids = pdf["head_id"].to_numpy(dtype=np.int64)
             dist = np.empty(len(pdf))
-            keys = qids * (1 << 32) + hids
-            for key in np.unique(keys):
-                idx = np.nonzero(keys == key)[0]
+            for idx in group_slices(qids * (1 << 32) + hids):
                 dist[idx] = lut(int(qids[idx[0]]), int(hids[idx[0]]))[
                     cols, Cc[idx]
                 ].sum(1)
             out_q, out_i, out_d = [], [], []
-            for qid in np.unique(qids):
-                idx = np.nonzero(qids == qid)[0]
+            for idx in group_slices(qids):
+                qid = qids[idx[0]]
                 bi, bd = ids[idx], dist[idx]
                 order = np.lexsort((bd, bi))  # id asc, dist asc within id
                 first = np.ones(len(bi), dtype=bool)
@@ -362,6 +360,7 @@ def ivf_pq_search(
     exact_cand = vectors.select("id", "vector").join(F.broadcast(shortlist), "id")
 
     def exact_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sptag_spark.functions.npgroup import group_slices
         from sptag_spark.operators.knn import _exact_pair_dists
 
         for pdf in batches:
@@ -370,9 +369,10 @@ def ivf_pq_search(
             V = np.array(pdf["vector"].tolist(), dtype=np.float64)
             qids = pdf["query_id"].to_numpy(dtype=np.int64)
             dist = np.empty(len(pdf))
-            for qid in np.unique(qids):
-                idx = np.nonzero(qids == qid)[0]
-                dist[idx] = _exact_pair_dists(V[idx], qmap[int(qid)], "l2")
+            for idx in group_slices(qids):
+                dist[idx] = _exact_pair_dists(
+                    V[idx], qmap[int(qids[idx[0]])], "l2"
+                )
             yield pd.DataFrame(
                 {"query_id": qids, "id": pdf["id"].to_numpy(), "adc_dist": dist}
             )

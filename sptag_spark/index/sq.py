@@ -205,15 +205,18 @@ def sq_search(
     )
 
     def exact_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sptag_spark.functions.npgroup import group_slices
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.array(pdf["vector"].tolist(), dtype=np.float64)
             qids = pdf["query_id"].to_numpy(dtype=np.int64)
             dist = np.empty(len(pdf))
-            for qid in np.unique(qids):
-                idx = np.nonzero(qids == qid)[0]
-                dist[idx] = _exact_pair_dists(V[idx], qmap[int(qid)], metric)
+            for idx in group_slices(qids):
+                dist[idx] = _exact_pair_dists(
+                    V[idx], qmap[int(qids[idx[0]])], metric
+                )
             yield pd.DataFrame(
                 {"query_id": qids, "id": pdf["id"].to_numpy(), "dist": dist}
             )
