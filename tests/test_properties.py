@@ -350,3 +350,24 @@ def test_duplicate_spans_matches_naive(spark, docs_tokens, n):
         for i, sp in spans_by_doc.items()
     }
     assert got == expect
+
+
+@given(
+    st.lists(st.integers(min_value=-5, max_value=5), max_size=60),
+)
+@settings(max_examples=60, deadline=None)
+def test_group_slices_matches_mask_groupby(keys):
+    """group_slices yields EXACTLY the index arrays (same group order, same
+    within-group order) of the O(rows x groups) mask version it replaced in
+    the scan kernels — including duplicate-heavy, negative, and empty key
+    streams."""
+    import numpy as np
+
+    from sptag_spark.functions.npgroup import group_slices
+
+    arr = np.array(keys, dtype=np.int64)
+    got = [ix.tolist() for ix in group_slices(arr)]
+    want = [np.nonzero(arr == k)[0].tolist() for k in np.unique(arr)]
+    assert got == want
+    # every row appears exactly once across groups
+    assert sorted(i for g in got for i in g) == list(range(len(keys)))
