@@ -144,6 +144,40 @@ elif op == "stream_neardup":
                       "per_batch": per_batch}))
     shutil.rmtree(work, ignore_errors=True)
 
+elif op == "cc":
+    # Distributed connected-components at a size where the local union-find
+    # dispatch can NOT absorb it (the label-propagation loop has only been
+    # correctness-tested via local_threshold=0 before this probe). Graph =
+    # what dup detection actually emits, at adversarial diameter: scale
+    # million nodes in 5-node stars (the LSH-cluster shape), star roots
+    # chained in runs of 1000 (diameter ~1000 → pointer jumping must bite;
+    # plain min-propagation would need ~1000 rounds, log-doubling ~10).
+    from sptag_spark.operators.components import connected_components
+
+    n = scale * 1_000_000
+    ids = spark.range(n).select(F.col("id"))
+    stars = ids.filter(F.col("id") % 5 != 0).select(
+        F.col("id").alias("src"),
+        (F.col("id") - F.col("id") % 5).alias("dst"),
+    )
+    roots = ids.filter(
+        (F.col("id") % 5 == 0) & (F.col("id") % 5000 != 0)
+    )
+    chain = roots.select(
+        F.col("id").alias("src"), (F.col("id") - 5).alias("dst")
+    )
+    edges = stars.union(chain)
+    t0 = time.time()
+    comp = connected_components(edges)
+    n_comp = comp.select("component").distinct().count()
+    sec = round(time.time() - t0, 2)
+    # exactness: every 5000-node chain-of-stars collapses to ONE component
+    expect = n // 5000
+    print(json.dumps({"op": "connected_components", "scale": scale,
+                      "nodes": n, "edges": n - n // 5000,
+                      "n_components": n_comp, "expected": expect,
+                      "ok": n_comp == expect, "sec": sec}))
+
 elif op == "bm25":
     from sptag_spark.operators.retrieval import bm25_topk
 
