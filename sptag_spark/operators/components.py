@@ -82,32 +82,34 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the round's STARTING label rides along as `old`: convergence is a
+        # map-only filter-count at the end of the round instead of a third
+        # shuffle join of new-vs-old labels
         new = labels.join(nbr_min, "a", "left").select(
             "a",
+            F.col("label").alias("old"),
             F.least(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
             ).alias("label"),
         )
+        # materialize before the pointer-jump self-join: both sides of the
+        # self-join read the SAME checkpointed blocks instead of executing
+        # the nbr_min join subtree twice (ReuseExchange is plan-dependent;
+        # the checkpoint makes the reuse unconditional)
+        new = new.localCheckpoint()
         # pointer jumping: follow the current label one hop
         parent = new.select(
             F.col("a").alias("p_id"), F.col("label").alias("p_label")
         )
-        new = (
-            new.join(parent, new["label"] == parent["p_id"], "left")
-            .select(
-                "a",
-                F.least(
-                    F.col("label"), F.coalesce("p_label", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "a")
-            .filter(F.col("label") < F.col("old"))
-            .count()
-        )
-        labels = new
+        new = new.join(parent, new["label"] == parent["p_id"], "left").select(
+            "a",
+            "old",
+            F.least(
+                F.col("label"), F.coalesce("p_label", F.col("label"))
+            ).alias("label"),
+        ).localCheckpoint()
+        changed = new.filter(F.col("label") < F.col("old")).count()
+        labels = new.select("a", "label")
         if changed == 0:
             return labels.select(
                 F.col("a").alias("node"), F.col("label").alias("component")
