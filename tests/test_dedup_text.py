@@ -66,6 +66,18 @@ def test_exact_jaccard_and_minhash(corpus):
     }
     assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
     assert all(a < b for a, b in pairs)
+    # the web-scale banding knob (rows_per_band=2 shrinks buckets BEFORE
+    # the candidate self-join): identical verified pairs on high-J dups —
+    # the exact copy survives ANY banding, and the verify step makes every
+    # surfaced candidate exact either way
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dup_pairs(
+            corpus, threshold=0.5, rows_per_band=2, min_band_matches=1
+        ).collect()
+    }
+    assert (0, 1) in banded
+    assert banded <= pairs
 
 
 def test_simhash_properties(corpus):
