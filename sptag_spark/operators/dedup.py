@@ -583,11 +583,14 @@ def duplicate_spans(
     spans = _span_stream(docs, n, id_col, text_col)
     # both downstream branches (dup totals, join probe) consume the
     # stream; without materialization Catalyst re-executes the
-    # scan→tokenize→hash→explode lineage per branch. localCheckpoint (the
-    # connected-components discipline) runs it once; eager=False keeps
-    # DataFrame CONSTRUCTION lazy (plan tooling can inspect without
-    # executing) — the first action both materializes and truncates.
-    spans = spans.localCheckpoint(eager=False)
+    # scan→tokenize→hash→explode lineage per branch. The pin is a
+    # DataFrame persist — compressed COLUMNAR batches — not a
+    # localCheckpoint: the checkpoint caches tens of millions of span
+    # rows as deserialized row objects, and the resulting GC wall was
+    # measured 2× the whole downstream cost at ×256 (1.28M docs / 57.8M
+    # spans; paired fresh-process A/B in SCALING.md). The cache is
+    # attached to the result for release() (resources.py pattern).
+    spans = spans.persist()
     dup_totals = (
         spans.groupBy("h1", "h2")
         .agg(F.count("*").alias("cnt"))
@@ -600,6 +603,7 @@ def duplicate_spans(
         .agg(F.count("*").alias("n_dup_spans"))
     )
     from sptag_spark.functions.text import token_count
+    from sptag_spark.resources import attach_artifacts
 
     # token_count is the SAME tokenization as _span_stream's tokens() —
     # the two passes must agree or dup_frac denominators drift
@@ -607,7 +611,7 @@ def duplicate_spans(
         F.col(id_col).alias("doc_id"),
         (token_count(F.col(text_col)) - (n - 1)).alias("n_spans"),
     ).filter(F.col("n_spans") >= 1)
-    return doc_totals.join(dup_per_doc, "doc_id", "left").select(
+    out = doc_totals.join(dup_per_doc, "doc_id", "left").select(
         "doc_id",
         "n_spans",
         F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
@@ -615,3 +619,4 @@ def duplicate_spans(
             F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 4
         ).alias("dup_frac"),
     )
+    return attach_artifacts(out, [spans])
