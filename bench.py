@@ -136,6 +136,8 @@ def main() -> None:
         # block. Cleaner churn amortizes naturally across the run instead.
         samples: list[float] = []
         try:
+            from sptag_spark.resources import release
+
             for i in range(warmup + n_runs):
                 t0 = time.time()
                 df = spec.query(spark, sf_dir)
@@ -143,6 +145,11 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 if i >= warmup:
                     samples.append(time.time() - t0)
+                # per-run pinned intermediates (token/span stream persists)
+                # are released OUTSIDE the timed window — n runs must not
+                # accumulate n cached copies (memoized index artifacts are
+                # not attached and keep their cache)
+                release(df, include_self=False)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             continue

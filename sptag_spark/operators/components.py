@@ -174,19 +174,28 @@ def dedup_clusters(
     exact_edges = exact.filter(F.col(id_col) != F.col("group_min")).select(
         F.col(id_col).alias("src"), F.col("group_min").alias("dst")
     )
-    near = minhash_near_dup_pairs(
+    near_pairs = minhash_near_dup_pairs(
         docs, jaccard_threshold, id_col=id_col, text_col=text_col
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    near = near_pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
     comp = connected_components(exact_edges.union(near))
     sizes = comp.groupBy("component").agg(
         F.count("*").alias("cluster_size")
     )
-    return (
+    from sptag_spark.resources import carry_artifacts
+
+    # minhash pins its shingle side table; carry the handle so the owner's
+    # release() reaches it (the components edge list was materialized by
+    # connected_components' own checkpoint before this plan returns)
+    return carry_artifacts(
         comp.join(sizes, "component")
         .filter(F.col("cluster_size") > 1)
         .select(
             F.col("node").alias(id_col),
             F.col("component").alias("cluster_rep"),
             F.col("cluster_size").cast("long").alias("cluster_size"),
-        )
+        ),
+        near_pairs,
     )

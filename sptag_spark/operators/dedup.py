@@ -302,12 +302,15 @@ def minhash_near_dup_pairs(
         F.col("sz").alias("sz_b"),
     )
     inter = F.size(F.array_intersect(F.col("hh_a"), F.col("hh_b")))
-    return (
+    from sptag_spark.resources import attach_artifacts
+
+    return attach_artifacts(
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard"),
+        [sets],
     )
 
 

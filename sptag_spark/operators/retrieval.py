@@ -84,12 +84,12 @@ def bm25_scores(
     tf = _bm25_tf(docs, terms, id_col, text_col)
     # tf is consumed by the df(t) aggregate AND as the scoring probe;
     # unmaterialized, the second branch re-runs the full scan+tokenize+
-    # explode lineage. tf is SMALL (≤ |matching docs|·|terms| rows — the
-    # term filter already pruned the corpus stream), so the checkpoint is
-    # cheap at any corpus size; eager=False keeps construction lazy. One
-    # full text scan remains for the corpus scalars (N, avgdl) — the
-    # classic two-pass BM25 shape.
-    tf = tf.localCheckpoint(eager=False)
+    # explode lineage. The term filter already pruned the corpus stream,
+    # but common terms still make tf corpus-scale, so the pin is a
+    # columnar persist (the duplicate_spans GC-wall fix), attached to the
+    # result for release(). One full text scan remains for the corpus
+    # scalars (N, avgdl) — the classic two-pass BM25 shape.
+    tf = tf.persist()
     dfs = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -97,11 +97,14 @@ def bm25_scores(
     )
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = idf * F.col("tf") * (k1 + 1.0) / denom
-    return (
+    from sptag_spark.resources import attach_artifacts
+
+    return attach_artifacts(
         tf.join(F.broadcast(dfs), "tok")
         .crossJoin(F.broadcast(scal))
         .groupBy("doc_id")
-        .agg(F.sum(contrib).alias("bm25"))
+        .agg(F.sum(contrib).alias("bm25")),
+        [tf],
     )
 
 
@@ -122,10 +125,13 @@ def bm25_topk(
     funnels through one task. See operators/rank.py.
     """
     from sptag_spark.operators.rank import ranked_topk
+    from sptag_spark.resources import carry_artifacts
 
     scores = bm25_scores(docs, terms, k1=k1, b=b, id_col=id_col, text_col=text_col)
     top = ranked_topk(scores, [F.col("bm25").desc(), F.col("doc_id")], k)
-    return top.select("rank", "doc_id", F.round("bm25", 4).alias("bm25"))
+    return carry_artifacts(
+        top.select("rank", "doc_id", F.round("bm25", 4).alias("bm25")), scores
+    )
 
 
 def rrf_fuse(

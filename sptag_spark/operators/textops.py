@@ -382,21 +382,26 @@ def unigram_logprob(
     )
     # tok feeds the vocab aggregate AND the join probe, freq feeds the
     # total AND the join build — without materialization each branch
-    # re-runs its full upstream lineage (3 corpus scans). Lazy
-    # localCheckpoints run the stream once and the vocab aggregate once
-    # (the duplicate_spans/dsir discipline).
-    tok = tok.localCheckpoint(eager=False)
+    # re-runs its full upstream lineage (3 corpus scans). The corpus-sized
+    # token stream pins as a columnar persist (the duplicate_spans GC-wall
+    # fix: a localCheckpoint caches tens of millions of rows as
+    # DESERIALIZED objects; measured 2× at ×256 there), attached to the
+    # result for release(); the vocab-sized freq stays a lazy checkpoint.
+    tok = tok.persist()
     freq = tok.groupBy("tok").agg(
         F.count("*").cast("double").alias("cnt")
     ).localCheckpoint(eager=False)
     total = freq.agg(F.sum("cnt").alias("total"))
     scored = tok.join(freq, "tok").crossJoin(F.broadcast(total))
-    return scored.groupBy("doc_id").agg(
+    out = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(
             F.avg(F.log(F.col("cnt") / F.col("total"))), 4
         ).alias("avg_logprob"),
     )
+    from sptag_spark.resources import attach_artifacts
+
+    return attach_artifacts(out, [tok])
 
 
 def dataset_split(
@@ -628,9 +633,10 @@ def dsir_importance_weights(
     # tok feeds BOTH the vocab aggregate and the per-doc join; without
     # materialization Catalyst re-runs the scan+explode lineage per branch
     # (the duplicate_spans double-scan shape, measured 26.4 s vs 13.8 s
-    # there). localCheckpoint runs it once; eager=False keeps construction
-    # lazy for plan tooling.
-    tok = tok.localCheckpoint(eager=False)
+    # there). Corpus-sized token stream → columnar persist (the
+    # duplicate_spans GC-wall fix), attached to the result for release();
+    # the vocab-sized freq keeps its lazy checkpoint.
+    tok = tok.persist()
     freq = tok.groupBy("tok").agg(
         F.count("*").cast("double").alias("cnt_all"),
         F.sum("is_t").cast("double").alias("cnt_t"),
@@ -653,9 +659,14 @@ def dsir_importance_weights(
         # sign of a zero that arrives from below
         (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("avg_log_ratio"),
     )
-    return per_doc.select(
-        "doc_id",
-        "n_tokens",
-        "avg_log_ratio",
-        (F.col("avg_log_ratio") > F.lit(0.0)).alias("selected"),
+    from sptag_spark.resources import attach_artifacts
+
+    return attach_artifacts(
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            "avg_log_ratio",
+            (F.col("avg_log_ratio") > F.lit(0.0)).alias("selected"),
+        ),
+        [tok],
     )

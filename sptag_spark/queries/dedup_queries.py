@@ -105,9 +105,14 @@ FROM grouped WHERE group_size > 1
 
 
 def _minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.resources import carry_artifacts
+
     pairs = minhash_near_dup_pairs(corpus_table(spark, sf_dir), JACCARD_T)
-    return pairs.select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    return carry_artifacts(
+        pairs.select(
+            "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+        ),
+        pairs,
     )
 
 
@@ -405,7 +410,9 @@ def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(clusters.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", "n_tokens", F.lit(1).cast("long").alias("cluster_size"))
     )
-    return kept_multi.unionByName(singles)
+    from sptag_spark.resources import carry_artifacts
+
+    return carry_artifacts(kept_multi.unionByName(singles), clusters)
 
 
 def _keep_best_oracle() -> str:

@@ -106,7 +106,11 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = ranked_topk(
         scored, [F.col("cos_dist"), F.col("vec_id")], RETR_DEPTH
     ).select(F.col("vec_id").alias("doc_id"), "rank")
-    return rrf_fuse(lex, vec, k=20, c=RRF_C)
+    from sptag_spark.resources import carry_artifacts
+
+    # bm25_topk pins its tf stream; the fused result carries the handle so
+    # the harness release() reaches it
+    return carry_artifacts(rrf_fuse(lex, vec, k=20, c=RRF_C), lex)
 
 
 register(

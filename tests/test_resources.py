@@ -126,3 +126,35 @@ def test_carry_artifacts_and_partial_release(spark):
     assert not (remaining & new_ids)  # build-time frame gone
     assert remaining  # the owner's own cache survived
     derived.unpersist()
+
+
+def test_corpus_stream_pins_release(spark):
+    """The corpus-sized stream pins (span stream in duplicate_spans, token
+    stream in unigram_logprob, shingle side table in minhash → clusters)
+    attach to their results and leave storage on release — the harnesses
+    (bench.py / selfcheck) call release(df, include_self=False) per run so
+    repeated runs do not accumulate cached copies."""
+    from sptag_spark.operators.dedup import duplicate_spans
+    from sptag_spark.operators.textops import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma delta epsilon zeta " * 3) + f"tail{i % 4}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    for op in (lambda: duplicate_spans(docs, 5), lambda: unigram_logprob(docs)):
+        before = persisted_rdd_ids(spark)
+        out = op()
+        # collect(), not count(): count() over the final left join is
+        # optimized down to the left side alone (unique right keys), so the
+        # cached stream branches would never materialize
+        assert len(out.collect()) > 0
+        assert persisted_rdd_ids(spark) - before  # stream pin is in storage
+        arts = list(getattr(out, "_sptag_artifacts", []))
+        assert arts
+        release(out, include_self=False)
+        # the artifact itself is what must leave storage (global id-set
+        # diffs are racy on the shared session — other frames materialize
+        # and get cleaner-reaped between snapshots)
+        assert all(not a.is_cached for a in arts)
+        assert not getattr(out, "_sptag_artifacts", [])

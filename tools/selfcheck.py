@@ -99,10 +99,17 @@ def main() -> int:
     con = duck_con()
     failed = []
     record: dict[str, dict] = {}
+    from sptag_spark.resources import release
+
     for name, fn in qs.items():
         t0 = time.time()
         try:
-            spdf = fn(spark, SF_DIR).toPandas()
+            df = fn(spark, SF_DIR)
+            spdf = df.toPandas()
+            # drop per-query pinned intermediates (token/span stream
+            # persists) so an 81-query session doesn't accumulate them;
+            # memoized index artifacts aren't attached and stay cached
+            release(df, include_self=False)
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {ex}")
             failed.append(name)
