@@ -80,6 +80,12 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         centroids = centroids.persist()
         lists = lists.persist()
         lists.count()
+        # lists is now materialized in its own cache; the build-time
+        # intermediates it carried (balanced-assign join, hier coarse
+        # assignment) have no live consumer — drop them from storage
+        from sptag_spark.resources import release
+
+        release(lists, include_self=False)
         return centroids, lists
 
     return _memo(spark, sf_dir, "ivf", build)
