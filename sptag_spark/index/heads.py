@@ -22,9 +22,6 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-
-from sptag_spark.operators.knn import knn_arrays
 
 DEFAULT_HEAD_RATIO = 0.12  # SPANN Ratio (docs/GettingStart.md buildconfig)
 
@@ -140,41 +137,41 @@ def select_heads(
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     X = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
     centers = hier_kmeans(X, k, iters=10, seed=seed)
-    if frac >= 1.0:
-        # the sample IS the whole table → snap locally (same argmin the
-        # distributed kernel computes, minus three Spark jobs). Rows are
-        # pre-sorted by id so argmin's first-occurrence IS the smallest id
-        # among exact-distance ties (knn's (dist, id) ordering) — the
-        # masked-id formulation this replaces allocated a (block, n) int64
-        # temp per block and was memory-bandwidth-bound at large k·n.
-        order = np.argsort(ids, kind="stable")
-        ids_s, X_s = ids[order], X[order]
-        x2 = (X_s**2).sum(1)
-        nearest = np.empty(len(centers), dtype=np.int64)
-        block = max(1, int(2.5e7 / max(len(X_s), 1)))
-        for s in range(0, len(centers), block):
-            D = (
-                -2.0 * (centers[s : s + block] @ X_s.T)
-                + x2[None, :]
-            )
-            nearest[s : s + block] = ids_s[D.argmin(axis=1)]
-        head_ids = np.unique(nearest)
-        spark = vectors.sparkSession
-        chosen = {int(h) for h in head_ids}
-        picked = [
-            (int(r["id"]), list(map(float, r["vector"])))
-            for r in rows
-            if int(r["id"]) in chosen
-        ]
-        return spark.createDataFrame(
-            picked, "head_id long, vector array<float>"
+    # snap each centroid to the nearest SAMPLE vector (same argmin the
+    # distributed kernel computes, minus the Spark jobs). Rows are
+    # pre-sorted by id so argmin's first-occurrence IS the smallest id
+    # among exact-distance ties (knn's (dist, id) ordering) — the
+    # masked-id formulation this replaces allocated a (block, n) int64
+    # temp per block and was memory-bandwidth-bound at large k·n.
+    # When frac < 1 this snaps within the TRAINING sample rather than the
+    # full table — the centroid was fit to sample points, so its nearest
+    # sample row is the natural real-vector representative (the reference
+    # likewise picks heads from the BKT's sampled structure,
+    # SPANNIndex.cpp:579-705). The previous distributed alternative was a
+    # k-query top-1 knn over the whole table — O(k·N) distance work, which
+    # at k = 0.1·N is QUADRATIC in N and measured as a dominant slice of a
+    # 512k-vector build (SCALING.md ×256 build autopsy). When the sample
+    # IS the whole table (small inputs) this is byte-identical to the old
+    # local path.
+    order = np.argsort(ids, kind="stable")
+    ids_s, X_s = ids[order], X[order]
+    x2 = (X_s**2).sum(1)
+    nearest = np.empty(len(centers), dtype=np.int64)
+    block = max(1, int(2.5e7 / max(len(X_s), 1)))
+    for s in range(0, len(centers), block):
+        D = (
+            -2.0 * (centers[s : s + block] @ X_s.T)
+            + x2[None, :]
         )
-    # snap: nearest true vector per centroid (top-1 knn, centroids as queries)
-    snapped = knn_arrays(
-        vectors, np.arange(len(centers), dtype=np.int64), centers, k=1,
-        metric=metric,
-    )
-    head_ids = snapped.select(F.col("id").alias("head_id")).distinct()
-    return head_ids.join(
-        vectors.select(F.col("id").alias("head_id"), "vector"), "head_id"
+        nearest[s : s + block] = ids_s[D.argmin(axis=1)]
+    head_ids = np.unique(nearest)
+    spark = vectors.sparkSession
+    chosen = {int(h) for h in head_ids}
+    picked = [
+        (int(r["id"]), list(map(float, r["vector"])))
+        for r in rows
+        if int(r["id"]) in chosen
+    ]
+    return spark.createDataFrame(
+        picked, "head_id long, vector array<float>"
     )

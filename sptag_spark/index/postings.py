@@ -33,6 +33,87 @@ CANDIDATE_NUM = 32  # heads considered per vector before RNG prune
 RNG_FACTOR = 1.0  # RNGFactor (ParameterDefinitionList)
 POSTING_LIMIT = 1000  # members kept per posting (PostingPageLimit analog)
 
+# Coarse-routed assignment kicks in above this head count: scoring every
+# head per vector is O(N·k) distance work, and with k = Ratio·N that is
+# QUADRATIC in N — a ×256 (512k-vector / 51k-head) build measured ~43 min
+# with the flat scan (SCALING.md build autopsy). The reference never flat-
+# scans either: ApproximateRNG SEARCHES the head index per vector
+# (`VectorIndex.cpp:847-884` → SearchIndex). Routing = the same idea with
+# a two-level structure: heads are grouped driver-side (balanced, size
+# m ≈ k/g), each vector scores the g group centers, descends into the
+# ROUTE_FANOUT nearest groups, and scores only those f·m heads.
+ROUTED_MIN_HEADS = 8192
+ROUTE_FANOUT = 16
+ROUTE_SLACK = 2.0  # group capacity = slack × proportional share
+
+
+def _bmd_dists(Vb: np.ndarray, Hj: np.ndarray, metric: str) -> np.ndarray:
+    """(b, m) distances between row-paired blocks: Vb (b, d) against per-row
+    head slabs Hj (b, m, d) — the same formulas as _block_distances."""
+    if metric == "l2":
+        D = (
+            (Hj * Hj).sum(-1)
+            - 2.0 * np.einsum("bd,bmd->bm", Vb, Hj)
+            + (Vb * Vb).sum(1)[:, None]
+        )
+        np.maximum(D, 0.0, out=D)
+        return D
+    if metric == "cosine":
+        Vn = Vb / np.maximum(np.linalg.norm(Vb, axis=1, keepdims=True), 1e-300)
+        Hn = Hj / np.maximum(np.linalg.norm(Hj, axis=-1, keepdims=True), 1e-300)
+        return 1.0 - np.einsum("bd,bmd->bm", Vn, Hn)
+    return -np.einsum("bd,bmd->bm", Vb, Hj)
+
+
+def _head_routing(
+    H: np.ndarray, head_ids: np.ndarray, metric: str, fanout: int = ROUTE_FANOUT
+):
+    """Driver-side two-level head layout for routed assignment:
+    (group_centers (g, d), Hg (g, m, d), idsg (g, m), valid (g, m)).
+
+    g ≈ √(k·fanout) balances the per-vector work g + fanout·(k/g); groups
+    hold up to m = ⌈ROUTE_SLACK · 2k/g⌉ heads (greedy nearest-non-full in
+    ascending best-distance order) so the kernel can gather fixed-size
+    (b, m, d) slabs instead of ragged per-row candidate sets. Each head is
+    SPILLED into its 2 nearest groups (the IVF boundary-replica trick),
+    and the capacity SLACK lets heads keep their natural group instead of
+    being forced across a cluster boundary by a tight balance cap.
+    Parameter sweep (driver-side coverage of the true nearest head, 40-site
+    clustered + unstructured-gaussian worst case): tight cap + fanout 8 →
+    0.93/0.90; slack 2.0 + fanout 16 → 1.000/0.997. Duplicate sightings of
+    a head through both groups are masked in the kernel after the
+    (dist, id) sort. Build cost is one k×g BLAS block + an O(k) python
+    pass — negligible next to the scan it replaces."""
+    from sptag_spark.index.heads import lloyd_kmeans
+
+    k, d = H.shape
+    spill = 2
+    g = max(2, min(int(np.sqrt(k * fanout)), k // 2))
+    gc = lloyd_kmeans(H, g, iters=5, seed=11)
+    D = _block_distances(H, gc, metric)  # (k, g)
+    m = min(k, int(np.ceil(ROUTE_SLACK * spill * k / g)))
+    pref = np.argsort(D, axis=1, kind="stable")
+    cap = np.zeros(g, dtype=np.int64)
+    slots: list[list[int]] = [[] for _ in range(g)]
+    for h in np.argsort(D.min(axis=1), kind="stable"):
+        placed = 0
+        for gi in pref[h]:
+            if cap[gi] < m:
+                slots[gi].append(h)
+                cap[gi] += 1
+                placed += 1
+                if placed >= spill:
+                    break
+    Hg = np.zeros((g, m, d))
+    idsg = np.zeros((g, m), dtype=np.int64)
+    valid = np.zeros((g, m), dtype=bool)
+    for gi in range(g):
+        for s, h in enumerate(slots[gi]):
+            Hg[gi, s] = H[h]
+            idsg[gi, s] = head_ids[h]
+            valid[gi, s] = True
+    return gc, Hg, idsg, valid
+
 
 def _rng_prune(
     cand_dists: np.ndarray, head_head: np.ndarray, replica: int, rng_factor: float
@@ -61,14 +142,37 @@ def assign_replicas(
     replica_count: int = REPLICA_COUNT,
     candidate_num: int = CANDIDATE_NUM,
     rng_factor: float = RNG_FACTOR,
+    routed: bool | None = None,
 ) -> DataFrame:
     """(head_id, id, vector, dist): every vector assigned to 1..replica_count
     heads. Head vectors ride along so postings are self-contained, like
     SPANN's posting records `(vid, vector)` (`ExtraFullGraphSearcher.h:60-110`).
-    """
+
+    ``routed`` (default auto: head count ≥ ROUTED_MIN_HEADS): candidate
+    heads come from the ROUTE_FANOUT nearest head GROUPS instead of a flat
+    scan of every head — O(√(k·f) + f·k/√(k·f)) per vector instead of O(k),
+    the same approximate-search-the-heads idea as the reference's
+    ApproximateRNG. Below the gate the flat scan runs and results are
+    byte-identical to before. Routing is approximate in the same way the
+    reference's is: a candidate outside the f nearest groups is invisible,
+    which can only LOSE a far replica, never corrupt a near one (recall
+    re-measured at the build scale that motivated it — SCALING.md)."""
     hrows = heads.select("head_id", "vector").collect()
     head_ids = np.array([r["head_id"] for r in hrows], dtype=np.int64)
     H = np.array([list(r["vector"]) for r in hrows], dtype=np.float64)
+    if routed is None:
+        routed = len(head_ids) >= ROUTED_MIN_HEADS
+    routing = (
+        _head_routing(H, head_ids, metric)
+        if routed and candidate_num < len(head_ids)
+        else None
+    )
+    if routing is not None:
+        # the flat arrays are replaced by the grouped fixed-slot layout;
+        # padded slots carry dist=inf and are masked out before selection
+        g, m, _ = routing[1].shape
+        H = routing[1].reshape(g * m, H.shape[1])
+        head_ids = routing[2].reshape(g * m)
     # Heads ride a BROADCAST variable, not the task closure: the head set is
     # ~0.1·N (tens of GB at billion scale — the same per-node footprint the
     # reference's in-memory head index has), and a closure re-ships it with
@@ -77,11 +181,17 @@ def assign_replicas(
     # small; past that it is O(h²) memory (impossible at ≥1M heads) and the
     # RNG prune only ever reads the c×c candidate block, which is cheap to
     # compute per row from H directly.
-    HH = _block_distances(H, H, metric) if len(head_ids) <= 4096 else None
-    bc = vectors.sparkSession.sparkContext.broadcast((head_ids, H, HH))
+    HH = (
+        _block_distances(H, H, metric)
+        if routing is None and len(head_ids) <= 4096
+        else None
+    )
+    bc = vectors.sparkSession.sparkContext.broadcast(
+        (head_ids, H, HH, routing)
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        head_ids, H, HH = bc.value
+        head_ids, H, HH, routing = bc.value
         # The assignment is fully VECTORIZED across rows — a per-row Python
         # loop (argpartition + lexsort + c×c gather per vector) measured 128k
         # interpreter iterations per ×64 build and dominated wall time. Rows
@@ -100,15 +210,40 @@ def assign_replicas(
             c = min(candidate_num, len(head_ids))
             for s in range(0, len(ids), SUB):
                 Vb = V[s : s + SUB]
-                D = _block_distances(Vb, H, metric)  # (b, h)
                 b = len(Vb)
-                if c < len(head_ids):
-                    cand = np.argpartition(D, c - 1, axis=1)[:, :c]
+                if routing is not None:
+                    gc_, Hg, _idsg, valid = routing
+                    g, m, _ = Hg.shape
+                    f = min(ROUTE_FANOUT, g)
+                    Dg = _block_distances(Vb, gc_, metric)  # (b, g)
+                    topf = (
+                        np.argpartition(Dg, f - 1, axis=1)[:, :f]
+                        if f < g
+                        else np.broadcast_to(np.arange(g), (b, g)).copy()
+                    )
+                    dc_parts, ic_parts = [], []
+                    slot = np.arange(m)[None, :]
+                    for j in range(topf.shape[1]):
+                        gj = topf[:, j]
+                        dj = _bmd_dists(Vb, Hg[gj], metric)  # (b, m)
+                        dj[~valid[gj]] = np.inf  # padded slots
+                        dc_parts.append(dj)
+                        ic_parts.append(gj[:, None] * m + slot)
+                    Dc = np.concatenate(dc_parts, axis=1)  # (b, f·m)
+                    Ic = np.concatenate(ic_parts, axis=1)
+                    cc = min(c, Dc.shape[1])
+                    sel = np.argpartition(Dc, cc - 1, axis=1)[:, :cc]
+                    cand = np.take_along_axis(Ic, sel, 1)
+                    d_c = np.take_along_axis(Dc, sel, 1)
                 else:
-                    cand = np.broadcast_to(
-                        np.arange(len(head_ids)), (b, len(head_ids))
-                    ).copy()
-                d_c = np.take_along_axis(D, cand, 1)
+                    D = _block_distances(Vb, H, metric)  # (b, h)
+                    if c < len(head_ids):
+                        cand = np.argpartition(D, c - 1, axis=1)[:, :c]
+                    else:
+                        cand = np.broadcast_to(
+                            np.arange(len(head_ids)), (b, len(head_ids))
+                        ).copy()
+                    d_c = np.take_along_axis(D, cand, 1)
                 hid_c = head_ids[cand]
                 # per-row (dist, head_id) ascending order — two STABLE
                 # argsorts ≡ np.lexsort((head_ids, dist)) rowwise
@@ -119,6 +254,14 @@ def assign_replicas(
                 d2 = np.take_along_axis(d1, o2, 1)
                 c2 = np.take_along_axis(c1, o2, 1)
                 h2 = head_ids[c2]
+                # routed mode spills heads into 2 groups, so the same head
+                # can be sighted twice; duplicates carry identical
+                # (dist, head_id), hence are ADJACENT after the sort
+                dup = np.zeros(d2.shape, dtype=bool)
+                if routing is not None:
+                    dup[:, 1:] = (h2[:, 1:] == h2[:, :-1]) & (
+                        d2[:, 1:] == d2[:, :-1]
+                    )
                 # (b, c, c) candidate head-head distances
                 if HH is not None:
                     hh = HH[c2[:, :, None], c2[:, None, :]]
@@ -145,13 +288,22 @@ def assign_replicas(
                 # accepted i has rng·d(head_i, head_j) < d(v, head_j) and
                 # the replica budget is open — identical to the sequential
                 # early-exit loop, iterated j=0..c-1 across all rows at once
-                acc = np.zeros((b, c), dtype=bool)
+                n_c = d2.shape[1]
+                acc = np.zeros((b, n_c), dtype=bool)
                 acc_cnt = np.zeros(b, dtype=np.int64)
-                for j in range(c):
+                for j in range(n_c):
                     viol = acc & (
                         rng_factor * hh[:, :, j] < d2[:, j][:, None]
                     )
-                    ok = ~viol.any(axis=1) & (acc_cnt < replica_count)
+                    # isfinite: routed mode pads short groups with inf-dist
+                    # slots; dup: second sighting of a spilled head —
+                    # neither may be accepted as a head
+                    ok = (
+                        ~viol.any(axis=1)
+                        & (acc_cnt < replica_count)
+                        & np.isfinite(d2[:, j])
+                        & ~dup[:, j]
+                    )
                     acc[:, j] = ok
                     acc_cnt += ok
                 rows, cols = np.nonzero(acc)
