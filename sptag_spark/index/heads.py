@@ -136,6 +136,25 @@ def select_heads(
     rows = sample.select("id", "vector").collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     X = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
+    if 2 * k >= len(rows):
+        # k heads from a ≤2k-row sample: clustering is (near-)identity —
+        # Lloyd with k ≈ n refines nothing and hier_kmeans' flat fallback
+        # at len(X) < 2k would be O(n·k·d·iters) driver BLAS (measured:
+        # a 2M-vector build wanted k = 204.8k from a 200k sample and spent
+        # HOURS in that degenerate fit). Uniform choice of k sample rows
+        # is exactly Lloyd's init, and with k ≈ n its fixed point.
+        pick = np.random.default_rng(seed).choice(
+            len(rows), size=min(k, len(rows)), replace=False
+        )
+        pick.sort()
+        spark = vectors.sparkSession
+        return spark.createDataFrame(
+            [
+                (int(ids[i]), [float(x) for x in X[i]])
+                for i in pick
+            ],
+            "head_id long, vector array<float>",
+        )
     centers = hier_kmeans(X, k, iters=10, seed=seed)
     # snap each centroid to the nearest SAMPLE vector (same argmin the
     # distributed kernel computes, minus the Spark jobs). Rows are
