@@ -40,6 +40,14 @@ MAX_DIST_RATIO = 8.0  # SPANN MaxDistRatio default
 # heads are not).
 ROUTE_INMEM_MAX_HEADS = 4096
 
+# Static IN-filter pruning is applied only when the routed set is small
+# enough that the literal list both prunes meaningfully and stays a bounded
+# plan expression; a mega-batch routes to ~every head, where the IN-list
+# approaches |heads|, prunes nothing, and grows the plan with |Q| (ADVICE
+# r6). Above the cap the routes JOIN alone restricts the scan (dynamic
+# pruning when broadcast).
+ROUTE_STATIC_ISIN_MAX = 1024
+
 
 def cached_count(df: DataFrame) -> int:
     """count() for persisted/memoized index artifacts, computed once per
@@ -127,12 +135,20 @@ def _route_inmem(
 
     from sptag_spark.operators.knn import _exact_pair_dists
 
+    import pandas as pd
+
     hrows = heads.select("head_id", "vector").collect()
     head_ids = np.array([r["head_id"] for r in hrows], dtype=np.int64)
     H = np.array([list(r["vector"]) for r in hrows], dtype=np.float64)
-    out = []
     if q_rows is None:
         q_rows = queries.select("query_id", "vector").collect()
+    # accumulate per-query winners as ARRAYS, ship as ONE Arrow batch: a
+    # mega-batch's |Q|·nprobe route set as a Python tuple list paid a boxed
+    # Py4J conversion per element (ADVICE r6); pandas→createDataFrame rides
+    # the Arrow path (session.py enables it) and moves columns, not objects.
+    qid_chunks: list[np.ndarray] = []
+    hid_chunks: list[np.ndarray] = []
+    hd_chunks: list[np.ndarray] = []
     for r in q_rows:
         q = np.asarray(r["vector"], dtype=np.float64)
         d = _exact_pair_dists(H, q, metric)
@@ -143,18 +159,34 @@ def _route_inmem(
             if cut > 0.1:
                 keep = sel_d <= cut
                 sel_ids, sel_d = sel_ids[keep], sel_d[keep]
-        qid = int(r["query_id"])
-        out.extend(
-            (qid, int(h), float(hd)) for h, hd in zip(sel_ids, sel_d)
+        qid_chunks.append(np.full(len(sel_ids), int(r["query_id"]), np.int64))
+        hid_chunks.append(sel_ids)
+        hd_chunks.append(sel_d.astype(np.float64))
+    spark = queries.sparkSession
+    if qid_chunks:
+        pdf = pd.DataFrame(
+            {
+                "query_id": np.concatenate(qid_chunks),
+                "head_id": np.concatenate(hid_chunks),
+                "head_dist": np.concatenate(hd_chunks),
+            }
         )
-    df = queries.sparkSession.createDataFrame(
-        out, "query_id long, head_id long, head_dist double"
-    )
+        df = spark.createDataFrame(
+            pdf, schema="query_id long, head_id long, head_dist double"
+        )
+        routed_set = np.unique(pdf["head_id"].to_numpy())
+    else:
+        df = spark.createDataFrame(
+            [], "query_id long, head_id long, head_dist double"
+        )
+        routed_set = np.empty(0, dtype=np.int64)
     # knowing the routed set driver-side upgrades the posting scan from
     # DYNAMIC partition pruning (runtime subquery) to STATIC pruning: a
     # plain IN-filter on the partition column prunes head_id= directories
-    # at planning time. Consumers read this to apply it (ann_search).
-    df._sptag_routed_heads = sorted({h for _, h, _ in out})
+    # at planning time. Consumers read this to apply it (ann_search) and
+    # gate it by size — an IN-list approaching |heads| prunes nothing and
+    # only bloats the plan expression.
+    df._sptag_routed_heads = [int(h) for h in routed_set]
     return df
 
 
@@ -256,7 +288,7 @@ def ann_search(
     # pruning subquery remains for the distributed-routing fallback).
     routed = getattr(routes, "_sptag_routed_heads", None)
     src = postings
-    if routed is not None:
+    if routed is not None and len(routed) <= ROUTE_STATIC_ISIN_MAX:
         src = src.filter(F.col("head_id").isin(routed))
     route_sel = routes.select("query_id", "head_id")
     if not mega:

@@ -136,6 +136,21 @@ def select_heads(
     rows = sample.select("id", "vector").collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     X = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
+    # Honor the metric's geometry (ADVICE r6): Lloyd + the snap below are L2
+    # arithmetic, so COSINE trains and snaps on unit-normalized rows — on
+    # the unit sphere ||a-b||² = 2-2cosθ, so L2 ordering there IS cosine
+    # ordering — while the returned heads stay the ORIGINAL vectors (real
+    # rows, searchable under the index metric). "ip" keeps raw L2 geometry
+    # for SELECTION: a max-inner-product snap would collapse many centroids
+    # onto the few largest-norm rows (MIPS is not a metric); coverage is
+    # geometric, and routing/scoring honor ip at query time. The reference's
+    # own head build knows only L2/Cosine (DistCalcMethod,
+    # `inc/Core/DefinitionList.h`) — ip is this engine's extension.
+    if metric == "cosine":
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        Xw = X / np.where(norms == 0.0, 1.0, norms)
+    else:
+        Xw = X
     if 2 * k >= len(rows):
         # k heads from a ≤2k-row sample: clustering is (near-)identity —
         # Lloyd with k ≈ n refines nothing and hier_kmeans' flat fallback
@@ -155,7 +170,7 @@ def select_heads(
             ],
             "head_id long, vector array<float>",
         )
-    centers = hier_kmeans(X, k, iters=10, seed=seed)
+    centers = hier_kmeans(Xw, k, iters=10, seed=seed)
     # snap each centroid to the nearest SAMPLE vector (same argmin the
     # distributed kernel computes, minus the Spark jobs). Rows are
     # pre-sorted by id so argmin's first-occurrence IS the smallest id
@@ -173,7 +188,7 @@ def select_heads(
     # IS the whole table (small inputs) this is byte-identical to the old
     # local path.
     order = np.argsort(ids, kind="stable")
-    ids_s, X_s = ids[order], X[order]
+    ids_s, X_s = ids[order], Xw[order]
     x2 = (X_s**2).sum(1)
     nearest = np.empty(len(centers), dtype=np.int64)
     block = max(1, int(2.5e7 / max(len(X_s), 1)))

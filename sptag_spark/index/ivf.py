@@ -263,10 +263,13 @@ def ivf_pq_search(
     routes = route_queries(
         queries, centroids, nprobe, metric="l2", max_dist_ratio=float("inf")
     )
+    from sptag_spark.index.ann import ROUTE_STATIC_ISIN_MAX
+
     routed = getattr(routes, "_sptag_routed_heads", None)
     src = coded_lists
-    if routed is not None:
-        # static partition pruning on the code scan (see ann_search)
+    if routed is not None and len(routed) <= ROUTE_STATIC_ISIN_MAX:
+        # static partition pruning on the code scan, size-gated like
+        # ann_search (an IN-list approaching |lists| prunes nothing)
         src = src.filter(F.col("head_id").isin(routed))
     cand = src.join(
         F.broadcast(routes.select("query_id", "head_id")), "head_id"

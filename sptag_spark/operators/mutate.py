@@ -126,6 +126,12 @@ def add_batch(vectors: DataFrame, new_vectors: DataFrame) -> DataFrame:
     (global_row_number_arbitrary: per-partition offsets, map-only — no
     single-partition window), so a large offline add batch does not funnel
     through one task.
+
+    EAGER, not a lazy plan builder: calling this runs Spark jobs NOW — the
+    dimension check, the max-id lookup, and global_row_number_arbitrary's
+    localCheckpoint + per-partition counts all execute at call time (the
+    numbering must be pinned before anyone acts on the result, or re-
+    execution could renumber). Construct it only when you will execute it.
     """
     first = vectors.select(F.size("vector").alias("d")).first()
     if first is not None:
@@ -168,6 +174,10 @@ def refine_index(vectors: DataFrame, tombstones: DataFrame) -> DataFrame:
     sort instead — sized by the PRE-anti-join base count, a column-pruned
     (often footer-only) count that never re-evaluates the anti-join; any
     upper bound on the live rows is a correct dispatch key.
+
+    EAGER, not a lazy plan builder: the dispatch count and (on the
+    distributed path) global_row_number_by's range-sample + offset jobs run
+    at call time. Construct it only when you will execute the compaction.
     """
     live = apply_tombstones(vectors, tombstones)
     return (

@@ -230,12 +230,23 @@ class ShardedSpannAggregator:
         finally:
             ex.shutdown(wait=False, cancel_futures=True)
         ids_all, d_all = [], []
+        n_failed = 0
         for f in done:
+            # a shard that CRASHED degrades exactly like a shard that
+            # STALLED: its result is dropped and the answer is flagged
+            # partial — the reference aggregator's failed-child path
+            # (`AggregatorService.cpp:280-323` folds timeout and error
+            # children into the same partial merge). Propagating would
+            # fail the whole query at the server boundary even though
+            # healthy shards answered.
+            if f.exception() is not None:
+                n_failed += 1
+                continue
             ids, d = f.result()
             ids_all.append(ids)
             d_all.append(d)
         ids, d = self._merge(ids_all, d_all, k)
-        return ids, d, bool(not_done)
+        return ids, d, bool(not_done) or n_failed > 0
 
     def close(self) -> None:
         """Kept for symmetry with the other serving handles — the deadline

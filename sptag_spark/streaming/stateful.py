@@ -273,6 +273,18 @@ def streaming_near_dup_candidates(
     executors. The est-jaccard compare is O(residents · n_hashes) per
     arrival — the LSH banding keeps residents small exactly the way the
     batch operator's band join does.
+
+    Output contract — ``est_jaccard`` is a QUANTIZED estimate: stored
+    signatures keep only each 64-bit minhash's low byte (state is 48 B/entry
+    instead of 272), so a non-matching position spuriously matches with
+    p = 1/256 and the emitted estimate is biased UP by ~(1-J)/256 ≈ +0.004
+    in expectation (larger in the tails). Consequences: (a) pairs whose true
+    signature estimate sits just below ``threshold`` can still be emitted —
+    the candidate set only ever GROWS, so recall is unaffected; (b) any
+    consumer treating ``est_jaccard`` as a full-fidelity MinHash Jaccard
+    estimate must re-verify exactly (the in-repo queries do: batch-side
+    exact-Jaccard verification downstream). True matches are never lost:
+    equal 64-bit hashes have equal low bytes.
     """
     import pyspark.sql.functions as F
 

@@ -500,3 +500,40 @@ def test_routed_assignment_matches_flat_on_clustered_data(spark):
     assert hid <= set(range(len(H)))
     pairs = [(r["id"], r["head_id"]) for r in routed]
     assert len(pairs) == len(set(pairs))
+
+
+def test_select_heads_cosine_geometry(spark):
+    """select_heads must honor metric='cosine' (ADVICE r6): head choice is
+    made in DIRECTION space, so it is (a) invariant to per-row positive
+    scaling and (b) covers every direction cluster even when L2 magnitudes
+    would swamp it."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dirs = np.eye(8)[:3]  # 3 orthogonal direction clusters
+    rows, scaled = [], []
+    vid = 0
+    for c in range(3):
+        for _ in range(20):
+            v = dirs[c] + rng.normal(0, 0.02, 8)
+            # magnitudes span 4 orders — under raw-L2 geometry the
+            # clusters form by NORM, not direction
+            mag = 10.0 ** rng.uniform(-1, 3)
+            rows.append((vid, [float(x) for x in v * mag]))
+            scaled.append((vid, [float(x) for x in v * mag * 7.5]))
+            vid += 1
+    df = spark.createDataFrame(rows, "id long, vector array<float>")
+    df2 = spark.createDataFrame(scaled, "id long, vector array<float>")
+
+    heads = select_heads(df, ratio=0.1, metric="cosine").collect()
+    # (a) scale invariance: per-row scaling must not change the chosen ids
+    heads2 = select_heads(df2, ratio=0.1, metric="cosine").collect()
+    assert sorted(r["head_id"] for r in heads) == sorted(
+        r["head_id"] for r in heads2
+    )
+    # (b) direction coverage: every cluster direction has a head within
+    # cos > 0.9 of it
+    H = np.array([list(r["vector"]) for r in heads], dtype=np.float64)
+    Hn = H / np.linalg.norm(H, axis=1, keepdims=True)
+    sims = Hn @ dirs.T  # (h, 3)
+    assert (sims.max(axis=0) > 0.9).all(), sims.max(axis=0)

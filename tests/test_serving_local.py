@@ -261,3 +261,44 @@ def test_aggregator_deadline_partial_results(spark, built):
     finally:
         agg.replicas[1] = slow
         agg.close()
+
+
+class _CrashReplica:
+    """Delegate that raises — the reference's FAILED child index
+    (AggregatorService folds error children into the same partial path as
+    timeouts)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def search_one(self, *a, **kw):
+        raise RuntimeError("shard crashed")
+
+
+def test_aggregator_crashed_shard_degrades_to_partial(spark, built):
+    """A shard that RAISES inside the deadline window must degrade exactly
+    like a slow shard: dropped from the merge, answer flagged partial —
+    never an exception at the server boundary (ADVICE r6)."""
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    _, heads, postings = built
+    agg = ShardedSpannAggregator(heads, postings, n_shards=3)
+    _, q = _qlist(spark)[0]
+    crashed = agg.replicas[1]
+    agg.replicas[1] = _CrashReplica(crashed)
+    try:
+        ids_p, d_p, partial = agg.search_with_deadline(
+            q, k=10, nprobe=4, budget_ms=30_000
+        )
+        assert partial
+        fast_ids, fast_d = [], []
+        for rep in (agg.replicas[0], agg.replicas[2]):
+            i2, d2 = rep.search_one(q, k=10, nprobe=4)
+            fast_ids.append(i2)
+            fast_d.append(d2)
+        exp_ids, exp_d = ShardedSpannAggregator._merge(fast_ids, fast_d, 10)
+        assert list(ids_p) == list(exp_ids)
+        assert np.allclose(d_p, exp_d)
+    finally:
+        agg.replicas[1] = crashed
+        agg.close()
