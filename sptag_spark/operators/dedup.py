@@ -238,13 +238,27 @@ def exact_jaccard(
     )
 
 
+# Observed-occupancy dispatch budget for rows_per_band="auto": the r=1
+# bucket self-join emits sum_b C(c_b, 2) rows; that sum is measured from the
+# signatures with one map-side-combinable groupBy BEFORE committing to the
+# join. Measured regimes (SCALING.md): 174k rows at sf0.1 and 816k at the
+# ×64 probe — negligible either way — vs 40.1M at ×256 (1.28M docs), where
+# the join dominated wall and grew quadratically in bucket occupancy.
+# Above the budget, banding coarsens to rows_per_band=2 (min_band_matches=1):
+# measured −25% end-to-end at ×256 with zero pair loss there; worst-case
+# recall exactly at J=threshold is 1-(1-J²)^8 ≈ 0.97 — the documented
+# web-scale trade. Below it, 1-row bands keep maximum recall for free.
+AUTO_PAIR_BUDGET = 2_000_000
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
-    rows_per_band: int = 1,
-    min_band_matches: int = 2,
+    rows_per_band: int | str = "auto",
+    min_band_matches: int | str = "auto",
+    auto_pair_budget: int = AUTO_PAIR_BUDGET,
 ) -> DataFrame:
     """MinHash-LSH candidates → exact-Jaccard verify → pairs ≥ threshold.
     (doc_a, doc_b, jaccard).
@@ -263,15 +277,18 @@ def minhash_near_dup_pairs(
     sort-merge when the corpus doesn't fit an executor.
 
     ``rows_per_band`` / ``min_band_matches`` pass through to
-    lsh_candidate_pairs. The defaults (1-row bands, ≥2 matching seeds)
-    maximize recall; the quadratic-in-bucket-occupancy term they leave is
-    the bucket self-JOIN's output before the ≥2-band aggregation cuts it
-    (measured ×256 probe, 1.28M docs: 40M joined rows feeding the
-    map-side-combined count). ``rows_per_band=2`` shrinks the buckets
-    themselves, before the join — measured 25% faster end-to-end at ×256
-    with zero pair loss on that corpus (SCALING.md); its worst-case recall
-    at exactly J=threshold is 1-(1-J^r)^(n/r) ≈ 0.97, which is the
-    documented web-scale trade."""
+    lsh_candidate_pairs. The default ``"auto"`` is an observed-occupancy
+    dispatch (the components.py size-dispatch discipline): ONE map-side-
+    combinable groupBy over the signatures measures the exact row count the
+    1-row-band bucket self-join would emit (sum over buckets of C(c, 2));
+    under ``auto_pair_budget`` the max-recall configuration (1-row bands,
+    ≥2 matching seeds — what lets the verify output hash-match a brute-
+    force oracle) is free and chosen, above it banding coarsens to
+    ``rows_per_band=2, min_band_matches=1`` — measured −25% end-to-end at
+    the ×256 probe with zero pair loss there, worst-case recall at exactly
+    J=threshold 1-(1-J²)^8 ≈ 0.97 (SCALING.md). Explicit integer knobs
+    bypass the dispatch entirely. The chosen configuration is attached to
+    the result as ``_sptag_lsh_config`` for tests/observability."""
     sets = shingle_hashes(docs, id_col, text_col).persist()
     exploded = sets.select(
         "doc_id", "hh",
@@ -284,8 +301,32 @@ def minhash_near_dup_pairs(
             F.transform("hh", lambda h: F.xxhash64(F.col("seed"), h))
         ).alias("minhash"),
     )
-    # ≥2 matching seeds: random collisions (almost always exactly one band)
-    # never reach the verify join; true J≥0.6 pairs keep a ~1e-5 miss bound
+    if rows_per_band == "auto":
+        # measure, don't guess: the exact output size of the r=1 bucket
+        # self-join, from bucket occupancies — one shuffle of ≤16·|docs|
+        # short rows with map-side combine, negligible against the join it
+        # sizes. (Same observed-size dispatch as connected_components.)
+        occ = (
+            signatures.groupBy("seed", "minhash")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs")
+            )
+            .first()
+        )
+        est_join_rows = float(occ["pairs"] or 0.0)
+        if est_join_rows > auto_pair_budget:
+            rows_per_band, min_band_matches = 2, 1
+        else:
+            rows_per_band, min_band_matches = 1, 2
+    elif min_band_matches == "auto":
+        # explicit band width, auto match count: pair them the way the
+        # probes measured them (r=1 needs m=2 to cut random single-band
+        # collisions; r≥2 bands are already selective)
+        min_band_matches = 2 if rows_per_band == 1 else 1
+    # ≥2 matching seeds (r=1 config): random collisions (almost always
+    # exactly one band) never reach the verify join; true J≥0.6 pairs keep
+    # a ~1e-5 miss bound
     cands = lsh_candidate_pairs(
         signatures,
         rows_per_band=rows_per_band,
@@ -304,7 +345,7 @@ def minhash_near_dup_pairs(
     inter = F.size(F.array_intersect(F.col("hh_a"), F.col("hh_b")))
     from sptag_spark.resources import attach_artifacts
 
-    return attach_artifacts(
+    out = attach_artifacts(
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter))
@@ -312,6 +353,8 @@ def minhash_near_dup_pairs(
         .select("doc_a", "doc_b", "jaccard"),
         [sets],
     )
+    out._sptag_lsh_config = (rows_per_band, min_band_matches)
+    return out
 
 
 SIMHASH_BITS = 16

@@ -490,3 +490,25 @@ def test_vocab_pair_counts_ranks_adjacent_pairs(spark):
     assert rows["y q"][1] == 1 and rows["y x"][1] == 1 and rows["y z"][1] == 1
     assert rows["y q"][0] < rows["y x"][0] < rows["y z"][0]
     assert "solo" not in " ".join(rows)  # single-token/empty docs yield no pairs
+
+
+def test_minhash_auto_banding_dispatch(corpus):
+    """rows_per_band='auto' (VERDICT r6): measured bucket occupancy picks
+    the banding. Small corpora stay on the max-recall (1, 2) config —
+    identical output to the explicit knobs — and a tiny budget forces the
+    web-scale (2, 1) config, which still verifies every surfaced pair
+    exactly (subset of the max-recall output)."""
+    auto = minhash_near_dup_pairs(corpus, threshold=0.5)
+    assert auto._sptag_lsh_config == (1, 2)
+    explicit = minhash_near_dup_pairs(
+        corpus, threshold=0.5, rows_per_band=1, min_band_matches=2
+    )
+    a = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in auto.collect()}
+    e = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in explicit.collect()}
+    assert a == e
+
+    forced = minhash_near_dup_pairs(corpus, threshold=0.5, auto_pair_budget=0)
+    assert forced._sptag_lsh_config == (2, 1)
+    f = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in forced.collect()}
+    assert f <= a
+    assert (0, 1, 1.0) in f  # the exact copy survives any banding
