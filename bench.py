@@ -38,6 +38,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # machine-state fingerprint FIRST (before Spark pins BLAS threads /
+    # loads the JVM): cross-sitting comparisons of this file's numbers are
+    # meaningless without it — the machine itself swings ~2.7× between
+    # sittings for identical code (AB_R5R6.md)
+    from sptag_spark.calibration import gemm_calibration
+
+    calibration = gemm_calibration()
+
     from sptag_spark.registry import all_specs
     from sptag_spark.session import get_spark
 
@@ -405,6 +413,8 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "total_query_wall_sec",
+        "calibration": calibration,
+        "calibration_after": gemm_calibration(),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
@@ -451,6 +461,7 @@ def _compact_line(out: dict, budget: int = 1900) -> dict:
         "value": out["value"],
         "unit": out["unit"],
         "sf": out["sf"],
+        "calibration": out["calibration"],
         "n_queries": len(timings),
         "runs_per_query": out["runs_per_query"],
         "n_errors": len(errors),
