@@ -179,6 +179,7 @@ def main() -> None:
     spann_curve: list = []
     spann_latency: dict = {}
     replica_latency: dict = {}
+    planner_latency: dict = {}
     try:
         heads, postings = spann_index(spark, sf_dir)
         queries_df = queries_table(spark, sf_dir)
@@ -357,6 +358,36 @@ def main() -> None:
             "n": len(rlat),
             "nprobe": spann_point["nprobe"],
         }
+
+        # Single-query latency through the PUBLIC planner API with a warmed
+        # replica (plans/planner.py warm_replica + execute_local): the
+        # reference's serving shape end-to-end — plan dispatch + RAM answer,
+        # no Spark job. Compare with spann_single_query_latency_ms (the same
+        # query as a per-query Spark job, ~0.9 s of fixed scheduling).
+        from sptag_spark.plans import TopKByDistance, plan_topk
+        from sptag_spark.tables import vectors_table
+
+        heads._sptag_replica = replica  # warm_replica's memo, same object
+        pspec = TopKByDistance(
+            vectors_table(spark, sf_dir), queries_df, k=10, recall_target=0.9
+        )
+        planned = plan_topk(pspec, spann_index=(heads, postings))
+        planned.nprobe = spann_point["nprobe"]
+        planned.execute_local(q_rows=[(reps[0][0], reps[0][1])])  # warm
+        plat = []
+        for qid, qv in reps:
+            t0 = time.time()
+            planned.execute_local(q_rows=[(qid, qv)])
+            plat.append((time.time() - t0) * 1000)
+        plat.sort()
+        planner_latency = {
+            "p50": round(plat[len(plat) // 2], 3),
+            "p99": round(plat[min(len(plat) - 1, int(0.99 * len(plat)))], 3),
+            "max": round(plat[-1], 3),
+            "n": len(plat),
+            "nprobe": spann_point["nprobe"],
+            "dispatch": planned.last_dispatch,
+        }
     except Exception as exc:  # noqa: BLE001
         errors["spann_metrics"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -426,6 +457,7 @@ def main() -> None:
         "spann_operating_curve": spann_curve,
         "spann_single_query_latency_ms": spann_latency,
         "spann_local_replica_latency_ms": replica_latency,
+        "planner_single_query_ms": planner_latency,
         "streaming_serve_micro_batches": stream_serve,
         "index_build_sec": builds,
         "errors": errors,
@@ -476,6 +508,11 @@ def _compact_line(out: dict, budget: int = 1900) -> dict:
             k: rl.get(k)
             for k in ("p50", "p99", "qps_single_thread", "qps_multiprocess")
             if k in rl
+        },
+        "planner_ms": {
+            k: (out.get("planner_single_query_ms") or {}).get(k)
+            for k in ("p50", "dispatch")
+            if k in (out.get("planner_single_query_ms") or {})
         },
         "index_build_total_sec": round(
             sum(out["index_build_sec"].values()), 3

@@ -60,6 +60,32 @@ BRUTE_ROW_THRESHOLD = 2_000_000
 # ~0.7 @ 3). Conservative step table, first match wins.
 _NPROBE_LADDER = [(0.95, 16), (0.9, 10), (0.8, 6), (0.0, 3)]
 
+# Single-query / small-batch SPANN plans dispatch to a warmed in-RAM
+# replica instead of a Spark job when one is memoized on the index
+# (warm_replica): a per-query Spark job costs ~1 s of fixed scheduling at
+# ANY scale, while the replica answers the identical rows in ~0.7 ms —
+# the reference server always answers from RAM (`SPANNIndex.cpp:192-216`,
+# ServiceContext loads artifacts at startup). Above this batch size the
+# Spark plan's throughput wins (one plan amortizes scheduling over the
+# whole batch) and the dispatch stays distributed.
+REPLICA_DISPATCH_MAX_QUERIES = 128
+
+
+def warm_replica(heads, postings):
+    """Load SPANN artifacts into a process-local in-RAM replica
+    (serving_local.LocalSpannReplica) and memoize it on the heads
+    DataFrame — the planner's serving tier. Idempotent; returns the
+    replica. Call once at serving startup (the reference's LoadIndex
+    moment); until called, the planner never pays the replica's
+    postings-to-RAM load implicitly."""
+    rep = getattr(heads, "_sptag_replica", None)
+    if rep is None:
+        from sptag_spark.serving_local import LocalSpannReplica
+
+        rep = LocalSpannReplica(heads, postings)
+        heads._sptag_replica = rep
+    return rep
+
 
 def _nprobe_for(recall_target: float) -> int:
     for floor, nprobe in _NPROBE_LADDER:
@@ -211,6 +237,20 @@ class PlannedSearch:
     est_vector_rows: int = 0
     nprobe: int | None = None
     _index: tuple[DataFrame, DataFrame] | None = None
+    # how the last execute()/execute_local() actually answered:
+    # "spark" | "replica" (observability for tests/ops)
+    last_dispatch: str | None = None
+
+    def _replica(self):
+        """The warmed in-RAM replica for this plan's index, if any; only
+        SPANN plans without a metadata filter are replica-servable (the
+        replica mirrors ann_search exactly — tests/test_serving_local.py —
+        but knows nothing of filter predicates)."""
+        if self.strategy != "SPANN" or self.spec.filter is not None:
+            return None
+        if self._index is None:
+            return None
+        return getattr(self._index[0], "_sptag_replica", None)
 
     def explain(self) -> str:
         lines = [
@@ -223,8 +263,67 @@ class PlannedSearch:
         lines += [f"  - {r}" for r in self.reasons]
         return "\n".join(lines)
 
+    def _serve_replica(self, rep, q_rows=None):
+        """Answer through the in-RAM replica; → pandas DataFrame in the
+        (query_id, rank, id, dist) contract."""
+        import numpy as np
+        import pandas as pd
+
+        s = self.spec
+        if q_rows is None:
+            q_rows = [
+                (int(r["query_id"]), r["vector"])
+                for r in s.queries.select("query_id", "vector").collect()
+            ]
+        from sptag_spark.index.ann import SEARCH_INTERNAL_RESULT_NUM
+
+        rows = rep.batch_search(
+            [(qid, np.asarray(v, dtype=np.float64)) for qid, v in q_rows],
+            k=s.k,
+            nprobe=self.nprobe or SEARCH_INTERNAL_RESULT_NUM,
+            metric=s.metric,
+        )
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "id", "dist"]
+        ).astype({"query_id": "int64", "rank": "int64", "id": "int64"})
+
+    def execute_local(self, q_rows=None):
+        """ms-scale serving entry: → pandas DataFrame, answering WITHOUT
+        any Spark job when a warmed replica exists (warm_replica) and the
+        batch is serve-sized. Pass ``q_rows`` ([(query_id, vector), ...])
+        to skip even the query-batch collect — the path a request handler
+        takes with vectors already in hand (the reference server parses
+        the wire query straight to a RAM search, `SPANNIndex.cpp:192`).
+        Falls back to the distributed plan (one Spark job) otherwise."""
+        rep = self._replica()
+        if rep is not None and (
+            q_rows is not None
+            or _query_batch_rows(self.spec.queries)
+            <= REPLICA_DISPATCH_MAX_QUERIES
+        ):
+            self.last_dispatch = "replica"
+            return self._serve_replica(rep, q_rows)
+        self.last_dispatch = "spark"
+        return self.execute().toPandas()
+
     def execute(self) -> DataFrame:
         s = self.spec
+        # serving fast path: a warmed replica + a small batch answers
+        # without a distributed stage (the rows come back through ONE
+        # Arrow createDataFrame so the return contract stays a DataFrame;
+        # use execute_local() to skip Spark entirely). Row-identical to
+        # the ann_search plan — the replica mirrors its routing/scoring
+        # (pinned by tests).
+        rep = self._replica()
+        if rep is not None:
+            n_q = _query_batch_rows(s.queries)
+            if n_q <= REPLICA_DISPATCH_MAX_QUERIES:
+                pdf = self._serve_replica(rep)
+                self.last_dispatch = "replica"
+                return s.queries.sparkSession.createDataFrame(
+                    pdf, schema="query_id long, rank long, id long, dist double"
+                )
+        self.last_dispatch = "spark"
         src = s.vectors
         if s.filter is not None:
             src = src.filter(s.filter)

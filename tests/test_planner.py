@@ -256,3 +256,56 @@ def test_cost_model_observe_flips_decision(vecs, qs):
         ).strategy
         == "BRUTE_KERNEL"
     )
+
+
+def test_replica_fast_path_dispatch(vecs, qs):
+    """VERDICT r6 ask #5: once warm_replica() has loaded the index into
+    RAM, small-batch SPANN plans answer from it — row-identical to the
+    distributed plan — and execute_local(q_rows=...) answers in
+    milliseconds with zero Spark jobs."""
+    import time
+
+    from sptag_spark.index.ann import ann_search
+    from sptag_spark.plans.planner import warm_replica
+
+    heads = select_heads(vecs.select("id", "vector"), ratio=0.12).persist()
+    postings = build_postings(vecs.select("id", "vector"), heads).persist()
+    postings.count()
+
+    spec = TopKByDistance(vecs, qs, k=K, recall_target=0.9)
+    p = plan_topk(spec, spann_index=(heads, postings))
+    assert p.strategy == "SPANN"
+
+    # not warmed: executes through Spark
+    cold = p.execute().toPandas()
+    assert p.last_dispatch == "spark"
+
+    warm_replica(heads, postings)
+    hot_df = p.execute()
+    assert p.last_dispatch == "replica"
+    hot = hot_df.toPandas()
+
+    ref = (
+        ann_search(qs, heads, postings, k=K, nprobe=p.nprobe)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    for got in (cold, hot):
+        got = got.sort_values(["query_id", "rank"], ignore_index=True)
+        assert got[["query_id", "rank", "id"]].values.tolist() == ref[
+            ["query_id", "rank", "id"]
+        ].values.tolist()
+        assert np.allclose(got["dist"], ref["dist"])
+
+    # execute_local with vectors in hand: no Spark involvement, ms-scale
+    q_rows = [(int(r["query_id"]), list(r["vector"])) for r in qs.collect()]
+    p.execute_local(q_rows=q_rows[:1])  # warm numpy paths
+    t0 = time.perf_counter()
+    out = p.execute_local(q_rows=q_rows[:1])
+    dt_ms = (time.perf_counter() - t0) * 1000
+    assert p.last_dispatch == "replica"
+    one_ref = ref[ref["query_id"] == q_rows[0][0]]
+    assert out[["query_id", "rank", "id"]].values.tolist() == one_ref[
+        ["query_id", "rank", "id"]
+    ].values.tolist()
+    assert dt_ms < 100, dt_ms  # generous CI bound; bench records the p50
