@@ -632,3 +632,67 @@ def test_parse_wav_chunk_walk_past_extra_chunks(spark):
     spliced = wav[:12] + junk + wav[12:]
     spliced = b"RIFF" + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
     assert _parse_wav(spliced) == (44100, 1, 100)
+
+
+def test_stateful_dedup_bloom_mode(spark, tmp_path_factory):
+    """state_mode='bloom' (VERDICT r6 ask #3): fixed-size per-shard state,
+    NO false negatives (every true cross-batch duplicate is dropped), and
+    the unique-key false-positive rate stays within the analytic Bloom
+    bound (1-e^(-kn/m))^k."""
+    import math
+    import os
+
+    from sptag_spark.streaming.stateful import streaming_first_wins_dedup
+
+    d = tmp_path_factory.mktemp("bloomdedup")
+    src, ckpt, out = str(d / "src"), str(d / "ckpt"), str(d / "out")
+    os.makedirs(src)
+    schema = "doc_id long, text string, seq long"
+    M_BITS, K, SHARDS = 2048, 7, 4
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        dedup = streaming_first_wins_dedup(
+            stream, "doc_id", "seq",
+            n_state_shards=SHARDS, state_mode="bloom",
+            bloom_bits_per_shard=M_BITS, bloom_hashes=K,
+        )
+        q = (
+            dedup.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [r["doc_id"] for r in spark.read.parquet(out).collect()]
+
+    n1 = 1000
+    b1 = spark.createDataFrame(
+        [(i, f"doc{i}", i) for i in range(n1)], schema
+    )
+    b1.write.mode("append").parquet(src)
+    got1 = set(run_once())
+    # batch 1 may already lose a few uniques to in-filter collisions as it
+    # fills; the analytic bound applies to the final fill level
+    fp_bound = (1 - math.exp(-K * (n1 / SHARDS) / M_BITS)) ** K
+    assert len(got1) >= n1 * (1 - 4 * fp_bound) - 5
+
+    # batch 2: every batch-1 key again (MUST all be dropped — Bloom has no
+    # false negatives) plus n1 new keys (emitted at >= 1 - bound rate)
+    b2 = spark.createDataFrame(
+        [(i, f"dup{i}", n1 + i) for i in range(n1)]
+        + [(n1 + i, f"new{i}", 2 * n1 + i) for i in range(n1)],
+        schema,
+    )
+    b2.write.mode("append").parquet(src)
+    all_ids = run_once()
+    assert len(all_ids) == len(set(all_ids))  # nothing emitted twice, ever
+    new_emitted = [i for i in set(all_ids) - got1]
+    assert all(i >= n1 for i in new_emitted)  # no batch-1 repeat re-emitted
+    # fill after batch 2 approaches 2*n1 keys; apply the bound at that fill
+    fp2 = (1 - math.exp(-K * (2 * n1 / SHARDS) / M_BITS)) ** K
+    assert len(new_emitted) >= n1 * (1 - 4 * fp2) - 5, (
+        len(new_emitted), fp2
+    )
