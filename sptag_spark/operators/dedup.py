@@ -115,6 +115,98 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def minhash_sig_array(
+    sets: DataFrame, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """(doc_id, sig ARRAY<LONG>): the full MinHash signature as ONE array
+    column, map-only from the (doc_id, hh) side table. One output row per
+    doc — the hh array is traversed n_hashes times WITHIN one projection
+    row (cache-hot), never exploded into n_hashes copies of itself. The
+    long-format twin (minhash_signature) explodes seeds below the shingle
+    barrier, which is right when the consumer wants long rows; for banding
+    it shipped the ~1.6 KB hh array 16× per doc and fed a 10M-group
+    collect_list+string agg at the ×256 probe — the measured GC wall this
+    shape removed (SCALING.md r7)."""
+    # NB: the per-seed lambda must be unary — F.transform inspects lambda
+    # arity and passes the ELEMENT INDEX as a second argument, which would
+    # silently shadow a `s=s` default binding
+    def seed_hash(s: int):
+        return lambda h: F.xxhash64(F.lit(s), h)
+
+    return sets.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform("hh", seed_hash(s)))
+                for s in range(n_hashes)
+            ]
+        ).alias("sig"),
+    )
+
+
+def banded_buckets(
+    sig_df: DataFrame, rows_per_band: int = 1, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """(doc_id, seed, minhash) LSH bucket keys from array signatures,
+    map-only: r=1 buckets are the signature values themselves (identical
+    to the long-format path — the oracle-equality configuration); r>1
+    band keys hash the band's r consecutive slots directly
+    (xxhash64(band, sig[i..]) — value-equivalent partitioning to the
+    string-join form it replaces, no collect_list, no strings)."""
+    if rows_per_band <= 1:
+        entries = [
+            F.struct(
+                F.lit(s).cast("int").alias("seed"),
+                F.col("sig")[s].alias("minhash"),
+            )
+            for s in range(n_hashes)
+        ]
+    else:
+        entries = [
+            F.struct(
+                F.lit(b).cast("int").alias("seed"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.col("sig")[i]
+                        for i in range(
+                            b * rows_per_band, (b + 1) * rows_per_band
+                        )
+                    ],
+                ).alias("minhash"),
+            )
+            for b in range(n_hashes // rows_per_band)
+        ]
+    return sig_df.select(
+        "doc_id", F.explode(F.array(*entries)).alias("bk")
+    ).select("doc_id", F.col("bk.seed").alias("seed"), F.col("bk.minhash").alias("minhash"))
+
+
+def _bucket_candidates(
+    banded: DataFrame, min_band_matches: int = 1
+) -> DataFrame:
+    """Bucket self-join + ≥m-band filter over (doc_id, seed, minhash)
+    bucket keys — the shared tail of both banding front-ends."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.seed") == F.col("b.seed"))
+        & (F.col("a.minhash") == F.col("b.minhash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    if min_band_matches > 1:
+        return (
+            joined.groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("_m"))
+            .filter(F.col("_m") >= min_band_matches)
+            .select("doc_a", "doc_b")
+        )
+    return joined.distinct()
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, rows_per_band: int = 1, min_band_matches: int = 1
 ) -> DataFrame:
@@ -164,24 +256,7 @@ def lsh_candidate_pairs(
             .withColumnRenamed("band", "seed")
         )
         signatures = banded
-    a = signatures.alias("a")
-    b = signatures.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.seed") == F.col("b.seed"))
-        & (F.col("a.minhash") == F.col("b.minhash"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-    )
-    if min_band_matches > 1:
-        return (
-            joined.groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("_m"))
-            .filter(F.col("_m") >= min_band_matches)
-            .select("doc_a", "doc_b")
-        )
-    return joined.distinct()
+    return _bucket_candidates(signatures, min_band_matches)
 
 
 def exact_jaccard(
@@ -290,24 +365,20 @@ def minhash_near_dup_pairs(
     bypass the dispatch entirely. The chosen configuration is attached to
     the result as ``_sptag_lsh_config`` for tests/observability."""
     sets = shingle_hashes(docs, id_col, text_col).persist()
-    exploded = sets.select(
-        "doc_id", "hh",
-        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed"),
-    )
-    signatures = exploded.select(
-        "doc_id",
-        "seed",
-        F.array_min(
-            F.transform("hh", lambda h: F.xxhash64(F.col("seed"), h))
-        ).alias("minhash"),
-    )
+    # ONE array-signature row per doc, map-only from the pinned hh table
+    # (the long-format explode shipped hh 16× per doc and the r>1 banding
+    # paid a 10M-group collect_list+string agg at ×256 — SCALING.md r7);
+    # persisted because occupancy measurement and banding both consume it.
+    sig_df = minhash_sig_array(sets).persist()
+    pinned = [sets, sig_df]
     if rows_per_band == "auto":
         # measure, don't guess: the exact output size of the r=1 bucket
-        # self-join, from bucket occupancies — one shuffle of ≤16·|docs|
-        # short rows with map-side combine, negligible against the join it
+        # self-join, from bucket occupancies — one map-side-combinable
+        # shuffle of 16·|docs| short rows, negligible against the join it
         # sizes. (Same observed-size dispatch as connected_components.)
         occ = (
-            signatures.groupBy("seed", "minhash")
+            banded_buckets(sig_df, rows_per_band=1)
+            .groupBy("seed", "minhash")
             .agg(F.count("*").alias("c"))
             .agg(
                 F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs")
@@ -327,9 +398,8 @@ def minhash_near_dup_pairs(
     # ≥2 matching seeds (r=1 config): random collisions (almost always
     # exactly one band) never reach the verify join; true J≥0.6 pairs keep
     # a ~1e-5 miss bound
-    cands = lsh_candidate_pairs(
-        signatures,
-        rows_per_band=rows_per_band,
+    cands = _bucket_candidates(
+        banded_buckets(sig_df, rows_per_band=rows_per_band),
         min_band_matches=min_band_matches,
     )
     sa = sets.select(
@@ -351,7 +421,7 @@ def minhash_near_dup_pairs(
         .withColumn("jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard"),
-        [sets],
+        pinned,
     )
     out._sptag_lsh_config = (rows_per_band, min_band_matches)
     return out

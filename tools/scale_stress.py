@@ -95,6 +95,12 @@ def main() -> None:
         int(s)
         for s in (sys.argv[sys.argv.index("--scales") + 1] if "--scales" in sys.argv else "1,4,16").split(",")
     ]
+    # --ops a,b,c restricts the probe to the named operators (default all)
+    only_ops = (
+        set(sys.argv[sys.argv.index("--ops") + 1].split(","))
+        if "--ops" in sys.argv
+        else None
+    )
     from sptag_spark.session import get_spark
 
     os.environ.setdefault("SPTAG_SPARK_DRIVER_MEM", "48g")
@@ -112,37 +118,48 @@ def main() -> None:
 
     results: list[dict] = []
 
-    def record(op: str, scale: int, n: int, sec: float) -> None:
+    def record(op: str, scale: int, n: int, fn) -> None:
+        if only_ops is not None and op not in only_ops:
+            return
+        sec = fn if isinstance(fn, (int, float)) else timed(fn)
         row = {"op": op, "scale": scale, "rows_in": n, "sec": round(sec, 2)}
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    DOC_OPS = {"minhash_near_dup", "duplicate_spans", "bm25_topk",
+               "dedup_clusters", "doc_chunks", "vocab_pair_counts"}
+    VEC_OPS = {"spann_build", "spann_serve", "range_search"}
     for scale in scales:
-        dpath = materialize(
-            scaled_docs(spark, scale), f"{WORK}/documents_x{scale}.parquet"
-        )
-        docs = spark.read.parquet(dpath)
-        nd = docs.count()
+        if only_ops is not None and not (only_ops & DOC_OPS):
+            docs, nd = None, 0
+        else:
+            dpath = materialize(
+                scaled_docs(spark, scale), f"{WORK}/documents_x{scale}.parquet"
+            )
+            docs = spark.read.parquet(dpath)
+            nd = docs.count()
 
-        record("minhash_near_dup", scale, nd, timed(
+        record("minhash_near_dup", scale, nd,
             lambda: minhash_near_dup_pairs(docs, 0.6).write.format("noop").mode("overwrite").save()
-        ))
-        record("duplicate_spans", scale, nd, timed(
+        )
+        record("duplicate_spans", scale, nd,
             lambda: duplicate_spans(docs, 10).write.format("noop").mode("overwrite").save()
-        ))
-        record("bm25_topk", scale, nd, timed(
+        )
+        record("bm25_topk", scale, nd,
             lambda: bm25_topk(docs, ["merge", "scan", "hash"], k=20).write.format("noop").mode("overwrite").save()
-        ))
-        record("dedup_clusters", scale, nd, timed(
+        )
+        record("dedup_clusters", scale, nd,
             lambda: dedup_clusters(docs, 0.6).write.format("noop").mode("overwrite").save()
-        ))
-        record("doc_chunks", scale, nd, timed(
+        )
+        record("doc_chunks", scale, nd,
             lambda: chunk_documents(docs).write.format("noop").mode("overwrite").save()
-        ))
-        record("vocab_pair_counts", scale, nd, timed(
+        )
+        record("vocab_pair_counts", scale, nd,
             lambda: vocab_pair_counts(docs).write.format("noop").mode("overwrite").save()
-        ))
+        )
 
+        if only_ops is not None and not (only_ops & VEC_OPS):
+            continue
         epath = materialize(
             scaled_embeddings(spark, scale), f"{WORK}/embeddings_x{scale}.parquet"
         )
@@ -158,14 +175,14 @@ def main() -> None:
         postings.count()
         record("spann_build", scale, nv, time.time() - t0)
         nprobe = max(10, heads.count() * 85 // 1000)
-        record("spann_serve", scale, nv, timed(
+        record("spann_serve", scale, nv,
             lambda: ann_search(queries, heads, postings, k=10, nprobe=nprobe)
             .write.format("noop").mode("overwrite").save()
-        ))
-        record("range_search", scale, nv, timed(
+        )
+        record("range_search", scale, nv,
             lambda: range_search(vecs, queries, radius=1.3)
             .write.format("noop").mode("overwrite").save()
-        ))
+        )
         heads.unpersist()
         postings.unpersist()
 
