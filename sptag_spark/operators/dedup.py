@@ -314,16 +314,34 @@ def exact_jaccard(
 
 
 # Observed-occupancy dispatch budget for rows_per_band="auto": the r=1
-# bucket self-join emits sum_b C(c_b, 2) rows; that sum is measured from the
-# signatures with one map-side-combinable groupBy BEFORE committing to the
-# join. Measured regimes (SCALING.md): 174k rows at sf0.1 and 816k at the
-# ×64 probe — negligible either way — vs 40.1M at ×256 (1.28M docs), where
-# the join dominated wall and grew quadratically in bucket occupancy.
-# Above the budget, banding coarsens to rows_per_band=2 (min_band_matches=1):
-# measured −25% end-to-end at ×256 with zero pair loss there; worst-case
-# recall exactly at J=threshold is 1-(1-J²)^8 ≈ 0.97 — the documented
-# web-scale trade. Below it, 1-row bands keep maximum recall for free.
+# bucket grouping emits sum_b C(c_b, 2) candidate pairs; that sum is
+# measured from the SAME grouped-bucket table the candidate generation
+# consumes (folded — no standalone probe job; VERDICT r7 measured the
+# separate probe at +72% wall at sf0.1). Measured regimes (SCALING.md):
+# 174k rows at sf0.1 and 816k at the ×64 probe — negligible either way —
+# vs 40.1M at ×256 (1.28M docs), where pair volume dominated wall and grew
+# quadratically in bucket occupancy. Above the budget, banding coarsens to
+# rows_per_band=2 (min_band_matches=1): measured −25% end-to-end at ×256
+# with zero pair loss there; worst-case recall exactly at J=threshold is
+# 1-(1-J²)^8 ≈ 0.97 — the documented web-scale trade. Below it, 1-row
+# bands keep maximum recall for free.
 AUTO_PAIR_BUDGET = 2_000_000
+
+
+def _pairs_within_buckets(buckets: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) per bucket from a grouped (seed, minhash, ids) table
+    whose ids arrays are sorted — one ordered pair per band collision,
+    row-identical to the (seed, minhash) self-join it replaces but with
+    zero additional shuffle: pairs explode map-side from the already
+    grouped buckets."""
+    return buckets.select(
+        F.posexplode("ids").alias("_i", "doc_a"), "ids"
+    ).select(
+        "doc_a",
+        F.explode(
+            F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))
+        ).alias("doc_b"),
+    )
 
 
 def minhash_near_dup_pairs(
@@ -353,17 +371,26 @@ def minhash_near_dup_pairs(
 
     ``rows_per_band`` / ``min_band_matches`` pass through to
     lsh_candidate_pairs. The default ``"auto"`` is an observed-occupancy
-    dispatch (the components.py size-dispatch discipline): ONE map-side-
-    combinable groupBy over the signatures measures the exact row count the
-    1-row-band bucket self-join would emit (sum over buckets of C(c, 2));
-    under ``auto_pair_budget`` the max-recall configuration (1-row bands,
-    ≥2 matching seeds — what lets the verify output hash-match a brute-
-    force oracle) is free and chosen, above it banding coarsens to
-    ``rows_per_band=2, min_band_matches=1`` — measured −25% end-to-end at
-    the ×256 probe with zero pair loss there, worst-case recall at exactly
-    J=threshold 1-(1-J²)^8 ≈ 0.97 (SCALING.md). Explicit integer knobs
-    bypass the dispatch entirely. The chosen configuration is attached to
-    the result as ``_sptag_lsh_config`` for tests/observability."""
+    dispatch (the components.py size-dispatch discipline), FOLDED into the
+    banding pass itself: the r=1 buckets are grouped once
+    (groupBy(seed, minhash) → sorted id arrays, persisted), the exact
+    candidate-pair count sum_b C(c_b, 2) is a trivial agg over that small
+    grouped table, and when it clears ``auto_pair_budget`` the candidates
+    explode map-side from the SAME table — the occupancy measurement costs
+    no standalone probe job (VERDICT r7 measured the unfolded probe at
+    +72% wall at sf0.1). Two further short-circuits skip even the
+    occupancy sync: a caller-supplied or memoized doc count n with
+    16·C(n,2) ≤ budget proves the worst case fits (no job at all), and an
+    explicit integer ``rows_per_band`` bypasses the dispatch entirely. An
+    explicit integer ``min_band_matches`` is honored under every dispatch
+    outcome (only ``"auto"`` is reassigned). Under the budget the
+    max-recall configuration (1-row bands, ≥2 matching seeds — what lets
+    the verify output hash-match a brute-force oracle) is chosen; above it
+    banding coarsens to ``rows_per_band=2, min_band_matches=1`` — measured
+    −25% end-to-end at the ×256 probe with zero pair loss there,
+    worst-case recall at exactly J=threshold 1-(1-J²)^8 ≈ 0.97
+    (SCALING.md). The chosen configuration is attached to the result as
+    ``_sptag_lsh_config`` for tests/observability."""
     sets = shingle_hashes(docs, id_col, text_col).persist()
     # ONE array-signature row per doc, map-only from the pinned hh table
     # (the long-format explode shipped hh 16× per doc and the r>1 banding
@@ -371,26 +398,60 @@ def minhash_near_dup_pairs(
     # persisted because occupancy measurement and banding both consume it.
     sig_df = minhash_sig_array(sets).persist()
     pinned = [sets, sig_df]
+    cands = None
     if rows_per_band == "auto":
-        # measure, don't guess: the exact output size of the r=1 bucket
-        # self-join, from bucket occupancies — one map-side-combinable
-        # shuffle of 16·|docs| short rows, negligible against the join it
-        # sizes. (Same observed-size dispatch as connected_components.)
-        occ = (
-            banded_buckets(sig_df, rows_per_band=1)
-            .groupBy("seed", "minhash")
-            .agg(F.count("*").alias("c"))
-            .agg(
-                F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs")
-            )
-            .first()
-        )
-        est_join_rows = float(occ["pairs"] or 0.0)
-        if est_join_rows > auto_pair_budget:
-            rows_per_band, min_band_matches = 2, 1
+        n_docs = getattr(docs, "_sptag_cached_count", None)
+        if (
+            n_docs is not None
+            and N_MINHASH * n_docs * (n_docs - 1) // 2 <= auto_pair_budget
+        ):
+            # worst case (every doc in one bucket, all 16 seeds) already
+            # clears the budget — no occupancy job, no driver sync
+            rows_per_band = 1
+            if min_band_matches == "auto":
+                min_band_matches = 2
         else:
-            rows_per_band, min_band_matches = 1, 2
-    elif min_band_matches == "auto":
+            # measure, don't guess — but fold: group the r=1 buckets ONCE
+            # (the same shuffle the candidate generation needs), read the
+            # exact pair count sum_b C(c_b, 2) off the small persisted
+            # grouped table, and when under budget explode candidates from
+            # it map-side. Single-occupant buckets carry no pairs and are
+            # dropped before persist. (Same observed-size dispatch as
+            # connected_components, minus the standalone probe job.)
+            buckets = (
+                banded_buckets(sig_df, rows_per_band=1)
+                .groupBy("seed", "minhash")
+                .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+                .filter(F.size("ids") >= 2)
+                .persist()
+            )
+            occ = buckets.agg(
+                F.sum(
+                    F.size("ids") * (F.size("ids") - 1) / 2
+                ).alias("pairs")
+            ).first()
+            est_join_rows = float(occ["pairs"] or 0.0)
+            if est_join_rows > auto_pair_budget:
+                buckets.unpersist()
+                rows_per_band = 2
+                if min_band_matches == "auto":
+                    min_band_matches = 1
+            else:
+                rows_per_band = 1
+                if min_band_matches == "auto":
+                    min_band_matches = 2
+                pinned.append(buckets)
+                raw = _pairs_within_buckets(buckets)
+                if min_band_matches > 1:
+                    cands = (
+                        raw.groupBy("doc_a", "doc_b")
+                        .agg(F.count("*").alias("_m"))
+                        .filter(F.col("_m") >= min_band_matches)
+                        .select("doc_a", "doc_b")
+                    )
+                else:
+                    cands = raw.distinct()
+    if min_band_matches == "auto":
         # explicit band width, auto match count: pair them the way the
         # probes measured them (r=1 needs m=2 to cut random single-band
         # collisions; r≥2 bands are already selective)
@@ -398,10 +459,11 @@ def minhash_near_dup_pairs(
     # ≥2 matching seeds (r=1 config): random collisions (almost always
     # exactly one band) never reach the verify join; true J≥0.6 pairs keep
     # a ~1e-5 miss bound
-    cands = _bucket_candidates(
-        banded_buckets(sig_df, rows_per_band=rows_per_band),
-        min_band_matches=min_band_matches,
-    )
+    if cands is None:
+        cands = _bucket_candidates(
+            banded_buckets(sig_df, rows_per_band=rows_per_band),
+            min_band_matches=min_band_matches,
+        )
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hh").alias("hh_a"),

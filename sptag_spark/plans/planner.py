@@ -294,16 +294,44 @@ class PlannedSearch:
         to skip even the query-batch collect — the path a request handler
         takes with vectors already in hand (the reference server parses
         the wire query straight to a RAM search, `SPANNIndex.cpp:192`).
-        Falls back to the distributed plan (one Spark job) otherwise."""
+        Falls back to the distributed plan (one Spark job) otherwise —
+        including when ``q_rows`` itself exceeds
+        REPLICA_DISPATCH_MAX_QUERIES (ADVICE r7: a large explicit batch
+        must not be served single-threaded on the replica; it becomes a
+        createDataFrame + distributed execute)."""
         rep = self._replica()
-        if rep is not None and (
-            q_rows is not None
-            or _query_batch_rows(self.spec.queries)
-            <= REPLICA_DISPATCH_MAX_QUERIES
-        ):
+        n_q = (
+            len(q_rows)
+            if q_rows is not None
+            else _query_batch_rows(self.spec.queries)
+        )
+        if rep is not None and n_q <= REPLICA_DISPATCH_MAX_QUERIES:
             self.last_dispatch = "replica"
             return self._serve_replica(rep, q_rows)
         self.last_dispatch = "spark"
+        if q_rows is not None:
+            # rebuild the same physical plan over the explicit batch as a
+            # DataFrame, then run it distributed
+            from dataclasses import replace
+
+            spark = self.spec.queries.sparkSession
+            from pyspark.sql.types import StructType
+
+            qdf = spark.createDataFrame(
+                [(int(qid), [float(x) for x in v]) for qid, v in q_rows],
+                schema=StructType(
+                    [
+                        self.spec.queries.schema["query_id"],
+                        self.spec.queries.schema["vector"],
+                    ]
+                ),
+            )
+            plan = replace(
+                self, spec=replace(self.spec, queries=qdf), last_dispatch=None
+            )
+            out = plan.execute().toPandas()
+            self.last_dispatch = plan.last_dispatch
+            return out
         return self.execute().toPandas()
 
     def execute(self) -> DataFrame:

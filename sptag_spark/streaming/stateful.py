@@ -53,6 +53,14 @@ def _first_wins_shard(key_col: str, cols: list[str]):
         dt = np.dtype(_PAIR_DT)
         if state.exists:
             (blob,) = state.get
+            if len(blob) % dt.itemsize != 0:
+                raise ValueError(
+                    "streaming_first_wins_dedup: restored exact-mode state "
+                    f"blob is {len(blob)} bytes, not a multiple of "
+                    f"{dt.itemsize} — the checkpoint was written by an "
+                    "incompatible state_mode (e.g. 'bloom'). Restart from a "
+                    "fresh checkpoint or restore the original mode."
+                )
             seen = np.frombuffer(blob, dtype=dt)
         else:
             seen = np.empty(0, dtype=dt)
@@ -102,6 +110,16 @@ def _first_wins_bloom_shard(key_col: str, cols: list[str], m_bits: int, k_hashes
 
         if state.exists:
             (blob,) = state.get
+            if len(blob) != m_bits // 8:
+                raise ValueError(
+                    "streaming_first_wins_dedup: restored bloom-mode state "
+                    f"blob is {len(blob)} bytes but bloom_bits_per_shard="
+                    f"{m_bits} expects {m_bits // 8} — the checkpoint was "
+                    "written with a different bloom size or state_mode. A "
+                    "mismatched blob would silently corrupt membership; "
+                    "restart from a fresh checkpoint or restore the "
+                    "original configuration."
+                )
             bits = np.frombuffer(blob, dtype=np.uint8).copy()
         else:
             bits = np.zeros(m_bits // 8, dtype=np.uint8)

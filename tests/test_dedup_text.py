@@ -512,3 +512,40 @@ def test_minhash_auto_banding_dispatch(corpus):
     f = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in forced.collect()}
     assert f <= a
     assert (0, 1, 1.0) in f  # the exact copy survives any banding
+
+
+def test_minhash_auto_honors_explicit_min_band_matches(corpus):
+    """ADVICE r7: an explicit integer min_band_matches combined with
+    rows_per_band='auto' must survive BOTH dispatch outcomes, not be
+    silently reassigned by the auto branch."""
+    kept = minhash_near_dup_pairs(
+        corpus, threshold=0.5, min_band_matches=1
+    )
+    assert kept._sptag_lsh_config == (1, 1)
+    forced = minhash_near_dup_pairs(
+        corpus, threshold=0.5, min_band_matches=2, auto_pair_budget=0
+    )
+    assert forced._sptag_lsh_config == (2, 2)
+    # m=1 at r=1 is a candidate superset of the default m=2: output must
+    # still be exact-verified pairs, so it equals the m=2 output plus any
+    # genuinely-≥threshold single-band pairs
+    base = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dup_pairs(corpus, threshold=0.5).collect()
+    }
+    loose = {(r["doc_a"], r["doc_b"]) for r in kept.collect()}
+    assert base <= loose
+
+
+def test_minhash_auto_count_hint_short_circuit(corpus):
+    """A memoized doc count whose worst case 16·C(n,2) clears the budget
+    skips the occupancy job entirely and lands on the max-recall config
+    with identical output."""
+    auto = minhash_near_dup_pairs(corpus, threshold=0.5)
+    hinted_corpus = corpus.limit(1000000).alias("h")  # fresh DF node
+    hinted_corpus._sptag_cached_count = corpus.count()
+    hinted = minhash_near_dup_pairs(hinted_corpus, threshold=0.5)
+    assert hinted._sptag_lsh_config == (1, 2)
+    a = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in auto.collect()}
+    h = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in hinted.collect()}
+    assert a == h

@@ -696,3 +696,56 @@ def test_stateful_dedup_bloom_mode(spark, tmp_path_factory):
     assert len(new_emitted) >= n1 * (1 - 4 * fp2) - 5, (
         len(new_emitted), fp2
     )
+
+
+class _FakeGroupState:
+    def __init__(self, blob=None):
+        self._blob = blob
+        self.updated = None
+
+    @property
+    def exists(self):
+        return self._blob is not None
+
+    @property
+    def get(self):
+        return (self._blob,)
+
+    def update(self, t):
+        self.updated = t
+
+
+def test_stateful_dedup_rejects_incompatible_state_blob():
+    """ADVICE r7: a restored state blob whose size contradicts the
+    configured mode must raise a descriptive error, not silently
+    misinterpret membership (bloom) or crash mid-batch (exact)."""
+    import pandas as pd
+    import pytest
+
+    from sptag_spark.streaming.stateful import (
+        _first_wins_bloom_shard,
+        _first_wins_shard,
+    )
+
+    batch = pd.DataFrame(
+        {"doc_id": [1], "seq": [0], "_order": [0], "_h1": [11], "_h2": [7]}
+    )
+    cols = ["doc_id", "seq"]
+
+    # bloom fn configured for 2048 bits (256-byte blob) fed a 17-byte blob
+    bad_bloom = _FakeGroupState(b"\x00" * 17)
+    with pytest.raises(ValueError, match="bloom_bits_per_shard"):
+        list(_first_wins_bloom_shard("doc_id", cols, 2048, 7)((0,), iter([batch]), bad_bloom))
+
+    # exact fn fed a blob that is not a whole number of 16-byte pairs
+    bad_exact = _FakeGroupState(b"\x00" * 17)
+    with pytest.raises(ValueError, match="exact-mode"):
+        list(_first_wins_shard("doc_id", cols)((0,), iter([batch]), bad_exact))
+
+    # matching sizes still work end-to-end through the same entry points
+    ok_bloom = _FakeGroupState(b"\x00" * 256)
+    out = list(_first_wins_bloom_shard("doc_id", cols, 2048, 7)((0,), iter([batch]), ok_bloom))
+    assert len(out) == 1 and ok_bloom.updated is not None
+    ok_exact = _FakeGroupState(b"\x00" * 32)
+    out = list(_first_wins_shard("doc_id", cols)((0,), iter([batch]), ok_exact))
+    assert len(out) == 1 and ok_exact.updated is not None

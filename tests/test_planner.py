@@ -309,3 +309,26 @@ def test_replica_fast_path_dispatch(vecs, qs):
         ["query_id", "rank", "id"]
     ].values.tolist()
     assert dt_ms < 100, dt_ms  # generous CI bound; bench records the p50
+
+    # ADVICE r7: an explicit q_rows batch ABOVE the dispatch cap must not
+    # be served single-threaded on the replica — it falls back to the
+    # distributed plan, row-identical per query.
+    from sptag_spark.plans.planner import REPLICA_DISPATCH_MAX_QUERIES
+
+    big = [
+        (10_000 + i, q_rows[i % len(q_rows)][1])
+        for i in range(REPLICA_DISPATCH_MAX_QUERIES + 12)
+    ]
+    big_out = p.execute_local(q_rows=big)
+    assert p.last_dispatch == "spark"
+    assert set(big_out["query_id"]) == {qid for qid, _ in big}
+    small = p.execute_local(q_rows=big[:3])
+    assert p.last_dispatch == "replica"
+    got3 = (
+        big_out[big_out["query_id"].isin([qid for qid, _ in big[:3]])]
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want3 = small.sort_values(["query_id", "rank"], ignore_index=True)
+    assert got3[["query_id", "rank", "id"]].values.tolist() == want3[
+        ["query_id", "rank", "id"]
+    ].values.tolist()
