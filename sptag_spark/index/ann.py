@@ -40,6 +40,16 @@ MAX_DIST_RATIO = 8.0  # SPANN MaxDistRatio default
 # heads are not).
 ROUTE_INMEM_MAX_HEADS = 4096
 
+# Above this many heads, per-query FLAT head scoring (the distributed knn
+# kernel over the whole head table — O(|Q|·|heads|) pair work) gives way to
+# two-level ROUTED head search: queries score ~√(k·fanout) group centers,
+# then only the heads of their nearest groups. The reference never flat-
+# scans heads at serve time either — queries SEARCH the head BKT
+# (`SPANNIndex.cpp:192-216`); this is that structure's Spark shape, reusing
+# the build path's grouping discipline (postings.py _head_routing). Below
+# the gate the flat kernel is already cheap and stays bit-identical.
+ROUTE_GROUPED_MIN_HEADS = 65536
+
 # Static IN-filter pruning is applied only when the routed set is small
 # enough that the literal list both prunes meaningfully and stays a bounded
 # plan expression; a mega-batch routes to ~every head, where the IN-list
@@ -89,8 +99,19 @@ def route_queries(
         return _route_inmem(
             queries, heads, nprobe, metric, max_dist_ratio, q_rows
         )
-    head_vectors = heads.select(F.col("head_id").alias("id"), "vector")
-    sel = knn(head_vectors, queries, k=nprobe, metric=metric)
+    if n_heads >= ROUTE_GROUPED_MIN_HEADS and metric != "ip":
+        # ip does not localize under k-means groups — no routed structure
+        # covers it; the reference's IP configs search a transformed space.
+        sel = _route_grouped(queries, heads, nprobe, metric)
+    else:
+        head_vectors = heads.select(F.col("head_id").alias("id"), "vector")
+        sel = knn(head_vectors, queries, k=nprobe, metric=metric)
+    return _ratio_cut(sel, max_dist_ratio)
+
+
+def _ratio_cut(sel: DataFrame, max_dist_ratio: float) -> DataFrame:
+    """The guarded SPANN distance-ratio cut over (query_id, id, dist)
+    selections → (query_id, head_id, head_dist)."""
     if not (max_dist_ratio < float("inf")):
         # ratio disabled (IVF passes inf): skip the filter entirely — besides
         # being a no-op, min_dist=0 (query equals a centroid) would make
@@ -188,6 +209,175 @@ def _route_inmem(
     # only bloats the plan expression.
     df._sptag_routed_heads = [int(h) for h in routed_set]
     return df
+
+
+# spill: each head is indexed under its 3 nearest groups (the build path's
+# boundary-replica trick, postings.py _head_routing, plus one) so a query
+# probing the groups AROUND it still sees heads just across a group
+# boundary. Measured on the unstructured-gaussian WORST case (6k heads,
+# 16d, nprobe=8, no cluster structure): spill=2/fanout=2·nprobe → 0.895
+# head-recall vs flat; spill=3/fanout=4·nprobe → 0.993; spill=3/fanout=
+# 6·nprobe → 1.000. Real embedding corpora are clustered and route better.
+_GROUP_SPILL = 3
+
+
+def _head_group_index(heads: DataFrame, metric: str):
+    """Memoized two-level routing structure for serve-side head search:
+    (gc: (g, d) float64 group centers, groups_df: (group_id, head_id,
+    vector), persisted).
+
+    Centers are trained driver-side on a bounded head sample (≤30·g rows —
+    coverage, not convergence, is what grouping needs); head→group
+    assignment runs as ONE distributed Arrow pass with the small center
+    matrix shipped in the closure. g ≈ √(k·fanout) balances the per-query
+    work g + fanout·(spill·k/g), the same shape the build path uses
+    (postings.py:68). Built once per head-table object and memoized — an
+    index's heads are immutable."""
+    memo = getattr(heads, "_sptag_head_groups", None)
+    if memo is not None:
+        return memo
+    import numpy as np
+
+    from sptag_spark.index.heads import lloyd_kmeans
+    from sptag_spark.index.postings import ROUTE_FANOUT
+    from sptag_spark.operators.knn import _block_distances
+
+    k = cached_count(heads)
+    g = max(2, min(int(np.sqrt(k * ROUTE_FANOUT)), k // 2))
+    n_sample = min(k, 30 * g)
+    srows = (
+        heads.select("vector")
+        .sample(fraction=min(1.0, 1.1 * n_sample / k), seed=11)
+        .limit(n_sample)
+        .collect()
+    )
+    S = np.array([list(r["vector"]) for r in srows], dtype=np.float64)
+    if metric == "cosine":
+        S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-300)
+    gc = lloyd_kmeans(S, g, iters=5, seed=11)
+
+    def assign(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            H = np.stack(
+                pdf["vector"].map(lambda v: np.asarray(v, np.float64)).to_numpy()
+            )
+            D = _block_distances(H, gc, metric)
+            near = np.argsort(D, axis=1, kind="stable")[:, :_GROUP_SPILL]
+            yield pd.DataFrame(
+                {
+                    "group_id": near.reshape(-1).astype(np.int64),
+                    "head_id": np.repeat(
+                        pdf["head_id"].to_numpy(np.int64), _GROUP_SPILL
+                    ),
+                    "vector": pdf["vector"].to_numpy().repeat(_GROUP_SPILL),
+                }
+            )
+
+    vec_t = heads.schema["vector"].dataType.simpleString()
+    groups_df = (
+        heads.select("head_id", "vector")
+        .mapInPandas(assign, f"group_id long, head_id long, vector {vec_t}")
+        .persist()
+    )
+    groups_df.count()
+    memo = (gc, groups_df)
+    heads._sptag_head_groups = memo
+    return memo
+
+
+def _route_grouped(
+    queries: DataFrame, heads: DataFrame, nprobe: int, metric: str
+) -> DataFrame:
+    """Two-level routed head search → (query_id, id, dist) top-nprobe head
+    selections, per-query head-scoring cost O(g + fanout_q · spill·k/g) ≈
+    O(√k) instead of the flat kernel's O(k). Approximate above the gate by
+    design — the reference's serve path searches its head BKT, it never
+    flat-scans (`SPANNIndex.cpp:192-216`); end recall governed by probing
+    fanout_q = max(ROUTE_FANOUT, 2·nprobe) groups per query (coverage must
+    grow with nprobe — each group contributes ≤ its resident heads).
+    metric='ip' callers never reach here (inner product does not localize
+    under k-means groups); route_queries keeps them on the flat kernel."""
+    import numpy as np
+
+    from sptag_spark.index.postings import ROUTE_FANOUT
+    from sptag_spark.operators.knn import _block_distances
+
+    gc, groups_df = _head_group_index(heads, metric)
+    fanout_q = int(min(len(gc), max(ROUTE_FANOUT, 4 * nprobe)))
+
+    def q_assign(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.stack(
+                pdf["vector"].map(lambda v: np.asarray(v, np.float64)).to_numpy()
+            )
+            D = _block_distances(Q, gc, metric)
+            near = np.argsort(D, axis=1, kind="stable")[:, :fanout_q]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(np.int64), fanout_q
+                    ),
+                    "group_id": near.reshape(-1).astype(np.int64),
+                    "vector": pdf["vector"].to_numpy().repeat(fanout_q),
+                }
+            )
+
+    vec_t = queries.schema["vector"].dataType.simpleString()
+    q_groups = queries.select("query_id", "vector").mapInPandas(
+        q_assign, f"query_id long, group_id long, vector {vec_t}"
+    )
+
+    def score(qpdf, hpdf):
+        import pandas as pd
+
+        if not len(qpdf) or not len(hpdf):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "id": pd.Series([], dtype="int64"),
+                    "dist": pd.Series([], dtype="float64"),
+                }
+            )
+        Q = np.stack(
+            qpdf["vector"].map(lambda v: np.asarray(v, np.float64)).to_numpy()
+        )
+        Hm = np.stack(
+            hpdf["vector"].map(lambda v: np.asarray(v, np.float64)).to_numpy()
+        )
+        hid = hpdf["head_id"].to_numpy(np.int64)
+        qid = qpdf["query_id"].to_numpy(np.int64)
+        D = _block_distances(Hm, Q, metric)  # (m, nq)
+        kk = min(nprobe, len(hid))
+        chunks_q, chunks_i, chunks_d = [], [], []
+        for j in range(len(qid)):
+            top = np.lexsort((hid, D[:, j]))[:kk]
+            chunks_q.append(np.full(kk, qid[j], np.int64))
+            chunks_i.append(hid[top])
+            chunks_d.append(D[top, j])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(chunks_q),
+                "id": np.concatenate(chunks_i),
+                "dist": np.concatenate(chunks_d),
+            }
+        )
+
+    cand = (
+        q_groups.groupBy("group_id")
+        .cogroup(groups_df.groupBy("group_id"))
+        .applyInPandas(score, "query_id long, id long, dist double")
+    )
+    # merge the per-group partial top-k: spill duplicates collapse to their
+    # (identical) min dist, then the engine-wide (dist, id) global top-k
+    return topk_per_query(cand, nprobe, with_rank=False)
 
 
 def topk_per_query(

@@ -247,8 +247,21 @@ _ND_STATE = StructType(
     ]
 )
 
+# window mode adds the shard's batch-generation counter; entry generations
+# ride inside the blob as an int32 column (layout: buckets i64[n],
+# ids i64[n], gens i32[n], sigs u8[n, n_hashes])
+_ND_WIN_STATE = StructType(
+    [
+        StructField("gen", LongType()),
+        StructField("n_hashes", LongType()),
+        StructField("blob", BinaryType()),
+    ]
+)
 
-def _near_dup_shard(threshold: float, max_bucket: int):
+
+def _near_dup_shard(
+    threshold: float, max_bucket: int, window_batches: int | None = None
+):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -268,15 +281,49 @@ def _near_dup_shard(threshold: float, max_bucket: int):
         # touched every batch) becomes ~180 MB.
         n_h: int | None = None
         sb = sid = ssig = None
+        sgen = None
+        g_new = 1  # this shard's batch generation (window mode only)
         if state.exists:
-            nh_raw, blob = state.get
-            n_h = int(nh_raw)
-            n = len(blob) // (16 + n_h)
+            if window_batches is None:
+                nh_raw, blob = state.get
+                n_h = int(nh_raw)
+                entry_bytes = 16 + n_h
+            else:
+                gen_raw, nh_raw, blob = state.get
+                n_h = int(nh_raw)
+                g_new = int(gen_raw) + 1
+                entry_bytes = 20 + n_h
+            if len(blob) % entry_bytes != 0:
+                raise ValueError(
+                    "streaming_near_dup_candidates: restored state blob "
+                    f"({len(blob)} bytes) is not a whole number of "
+                    f"{entry_bytes}-byte entries for n_hashes={n_h} — the "
+                    "checkpoint was written with a different n_hashes or "
+                    "state_mode; restart from a fresh checkpoint."
+                )
+            n = len(blob) // entry_bytes
             sb = np.frombuffer(blob, dtype=np.int64, count=n)
             sid = np.frombuffer(blob, dtype=np.int64, count=n, offset=8 * n)
-            ssig = np.frombuffer(
-                blob, dtype=np.uint8, offset=16 * n
-            ).reshape(n, n_h)
+            if window_batches is None:
+                ssig = np.frombuffer(
+                    blob, dtype=np.uint8, offset=16 * n
+                ).reshape(n, n_h)
+            else:
+                sgen = np.frombuffer(
+                    blob, dtype=np.int32, count=n, offset=16 * n
+                )
+                ssig = np.frombuffer(
+                    blob, dtype=np.uint8, offset=20 * n
+                ).reshape(n, n_h)
+                # slide the window: evict residents older than the last
+                # window_batches generations BEFORE any compare — they are
+                # no longer part of the dedup horizon. Order (sorted by
+                # bucket) survives boolean filtering.
+                keep = sgen > g_new - window_batches
+                if not keep.all():
+                    sb, sid, sgen, ssig = (
+                        sb[keep], sid[keep], sgen[keep], ssig[keep]
+                    )
         new_b: list[int] = []
         new_id: list[int] = []
         new_sig: list[np.ndarray] = []
@@ -310,6 +357,7 @@ def _near_dup_shard(threshold: float, max_bucket: int):
                 n_h = svs.shape[1]
                 sb = np.empty(0, np.int64)
                 sid = np.empty(0, np.int64)
+                sgen = np.empty(0, np.int32)
                 ssig = np.empty((0, n_h), np.uint8)
             for b, did, sv in zip(bks, dids, svs):
                 b, did = int(b), int(did)
@@ -331,7 +379,30 @@ def _near_dup_shard(threshold: float, max_bucket: int):
                     new_b.append(b)
                     new_id.append(did)
                     new_sig.append(sv)
-        if new_b:  # untouched shards skip the state write entirely
+        if window_batches is not None:
+            # window mode writes back on EVERY invoke that saw rows: the
+            # generation counter advances and evictions persist even when
+            # nothing new was admitted (e.g. full buckets)
+            if n_h is not None:
+                if new_b:
+                    ab = np.concatenate([sb, np.array(new_b, np.int64)])
+                    aid = np.concatenate([sid, np.array(new_id, np.int64)])
+                    agen = np.concatenate(
+                        [sgen, np.full(len(new_b), g_new, np.int32)]
+                    )
+                    asig = np.vstack([ssig, np.stack(new_sig)])
+                    o = np.argsort(ab, kind="stable")
+                    ab, aid, agen, asig = ab[o], aid[o], agen[o], asig[o]
+                else:
+                    ab, aid, agen, asig = sb, sid, sgen, ssig
+                blob = (
+                    ab.tobytes()
+                    + aid.tobytes()
+                    + agen.astype(np.int32).tobytes()
+                    + asig.tobytes()
+                )
+                state.update((int(g_new), int(n_h), blob))
+        elif new_b:  # untouched shards skip the state write entirely
             ab = np.concatenate([sb, np.array(new_b, np.int64)])
             aid = np.concatenate([sid, np.array(new_id, np.int64)])
             asig = np.vstack([ssig, np.stack(new_sig)])
@@ -357,6 +428,8 @@ def streaming_near_dup_candidates(
     n_state_shards: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    state_mode: str = "cumulative",
+    window_batches: int = 8,
 ) -> DataFrame:
     """Cross-batch NEAR-duplicate candidate pairs over a document stream —
     the streaming twin of operators/dedup.py minhash_near_dup_pairs.
@@ -374,6 +447,27 @@ def streaming_near_dup_candidates(
     executors. The est-jaccard compare is O(residents · n_hashes) per
     arrival — the LSH banding keeps residents small exactly the way the
     batch operator's band join does.
+
+    ``state_mode`` (VERDICT r7 ask #3 — the 100 TB knob, mirroring
+    streaming_first_wins_dedup's bloom mode):
+
+    - ``"cumulative"`` (default): residents accumulate forever — exact
+      streaming-twin semantics (every doc is compared against every
+      earlier admitted doc in its buckets), which is what lets the oracle
+      row hash-match the batch all-pairs SQL. State grows with unique
+      docs; at warehouse scale it must be rotated.
+    - ``"window"``: a sliding generation window — each shard stamps
+      admitted entries with its batch generation and EVICTS entries older
+      than ``window_batches`` generations before comparing, so state
+      bytes are bounded by (admission rate × window_batches) regardless
+      of stream lifetime. Recall effect, documented and deliberate: a
+      near-duplicate of a doc last seen more than ``window_batches``
+      micro-batches ago is NOT flagged (and is re-admitted as a fresh
+      resident) — the standard freshness-window trade every bounded-state
+      streaming dedup makes. Generations count the batches in which the
+      SHARD saw data (shards see every batch under any realistic hash
+      distribution). Within the window the emitted pairs are exactly the
+      cumulative mode's pairs restricted to that horizon.
 
     Output contract — ``est_jaccard`` is a QUANTIZED estimate: stored
     signatures keep only each 64-bit minhash's low byte (state is 48 B/entry
@@ -445,10 +539,15 @@ def streaming_near_dup_candidates(
     sharded = banded.withColumn(
         "shard", F.pmod(F.col("bucket"), F.lit(n_state_shards))
     )
+    if state_mode not in ("cumulative", "window"):
+        raise ValueError(
+            f"state_mode must be 'cumulative' or 'window', got {state_mode!r}"
+        )
+    win = window_batches if state_mode == "window" else None
     return sharded.groupBy("band", "shard").applyInPandasWithState(
-        _near_dup_shard(threshold, max_bucket),
+        _near_dup_shard(threshold, max_bucket, window_batches=win),
         outputStructType="doc_a long, doc_b long, est_jaccard double",
-        stateStructType=_ND_STATE,
+        stateStructType=_ND_WIN_STATE if win is not None else _ND_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

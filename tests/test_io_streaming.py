@@ -749,3 +749,162 @@ def test_stateful_dedup_rejects_incompatible_state_blob():
     ok_exact = _FakeGroupState(b"\x00" * 32)
     out = list(_first_wins_shard("doc_id", cols)((0,), iter([batch]), ok_exact))
     assert len(out) == 1 and ok_exact.updated is not None
+
+
+def _nd_batch(rows):
+    """rows: [(bucket, doc_id, sig_list)] → kernel input frame."""
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "bucket": [b for b, _, _ in rows],
+            "doc_id": [d for _, d, _ in rows],
+            "sig": [np.array(s, dtype=np.int64) for _, _, s in rows],
+        }
+    )
+
+
+def test_near_dup_window_mode_evicts_old_generations():
+    """state_mode='window' (VERDICT r7 ask #3): residents older than
+    window_batches shard-generations are evicted before comparing — a dup
+    of a doc outside the horizon is NOT flagged (and is re-admitted),
+    while in-window dups emit exactly the cumulative-mode pair."""
+    from sptag_spark.streaming.stateful import _near_dup_shard
+
+    SIG_A = [10] * 16
+    SIG_B = [99] * 16
+
+    class _TupleState(_FakeGroupState):
+        @property
+        def get(self):
+            return self._blob
+
+        def update(self, t):
+            self._blob = t
+            self.updated = t
+
+    # in-window dup: batch1 doc1(A), batch2 doc2(A) → pair (1, 2)
+    fn = _near_dup_shard(0.6, 256, window_batches=2)
+    st = _TupleState()
+    got = []
+    for batch in [
+        _nd_batch([(7, 1, SIG_A)]),
+        _nd_batch([(7, 2, SIG_A)]),
+    ]:
+        for df in fn((0, 0), iter([batch]), st):
+            got.extend((int(a), int(b)) for a, b in zip(df["doc_a"], df["doc_b"]))
+    assert got == [(1, 2)]
+
+    # out-of-window dup: doc1(A) @gen1, unrelated doc2(B) @gen2 advances
+    # the shard generation, doc3(A) @gen3 → doc1 evicted, NO pair; then
+    # doc4(A) @gen4 pairs with the RE-ADMITTED doc3
+    st = _TupleState()
+    got = []
+    for batch in [
+        _nd_batch([(7, 1, SIG_A)]),
+        _nd_batch([(8, 2, SIG_B)]),
+        _nd_batch([(7, 3, SIG_A)]),
+        _nd_batch([(7, 4, SIG_A)]),
+    ]:
+        for df in fn((0, 0), iter([batch]), st):
+            got.extend((int(a), int(b)) for a, b in zip(df["doc_a"], df["doc_b"]))
+    assert got == [(3, 4)]
+
+    # cumulative mode on the same sequence flags both ancestors
+    fn_c = _near_dup_shard(0.6, 256)
+    st = _TupleState()
+    got = []
+    for batch in [
+        _nd_batch([(7, 1, SIG_A)]),
+        _nd_batch([(8, 2, SIG_B)]),
+        _nd_batch([(7, 3, SIG_A)]),
+    ]:
+        for df in fn_c((0, 0), iter([batch]), st):
+            got.extend((int(a), int(b)) for a, b in zip(df["doc_a"], df["doc_b"]))
+    assert got == [(1, 3)]
+
+
+def test_near_dup_window_mode_state_bytes_flat():
+    """Constant arrival rate → window-mode state bytes plateau at
+    window_batches × per-batch admissions × entry size, while cumulative
+    mode grows linearly forever."""
+    from sptag_spark.streaming.stateful import _near_dup_shard
+
+    class _TupleState(_FakeGroupState):
+        @property
+        def get(self):
+            return self._blob
+
+        def update(self, t):
+            self._blob = t
+            self.updated = t
+
+    W, PER_BATCH, NH = 3, 5, 16
+    fn = _near_dup_shard(0.6, 256, window_batches=W)
+    st = _TupleState()
+    sizes = []
+    for g in range(10):
+        rows = [
+            (1000 * g + i, 1000 * g + i, [g * 100 + i] * NH)
+            for i in range(PER_BATCH)
+        ]
+        list(fn((0, 0), iter([_nd_batch(rows)]), st))
+        sizes.append(len(st._blob[2]))
+    entry = 20 + NH
+    assert sizes[W - 1 :] == [W * PER_BATCH * entry] * (10 - W + 1), sizes
+
+
+def test_streaming_near_dup_window_mode_end_to_end(spark, tmp_path_factory):
+    """window mode plumbs through applyInPandasWithState: an in-window
+    cross-batch near-dup is emitted, an out-of-window one is not."""
+    import os
+
+    from sptag_spark.streaming.stateful import streaming_near_dup_candidates
+
+    d = tmp_path_factory.mktemp("winnd")
+    src, ckpt, out = str(d / "src"), str(d / "ckpt"), str(d / "out")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    text = "the quick brown fox jumps over the lazy dog again and again"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        cands = streaming_near_dup_candidates(
+            stream, threshold=0.9, state_mode="window", window_batches=2,
+            n_state_shards=2,
+        )
+        q = (
+            cands.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    spark.createDataFrame([(1, text)], schema).write.mode("append").parquet(src)
+    assert run_once() == set()
+    # within window (gen 2, resident gen 1 kept): pair emitted
+    spark.createDataFrame([(2, text)], schema).write.mode("append").parquet(src)
+    assert run_once() == {(1, 2)}
+    # two unrelated generations push doc 1 and doc 2 out of the horizon.
+    # Generations are PER SHARD (they advance only when the shard sees
+    # rows), so each filler batch carries enough distinct docs to touch
+    # every (band, shard) state group.
+    for g in range(2):
+        filler = [
+            (100 + 20 * g + i, f"filler generation {g} doc {i} " + " ".join(f"w{g}_{i}_{j}" for j in range(12)))
+            for i in range(12)
+        ]
+        spark.createDataFrame(filler, schema).write.mode("append").parquet(src)
+        run_once()
+    # out of window: duplicate of docs 1/2 raises no pair with them
+    spark.createDataFrame([(5, text)], schema).write.mode("append").parquet(src)
+    got = run_once()
+    assert not any(5 in p and (1 in p or 2 in p) for p in got), got
