@@ -102,7 +102,23 @@ def route_queries(
     if n_heads >= ROUTE_GROUPED_MIN_HEADS and metric != "ip":
         # ip does not localize under k-means groups — no routed structure
         # covers it; the reference's IP configs search a transformed space.
-        sel = _route_grouped(queries, heads, nprobe, metric)
+        # Batch-size condition (measured, SCALING.md r8): the grouped win
+        # is proportional to the UNPROBED fraction — once the batch probes
+        # ~every group (nq·fanout_q ≳ g), the whole spilled head table
+        # pays Arrow conversion and the flat kernel's columnar broadcast
+        # scan is cheaper. Serve-sized batches probe a few % of groups.
+        import numpy as np
+
+        from sptag_spark.index.postings import ROUTE_FANOUT
+
+        nq = len(q_rows) if q_rows is not None else cached_count(queries)
+        g_est = max(2, min(int(np.sqrt(n_heads * ROUTE_FANOUT)), n_heads // 2))
+        fanout_q = min(g_est, max(ROUTE_FANOUT, 4 * nprobe))
+        if nq * fanout_q <= g_est:
+            sel = _route_grouped(queries, heads, nprobe, metric, q_rows)
+        else:
+            head_vectors = heads.select(F.col("head_id").alias("id"), "vector")
+            sel = knn(head_vectors, queries, k=nprobe, metric=metric)
     else:
         head_vectors = heads.select(F.col("head_id").alias("id"), "vector")
         sel = knn(head_vectors, queries, k=nprobe, metric=metric)
@@ -266,7 +282,12 @@ def _head_group_index(heads: DataFrame, metric: str):
                 pdf["vector"].map(lambda v: np.asarray(v, np.float64)).to_numpy()
             )
             D = _block_distances(H, gc, metric)
-            near = np.argsort(D, axis=1, kind="stable")[:, :_GROUP_SPILL]
+            # membership only — the probed groups are scored as a UNION,
+            # so top-spill selection needs no ordering (argpartition is
+            # O(g) per row vs argsort's O(g log g) full sort)
+            near = np.argpartition(D, _GROUP_SPILL - 1, axis=1)[
+                :, :_GROUP_SPILL
+            ]
             yield pd.DataFrame(
                 {
                     "group_id": near.reshape(-1).astype(np.int64),
@@ -278,9 +299,14 @@ def _head_group_index(heads: DataFrame, metric: str):
             )
 
     vec_t = heads.schema["vector"].dataType.simpleString()
+    # persist ALREADY hash-partitioned on group_id: InMemoryTableScan
+    # preserves outputPartitioning, so the per-call cogroup shuffles only
+    # the small query side — the heads never move again (the whole point;
+    # an O(k) head shuffle per routing call would erase the win).
     groups_df = (
         heads.select("head_id", "vector")
         .mapInPandas(assign, f"group_id long, head_id long, vector {vec_t}")
+        .repartition(F.col("group_id"))
         .persist()
     )
     groups_df.count()
@@ -290,17 +316,34 @@ def _head_group_index(heads: DataFrame, metric: str):
 
 
 def _route_grouped(
-    queries: DataFrame, heads: DataFrame, nprobe: int, metric: str
+    queries: DataFrame,
+    heads: DataFrame,
+    nprobe: int,
+    metric: str,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Two-level routed head search → (query_id, id, dist) top-nprobe head
     selections, per-query head-scoring cost O(g + fanout_q · spill·k/g) ≈
     O(√k) instead of the flat kernel's O(k). Approximate above the gate by
     design — the reference's serve path searches its head BKT, it never
     flat-scans (`SPANNIndex.cpp:192-216`); end recall governed by probing
-    fanout_q = max(ROUTE_FANOUT, 2·nprobe) groups per query (coverage must
-    grow with nprobe — each group contributes ≤ its resident heads).
-    metric='ip' callers never reach here (inner product does not localize
-    under k-means groups); route_queries keeps them on the flat kernel."""
+    fanout_q = max(ROUTE_FANOUT, 4·nprobe) groups per query (coverage must
+    grow with nprobe — each group contributes ≤ its resident heads; see
+    the measured worst-case sweep at _GROUP_SPILL).
+
+    Plan shape — ONE distributed stage per call: query→group routing runs
+    DRIVER-side against the small center matrix (the dispatch in
+    route_queries caps the batch at nq·fanout_q ≤ g ≈ √(k·fanout), so the
+    batch is collectible by construction — the same contract as
+    _route_inmem), the probed group ids become a STATIC isin filter on the
+    cached groups table (columnar scan, unprobed groups never reach
+    pandas), and one mapInPandas kernel with the query block shipped in
+    its closure scores the surviving slabs. Earlier shapes paid 3 extra
+    stages (distributed q-assign, distinct+semi-join, cogroup) — measured
+    2-4× the flat kernel's wall at 205k-819k heads for 8-query batches
+    (SCALING.md r8). metric='ip' callers never reach here (inner product
+    does not localize under k-means groups); route_queries keeps them on
+    the flat kernel."""
     import numpy as np
 
     from sptag_spark.index.postings import ROUTE_FANOUT
@@ -309,74 +352,67 @@ def _route_grouped(
     gc, groups_df = _head_group_index(heads, metric)
     fanout_q = int(min(len(gc), max(ROUTE_FANOUT, 4 * nprobe)))
 
-    def q_assign(it):
+    if q_rows is None:
+        q_rows = queries.select("query_id", "vector").collect()
+    qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["vector"]) for r in q_rows], dtype=np.float64)
+    if len(qids) == 0:
+        spark = queries.sparkSession
+        return spark.createDataFrame([], "query_id long, id long, dist double")
+    Dq = _block_distances(Q, gc, metric)  # (nq, g) — driver BLAS
+    near = np.argpartition(Dq, min(fanout_q, Dq.shape[1]) - 1, axis=1)[
+        :, :fanout_q
+    ]
+    probed = np.unique(near)
+    # group → row-indices of the queries probing it (ships in the kernel
+    # closure with the query block — a serve batch is a few KB)
+    by_group: dict[int, list[int]] = {}
+    for qi, row in enumerate(near):
+        for g_id in row:
+            by_group.setdefault(int(g_id), []).append(qi)
+    kk = nprobe
+
+    def score(it):
         import pandas as pd
 
         for pdf in it:
             if not len(pdf):
                 continue
-            Q = np.stack(
-                pdf["vector"].map(lambda v: np.asarray(v, np.float64)).to_numpy()
-            )
-            D = _block_distances(Q, gc, metric)
-            near = np.argsort(D, axis=1, kind="stable")[:, :fanout_q]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(
-                        pdf["query_id"].to_numpy(np.int64), fanout_q
-                    ),
-                    "group_id": near.reshape(-1).astype(np.int64),
-                    "vector": pdf["vector"].to_numpy().repeat(fanout_q),
-                }
-            )
+            out_q, out_i, out_d = [], [], []
+            for g_id, sub in pdf.groupby("group_id"):
+                q_idx = by_group.get(int(g_id))
+                if not q_idx:
+                    continue
+                Hm = np.stack(
+                    sub["vector"]
+                    .map(lambda v: np.asarray(v, np.float64))
+                    .to_numpy()
+                )
+                hid = sub["head_id"].to_numpy(np.int64)
+                D = _block_distances(Hm, Q[q_idx], metric)  # (m, |q_idx|)
+                kq = min(kk, len(hid))
+                for j, qi in enumerate(q_idx):
+                    top = np.lexsort((hid, D[:, j]))[:kq]
+                    out_q.append(np.full(kq, qids[qi], np.int64))
+                    out_i.append(hid[top])
+                    out_d.append(D[top, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "id": np.concatenate(out_i),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
 
-    vec_t = queries.schema["vector"].dataType.simpleString()
-    q_groups = queries.select("query_id", "vector").mapInPandas(
-        q_assign, f"query_id long, group_id long, vector {vec_t}"
-    )
-
-    def score(qpdf, hpdf):
-        import pandas as pd
-
-        if not len(qpdf) or not len(hpdf):
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "id": pd.Series([], dtype="int64"),
-                    "dist": pd.Series([], dtype="float64"),
-                }
-            )
-        Q = np.stack(
-            qpdf["vector"].map(lambda v: np.asarray(v, np.float64)).to_numpy()
-        )
-        Hm = np.stack(
-            hpdf["vector"].map(lambda v: np.asarray(v, np.float64)).to_numpy()
-        )
-        hid = hpdf["head_id"].to_numpy(np.int64)
-        qid = qpdf["query_id"].to_numpy(np.int64)
-        D = _block_distances(Hm, Q, metric)  # (m, nq)
-        kk = min(nprobe, len(hid))
-        chunks_q, chunks_i, chunks_d = [], [], []
-        for j in range(len(qid)):
-            top = np.lexsort((hid, D[:, j]))[:kk]
-            chunks_q.append(np.full(kk, qid[j], np.int64))
-            chunks_i.append(hid[top])
-            chunks_d.append(D[top, j])
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(chunks_q),
-                "id": np.concatenate(chunks_i),
-                "dist": np.concatenate(chunks_d),
-            }
-        )
-
-    cand = (
-        q_groups.groupBy("group_id")
-        .cogroup(groups_df.groupBy("group_id"))
-        .applyInPandas(score, "query_id long, id long, dist double")
-    )
-    # merge the per-group partial top-k: spill duplicates collapse to their
-    # (identical) min dist, then the engine-wide (dist, id) global top-k
+    cand = groups_df.filter(
+        F.col("group_id").isin([int(g) for g in probed])
+    ).mapInPandas(score, "query_id long, id long, dist double")
+    # merge the per-group (and per-Arrow-fragment) partial top-k: spill
+    # duplicates collapse to their (identical) min dist, then the
+    # engine-wide (dist, id) global top-k. A group split across Arrow
+    # batches emits one partial per fragment — the global top-nprobe is a
+    # subset of the union of fragment top-nprobes, so no candidate is lost.
     return topk_per_query(cand, nprobe, with_rank=False)
 
 

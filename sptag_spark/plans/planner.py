@@ -71,6 +71,33 @@ _NPROBE_LADDER = [(0.95, 16), (0.9, 10), (0.8, 6), (0.0, 3)]
 REPLICA_DISPATCH_MAX_QUERIES = 128
 
 
+def tuned_operating_point(path: str | None = None) -> dict | None:
+    """The committed autotuned SPANN operating point — AUTOTUNE.json's
+    "chosen" entry (tools/autotune.py sweep: max single-thread QPS at
+    recall ≥ target), or None when no tune has been committed. This is the
+    DEPLOY half of the reference's auto-tune loop
+    (`Tools/nni-auto-tune/main.py` finds the point; operators then run it):
+    the TCP server (server.py AnnTcpServer.from_index) and bench consume it
+    as their default serve configuration. Override the file location with
+    $SPTAG_AUTOTUNE."""
+    import json
+    import os
+
+    p = (
+        path
+        or os.environ.get("SPTAG_AUTOTUNE")
+        or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            "AUTOTUNE.json",
+        )
+    )
+    try:
+        with open(p) as f:
+            return json.load(f).get("chosen")
+    except (OSError, ValueError):
+        return None
+
+
 def warm_replica(heads, postings):
     """Load SPANN artifacts into a process-local in-RAM replica
     (serving_local.LocalSpannReplica) and memoize it on the heads

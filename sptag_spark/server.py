@@ -265,6 +265,25 @@ class AnnTcpServer:
         )
         self._started = False
 
+    @classmethod
+    def from_index(cls, heads, postings, **kwargs) -> "AnnTcpServer":
+        """ONE serving tier (VERDICT r7 #8): build the socket server on the
+        planner's memoized in-RAM replica (plans.planner.warm_replica) so
+        the planner fast path and the TCP loop share a single replica per
+        index object, and default nprobe to the committed autotuned
+        operating point (AUTOTUNE.json chosen — tools/autotune.py) when one
+        exists. Explicit kwargs win."""
+        from sptag_spark.plans.planner import (
+            tuned_operating_point,
+            warm_replica,
+        )
+
+        if "nprobe" not in kwargs:
+            point = tuned_operating_point()
+            if point:
+                kwargs["nprobe"] = int(point["nprobe"])
+        return cls(warm_replica(heads, postings), **kwargs)
+
     def start(self) -> "AnnTcpServer":
         self._thread.start()
         self._started = True

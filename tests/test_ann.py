@@ -565,12 +565,14 @@ def test_grouped_head_routing_matches_flat(spark, monkeypatch):
         (r["query_id"], r["head_id"]): r["head_dist"]
         for r in route_queries(qs, heads, nprobe=NPROBE).collect()
     }
-    monkeypatch.setattr(A, "ROUTE_GROUPED_MIN_HEADS", 5000)
     routed_heads = heads.alias("grp")
     routed_heads._sptag_cached_count = K
     grp = {
         (r["query_id"], r["head_id"]): r["head_dist"]
-        for r in route_queries(qs, routed_heads, nprobe=NPROBE).collect()
+        for r in A._ratio_cut(
+            A._route_grouped(qs, routed_heads, NPROBE, "l2"),
+            A.MAX_DIST_RATIO,
+        ).collect()
     }
     # every query routed, exactly nprobe heads each (ratio cut permitting)
     assert {q for q, _ in grp} == set(range(NQ))
@@ -581,6 +583,19 @@ def test_grouped_head_routing_matches_flat(spark, monkeypatch):
         assert abs(flat[key] - grp[key]) < 1e-9
     # the grouped structure is memoized on the head table object
     assert getattr(routed_heads, "_sptag_head_groups", None) is not None
-    # ip never routes through groups (does not localize under k-means)
+
+    # dispatch: above the (lowered) gate, a SERVE-sized batch routes
+    # through the groups; a batch probing ~every group stays flat; ip
+    # never routes through groups (does not localize under k-means)
+    monkeypatch.setattr(A, "ROUTE_GROUPED_MIN_HEADS", 5000)
+    small_q = qs.filter(F.col("query_id") < 2)
+    small_q._sptag_cached_count = 2
+    small = {
+        (r["query_id"], r["head_id"]): r["head_dist"]
+        for r in route_queries(small_q, routed_heads, nprobe=NPROBE).collect()
+    }
+    small_flat = {k: v for k, v in flat.items() if k[0] < 2}
+    hit = len(set(small) & set(small_flat))
+    assert hit / len(small_flat) >= 0.9, hit / len(small_flat)
     ip = route_queries(qs, routed_heads, nprobe=NPROBE, metric="ip")
     assert ip.count() > 0

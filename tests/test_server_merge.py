@@ -376,3 +376,50 @@ def test_tcp_timeout_option_returns_partial(spark):
     finally:
         srv.stop()
         agg.close()
+
+
+def test_tcp_server_from_index_shares_warm_replica(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #8: AnnTcpServer.from_index serves from the SAME memoized
+    replica the planner's warm_replica path uses (one construction per
+    index), and defaults nprobe to the committed autotuned point."""
+    import json
+    import socket
+
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.plans.planner import warm_replica
+    from sptag_spark.server import AnnTcpServer, encode_query
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 6) for i in range(40)],
+        "id long, vector array<float>",
+    )
+    heads = select_heads(vecs, ratio=0.2).persist()
+    postings = build_postings(vecs, heads).persist()
+    postings.count()
+
+    tune = tmp_path / "AUTOTUNE.json"
+    tune.write_text(json.dumps({"chosen": {"nprobe": 5, "replica_count": 4}}))
+    monkeypatch.setenv("SPTAG_AUTOTUNE", str(tune))
+
+    rep = warm_replica(heads, postings)
+    srv = AnnTcpServer.from_index(heads, postings, k=3)
+    assert srv.replica is rep  # one replica, planner and socket tier
+    assert srv.nprobe == 5  # autotuned operating point adopted
+    srv.start()
+    try:
+        with socket.create_connection(srv.address, timeout=30) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            f.write(encode_query([7.0] * 6) + "\n")
+            f.flush()
+            r = json.loads(f.readline())
+            assert r["results"][0] == {"rank": 1, "id": 7, "dist": 0.0}
+    finally:
+        srv.stop()
+
+    # explicit kwarg beats the tuned default; absent file -> builtin default
+    srv2 = AnnTcpServer.from_index(heads, postings, nprobe=9)
+    assert srv2.nprobe == 9 and srv2.replica is rep
+    monkeypatch.setenv("SPTAG_AUTOTUNE", str(tmp_path / "missing.json"))
+    srv3 = AnnTcpServer.from_index(heads, postings)
+    assert srv3.nprobe == 8 and srv3.replica is rep

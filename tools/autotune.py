@@ -37,7 +37,7 @@ def autotune(
     recall_target: float = 0.9,
     k: int = 10,
     nprobes: tuple = DEFAULT_NPROBES,
-    build_configs: tuple = ((4, 1000), (8, 1000)),
+    build_configs: tuple = ((4, 500), (4, 1000), (8, 500), (8, 1000)),
     head_ratio: float | None = None,
 ) -> dict:
     """Sweep → measure → choose. Returns

@@ -1,0 +1,120 @@
+"""Calibration-normalized comparison of two bench artifacts (VERDICT r7 #7).
+
+The machine swings ~2.7× between sittings for identical code (AB_R5R6.md),
+so raw cross-round per-query ratios are noise unless normalized by the
+fixed-work GEMM calibration each artifact carries
+(sptag_spark/calibration.py — recorded before AND after the run). This
+tool reads two artifacts — either the full BENCH_SELF.json shape or the
+driver's BENCH_r{N}.json wrapper (whose payload is the JSON line inside
+"tail") — normalizes every per-query wall by the artifact's mean
+gemm_gflops, and reports ratios, flagging anything above the threshold.
+
+Usage:
+  python tools/bench_compare.py OLD.json NEW.json [--threshold 2.0]
+
+Exit code 1 if any query exceeds the normalized threshold (regression
+gate), 0 otherwise. One JSON summary line on stdout; per-query table on
+stderr for humans.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load_bench(path: str) -> dict:
+    """Accept BENCH_SELF.json, bench.py's stdout line, or the driver's
+    BENCH_r{N}.json wrapper ({"tail": "...<json line>..."})."""
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:
+        return d
+    tail = d.get("tail", "")
+    for line in reversed(tail.splitlines()):
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    raise ValueError(f"{path}: no bench payload found")
+
+
+def gflops(d: dict) -> float | None:
+    cals = [
+        c["gemm_gflops"]
+        for c in (d.get("calibration"), d.get("calibration_after"))
+        if isinstance(c, dict) and c.get("gemm_gflops")
+    ]
+    return sum(cals) / len(cals) if cals else None
+
+
+def compare(old: dict, new: dict, threshold: float = 2.0) -> dict:
+    g_old, g_new = gflops(old), gflops(new)
+    # wall ∝ 1/speed: normalize each wall to a reference-speed machine
+    # (multiply by measured/reference gflops; the reference cancels in the
+    # ratio, so use g_old as the reference). Pre-calibration artifacts
+    # (≤ r6) carry no kernel — fall back to RAW ratios, flagged as such.
+    calibrated = g_old is not None and g_new is not None
+    speed_ratio = (g_new / g_old) if calibrated else 1.0
+    rows = []
+    qs_old, qs_new = old["queries"], new["queries"]
+    for name in sorted(set(qs_old) & set(qs_new)):
+        w_old, w_new = float(qs_old[name]), float(qs_new[name])
+        raw = w_new / w_old if w_old else float("inf")
+        norm = raw * speed_ratio
+        rows.append(
+            {
+                "query": name,
+                "old_sec": w_old,
+                "new_sec": w_new,
+                "raw_ratio": round(raw, 3),
+                "norm_ratio": round(norm, 3),
+            }
+        )
+    flagged = [r for r in rows if r["norm_ratio"] > threshold]
+    return {
+        "gemm_gflops": {"old": g_old, "new": g_new},
+        "calibrated": calibrated,
+        "speed_ratio_new_over_old": round(speed_ratio, 3),
+        "n_compared": len(rows),
+        "only_in_old": sorted(set(qs_old) - set(qs_new)),
+        "only_in_new": sorted(set(qs_new) - set(qs_old)),
+        "threshold": threshold,
+        "flagged": flagged,
+        "median_norm_ratio": round(
+            sorted(r["norm_ratio"] for r in rows)[len(rows) // 2], 3
+        )
+        if rows
+        else None,
+        "rows": rows,
+    }
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    threshold = 2.0
+    m = [a for a in sys.argv[1:] if a.startswith("--threshold")]
+    if m:
+        threshold = float(
+            m[0].split("=", 1)[1]
+            if "=" in m[0]
+            else sys.argv[sys.argv.index(m[0]) + 1]
+        )
+    if len(args) != 2:
+        print(__doc__, file=sys.stderr)
+        return 2
+    old, new = load_bench(args[0]), load_bench(args[1])
+    result = compare(old, new, threshold)
+    rows = result.pop("rows")
+    for r in sorted(rows, key=lambda r: -r["norm_ratio"]):
+        mark = " <-- FLAG" if r["norm_ratio"] > threshold else ""
+        print(
+            f"{r['query']:35s} {r['old_sec']:7.2f} -> {r['new_sec']:7.2f}"
+            f"  raw {r['raw_ratio']:6.2f}  norm {r['norm_ratio']:6.2f}{mark}",
+            file=sys.stderr,
+        )
+    print(json.dumps(result, separators=(",", ":")))
+    return 1 if result["flagged"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
