@@ -121,7 +121,23 @@ def main() -> None:
     def record(op: str, scale: int, n: int, fn) -> None:
         if only_ops is not None and op not in only_ops:
             return
-        sec = fn if isinstance(fn, (int, float)) else timed(fn)
+        if isinstance(fn, (int, float)):
+            sec = fn
+        else:
+            # time the BUILD+EXECUTE together (operators with eager
+            # dispatch jobs, e.g. minhash's occupancy measurement, must
+            # stay inside the window), then release the op's pinned
+            # intermediates (bench.py discipline): a leftover 1.28M-doc
+            # shingle cache from minhash measured duplicate_spans at 116 s
+            # vs 20 s isolated at ×256 — cross-op cache pressure is probe
+            # contamination, not op cost
+            from sptag_spark.resources import release
+
+            t0 = time.time()
+            df = fn()
+            df.write.format("noop").mode("overwrite").save()
+            sec = time.time() - t0
+            release(df, include_self=False)
         row = {"op": op, "scale": scale, "rows_in": n, "sec": round(sec, 2)}
         results.append(row)
         print(json.dumps(row), flush=True)
@@ -140,22 +156,22 @@ def main() -> None:
             nd = docs.count()
 
         record("minhash_near_dup", scale, nd,
-            lambda: minhash_near_dup_pairs(docs, 0.6).write.format("noop").mode("overwrite").save()
+            lambda: minhash_near_dup_pairs(docs, 0.6)
         )
         record("duplicate_spans", scale, nd,
-            lambda: duplicate_spans(docs, 10).write.format("noop").mode("overwrite").save()
+            lambda: duplicate_spans(docs, 10)
         )
         record("bm25_topk", scale, nd,
-            lambda: bm25_topk(docs, ["merge", "scan", "hash"], k=20).write.format("noop").mode("overwrite").save()
+            lambda: bm25_topk(docs, ["merge", "scan", "hash"], k=20)
         )
         record("dedup_clusters", scale, nd,
-            lambda: dedup_clusters(docs, 0.6).write.format("noop").mode("overwrite").save()
+            lambda: dedup_clusters(docs, 0.6)
         )
         record("doc_chunks", scale, nd,
-            lambda: chunk_documents(docs).write.format("noop").mode("overwrite").save()
+            lambda: chunk_documents(docs)
         )
         record("vocab_pair_counts", scale, nd,
-            lambda: vocab_pair_counts(docs).write.format("noop").mode("overwrite").save()
+            lambda: vocab_pair_counts(docs)
         )
 
         if only_ops is not None and not (only_ops & VEC_OPS):
@@ -177,11 +193,9 @@ def main() -> None:
         nprobe = max(10, heads.count() * 85 // 1000)
         record("spann_serve", scale, nv,
             lambda: ann_search(queries, heads, postings, k=10, nprobe=nprobe)
-            .write.format("noop").mode("overwrite").save()
         )
         record("range_search", scale, nv,
             lambda: range_search(vecs, queries, radius=1.3)
-            .write.format("noop").mode("overwrite").save()
         )
         heads.unpersist()
         postings.unpersist()
