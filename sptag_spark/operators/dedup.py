@@ -781,8 +781,11 @@ def duplicate_spans(
     spark = docs.sparkSession
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     target = min(4096, est_spans // 500_000)
-    if target > default_parts:
-        spans = spans.repartition(target, "h1", "h2")
+    # engage once the stream is big enough that one wide shuffle beats two
+    # default-width ones (measured parity at ~25M spans, 2× at 100M+ —
+    # SCALING.md r8); never narrower than the session default
+    if target > max(8, default_parts // 2):
+        spans = spans.repartition(max(target, default_parts), "h1", "h2")
     # both downstream branches (dup totals, join probe) consume the
     # stream; without materialization Catalyst re-executes the
     # scan→tokenize→hash→explode lineage per branch. The pin is a
