@@ -327,7 +327,12 @@ register(
 # verify decides membership.
 
 
-def _streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _streaming_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    state_mode: str = "cumulative",
+    sink: str = "stream_near_dup_sink",
+) -> DataFrame:
     import os
     import shutil
     import tempfile
@@ -367,10 +372,14 @@ def _streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{work}/docs")
     )
+    # window_batches=2 covers both micro-batches of this landing layout,
+    # so window mode is exact here (the horizon spans the stream) while
+    # still exercising the generation-stamped state layout end-to-end;
+    # eviction semantics are pinned by tests/test_io_streaming.py
     cand = streaming_near_dup_candidates(
-        stream, threshold=0.3, bands=16, n_hashes=32
+        stream, threshold=0.3, bands=16, n_hashes=32,
+        state_mode=state_mode, window_batches=2,
     )
-    sink = "stream_near_dup_sink"
     with _state_partitions(spark, 8):
         q = (
             cand.writeStream.format("memory")
@@ -433,3 +442,20 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_T}
 
 
 register("streaming_near_dup", _streaming_near_dup, _streaming_near_dup_oracle())
+
+
+def _streaming_near_dup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state mode (VERDICT r7 #3) through the driver contract:
+    same stream, state_mode='window' with the horizon covering both
+    micro-batches — output must equal the batch all-pairs oracle exactly,
+    pinning the generation-stamped state layout end-to-end."""
+    return _streaming_near_dup(
+        spark, sf_dir, state_mode="window", sink="stream_near_dup_win_sink"
+    )
+
+
+register(
+    "streaming_near_dup_window",
+    _streaming_near_dup_window,
+    _streaming_near_dup_oracle(),
+)
