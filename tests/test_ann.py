@@ -599,3 +599,27 @@ def test_grouped_head_routing_matches_flat(spark, monkeypatch):
     assert hit / len(small_flat) >= 0.9, hit / len(small_flat)
     ip = route_queries(qs, routed_heads, nprobe=NPROBE, metric="ip")
     assert ip.count() > 0
+
+    # cosine: group centers train on NORMALIZED samples and the same
+    # metric flows through routing + scoring — parity vs the flat kernel
+    cos_heads = heads.alias("cos")
+    cos_heads._sptag_cached_count = K
+    cos_flat = {
+        (r["query_id"], r["head_id"]): r["head_dist"]
+        for r in route_queries(
+            qs, heads, nprobe=NPROBE, metric="cosine"
+        ).collect()
+    }
+    cos_grp = {
+        (r["query_id"], r["head_id"]): r["head_dist"]
+        for r in A._ratio_cut(
+            A._route_grouped(qs, cos_heads, NPROBE, "cosine"),
+            A.MAX_DIST_RATIO,
+        ).collect()
+    }
+    cos_overlap = set(cos_flat) & set(cos_grp)
+    assert len(cos_overlap) / len(cos_flat) >= 0.9, (
+        len(cos_overlap) / len(cos_flat)
+    )
+    for key in cos_overlap:
+        assert abs(cos_flat[key] - cos_grp[key]) < 1e-9
