@@ -472,6 +472,21 @@ def plan_topk(
         return PlannedSearch("BRUTE_KERNEL", spec, reasons, est_rows)
 
     nprobe = _nprobe_for(spec.recall_target)
+    # adopt the committed autotuned point when it MEASURED a recall that
+    # clears this plan's target with a cheaper probe than the static
+    # ladder's conservative step (never raise nprobe from here — the
+    # ladder stays the recall floor; AUTOTUNE.json is the measured knee)
+    point = tuned_operating_point()
+    if (
+        point
+        and point.get("recall_at_k", 0.0) >= spec.recall_target
+        and int(point.get("nprobe", nprobe)) < nprobe
+    ):
+        nprobe = int(point["nprobe"])
+        reasons.append(
+            f"autotuned operating point adopted (nprobe={nprobe}, "
+            f"measured recall {point['recall_at_k']})"
+        )
     if spann_index is not None:
         reasons.append("prebuilt SPANN index supplied — zero build cost")
         return PlannedSearch(

@@ -332,3 +332,30 @@ def test_replica_fast_path_dispatch(vecs, qs):
     assert got3[["query_id", "rank", "id"]].values.tolist() == want3[
         ["query_id", "rank", "id"]
     ].values.tolist()
+
+
+def test_planner_adopts_tuned_operating_point(vecs, qs, tmp_path, monkeypatch):
+    """A committed autotuned point whose MEASURED recall clears the plan's
+    target replaces the static ladder's conservative nprobe — but never
+    raises it, and never fires when its measured recall is below target."""
+    import json
+
+    tune = tmp_path / "AUTOTUNE.json"
+    monkeypatch.setenv("SPTAG_AUTOTUNE", str(tune))
+
+    spec = TopKByDistance(vecs, qs, k=K, recall_target=0.95)
+    base = plan_topk(spec, brute_row_threshold=1)
+    assert base.nprobe == 16  # ladder value for 0.95
+
+    tune.write_text(json.dumps({"chosen": {"nprobe": 4, "recall_at_k": 0.96}}))
+    adopted = plan_topk(spec, brute_row_threshold=1)
+    assert adopted.nprobe == 4
+    assert any("autotuned" in r for r in adopted.reasons)
+
+    # measured recall below target -> ladder stands
+    tune.write_text(json.dumps({"chosen": {"nprobe": 4, "recall_at_k": 0.9}}))
+    assert plan_topk(spec, brute_row_threshold=1).nprobe == 16
+
+    # tuned nprobe above the ladder -> never raised from here
+    tune.write_text(json.dumps({"chosen": {"nprobe": 64, "recall_at_k": 0.99}}))
+    assert plan_topk(spec, brute_row_threshold=1).nprobe == 16
