@@ -371,3 +371,60 @@ def test_group_slices_matches_mask_groupby(keys):
     assert got == want
     # every row appears exactly once across groups
     assert sorted(i for g in got for i in g) == list(range(len(keys)))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # bucket key
+            st.integers(min_value=0, max_value=3),  # seed/band
+            st.integers(min_value=0, max_value=30),  # doc id
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_pairs_within_buckets_matches_self_join(spark, rows):
+    """The folded candidate path (grouped sorted-id arrays → map-side pair
+    explode, r8) must emit exactly the rows of the (seed, minhash)
+    self-join it replaced — same multiset of per-band collisions, so the
+    min_band_matches counting downstream is unchanged."""
+    import pyspark.sql.functions as F
+
+    from sptag_spark.operators.dedup import _pairs_within_buckets
+
+    # banded rows are one per (doc, seed): dedupe the generated triples
+    uniq = {(s, b): set() for b, s, d in rows for s, b in [(s, b)]}
+    for b, s, d in rows:
+        uniq[(s, b)].add(d)
+    flat = [(d, s, b) for (s, b), ds in uniq.items() for d in ds]
+    if not flat:
+        return
+    banded = spark.createDataFrame(
+        flat, "doc_id long, seed int, minhash long"
+    )
+    buckets = (
+        banded.groupBy("seed", "minhash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    folded = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in _pairs_within_buckets(buckets).collect()
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    joined = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .collect()
+    )
+    assert folded == joined
