@@ -1,0 +1,363 @@
+"""Command-line parity with the reference's three user-facing tools.
+
+A reference user drives SPTAG through `indexbuilder`, `indexsearcher`, and
+`quantizer` (`AnnService/src/IndexBuilder/main.cpp`,
+`IndexSearcher/main.cpp`, `Quantizer/main.cpp`); this module is those
+entry points over the Spark engine, with the same flag vocabulary:
+
+  python -m sptag_spark.cli build  -i INPUT -o FOLDER -a SPANN|BKT|KDT
+         [-v float|int8|int16] [-f TXT|DEFAULT|XVEC] [-t '|']
+         [Section.Key=Value ...]
+  python -m sptag_spark.cli search -i QUERIES -x FOLDER [-r TRUTH]
+         [-o RESULT] [-k 32] [-tk K] [-f TXT|DEFAULT|XVEC] [-v float]
+         [--withmeta]
+  python -m sptag_spark.cli quantize -i INPUT -o FOLDER
+         [-qt PQQuantizer|OPQQuantizer] [-qd M] [-f ...] [-v ...]
+
+Behavioral parity, not a port: `build -a SPANN` produces the
+heads+postings Parquet layout (`io/index_store.py`), `-a BKT|KDT`
+produces the in-memory serving shape (RNG graph + entry heads — the
+structure the reference's BKT/KDT search actually walks,
+`BKTIndex.cpp:279-350`); `search` loads the folder, answers through the
+same operators every driver query uses, writes the reference's
+result-file shape (one line per query: id or metadata per neighbor), and
+prints the recall/latency table `IndexSearcher` logs. `Section.Key=Value`
+trailing args mirror the builder's ini-override convention for the knobs
+this engine exposes (SelectHead.Ratio, Index.ReplicaCount,
+Index.PostingPageLimit → posting_limit, Index.DistCalcMethod → metric,
+Index.NeighborhoodSize → graph L).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _read_vectors(spark, path: str, fmt: str, value_type: str, delim: str):
+    from sptag_spark.io.readers import read_binary_vectors, read_tsv_vectors
+
+    fmt = fmt.upper()
+    if fmt == "TXT":
+        return read_tsv_vectors(spark, path, delimiter=delim)
+    if fmt in ("DEFAULT", "XVEC"):
+        df = read_binary_vectors(
+            spark, path, fmt=fmt.lower(), value_type=value_type
+        )
+        from pyspark.sql import functions as F
+
+        return df.withColumn("meta", F.lit(None).cast("string"))
+    raise SystemExit(f"unknown vector file type {fmt!r} (TXT|DEFAULT|XVEC)")
+
+
+# ini-override vocabulary → engine knobs (reference: trailing
+# Section.Key=Value args patch the builder config, IndexBuilder/main.cpp)
+_KNOB_MAP = {
+    "selecthead.ratio": ("ratio", float),
+    "index.ratio": ("ratio", float),
+    "index.replicacount": ("replica_count", int),
+    "buildssdindex.replicacount": ("replica_count", int),
+    "index.postingpagelimit": ("posting_limit", int),
+    "buildssdindex.postingpagelimit": ("posting_limit", int),
+    "index.distcalcmethod": ("metric", str),
+    "base.distcalcmethod": ("metric", str),
+    "index.neighborhoodsize": ("graph_l", int),
+}
+
+
+def _parse_overrides(pairs: list[str]) -> dict:
+    knobs: dict = {}
+    unknown: dict = {}
+    for p in pairs:
+        if "=" not in p:
+            continue
+        key, val = p.split("=", 1)
+        mapped = _KNOB_MAP.get(key.lower())
+        if mapped is None:
+            unknown[key] = val
+            continue
+        name, cast = mapped
+        v = val.lower() if cast is str else cast(val)
+        if name == "metric":
+            v = {"l2": "l2", "cosine": "cosine", "ip": "ip"}.get(v, v)
+        knobs[name] = v
+    if unknown:
+        print(f"[cli] ignoring unrecognized overrides: {unknown}", file=sys.stderr)
+    return knobs
+
+
+def cmd_build(args, spark) -> int:
+    from sptag_spark.index.heads import DEFAULT_HEAD_RATIO, select_heads
+    from sptag_spark.index.postings import (
+        POSTING_LIMIT,
+        REPLICA_COUNT,
+        build_postings,
+    )
+    from sptag_spark.io.index_store import SptagIndex, save_index
+
+    knobs = _parse_overrides(args.overrides)
+    metric = knobs.get("metric", "l2")
+    vectors = _read_vectors(
+        spark, args.input, args.filetype, args.valuetype, args.delimiter
+    ).persist()
+    n = vectors.count()
+    algo = args.algo.upper()
+    t0 = time.time()
+    config = {
+        "algo": algo,
+        "metric": metric,
+        "value_type": args.valuetype,
+        "n_vectors": n,
+    }
+    heads = postings = None
+    if algo == "SPANN":
+        ratio = knobs.get("ratio", DEFAULT_HEAD_RATIO)
+        heads = select_heads(vectors, ratio=ratio, metric=metric).persist()
+        postings = build_postings(
+            vectors,
+            heads,
+            metric=metric,
+            replica_count=knobs.get("replica_count", REPLICA_COUNT),
+            posting_limit=knobs.get("posting_limit", POSTING_LIMIT),
+        )
+        config.update(
+            ratio=ratio,
+            replica_count=knobs.get("replica_count", REPLICA_COUNT),
+            posting_limit=knobs.get("posting_limit", POSTING_LIMIT),
+        )
+    elif algo in ("BKT", "KDT"):
+        # the reference serves BKT/KDT from RAM by walking tree + RNG
+        # graph; the durable artifact is the graph + entry heads
+        from sptag_spark.index.graph import NEIGHBORHOOD_SIZE, build_rng_graph
+
+        entry = select_heads(vectors, ratio=0.1, metric=metric).persist()
+        edges = build_rng_graph(
+            vectors.select("id", "vector"),
+            L=knobs.get("graph_l", NEIGHBORHOOD_SIZE),
+            heads=entry,
+            metric=metric,
+        )
+        os.makedirs(args.output, exist_ok=True)
+        edges.write.mode("overwrite").parquet(
+            os.path.join(args.output, "graph_edges")
+        )
+        entry.write.mode("overwrite").parquet(
+            os.path.join(args.output, "graph_entry")
+        )
+        config["graph_l"] = knobs.get("graph_l", NEIGHBORHOOD_SIZE)
+    else:
+        raise SystemExit(f"unknown algo {args.algo!r} (SPANN|BKT|KDT)")
+    save_index(
+        SptagIndex(vectors=vectors, heads=heads, postings=postings, config=config),
+        args.output,
+    )
+    print(
+        json.dumps(
+            {
+                "built": algo,
+                "vectors": n,
+                "output": args.output,
+                "build_sec": round(time.time() - t0, 2),
+                "config": config,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_search(args, spark) -> int:
+    from pyspark.sql import functions as F
+
+    from sptag_spark.io.index_store import load_index
+    from sptag_spark.io.readers import read_truth_default, read_truth_txt
+
+    idx = load_index(spark, args.index)
+    algo = idx.config.get("algo", "SPANN")
+    metric = idx.config.get("metric", "l2")
+    queries = (
+        _read_vectors(
+            spark, args.input, args.filetype, args.valuetype, args.delimiter
+        )
+        .select(F.col("id").alias("query_id"), "vector")
+        .persist()
+    )
+    nq = queries.count()
+    t0 = time.time()
+    if algo == "SPANN":
+        from sptag_spark.index.ann import ann_search
+
+        idx.heads.persist().count()
+        idx.postings.persist().count()
+        res = ann_search(
+            queries,
+            idx.heads,
+            idx.postings,
+            k=args.k,
+            nprobe=max(8, args.maxcheck // 256) if args.maxcheck else 8,
+            metric=metric,
+        )
+    else:
+        from sptag_spark.index.graph import graph_search_broadcast
+
+        edges = spark.read.parquet(os.path.join(args.index, "graph_edges"))
+        entry = spark.read.parquet(os.path.join(args.index, "graph_entry"))
+        res = graph_search_broadcast(
+            idx.vectors.select("id", "vector"),
+            edges,
+            queries,
+            k=args.k,
+            heads=entry,
+            metric=metric,
+        )
+    rows = res.orderBy("query_id", "rank").collect()
+    wall = time.time() - t0
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    if args.result:
+        # reference result-file shape: one line per query, k neighbors as
+        # "id@dist" (or metadata with --withmeta), '|'-separated
+        meta_by_id = None
+        if args.withmeta and "meta" in idx.vectors.columns:
+            meta_by_id = {
+                int(r["id"]): r["meta"]
+                for r in idx.vectors.select("id", "meta").collect()
+            }
+        with open(args.result, "w") as f:
+            for qid in sorted(by_q):
+                cells = []
+                for r in by_q[qid]:
+                    label = (
+                        meta_by_id.get(int(r["id"]), "")
+                        if meta_by_id is not None
+                        else int(r["id"])
+                    )
+                    cells.append(f"{label}@{float(r['dist']):.6f}")
+                f.write("|".join(str(c) for c in cells) + "\n")
+    report = {
+        "queries": nq,
+        "k": args.k,
+        "wall_sec": round(wall, 3),
+        "qps": round(nq / wall, 1) if wall > 0 else None,
+    }
+    if args.truth:
+        from sptag_spark.operators.recall import recall_per_query, recall_summary
+
+        truth = (
+            read_truth_txt(spark, args.truth)
+            if args.truth.endswith(".txt")
+            else read_truth_default(spark, args.truth)
+        )
+        tk = args.truthk or args.k
+        # file truth carries no distances; recall_per_query's shared plan
+        # projects the column regardless (NaN never tie-matches)
+        truth = truth.filter(F.col("rank") <= tk).withColumn(
+            "dist", F.lit(float("nan"))
+        )
+        # file truth carries ids only (no distances), so recall is pure
+        # id-set membership — the same figure IndexSearcher logs
+        summary = recall_summary(
+            recall_per_query(
+                res, truth, min(args.k, tk), dist_tie_credit=False
+            )
+        ).first()
+        report["recall_at_k"] = round(float(summary["avg_recall"]), 4)
+        report["mrr"] = round(float(summary["mrr"]), 4)
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_quantize(args, spark) -> int:
+    from sptag_spark.index.pq import pq_encode, train_pq
+    from sptag_spark.io.index_store import save_quantizer
+
+    vectors = _read_vectors(
+        spark, args.input, args.filetype, args.valuetype, args.delimiter
+    ).persist()
+    n = vectors.count()
+    t0 = time.time()
+    books = train_pq(
+        vectors,
+        m=args.qd,
+        opq_rotation=(args.qt.lower() == "opqquantizer"),
+    )
+    os.makedirs(args.output, exist_ok=True)
+    save_quantizer(books, os.path.join(args.output, "quantizer"))
+    codes = pq_encode(vectors, books)
+    codes.write.mode("overwrite").parquet(os.path.join(args.output, "codes"))
+    print(
+        json.dumps(
+            {
+                "quantized": n,
+                "type": args.qt,
+                "m": args.qd,
+                "output": args.output,
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    return 0
+
+
+def _common_reader_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-v", "--valuetype", default="float32",
+                   help="vector value type (float32|int8|int16)")
+    p.add_argument("-f", "--filetype", default="TXT",
+                   help="vector file type (TXT|DEFAULT|XVEC)")
+    p.add_argument("-t", "--delimiter", default="|",
+                   help="TXT vector delimiter")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="sptag_spark.cli", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="IndexBuilder parity")
+    b.add_argument("-i", "--input", required=True)
+    b.add_argument("-o", "--output", required=True)
+    b.add_argument("-a", "--algo", required=True, help="SPANN|BKT|KDT")
+    _common_reader_flags(b)
+    b.add_argument("overrides", nargs="*",
+                   help="Section.Key=Value builder-config overrides")
+
+    s = sub.add_parser("search", help="IndexSearcher parity")
+    s.add_argument("-i", "--input", required=True, help="query vector file")
+    s.add_argument("-x", "--index", required=True, help="index folder")
+    s.add_argument("-r", "--truth", default=None)
+    s.add_argument("-o", "--result", default=None)
+    s.add_argument("-k", type=int, default=32)
+    s.add_argument("-tk", "--truthk", type=int, default=None)
+    s.add_argument("-m", "--maxcheck", type=int, default=None)
+    s.add_argument("-a", "--withmeta", action="store_true")
+    _common_reader_flags(s)
+
+    q = sub.add_parser("quantize", help="Quantizer parity")
+    q.add_argument("-i", "--input", required=True)
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("-qt", default="PQQuantizer",
+                   help="PQQuantizer|OPQQuantizer")
+    q.add_argument("-qd", type=int, default=8,
+                   help="quantized dimension (PQ subspaces M)")
+    _common_reader_flags(q)
+
+    args = ap.parse_args(argv)
+    # normalize valuetype aliases the reference accepts
+    args.valuetype = {"float": "float32", "int8": "int8", "int16": "int16"}.get(
+        args.valuetype, args.valuetype
+    )
+    from sptag_spark.session import get_spark
+
+    spark = get_spark("sptag-cli")
+    try:
+        return {"build": cmd_build, "search": cmd_search, "quantize": cmd_quantize}[
+            args.cmd
+        ](args, spark)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
