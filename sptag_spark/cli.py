@@ -185,6 +185,29 @@ def cmd_search(args, spark) -> int:
         .persist()
     )
     nq = queries.count()
+    if getattr(args, "gentruth", None):
+        # IndexSearcher -g: write the exact-kNN truth for these queries
+        # (reference builds truth by brute force, Test/src/AlgoTest.cpp)
+        import numpy as np
+
+        from sptag_spark.io.readers import write_truth_txt
+        from sptag_spark.operators.knn import knn
+
+        tk = args.truthk or args.k
+        exact = (
+            knn(idx.vectors.select("id", "vector"), queries, k=tk, metric=metric)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        by_q: dict[int, list[int]] = {}
+        for r in exact:
+            by_q.setdefault(int(r["query_id"]), []).append(int(r["id"]))
+        write_truth_txt(
+            np.array([by_q[q] for q in sorted(by_q)], dtype=np.int64),
+            args.gentruth,
+        )
+        print(json.dumps({"gentruth": args.gentruth, "queries": nq, "k": tk}))
+        return 0
     t0 = time.time()
     if algo == "SPANN":
         from sptag_spark.index.ann import ann_search
@@ -270,6 +293,48 @@ def cmd_search(args, spark) -> int:
     return 0
 
 
+def cmd_serve(args, spark) -> int:
+    """Server/main.cpp parity: load an index folder, warm the in-RAM
+    replica (the reference's ServiceContext startup load), and answer the
+    `$option`/`#base64` wire format over TCP until interrupted. Uses the
+    one shared serving tier (AnnTcpServer.from_index → warm_replica +
+    committed autotuned operating point)."""
+    from sptag_spark.io.index_store import load_index
+    from sptag_spark.server import AnnTcpServer
+
+    idx = load_index(spark, args.index)
+    if idx.heads is None or idx.postings is None:
+        raise SystemExit("serve requires a SPANN index (heads + postings)")
+    idx.heads.persist().count()
+    idx.postings.persist().count()
+    srv = AnnTcpServer.from_index(
+        idx.heads,
+        idx.postings,
+        host=args.host,
+        port=args.port,
+        k=args.k,
+        metric=idx.config.get("metric", "l2"),
+    ).start()
+    print(
+        json.dumps(
+            {"serving": list(srv.address), "k": args.k, "nprobe": srv.nprobe}
+        ),
+        flush=True,
+    )
+    try:
+        import threading
+
+        if args.duration:
+            time.sleep(args.duration)
+        else:  # pragma: no cover - interactive mode
+            threading.Event().wait()
+    except KeyboardInterrupt:  # pragma: no cover
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
 def cmd_quantize(args, spark) -> int:
     from sptag_spark.index.pq import pq_encode, train_pq
     from sptag_spark.io.index_store import save_quantizer
@@ -332,7 +397,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("-tk", "--truthk", type=int, default=None)
     s.add_argument("-m", "--maxcheck", type=int, default=None)
     s.add_argument("-a", "--withmeta", action="store_true")
+    s.add_argument("-g", "--gentruth", default=None,
+                   help="write exact-kNN TXT truth for the queries and exit")
     _common_reader_flags(s)
+
+    v = sub.add_parser("serve", help="Server parity: TCP serve loop")
+    v.add_argument("-x", "--index", required=True, help="index folder")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("-p", "--port", type=int, default=0)
+    v.add_argument("-k", type=int, default=10)
+    v.add_argument("--duration", type=float, default=None,
+                   help="serve for N seconds then exit (default: forever)")
 
     q = sub.add_parser("quantize", help="Quantizer parity")
     q.add_argument("-i", "--input", required=True)
@@ -352,9 +427,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("sptag-cli")
     try:
-        return {"build": cmd_build, "search": cmd_search, "quantize": cmd_quantize}[
-            args.cmd
-        ](args, spark)
+        return {
+            "build": cmd_build,
+            "search": cmd_search,
+            "quantize": cmd_quantize,
+            "serve": cmd_serve,
+        }[args.cmd](args, spark)
     finally:
         spark.stop()
 

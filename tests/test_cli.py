@@ -113,3 +113,82 @@ def test_cli_bkt_graph_index_roundtrip(spark, tmp_path, capsys):
     ) == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["queries"] == 5 and report["k"] == 3
+
+
+def test_cli_gentruth_and_serve(spark, tmp_path, capsys):
+    import socket
+
+    from sptag_spark.cli import cmd_build, cmd_search, cmd_serve
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(120, 6)).astype("float32")
+    corpus = str(tmp_path / "c.tsv")
+    queries = str(tmp_path / "q.tsv")
+    _write_txt(corpus, X, "m")
+    _write_txt(queries, X[:4], "q")
+    idx = str(tmp_path / "idx")
+    cmd_build(
+        argparse.Namespace(
+            input=corpus, output=idx, algo="SPANN",
+            valuetype="float32", filetype="TXT", delimiter="|",
+            overrides=["SelectHead.Ratio=0.2"],
+        ),
+        spark,
+    )
+    capsys.readouterr()
+
+    # -g: exact truth written, then consumed by a scored search run
+    truth = str(tmp_path / "truth.txt")
+    assert cmd_search(
+        argparse.Namespace(
+            input=queries, index=idx, truth=None, result=None,
+            k=3, truthk=3, maxcheck=None, withmeta=False, gentruth=truth,
+            valuetype="float32", filetype="TXT", delimiter="|",
+        ),
+        spark,
+    ) == 0
+    lines = open(truth).read().splitlines()
+    assert len(lines) == 4
+    # query j IS corpus row j -> truth rank 1 is the self id
+    assert [int(l.split()[0]) for l in lines] == [0, 1, 2, 3]
+    capsys.readouterr()
+    assert cmd_search(
+        argparse.Namespace(
+            input=queries, index=idx, truth=truth, result=None,
+            k=3, truthk=3, maxcheck=None, withmeta=False, gentruth=None,
+            valuetype="float32", filetype="TXT", delimiter="|",
+        ),
+        spark,
+    ) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["recall_at_k"] >= 0.9
+
+    # serve: answers the wire format from the shared warm replica
+    import threading
+
+    from sptag_spark.server import encode_query
+
+    ns = argparse.Namespace(index=idx, host="127.0.0.1", port=0, k=3,
+                            duration=6.0)
+    t = threading.Thread(target=cmd_serve, args=(ns, spark), daemon=True)
+    t.start()
+    import time as _t
+
+    addr = None
+    for _ in range(80):
+        out = capsys.readouterr().out
+        for line in out.splitlines():
+            if '"serving"' in line:
+                addr = tuple(json.loads(line)["serving"])
+        if addr:
+            break
+        _t.sleep(0.25)
+    assert addr, "serve never reported its address"
+    with socket.create_connection((addr[0], int(addr[1])), timeout=30) as s:
+        f = s.makefile("rw", encoding="utf-8")
+        f.write(encode_query([float(v) for v in X[2]]) + "\n")
+        f.flush()
+        r = json.loads(f.readline())
+    # corpus TSV rounds to 5 decimals; the wire query carries full float32
+    assert r["results"][0]["id"] == 2 and r["results"][0]["dist"] < 1e-6
+    t.join(timeout=30)
