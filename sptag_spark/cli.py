@@ -150,8 +150,26 @@ def cmd_build(args, spark) -> int:
         config["graph_l"] = knobs.get("graph_l", NEIGHBORHOOD_SIZE)
     else:
         raise SystemExit(f"unknown algo {args.algo!r} (SPANN|BKT|KDT)")
+    quantizer = codes = None
+    if getattr(args, "quantizer", None):
+        # IndexBuilder -pq: attach a pre-trained quantizer (cli quantize's
+        # output folder) and store the per-vector codes beside the index —
+        # the reference's quantized-build mode (LoadQuantizer in main.cpp)
+        from sptag_spark.index.pq import pq_encode
+        from sptag_spark.io.index_store import load_quantizer
+
+        quantizer = load_quantizer(os.path.join(args.quantizer, "quantizer"))
+        codes = pq_encode(vectors, quantizer)
+        config["quantized"] = True
     save_index(
-        SptagIndex(vectors=vectors, heads=heads, postings=postings, config=config),
+        SptagIndex(
+            vectors=vectors,
+            heads=heads,
+            postings=postings,
+            quantizer=quantizer,
+            codes=codes,
+            config=config,
+        ),
         args.output,
     )
     print(
@@ -384,6 +402,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("-i", "--input", required=True)
     b.add_argument("-o", "--output", required=True)
     b.add_argument("-a", "--algo", required=True, help="SPANN|BKT|KDT")
+    b.add_argument("-pq", "--quantizer", default=None,
+                   help="pre-trained quantizer folder (cli quantize output)")
     _common_reader_flags(b)
     b.add_argument("overrides", nargs="*",
                    help="Section.Key=Value builder-config overrides")

@@ -82,6 +82,22 @@ def test_cli_build_search_quantize_roundtrip(spark, tmp_path, capsys):
     codes = spark.read.parquet(os.path.join(out, "codes"))
     assert codes.count() == 200
 
+    # -pq: quantized build stores the quantizer + codes beside the index
+    capsys.readouterr()
+    idx2 = str(tmp_path / "idx_q")
+    assert cmd_build(
+        argparse.Namespace(
+            input=corpus, output=idx2, algo="SPANN", quantizer=out,
+            valuetype="float32", filetype="TXT", delimiter="|",
+            overrides=["SelectHead.Ratio=0.2"],
+        ),
+        spark,
+    ) == 0
+    assert os.path.isfile(
+        os.path.join(idx2, "quantizer", "codebooks.npy")
+    )
+    assert spark.read.parquet(os.path.join(idx2, "codes")).count() == 200
+
 
 def test_cli_bkt_graph_index_roundtrip(spark, tmp_path, capsys):
     from sptag_spark.cli import cmd_build, cmd_search
