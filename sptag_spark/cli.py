@@ -353,6 +353,48 @@ def cmd_serve(args, spark) -> int:
     return 0
 
 
+def cmd_client(args, spark) -> int:
+    """Client/main.cpp parity: read a query vector file, send each query
+    to a running `serve` loop in the wire format, print/write one JSON
+    result line per query. Pure socket client — Spark only reads the
+    query file."""
+    import socket
+
+    from sptag_spark.server import encode_query
+
+    queries = _read_vectors(
+        spark, args.input, args.filetype, args.valuetype, args.delimiter
+    )
+    rows = queries.select("id", "vector").orderBy("id").collect()
+    options = {"resultnum": args.k} if args.k else {}
+    out_f = open(args.result, "w") if args.result else None
+    t0 = time.time()
+    with socket.create_connection((args.host, args.port), timeout=60) as s:
+        f = s.makefile("rw", encoding="utf-8")
+        for r in rows:
+            f.write(
+                encode_query([float(x) for x in r["vector"]], **options)
+                + "\n"
+            )
+            f.flush()
+            line = f.readline().strip()
+            (out_f or sys.stdout).write(line + "\n")
+    wall = time.time() - t0
+    if out_f:
+        out_f.close()
+    print(
+        json.dumps(
+            {
+                "queries": len(rows),
+                "wall_sec": round(wall, 3),
+                "qps": round(len(rows) / wall, 1) if wall > 0 else None,
+            }
+        ),
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_quantize(args, spark) -> int:
     from sptag_spark.index.pq import pq_encode, train_pq
     from sptag_spark.io.index_store import save_quantizer
@@ -429,6 +471,14 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--duration", type=float, default=None,
                    help="serve for N seconds then exit (default: forever)")
 
+    c = sub.add_parser("client", help="Client parity: query a serve loop")
+    c.add_argument("-i", "--input", required=True, help="query vector file")
+    c.add_argument("--host", default="127.0.0.1")
+    c.add_argument("-p", "--port", type=int, required=True)
+    c.add_argument("-k", type=int, default=None)
+    c.add_argument("-o", "--result", default=None)
+    _common_reader_flags(c)
+
     q = sub.add_parser("quantize", help="Quantizer parity")
     q.add_argument("-i", "--input", required=True)
     q.add_argument("-o", "--output", required=True)
@@ -452,6 +502,7 @@ def main(argv: list[str] | None = None) -> int:
             "search": cmd_search,
             "quantize": cmd_quantize,
             "serve": cmd_serve,
+            "client": cmd_client,
         }[args.cmd](args, spark)
     finally:
         spark.stop()

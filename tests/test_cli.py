@@ -185,7 +185,7 @@ def test_cli_gentruth_and_serve(spark, tmp_path, capsys):
     from sptag_spark.server import encode_query
 
     ns = argparse.Namespace(index=idx, host="127.0.0.1", port=0, k=3,
-                            duration=6.0)
+                            duration=25.0)
     t = threading.Thread(target=cmd_serve, args=(ns, spark), daemon=True)
     t.start()
     import time as _t
@@ -207,4 +207,21 @@ def test_cli_gentruth_and_serve(spark, tmp_path, capsys):
         r = json.loads(f.readline())
     # corpus TSV rounds to 5 decimals; the wire query carries full float32
     assert r["results"][0]["id"] == 2 and r["results"][0]["dist"] < 1e-6
+
+    # client subcommand drives the same loop from a query file
+    from sptag_spark.cli import cmd_client
+
+    res_file = str(tmp_path / "client_out.jsonl")
+    assert cmd_client(
+        argparse.Namespace(
+            input=queries, host=addr[0], port=int(addr[1]), k=2,
+            result=res_file,
+            valuetype="float32", filetype="TXT", delimiter="|",
+        ),
+        spark,
+    ) == 0
+    lines = [json.loads(l) for l in open(res_file)]
+    assert len(lines) == 4
+    assert all(len(l["results"]) == 2 for l in lines)
+    assert lines[0]["results"][0]["id"] == 0  # query 0 is corpus row 0
     t.join(timeout=30)
