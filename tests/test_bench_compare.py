@@ -1,0 +1,65 @@
+"""tools/bench_compare.py: artifact loading + calibration normalization."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.bench_compare import compare, load_bench  # noqa: E402
+
+
+def _artifact(queries, gflops=None, gflops_after=None):
+    d = {"queries": queries}
+    if gflops is not None:
+        d["calibration"] = {"gemm_gflops": gflops, "loadavg_1m": 1.0}
+    if gflops_after is not None:
+        d["calibration_after"] = {"gemm_gflops": gflops_after, "loadavg_1m": 1.0}
+    return d
+
+
+def test_normalization_cancels_machine_speed():
+    # same per-query cost on a machine measured 2x slower: raw ratio 2.0,
+    # normalized 1.0 (new gflops half of old)
+    old = _artifact({"q": 1.0}, gflops=200.0)
+    new = _artifact({"q": 2.0}, gflops=100.0)
+    r = compare(old, new, threshold=2.0)
+    assert r["calibrated"] is True
+    assert r["rows"][0]["raw_ratio"] == 2.0
+    assert r["rows"][0]["norm_ratio"] == 1.0
+    assert r["flagged"] == []
+
+
+def test_real_regression_flagged_despite_fast_machine():
+    # 5x slower code on a 1.25x faster machine: norm 6.25 > 2 -> flagged
+    old = _artifact({"q": 1.0}, gflops=160.0)
+    new = _artifact({"q": 5.0}, gflops=200.0)
+    r = compare(old, new)
+    assert r["flagged"] and r["flagged"][0]["query"] == "q"
+
+
+def test_calibration_averages_before_and_after():
+    old = _artifact({"q": 1.0}, gflops=100.0, gflops_after=300.0)  # avg 200
+    new = _artifact({"q": 1.0}, gflops=100.0)
+    r = compare(old, new)
+    assert r["gemm_gflops"] == {"old": 200.0, "new": 100.0}
+    assert r["rows"][0]["norm_ratio"] == 0.5
+
+
+def test_uncalibrated_artifacts_fall_back_to_raw():
+    r = compare(_artifact({"q": 1.0}), _artifact({"q": 3.0}))
+    assert r["calibrated"] is False
+    assert r["rows"][0]["norm_ratio"] == 3.0
+    assert r["flagged"]
+
+
+def test_load_bench_unwraps_driver_artifact(tmp_path):
+    payload = {"queries": {"q": 1.0}, "calibration": {"gemm_gflops": 100.0}}
+    wrapped = {"n": 1, "tail": "noise\n" + json.dumps(payload) + "\n"}
+    p = tmp_path / "BENCH_rX.json"
+    p.write_text(json.dumps(wrapped))
+    assert load_bench(str(p))["queries"] == {"q": 1.0}
+    p2 = tmp_path / "BENCH_SELF.json"
+    p2.write_text(json.dumps(payload))
+    assert load_bench(str(p2))["calibration"]["gemm_gflops"] == 100.0
