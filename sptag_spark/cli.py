@@ -20,7 +20,8 @@ produces the in-memory serving shape (RNG graph + entry heads — the
 structure the reference's BKT/KDT search actually walks,
 `BKTIndex.cpp:279-350`); `search` loads the folder, answers through the
 same operators every driver query uses, writes the reference's
-result-file shape (one line per query: id or metadata per neighbor), and
+result-file shape (`<qid-or-qmeta>:<dist>@<vid-or-vmeta>|...|` per line,
+IndexSearcher/main.cpp:280-310), and
 prints the recall/latency table `IndexSearcher` logs. `Section.Key=Value`
 trailing args mirror the builder's ini-override convention for the knobs
 this engine exposes (SelectHead.Ratio, Index.ReplicaCount,
@@ -195,12 +196,11 @@ def cmd_search(args, spark) -> int:
     idx = load_index(spark, args.index)
     algo = idx.config.get("algo", "SPANN")
     metric = idx.config.get("metric", "l2")
+    q_raw = _read_vectors(
+        spark, args.input, args.filetype, args.valuetype, args.delimiter
+    )
     queries = (
-        _read_vectors(
-            spark, args.input, args.filetype, args.valuetype, args.delimiter
-        )
-        .select(F.col("id").alias("query_id"), "vector")
-        .persist()
+        q_raw.select(F.col("id").alias("query_id"), "vector").persist()
     )
     nq = queries.count()
     if getattr(args, "gentruth", None):
@@ -259,25 +259,41 @@ def cmd_search(args, spark) -> int:
     for r in rows:
         by_q.setdefault(int(r["query_id"]), []).append(r)
     if args.result:
-        # reference result-file shape: one line per query, k neighbors as
-        # "id@dist" (or metadata with --withmeta), '|'-separated
+        # reference result-file shape (IndexSearcher/main.cpp:280-310,
+        # m_outputformat=0): one line per query,
+        #   "<qid-or-qmeta>:<dist>@<vid-or-vmeta>|<dist>@<vid-or-vmeta>|...|"
+        # — the query prefix is its metadata when the query file carries
+        # one (queryMetas != nullptr), the neighbor label is metadata only
+        # under --withmeta, every cell ends with '|', and unfilled slots
+        # would be "NULL|" (our exact-k results never produce them)
         meta_by_id = None
         if args.withmeta and "meta" in idx.vectors.columns:
             meta_by_id = {
                 int(r["id"]): r["meta"]
                 for r in idx.vectors.select("id", "meta").collect()
             }
+        qmeta_by_id = None
+        if "meta" in q_raw.columns:
+            qmeta_by_id = {
+                int(r["id"]): r["meta"]
+                for r in q_raw.select("id", "meta").collect()
+            }
         with open(args.result, "w") as f:
             for qid in sorted(by_q):
-                cells = []
+                prefix = (
+                    qmeta_by_id.get(qid, str(qid))
+                    if qmeta_by_id is not None
+                    else str(qid)
+                )
+                line = [f"{prefix}:"]
                 for r in by_q[qid]:
                     label = (
-                        meta_by_id.get(int(r["id"]), "")
+                        meta_by_id.get(int(r["id"]), "NULL")
                         if meta_by_id is not None
                         else int(r["id"])
                     )
-                    cells.append(f"{label}@{float(r['dist']):.6f}")
-                f.write("|".join(str(c) for c in cells) + "\n")
+                    line.append(f"{float(r['dist']):.6f}@{label}|")
+                f.write("".join(line) + "\n")
     report = {
         "queries": nq,
         "k": args.k,

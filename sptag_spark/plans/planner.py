@@ -71,15 +71,58 @@ _NPROBE_LADDER = [(0.95, 16), (0.9, 10), (0.8, 6), (0.0, 3)]
 REPLICA_DISPATCH_MAX_QUERIES = 128
 
 
-def tuned_operating_point(path: str | None = None) -> dict | None:
+_UNCHECKED = object()  # sentinel: caller wants the raw point, no identity gate
+
+
+def index_fingerprint(heads, postings=None) -> dict:
+    """Cheap structural identity of a SPANN index, for tune-point matching
+    (ADVICE r8: a tuned operating point measured on one index must not be
+    adopted for an unrelated one). Heads are the small side — one agg of
+    (count, dim, sum of head ids) is O(heads); postings contribute their
+    row count (which encodes replica_count × posting_limit — the build
+    knobs the tune swept). Memoized on the postings DataFrame (the more
+    build-specific object) when one is given, else on heads."""
+    memo_obj = postings if postings is not None else heads
+    fp = getattr(memo_obj, "_sptag_fingerprint", None)
+    if fp is None:
+        from pyspark.sql import functions as F
+
+        row = heads.select(
+            F.count("*").alias("n"),
+            F.sum("head_id").alias("s"),
+            F.max(F.size("vector")).alias("d"),
+        ).first()
+        fp = {
+            "heads": int(row["n"]),
+            "dim": int(row["d"]),
+            "head_ids_sum": int(row["s"]),
+        }
+        if postings is not None:
+            fp["posting_rows"] = int(postings.count())
+        memo_obj._sptag_fingerprint = fp
+    return fp
+
+
+def tuned_operating_point(
+    path: str | None = None, *, fingerprint=_UNCHECKED, k: int | None = None
+) -> dict | None:
     """The committed autotuned SPANN operating point — AUTOTUNE.json's
     "chosen" entry (tools/autotune.py sweep: max single-thread QPS at
     recall ≥ target), or None when no tune has been committed. This is the
     DEPLOY half of the reference's auto-tune loop
     (`Tools/nni-auto-tune/main.py` finds the point; operators then run it):
-    the TCP server (server.py AnnTcpServer.from_index) and bench consume it
-    as their default serve configuration. Override the file location with
-    $SPTAG_AUTOTUNE."""
+    the TCP server (server.py AnnTcpServer.from_index) and the planner
+    consume it as their default serve configuration. Override the file
+    location with $SPTAG_AUTOTUNE.
+
+    Identity gate (ADVICE r8): pass ``fingerprint=index_fingerprint(...)``
+    to adopt the point ONLY when the tune file records the same
+    index_fingerprint — a recall measured on one corpus/build does not
+    transfer to another. A file without a recorded fingerprint never
+    matches a real one (legacy tunes are reporting-only). Pass ``k`` to
+    additionally require the tune's k to match (recall@k does not
+    transfer across k). Omitting ``fingerprint`` returns the raw point
+    unchecked — for reporting, never for adoption."""
     import json
     import os
 
@@ -93,9 +136,18 @@ def tuned_operating_point(path: str | None = None) -> dict | None:
     )
     try:
         with open(p) as f:
-            return json.load(f).get("chosen")
+            data = json.load(f)
     except (OSError, ValueError):
         return None
+    chosen = data.get("chosen")
+    if not chosen:
+        return None
+    if fingerprint is not _UNCHECKED:
+        if data.get("index_fingerprint") != fingerprint:
+            return None
+    if k is not None and data.get("k") is not None and int(data["k"]) != k:
+        return None
+    return chosen
 
 
 def warm_replica(heads, postings):
@@ -472,22 +524,31 @@ def plan_topk(
         return PlannedSearch("BRUTE_KERNEL", spec, reasons, est_rows)
 
     nprobe = _nprobe_for(spec.recall_target)
-    # adopt the committed autotuned point when it MEASURED a recall that
-    # clears this plan's target with a cheaper probe than the static
-    # ladder's conservative step (never raise nprobe from here — the
-    # ladder stays the recall floor; AUTOTUNE.json is the measured knee)
-    point = tuned_operating_point()
-    if (
-        point
-        and point.get("recall_at_k", 0.0) >= spec.recall_target
-        and int(point.get("nprobe", nprobe)) < nprobe
-    ):
-        nprobe = int(point["nprobe"])
-        reasons.append(
-            f"autotuned operating point adopted (nprobe={nprobe}, "
-            f"measured recall {point['recall_at_k']})"
-        )
     if spann_index is not None:
+        # adopt the committed autotuned point when (a) the tune file's
+        # index_fingerprint proves it was measured on THIS index at THIS k
+        # (ADVICE r8 — a recall measured elsewhere does not transfer), and
+        # (b) its MEASURED recall clears this plan's target with a cheaper
+        # probe than the static ladder's conservative step (never raise
+        # nprobe from here — the ladder stays the recall floor;
+        # AUTOTUNE.json is the measured knee). Fresh-build paths below
+        # never adopt: their heads/postings don't exist yet, so no
+        # fingerprint can match.
+        point = tuned_operating_point(
+            fingerprint=index_fingerprint(*spann_index), k=spec.k
+        )
+        if (
+            point
+            and point.get("recall_at_k", 0.0) >= spec.recall_target
+            and point.get("nprobe") is not None
+            and int(point["nprobe"]) < nprobe
+        ):
+            nprobe = int(point["nprobe"])
+            reasons.append(
+                f"autotuned operating point adopted (nprobe={nprobe}, "
+                f"measured recall {point['recall_at_k']}, "
+                f"fingerprint-matched)"
+            )
         reasons.append("prebuilt SPANN index supplied — zero build cost")
         return PlannedSearch(
             "SPANN", spec, reasons, est_rows, nprobe, _index=spann_index

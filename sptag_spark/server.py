@@ -272,15 +272,21 @@ class AnnTcpServer:
         the planner fast path and the TCP loop share a single replica per
         index object, and default nprobe to the committed autotuned
         operating point (AUTOTUNE.json chosen — tools/autotune.py) when one
-        exists. Explicit kwargs win."""
+        exists AND its recorded index_fingerprint matches this index
+        (ADVICE r8 — a point tuned on another corpus/build must not be
+        adopted). Explicit kwargs win."""
         from sptag_spark.plans.planner import (
+            index_fingerprint,
             tuned_operating_point,
             warm_replica,
         )
 
         if "nprobe" not in kwargs:
-            point = tuned_operating_point()
-            if point:
+            point = tuned_operating_point(
+                fingerprint=index_fingerprint(heads, postings)
+            )
+            # a chosen entry may omit nprobe — guard, don't KeyError
+            if point and point.get("nprobe") is not None:
                 kwargs["nprobe"] = int(point["nprobe"])
         return cls(warm_replica(heads, postings), **kwargs)
 

@@ -63,3 +63,27 @@ def test_load_bench_unwraps_driver_artifact(tmp_path):
     p2 = tmp_path / "BENCH_SELF.json"
     p2.write_text(json.dumps(payload))
     assert load_bench(str(p2))["calibration"]["gemm_gflops"] == 100.0
+
+
+def test_cli_space_separated_threshold(tmp_path, monkeypatch, capsys):
+    # ADVICE r8: the documented `--threshold 2.0` (space-separated) form
+    # must work, not just `--threshold=2.0`
+    from tools.bench_compare import main
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps(_artifact({"q": 1.0}, gflops=100.0)))
+    new.write_text(json.dumps(_artifact({"q": 3.0}, gflops=100.0)))
+    for argv in (
+        ["bench_compare.py", str(old), str(new), "--threshold", "2.5"],
+        ["bench_compare.py", str(old), str(new), "--threshold=2.5"],
+    ):
+        monkeypatch.setattr(sys, "argv", argv)
+        rc = main()
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["threshold"] == 2.5  # 3.0 > 2.5 -> flagged
+    monkeypatch.setattr(
+        sys, "argv", ["bench_compare.py", str(old), str(new), "--threshold", "4"]
+    )
+    assert main() == 0  # 3.0 < 4 -> clean
+    capsys.readouterr()

@@ -63,11 +63,15 @@ def test_cli_build_search_quantize_roundtrip(spark, tmp_path, capsys):
     assert report["queries"] == 8
     assert report["recall_at_k"] >= 0.9, report
     lines = open(result).read().splitlines()
-    assert len(lines) == 8 and all(len(l.split("|")) == 5 for l in lines)
+    # reference shape (IndexSearcher/main.cpp:280-310):
+    # "<qmeta-or-qid>:<dist>@<label>|" × k, trailing '|' on every cell
+    assert len(lines) == 8
+    assert all(l.endswith("|") and l.count("|") == 5 for l in lines)
     # --withmeta labels neighbors by metadata; query j is corpus row 9j,
     # whose self-hit must lead its line at distance 0
-    assert lines[0].split("|")[0].startswith("m0@0.000000")
-    assert lines[1].split("|")[0].startswith("m9@0.000000")
+    prefix0, _, rest0 = lines[0].partition(":")
+    assert rest0.split("|")[0] == "0.000000@m0", lines[0]
+    assert lines[1].partition(":")[2].split("|")[0] == "0.000000@m9"
 
     out = str(tmp_path / "pq")
     rc = cmd_quantize(

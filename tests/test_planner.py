@@ -335,27 +335,64 @@ def test_replica_fast_path_dispatch(vecs, qs):
 
 
 def test_planner_adopts_tuned_operating_point(vecs, qs, tmp_path, monkeypatch):
-    """A committed autotuned point whose MEASURED recall clears the plan's
-    target replaces the static ladder's conservative nprobe — but never
-    raises it, and never fires when its measured recall is below target."""
+    """A committed autotuned point is adopted ONLY for the index it was
+    measured on (fingerprint + k match, ADVICE r8), and only when its
+    MEASURED recall clears the plan's target with a cheaper probe than the
+    static ladder — never raising nprobe, never firing below target."""
     import json
+
+    from sptag_spark.plans.planner import index_fingerprint
 
     tune = tmp_path / "AUTOTUNE.json"
     monkeypatch.setenv("SPTAG_AUTOTUNE", str(tune))
 
-    spec = TopKByDistance(vecs, qs, k=K, recall_target=0.95)
-    base = plan_topk(spec, brute_row_threshold=1)
-    assert base.nprobe == 16  # ladder value for 0.95
+    heads = select_heads(vecs, ratio=0.1).persist()
+    postings = build_postings(vecs, heads).persist()
+    postings.count()
+    idx = (heads, postings)
+    fp = index_fingerprint(heads, postings)
 
-    tune.write_text(json.dumps({"chosen": {"nprobe": 4, "recall_at_k": 0.96}}))
-    adopted = plan_topk(spec, brute_row_threshold=1)
+    spec = TopKByDistance(vecs, qs, k=K, recall_target=0.95)
+    base = plan_topk(spec, spann_index=idx, brute_row_threshold=1)
+    assert base.nprobe == 16  # ladder value for 0.95 (no tune file)
+
+    def write(chosen, fingerprint=fp, k=K):
+        tune.write_text(
+            json.dumps(
+                {"chosen": chosen, "index_fingerprint": fingerprint, "k": k}
+            )
+        )
+
+    write({"nprobe": 4, "recall_at_k": 0.96})
+    adopted = plan_topk(spec, spann_index=idx, brute_row_threshold=1)
     assert adopted.nprobe == 4
     assert any("autotuned" in r for r in adopted.reasons)
 
+    # fingerprint of a DIFFERENT index -> the measurement does not
+    # transfer; ladder stands (the ADVICE r8 scenario)
+    write({"nprobe": 4, "recall_at_k": 0.96},
+          fingerprint={**fp, "heads": fp["heads"] + 1})
+    assert plan_topk(spec, spann_index=idx, brute_row_threshold=1).nprobe == 16
+
+    # legacy tune file without a fingerprint -> reporting-only, no adoption
+    tune.write_text(json.dumps({"chosen": {"nprobe": 4, "recall_at_k": 0.96}}))
+    assert plan_topk(spec, spann_index=idx, brute_row_threshold=1).nprobe == 16
+
+    # tuned at a different k -> recall@k does not transfer
+    write({"nprobe": 4, "recall_at_k": 0.96}, k=K + 5)
+    assert plan_topk(spec, spann_index=idx, brute_row_threshold=1).nprobe == 16
+
     # measured recall below target -> ladder stands
-    tune.write_text(json.dumps({"chosen": {"nprobe": 4, "recall_at_k": 0.9}}))
-    assert plan_topk(spec, brute_row_threshold=1).nprobe == 16
+    write({"nprobe": 4, "recall_at_k": 0.9})
+    assert plan_topk(spec, spann_index=idx, brute_row_threshold=1).nprobe == 16
 
     # tuned nprobe above the ladder -> never raised from here
-    tune.write_text(json.dumps({"chosen": {"nprobe": 64, "recall_at_k": 0.99}}))
+    write({"nprobe": 64, "recall_at_k": 0.99})
+    assert plan_topk(spec, spann_index=idx, brute_row_threshold=1).nprobe == 16
+
+    # a fresh-build plan (no prebuilt index) never adopts: its index does
+    # not exist yet, so no fingerprint can have been measured on it
+    write({"nprobe": 4, "recall_at_k": 0.96})
     assert plan_topk(spec, brute_row_threshold=1).nprobe == 16
+    heads.unpersist()
+    postings.unpersist()

@@ -398,14 +398,52 @@ def test_tcp_server_from_index_shares_warm_replica(spark, tmp_path, monkeypatch)
     postings = build_postings(vecs, heads).persist()
     postings.count()
 
+    from sptag_spark.plans.planner import index_fingerprint
+
+    fp = index_fingerprint(heads, postings)
     tune = tmp_path / "AUTOTUNE.json"
-    tune.write_text(json.dumps({"chosen": {"nprobe": 5, "replica_count": 4}}))
+    tune.write_text(
+        json.dumps(
+            {
+                "chosen": {"nprobe": 5, "replica_count": 4},
+                "index_fingerprint": fp,
+            }
+        )
+    )
     monkeypatch.setenv("SPTAG_AUTOTUNE", str(tune))
 
     rep = warm_replica(heads, postings)
     srv = AnnTcpServer.from_index(heads, postings, k=3)
     assert srv.replica is rep  # one replica, planner and socket tier
     assert srv.nprobe == 5  # autotuned operating point adopted
+
+    # tuned on a DIFFERENT index -> not adopted (ADVICE r8)
+    tune.write_text(
+        json.dumps(
+            {
+                "chosen": {"nprobe": 5},
+                "index_fingerprint": {**fp, "heads": fp["heads"] + 1},
+            }
+        )
+    )
+    assert AnnTcpServer.from_index(heads, postings).nprobe == 8
+
+    # chosen entry without an nprobe key -> guarded, default stands
+    # (ADVICE r8: was a KeyError at server construction)
+    tune.write_text(
+        json.dumps(
+            {"chosen": {"replica_count": 4}, "index_fingerprint": fp}
+        )
+    )
+    assert AnnTcpServer.from_index(heads, postings).nprobe == 8
+    tune.write_text(
+        json.dumps(
+            {
+                "chosen": {"nprobe": 5, "replica_count": 4},
+                "index_fingerprint": fp,
+            }
+        )
+    )
     srv.start()
     try:
         with socket.create_connection(srv.address, timeout=30) as s:

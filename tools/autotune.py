@@ -75,7 +75,10 @@ def autotune(
         qid: max(d for _, _, d in rows) for qid, rows in truth.items()
     }
 
+    from sptag_spark.plans.planner import index_fingerprint
+
     curve: list[dict] = []
+    fingerprints: dict[tuple, dict] = {}
     for replica_count, posting_limit in build_configs:
         heads = select_heads(
             vectors, ratio=head_ratio or DEFAULT_HEAD_RATIO
@@ -87,6 +90,12 @@ def autotune(
             posting_limit=posting_limit,
         ).persist()
         postings.count()
+        # identity of this build, so deploy-time adoption can verify the
+        # tuned point was measured on the index it's being applied to
+        # (ADVICE r8 — planner.tuned_operating_point fingerprint gate)
+        fingerprints[(replica_count, posting_limit)] = index_fingerprint(
+            heads, postings
+        )
         rep = LocalSpannReplica(heads, postings)
         plen = np.diff(rep.indptr)
         for nprobe in nprobes:
@@ -130,7 +139,12 @@ def autotune(
         if eligible
         else None
     )
-    return {"target": recall_target, "k": k, "curve": curve, "chosen": chosen}
+    out = {"target": recall_target, "k": k, "curve": curve, "chosen": chosen}
+    if chosen:
+        out["index_fingerprint"] = fingerprints[
+            (chosen["replica_count"], chosen["posting_limit"])
+        ]
+    return out
 
 
 def main() -> int:

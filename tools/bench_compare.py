@@ -90,19 +90,21 @@ def compare(old: dict, new: dict, threshold: float = 2.0) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    threshold = 2.0
-    m = [a for a in sys.argv[1:] if a.startswith("--threshold")]
-    if m:
-        threshold = float(
-            m[0].split("=", 1)[1]
-            if "=" in m[0]
-            else sys.argv[sys.argv.index(m[0]) + 1]
-        )
-    if len(args) != 2:
-        print(__doc__, file=sys.stderr)
-        return 2
-    old, new = load_bench(args[0]), load_bench(args[1])
+    # argparse so BOTH documented forms work: `--threshold 2.0` and
+    # `--threshold=2.0` (ADVICE r8: the hand-rolled filter treated the
+    # space-separated value as a third positional and exited 2)
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    ap.add_argument("old", help="older bench artifact (JSON)")
+    ap.add_argument("new", help="newer bench artifact (JSON)")
+    ap.add_argument("--threshold", type=float, default=2.0)
+    ns = ap.parse_args()
+    threshold = ns.threshold
+    old, new = load_bench(ns.old), load_bench(ns.new)
     result = compare(old, new, threshold)
     rows = result.pop("rows")
     for r in sorted(rows, key=lambda r: -r["norm_ratio"]):
