@@ -480,3 +480,39 @@ def test_refine_and_add_batch_number_without_global_window(spark):
     p2 = plan(add_batch(vec, new))
     assert "Exchange SinglePartition" not in p2
     assert not re.findall(r"\(\d+\) Window", p2), p2[:2000]
+
+
+def test_filtered_spann_prunes_postings_below_scoring(spark):
+    """VERDICT r9 #1 plan pin: the metadata predicate of a filtered SPANN
+    search (`SearchIndexWithFilter`, VectorIndex.h:55) is applied BELOW the
+    scoring kernel — survivors are computed from a pruned (vec_id, label)
+    scan and broadcast-joined into the routed postings before any distance
+    is computed. The result schema carries no meta column, so the predicate
+    appearing in the plan at all proves it ran below the kernel."""
+    from sptag_spark.plans import TopKByDistance, plan_topk
+    from sptag_spark.queries.ann_queries import spann_index
+    from sptag_spark.tables import queries_table, vectors_table
+
+    heads, postings = spann_index(spark, SF)
+    vectors = vectors_table(spark, SF)
+    queries = queries_table(spark, SF)
+    planned = plan_topk(
+        TopKByDistance(
+            vectors, queries, k=10, recall_target=0.9,
+            filter=F.col("meta") == "2",
+        ),
+        spann_index=(heads, postings),
+    )
+    assert planned.strategy == "SPANN"
+    p = plan(planned.execute())
+    # predicate present (label = '2' on the survivors branch) ...
+    assert "cast(label" in p and "= 2)" in p
+    # ... on a pruned two-column scan (id + label, never the vectors) ...
+    assert "struct<vec_id:bigint,label:int>" in p
+    # ... broadcast into postings (survivor ids are the small side) ...
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # ... and the details stream puts the survivor filter before the
+    # scoring kernel (node numbering is bottom-up: build sides first)
+    assert p.index("cast(label") < p.index("Arguments: score(")
+    # head routing still prunes the posting scan under the filter
+    assert "INSET" in p
