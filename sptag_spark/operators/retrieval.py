@@ -26,6 +26,144 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+class Bm25Index:
+    """Index-time BM25 corpus statistics (VERDICT r8 #2): the inverted
+    index (tok, doc_id, dl, tf), the document frequencies (tok, df), and
+    the corpus scalars (n_docs, avgdl), built from ONE tokenize pass over
+    the text and served without ever touching the corpus again — the
+    `warm_replica` discipline applied to lexical retrieval. The reference's
+    analogue is the SPANN build/serve split: stats are a build artifact
+    (SSDServing BuildSsdIndex stage), queries only read them.
+
+    At 100 TB the tf table is the big side: save() writes it range-
+    partitioned and sorted by tok so parquet row-group stats prune a term
+    lookup to the row groups containing the query's terms."""
+
+    def __init__(self, tf: DataFrame, dfs: DataFrame, n_docs: float, avgdl: float):
+        self.tf = tf  # (tok, doc_id, dl, tf) persisted
+        self.dfs = dfs  # (tok, df) persisted
+        self.n_docs = float(n_docs)
+        self.avgdl = float(avgdl)
+
+    def scores(
+        self, terms: list[str], k1: float = BM25_K1, b: float = BM25_B
+    ) -> DataFrame:
+        """(doc_id, bm25) for docs containing ≥1 query term — no corpus
+        scan: an isin(terms) filter on the persisted inverted index (term
+        pushdown), a broadcast join of the |terms|-row df subset, and the
+        collected scalars folded in as literals."""
+        tf = self.tf.filter(F.col("tok").isin(list(terms)))
+        dfs = self.dfs.filter(F.col("tok").isin(list(terms)))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(self.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        denom = F.col("tf") + k1 * (
+            1.0 - b + b * F.col("dl") / F.lit(self.avgdl)
+        )
+        contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+        return (
+            tf.join(F.broadcast(dfs), "tok")
+            .groupBy("doc_id")
+            .agg(F.sum(contrib).alias("bm25"))
+        )
+
+    def topk(
+        self,
+        terms: list[str],
+        k: int = 20,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        """(rank, doc_id, bm25) — same contract as bm25_topk, served from
+        the index artifact."""
+        from sptag_spark.operators.rank import ranked_topk
+
+        top = ranked_topk(
+            self.scores(terms, k1=k1, b=b),
+            [F.col("bm25").desc(), F.col("doc_id")],
+            k,
+        )
+        return top.select("rank", "doc_id", F.round("bm25", 4).alias("bm25"))
+
+    def save(self, path: str) -> None:
+        """Persist the artifact: tf range-partitioned + sorted by tok (row-
+        group stats prune term lookups), dfs plain, scalars as JSON."""
+        import json
+        import os
+
+        (
+            self.tf.repartitionByRange(F.col("tok"))
+            .sortWithinPartitions("tok")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "tf"))
+        )
+        self.dfs.write.mode("overwrite").parquet(os.path.join(path, "dfs"))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl}, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "Bm25Index":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            spark.read.parquet(os.path.join(path, "tf")),
+            spark.read.parquet(os.path.join(path, "dfs")),
+            meta["n_docs"],
+            meta["avgdl"],
+        )
+
+    def release(self) -> None:
+        for df in (self.tf, self.dfs):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — context may be stopped
+                pass
+
+
+def build_bm25_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> Bm25Index:
+    """ONE tokenize pass builds everything (the r8 fold): the inverted
+    index materializes first, then df and the corpus scalars are cheap
+    aggregates OVER it — n_docs comes from a metadata-only count of docs
+    (no tokenize), and Σdl from the distinct (doc_id, dl) pairs the tf
+    table already carries (zero-token docs contribute 0 to Σdl and appear
+    in no posting, so avgdl = Σdl / n_docs is exact over ALL docs)."""
+    stats = _bm25_stats(docs, id_col, text_col)
+    tf = (
+        stats.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .groupBy("tok", "doc_id", "dl")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .persist()
+    )
+    tf.count()  # the single tokenize+shuffle pass
+    dfs = (
+        tf.groupBy("tok").agg(F.count("*").cast("double").alias("df")).persist()
+    )
+    n_docs = float(docs.count())  # parquet metadata count — no text read
+    sum_dl = (
+        tf.select("doc_id", "dl").distinct().agg(F.sum("dl")).first()[0]
+        or 0.0
+    )
+    return Bm25Index(tf, dfs, n_docs, sum_dl / n_docs if n_docs else 0.0)
+
+
+def warm_bm25_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> Bm25Index:
+    """Memoize the artifact on the docs DataFrame (planner.warm_replica
+    discipline): repeat queries in a session pay zero corpus scans."""
+    idx = getattr(docs, "_sptag_bm25_index", None)
+    if idx is None:
+        idx = build_bm25_index(docs, id_col, text_col)
+        docs._sptag_bm25_index = idx
+    return idx
+
+
 def _bm25_stats(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -116,14 +254,22 @@ def bm25_topk(
     b: float = BM25_B,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index: Bm25Index | None = None,
 ) -> DataFrame:
     """(rank, doc_id, bm25) — top-k by (score desc, doc_id asc); rank on the
     unrounded score, ties broken by id like every other top-k in the engine.
+
+    With ``index`` (a prebuilt Bm25Index), serves from the artifact — zero
+    corpus scans. Without one, the inline two-pass shape (the right call
+    for a one-off query: it shuffles only the query's terms, never the full
+    token stream the index build pays for once).
 
     The tail is TakeOrderedAndProject (per-partition heap), not a global
     window — the scored candidate set (every doc matching ≥ 1 term) never
     funnels through one task. See operators/rank.py.
     """
+    if index is not None:
+        return index.topk(terms, k=k, k1=k1, b=b)
     from sptag_spark.operators.rank import ranked_topk
     from sptag_spark.resources import carry_artifacts
 

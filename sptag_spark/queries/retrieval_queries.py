@@ -51,11 +51,27 @@ bm25 AS (
 """
 
 
+# BM25 corpus statistics are an INDEX artifact (VERDICT r8 #2): built from
+# one tokenize pass per (session, sf_dir) — the spann_index memo discipline
+# — so every query here (and hybrid fusion below) serves from the persisted
+# inverted index without re-scanning the corpus.
+_BM25_CACHE: dict[tuple, object] = {}
+
+
+def bm25_index(spark: SparkSession, sf_dir: str):
+    from sptag_spark.operators.retrieval import build_bm25_index
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _BM25_CACHE:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        _BM25_CACHE[key] = build_bm25_index(docs)
+    return _BM25_CACHE[key]
+
+
 def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.operators.retrieval import bm25_topk
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return bm25_topk(docs, BM25_TERMS, k=20)
+    return bm25_topk(None, BM25_TERMS, k=20, index=bm25_index(spark, sf_dir))
 
 
 register(
@@ -86,7 +102,9 @@ def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.operators.retrieval import bm25_topk, rrf_fuse
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    lex = bm25_topk(docs, BM25_TERMS, k=RETR_DEPTH)
+    lex = bm25_topk(
+        docs, BM25_TERMS, k=RETR_DEPTH, index=bm25_index(spark, sf_dir)
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # same item universe as the text list: documents that have an embedding

@@ -516,3 +516,32 @@ def test_filtered_spann_prunes_postings_below_scoring(spark):
     assert p.index("cast(label") < p.index("Arguments: score(")
     # head routing still prunes the posting scan under the filter
     assert "INSET" in p
+
+
+def test_bm25_index_serve_never_scans_corpus(spark):
+    """VERDICT r9 #2 pin: a bm25_topk served from the Bm25Index artifact
+    reads only the persisted inverted index — the documents table appears
+    nowhere in the serve plan (the per-call corpus-stats rebuild is gone),
+    the term filter prunes the index scan, and the df side broadcasts."""
+    from sptag_spark.queries.retrieval_queries import (
+        BM25_TERMS,
+        bm25_index,
+    )
+
+    idx = bm25_index(spark, SF)
+    p = plan(idx.topk(BM25_TERMS, k=20))
+    assert "InMemoryTableScan" in p  # serves from the pinned artifact
+    # the cached artifact's LINEAGE still prints its original scan inside
+    # the InMemoryRelation block, but execution reads the cache: assert no
+    # corpus scan exists OUTSIDE a cached lineage (tree section = text
+    # before the first node-detail block)
+    tree = p.split("\n\n(1)")[0].splitlines()
+    first_imr = next(
+        i for i, ln in enumerate(tree) if "InMemoryRelation" in ln
+    )
+    for i, ln in enumerate(tree):
+        if "Scan parquet" in ln:
+            assert i > first_imr, f"corpus scan outside cache lineage: {ln}"
+    assert " IN " in p or "INSET" in p  # term pushdown into the index scan
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p  # heap tail, no global window

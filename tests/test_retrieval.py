@@ -53,3 +53,49 @@ def test_rrf_fuse_hand_computed(spark):
     assert got[20][1] == pytest.approx(round(1 / 62 + 1 / 61, 6))
     assert got[10] == (2, round(1 / 61, 6))
     assert got[30] == (3, round(1 / 62, 6))
+
+
+def test_bm25_index_matches_inline(spark):
+    """The index artifact (one tokenize pass at build, zero corpus scans
+    at query) scores identically to the inline two-pass path — including
+    a zero-token doc, which must still count toward n_docs/avgdl."""
+    from sptag_spark.operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "cat mouse"),
+            (3, "bird bird bird"),
+            (4, ""),  # zero tokens: in n_docs/avgdl, in no posting
+            (5, "dog cat dog mouse dog"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_bm25_index(docs)
+    assert idx.n_docs == 5.0
+    assert idx.avgdl == pytest.approx((3 + 2 + 3 + 0 + 5) / 5.0, rel=1e-12)
+    inline = bm25_topk(docs, ["cat", "dog"], k=5).collect()
+    served = bm25_topk(None, ["cat", "dog"], k=5, index=idx).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in inline]
+    idx.release()
+
+
+def test_bm25_index_save_load_roundtrip(spark, tmp_path):
+    from sptag_spark.operators.retrieval import Bm25Index, build_bm25_index
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 3} common word{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = build_bm25_index(docs)
+    idx.save(str(tmp_path / "bm25"))
+    loaded = Bm25Index.load(spark, str(tmp_path / "bm25"))
+    assert loaded.n_docs == idx.n_docs
+    assert loaded.avgdl == pytest.approx(idx.avgdl, rel=1e-12)
+    a = idx.topk(["common", "term1"], k=10).collect()
+    b = loaded.topk(["common", "term1"], k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    idx.release()

@@ -13,6 +13,12 @@ normalized by the calibration ratio (+0.5 s absolute floor for sub-second
 noise). The gate verdict rides in the --json artifact; the exit code stays
 correctness-only (a busy shared VM must not fail the oracle gate).
 
+Baselines are scoped (VERDICT r8 #3): a baseline written by a full-registry
+run is stamped scope="full", and the gate SKIPS (with a printed reason)
+when applied to a subset run — full-run medians amortize session-memoized
+builds (OPQ train, graph build, BM25 index) in registry order, so a subset
+run legitimately pays them cold and must not be graded against them.
+
 Usage: python tools/selfcheck.py [--json PATH] [name ...]   (no args = all)
 """
 
@@ -190,7 +196,26 @@ def main() -> int:
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
-        if base.get("sf_dir") == SF_DIR:
+        if base.get("sf_dir") == SF_DIR and names and base.get(
+            "scope", "full"
+        ) == "full":
+            # VERDICT r8 #3: a full-run baseline's per-query medians encode
+            # warm-state ordering — session-memoized builds (OPQ train,
+            # graph build, BM25 index) are amortized across the registry,
+            # so a legitimate subset run pays them cold and false-flags.
+            # Skip the gate EXPLICITLY rather than fail it.
+            gate["verdict"] = "SKIPPED"
+            gate["reason"] = (
+                "baseline is full-run-only: its medians amortize session-"
+                "memoized builds across the whole registry; a subset run "
+                "pays those builds cold. Run without name filters to "
+                "apply the gate."
+            )
+            print(
+                "timing gate SKIPPED: full-run-only baseline vs subset run "
+                "(memoized builds not amortized) — run all queries to gate"
+            )
+        elif base.get("sf_dir") == SF_DIR:
             # the machine swings ~2.7× between sittings for identical code
             # (AB_R5R6.md); normalize the budget by the calibration ratio
             scale = base["calibration"]["gemm_gflops"] / max(
@@ -229,6 +254,9 @@ def main() -> int:
             json.dump(
                 {
                     "sf_dir": SF_DIR,
+                    # full-run medians amortize memoized builds in registry
+                    # order — the gate refuses to apply them to subset runs
+                    "scope": "full" if not names else "subset",
                     "calibration": calibration,
                     "timing_runs": n_timing,
                     "sec": {
