@@ -260,12 +260,51 @@ _ND_WIN_STATE = StructType(
 
 
 def _near_dup_shard(
-    threshold: float, max_bucket: int, window_batches: int | None = None
+    threshold: float,
+    max_bucket: int,
+    window_batches: int | None = None,
+    idle_timeout_ms: int | None = None,
 ):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        if getattr(state, "hasTimedOut", False):
+            # idle-shard generation tick (VERDICT r8 #7): a shard that
+            # stops seeing rows would otherwise hold its last window
+            # forever — data-driven eviction only runs on invoke. The
+            # processing-time timeout delivers the missing invoke: advance
+            # the generation with no data, slide the window, drop the
+            # state entirely once every resident has aged out.
+            gen_raw, nh_raw, blob = state.get
+            n_h = int(nh_raw)
+            g_new = int(gen_raw) + 1
+            entry_bytes = 20 + n_h
+            n = len(blob) // entry_bytes
+            sb = np.frombuffer(blob, dtype=np.int64, count=n)
+            sid = np.frombuffer(blob, dtype=np.int64, count=n, offset=8 * n)
+            sgen = np.frombuffer(blob, dtype=np.int32, count=n, offset=16 * n)
+            ssig = np.frombuffer(blob, dtype=np.uint8, offset=20 * n).reshape(
+                n, n_h
+            )
+            keep = sgen > g_new - window_batches
+            if keep.any():
+                kb, kid, kgen, ksig = sb[keep], sid[keep], sgen[keep], ssig[keep]
+                state.update(
+                    (
+                        int(g_new),
+                        int(n_h),
+                        kb.tobytes()
+                        + kid.tobytes()
+                        + kgen.astype(np.int32).tobytes()
+                        + ksig.tobytes(),
+                    )
+                )
+                state.setTimeoutDuration(idle_timeout_ms)
+            else:
+                state.remove()  # fully aged out: zero state bytes
+            return
 
         # unpack this shard's state: bucket-sorted parallel arrays
         # (buckets[n] i64, ids[n] i64, sigs[n, n_h] u8) from one buffer.
@@ -402,6 +441,10 @@ def _near_dup_shard(
                     + asig.tobytes()
                 )
                 state.update((int(g_new), int(n_h), blob))
+                if idle_timeout_ms:
+                    # (re)arm the idle tick — timeouts must be re-set on
+                    # every invoke or they never fire again
+                    state.setTimeoutDuration(idle_timeout_ms)
         elif new_b:  # untouched shards skip the state write entirely
             ab = np.concatenate([sb, np.array(new_b, np.int64)])
             aid = np.concatenate([sid, np.array(new_id, np.int64)])
@@ -430,6 +473,7 @@ def streaming_near_dup_candidates(
     text_col: str = "text",
     state_mode: str = "cumulative",
     window_batches: int = 8,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Cross-batch NEAR-duplicate candidate pairs over a document stream —
     the streaming twin of operators/dedup.py minhash_near_dup_pairs.
@@ -468,6 +512,13 @@ def streaming_near_dup_candidates(
       SHARD saw data (shards see every batch under any realistic hash
       distribution). Within the window the emitted pairs are exactly the
       cumulative mode's pairs restricted to that horizon.
+
+      ``idle_timeout_ms`` (window mode only): arms a processing-time
+      GroupState timeout so a shard that STOPS seeing rows still ages
+      out — each timeout delivers a no-data invoke that advances the
+      generation, slides the window, and removes the state once every
+      resident is past the horizon. Without it, eviction is data-driven
+      and an idle shard holds its last window's bytes forever.
 
     Output contract — ``est_jaccard`` is a QUANTIZED estimate: stored
     signatures keep only each 64-bit minhash's low byte (state is 48 B/entry
@@ -543,11 +594,27 @@ def streaming_near_dup_candidates(
         raise ValueError(
             f"state_mode must be 'cumulative' or 'window', got {state_mode!r}"
         )
+    if idle_timeout_ms is not None and state_mode != "window":
+        raise ValueError(
+            "idle_timeout_ms requires state_mode='window' — cumulative "
+            "state is append-only and has nothing to age out"
+        )
     win = window_batches if state_mode == "window" else None
     return sharded.groupBy("band", "shard").applyInPandasWithState(
-        _near_dup_shard(threshold, max_bucket, window_batches=win),
+        _near_dup_shard(
+            threshold,
+            max_bucket,
+            window_batches=win,
+            idle_timeout_ms=idle_timeout_ms,
+        ),
         outputStructType="doc_a long, doc_b long, est_jaccard double",
         stateStructType=_ND_WIN_STATE if win is not None else _ND_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        # VERDICT r8 #7: with an idle timeout, quiet shards get a no-data
+        # invoke that slides their window and eventually removes the state
+        # — without it a shard that stops seeing rows holds its last
+        # window forever
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )

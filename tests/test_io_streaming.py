@@ -908,3 +908,144 @@ def test_streaming_near_dup_window_mode_end_to_end(spark, tmp_path_factory):
     spark.createDataFrame([(5, text)], schema).write.mode("append").parquet(src)
     got = run_once()
     assert not any(5 in p and (1 in p or 2 in p) for p in got), got
+
+
+def test_near_dup_idle_timeout_ticks_evict(spark):
+    """VERDICT r9 #7 (kernel): a hasTimedOut invoke advances the shard
+    generation with NO data — residents age out of the window and the
+    state is removed entirely once empty, so an idle shard's bytes drop
+    to zero instead of holding its last window forever."""
+    from sptag_spark.streaming.stateful import _near_dup_shard
+
+    SIG_A = [10] * 16
+
+    class _TimeoutState:
+        def __init__(self):
+            self._t = None
+            self.removed = False
+            self.timed_out = False
+            self.timeout_set = None
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def hasTimedOut(self):
+            return self.timed_out
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self._t = t
+
+        def remove(self):
+            self._t = None
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = _near_dup_shard(0.6, 256, window_batches=2, idle_timeout_ms=500)
+    st = _TimeoutState()
+    # data invoke: doc admitted at gen 1, timeout armed
+    assert list(fn((0, 0), iter([_nd_batch([(7, 1, SIG_A)])]), st)) == []
+    assert st.exists and st.timeout_set == 500
+    bytes_after_data = len(st.get[2])
+    assert bytes_after_data > 0
+
+    # idle tick 1 (gen 2): resident gen 1 still inside window_batches=2 —
+    # state kept, timeout re-armed
+    st.timed_out = True
+    st.timeout_set = None
+    assert list(fn((0, 0), iter([]), st)) == []
+    assert st.exists and not st.removed and st.timeout_set == 500
+    assert st.get[0] == 2  # generation advanced with no data
+
+    # idle tick 2 (gen 3): resident aged out -> state REMOVED
+    assert list(fn((0, 0), iter([]), st)) == []
+    assert st.removed and not st.exists
+
+    # a later dup arrives fresh: no pair with the evicted resident
+    st.timed_out = False
+    out = list(fn((0, 0), iter([_nd_batch([(7, 9, SIG_A)])]), st))
+    assert out == [] and st.exists
+
+
+def test_streaming_near_dup_idle_timeout_end_to_end(spark, tmp_path_factory):
+    """VERDICT r9 #7 (wire): with idle_timeout_ms, shards that stop seeing
+    rows age out via processing-time timeouts — total state rows drop to 0
+    while the query idles, and a later duplicate of the evicted doc raises
+    no pair."""
+    import os
+    import time as _t
+
+    from sptag_spark.streaming.stateful import streaming_near_dup_candidates
+
+    d = tmp_path_factory.mktemp("idlend")
+    src, ckpt, out = str(d / "src"), str(d / "ckpt"), str(d / "out")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    text = "the quick brown fox jumps over the lazy dog again and again"
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    cands = streaming_near_dup_candidates(
+        stream, threshold=0.9, state_mode="window", window_batches=1,
+        n_state_shards=2, idle_timeout_ms=300,
+    )
+    q = (
+        cands.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        spark.createDataFrame([(1, text)], schema).write.mode("append").parquet(src)
+
+        def state_rows():
+            p = q.lastProgress
+            if not p or not p.get("stateOperators"):
+                return None
+            return p["stateOperators"][0]["numRowsTotal"]
+
+        deadline = _t.time() + 90
+        while _t.time() < deadline and (state_rows() or 0) == 0:
+            _t.sleep(0.25)
+        assert (state_rows() or 0) > 0, "doc 1 never landed in state"
+        # now feed NOTHING: empty micro-batches fire the timeouts and the
+        # idle shards age out to zero state rows
+        deadline = _t.time() + 90
+        while _t.time() < deadline and (state_rows() or 0) > 0:
+            _t.sleep(0.25)
+        assert (state_rows() or 0) == 0, "idle shard state never aged out"
+        # duplicate of the evicted doc: admitted fresh, no pair
+        spark.createDataFrame([(2, text)], schema).write.mode("append").parquet(src)
+        deadline = _t.time() + 90
+        while _t.time() < deadline and (state_rows() or 0) == 0:
+            _t.sleep(0.25)
+        assert (state_rows() or 0) > 0
+    finally:
+        q.stop()
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()
+    } if os.path.exists(out) and os.listdir(out) else set()
+    assert (1, 2) not in pairs, pairs
+
+
+def test_near_dup_idle_timeout_requires_window_mode(spark):
+    import pytest
+
+    from sptag_spark.streaming.stateful import streaming_near_dup_candidates
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as doc_id", "cast(value as string) as text")
+    )
+    with pytest.raises(ValueError, match="idle_timeout_ms"):
+        streaming_near_dup_candidates(
+            stream, state_mode="cumulative", idle_timeout_ms=100
+        )
