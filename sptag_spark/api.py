@@ -231,23 +231,44 @@ class SparkAnnIndex:
 
     # -- persistence / merge ------------------------------------------------
 
+    def _stored(self):
+        from sptag_spark.io.index_store import SptagIndex
+
+        return SptagIndex(
+            config={
+                "dim": self.dim,
+                "metric": self.metric,
+                "meta_mapping": self.meta_mapping,
+                "next_id": self._next_id,
+            },
+            vectors=self._vectors,
+            tombstones=self._tombstones,
+        )
+
     def save(self, path: str) -> None:
         """SaveIndex → parquet directories + config (io/index_store.py)."""
-        from sptag_spark.io.index_store import SptagIndex, save_index
+        from sptag_spark.io.index_store import save_index
 
-        save_index(
-            SptagIndex(
-                config={
-                    "dim": self.dim,
-                    "metric": self.metric,
-                    "meta_mapping": self.meta_mapping,
-                    "next_id": self._next_id,
-                },
-                vectors=self._vectors,
-                tombstones=self._tombstones,
-            ),
-            path,
-        )
+        save_index(self._stored(), path)
+
+    def dump(self) -> bytes:
+        """Dump (`CoreInterface.h:67`): the index as one bytes blob — a
+        tar of the save() layout, shippable over any byte transport."""
+        from sptag_spark.io.index_store import dump_index
+
+        return dump_index(self._stored())
+
+    @classmethod
+    def load_from_dump(
+        cls, spark: SparkSession, blob: bytes, path: str
+    ) -> "SparkAnnIndex":
+        """LoadFromDump (`CoreInterface.h:68`): unpack a dump() blob into
+        ``path`` and load — search results are identical to the source
+        index's."""
+        from sptag_spark.io.index_store import load_index_from_dump
+
+        load_index_from_dump(spark, blob, path)
+        return cls.load(spark, path)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SparkAnnIndex":

@@ -113,3 +113,40 @@ def load_index(spark: SparkSession, path: str) -> SptagIndex:
         codes=_opt("codes"),
         config=config,
     )
+
+
+def dump_index(index: SptagIndex) -> bytes:
+    """Dump (`Wrappers/inc/CoreInterface.h:67-69`): the whole index as ONE
+    wire-shippable bytes blob — an uncompressed tar of the SaveIndex
+    directory layout (parquet members are already zstd-compressed). The
+    reference returns a ByteArray snapshot; this is the same contract with
+    the directory layout as the inner format."""
+    import io
+    import tarfile
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        save_index(index, td)
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            tar.add(td, arcname=".")
+        return buf.getvalue()
+
+
+def load_index_from_dump(
+    spark: SparkSession, blob: bytes, path: str
+) -> SptagIndex:
+    """LoadFromDump (`CoreInterface.h:68`): unpack a dump_index blob into
+    ``path`` (the index's new on-disk home — Spark reads parquet from a
+    directory, so unlike the reference's in-RAM ByteArray load the blob
+    must land on storage) and load it."""
+    import io
+    import tarfile
+
+    os.makedirs(path, exist_ok=True)
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
+        try:
+            tar.extractall(path, filter="data")
+        except TypeError:  # pre-3.11.4: no filter= (trusted local blob)
+            tar.extractall(path)
+    return load_index(spark, path)

@@ -152,3 +152,23 @@ def test_local_replica_handoff(spark):
     rep2 = idx.local_replica()  # fresh handoff sees the delete
     ids3, _ = rep2.search_one(q7, k=3, nprobe=4)
     assert 7 not in ids3
+
+
+def test_dump_load_from_dump_bytes_roundtrip(spark, fixture_data, tmp_path_factory):
+    """Dump/LoadFromDump (`CoreInterface.h:67-69`, VERDICT r9 #8): one
+    bytes blob round-trips the whole index — search results (including
+    tombstones) are identical to the source's."""
+    vec, metas, queries = fixture_data
+    idx = SparkAnnIndex.build(spark, vec, metas)
+    idx.delete([0, 2, 4])
+    blob = idx.dump()
+    assert isinstance(blob, bytes) and len(blob) > 0
+    home = str(tmp_path_factory.mktemp("dumpidx") / "restored")
+    idx2 = SparkAnnIndex.load_from_dump(spark, blob, home)
+    assert _meta_sets(idx2, queries) == _meta_sets(idx, queries)
+    assert idx2._next_id == idx._next_id
+    # the blob is self-contained: a second restore from the same bytes
+    # into a different home gives the same answers
+    home2 = str(tmp_path_factory.mktemp("dumpidx2") / "restored")
+    idx3 = SparkAnnIndex.load_from_dump(spark, blob, home2)
+    assert _meta_sets(idx3, queries) == _meta_sets(idx, queries)
