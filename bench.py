@@ -180,6 +180,7 @@ def main() -> None:
     spann_latency: dict = {}
     replica_latency: dict = {}
     planner_latency: dict = {}
+    pq_replica_latency: dict = {}
     try:
         heads, postings = spann_index(spark, sf_dir)
         queries_df = queries_table(spark, sf_dir)
@@ -388,6 +389,52 @@ def main() -> None:
             "nprobe": spann_point["nprobe"],
             "dispatch": planned.last_dispatch,
         }
+
+        # PQ-compressed serving replica (VERDICT r8 #6): same planner
+        # dispatch with a 1-byte memory budget forcing codes+ADC serving —
+        # the RAM story when full vectors don't fit a node. Recall is the
+        # PQ regime (reported), latency is the figure to compare with the
+        # full-vector replica's p50.
+        from sptag_spark.index.pq import pq_encode, train_pq
+        from sptag_spark.plans.planner import warm_replica as _warm
+
+        vt = vectors_table(spark, sf_dir)
+        books = train_pq(vt, m=8)
+        codes = pq_encode(vt, books).persist()
+        codes.count()
+        pq_heads = heads.select("head_id", "vector")  # fresh memo carrier
+        pq_rep = _warm(
+            pq_heads, postings, codes=codes, books=books,
+            memory_budget_bytes=1,
+        )
+        pq_planned = plan_topk(pspec, spann_index=(pq_heads, postings))
+        pq_planned.nprobe = spann_point["nprobe"]
+        pq_planned.execute_local(q_rows=[(reps[0][0], reps[0][1])])  # warm
+        qlat = []
+        for qid, qv in reps:
+            t0 = time.time()
+            pq_planned.execute_local(q_rows=[(qid, qv)])
+            qlat.append((time.time() - t0) * 1000)
+        qlat.sort()
+        pq_hits = pq_total = 0
+        truth_pairs = {
+            (int(r["query_id"]), int(r["id"]))
+            for r in truth.collect()
+        }
+        for qid, qv in reps:
+            ids, _ = pq_rep.search_one(qv, k=10, nprobe=spann_point["nprobe"])
+            pq_hits += sum((qid, int(i)) in truth_pairs for i in ids)
+            pq_total += 10
+        pq_replica_latency = {
+            "p50": round(qlat[len(qlat) // 2], 3),
+            "p99": round(qlat[min(len(qlat) - 1, int(0.99 * len(qlat)))], 3),
+            "n": len(qlat),
+            "nprobe": spann_point["nprobe"],
+            "dispatch": pq_planned.last_dispatch,
+            "recall_at_10": round(pq_hits / max(pq_total, 1), 4),
+            "memory_bytes": pq_rep.memory_bytes(),
+        }
+        codes.unpersist()
     except Exception as exc:  # noqa: BLE001
         errors["spann_metrics"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -458,6 +505,7 @@ def main() -> None:
         "spann_single_query_latency_ms": spann_latency,
         "spann_local_replica_latency_ms": replica_latency,
         "planner_single_query_ms": planner_latency,
+        "pq_replica_latency_ms": pq_replica_latency,
         "streaming_serve_micro_batches": stream_serve,
         "index_build_sec": builds,
         "errors": errors,
@@ -513,6 +561,11 @@ def _compact_line(out: dict, budget: int = 1900) -> dict:
             k: (out.get("planner_single_query_ms") or {}).get(k)
             for k in ("p50", "dispatch")
             if k in (out.get("planner_single_query_ms") or {})
+        },
+        "pq_replica_ms": {
+            k: (out.get("pq_replica_latency_ms") or {}).get(k)
+            for k in ("p50", "dispatch", "recall_at_10")
+            if k in (out.get("pq_replica_latency_ms") or {})
         },
         "index_build_total_sec": round(
             sum(out["index_build_sec"].values()), 3

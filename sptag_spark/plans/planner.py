@@ -150,19 +150,50 @@ def tuned_operating_point(
     return chosen
 
 
-def warm_replica(heads, postings):
+def warm_replica(heads, postings, codes=None, books=None, memory_budget_bytes=None):
     """Load SPANN artifacts into a process-local in-RAM replica
     (serving_local.LocalSpannReplica) and memoize it on the heads
     DataFrame — the planner's serving tier. Idempotent; returns the
     replica. Call once at serving startup (the reference's LoadIndex
     moment); until called, the planner never pays the replica's
-    postings-to-RAM load implicitly."""
-    rep = getattr(heads, "_sptag_replica", None)
-    if rep is None:
-        from sptag_spark.serving_local import LocalSpannReplica
+    postings-to-RAM load implicitly.
 
-        rep = LocalSpannReplica(heads, postings)
-        heads._sptag_replica = rep
+    Budgeted dispatch (VERDICT r8 #6): with ``memory_budget_bytes`` set
+    and PQ artifacts supplied (``codes``, ``books``), the full-vector
+    replica is warmed only when its estimated footprint fits the budget;
+    otherwise the PQ replica serves instead — M-byte ADC codes in RAM,
+    ~4·D/M× denser (the reference's billion-scale RAM story,
+    `PQQuantizer.h`), at PQ-regime recall with adc_dist distances."""
+    rep = getattr(heads, "_sptag_replica", None)
+    if rep is not None:
+        return rep
+    if (
+        memory_budget_bytes is not None
+        and codes is not None
+        and books is not None
+    ):
+        fp = index_fingerprint(heads, postings)
+        # full replica holds float64 vectors + two int64 ids per posting row
+        est = fp["posting_rows"] * (8 * fp["dim"] + 16)
+        if est > memory_budget_bytes:
+            return warm_pq_replica(heads, postings, codes, books)
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    rep = LocalSpannReplica(heads, postings)
+    heads._sptag_replica = rep
+    return rep
+
+
+def warm_pq_replica(heads, postings, codes, books):
+    """Warm (and memoize) the PQ-compressed serving replica — SPANN
+    routing over full-precision heads, ADC scoring over M-byte codes
+    (serving_local.LocalPqSpannReplica, ivf_pq_search's serve twin)."""
+    rep = getattr(heads, "_sptag_pq_replica", None)
+    if rep is None:
+        from sptag_spark.serving_local import LocalPqSpannReplica
+
+        rep = LocalPqSpannReplica(heads, postings, codes, books)
+        heads._sptag_pq_replica = rep
     return rep
 
 
@@ -324,12 +355,21 @@ class PlannedSearch:
         """The warmed in-RAM replica for this plan's index, if any; only
         SPANN plans without a metadata filter are replica-servable (the
         replica mirrors ann_search exactly — tests/test_serving_local.py —
-        but knows nothing of filter predicates)."""
+        but knows nothing of filter predicates). Falls back to a warmed PQ
+        replica (warm_pq_replica — codes + ADC, VERDICT r8 #6) when no
+        full-vector replica exists; its LUT is L2-only, so the fallback is
+        gated on the plan's metric. Dispatch label: "replica" vs
+        "pq_replica" in last_dispatch."""
         if self.strategy != "SPANN" or self.spec.filter is not None:
             return None
         if self._index is None:
             return None
-        return getattr(self._index[0], "_sptag_replica", None)
+        rep = getattr(self._index[0], "_sptag_replica", None)
+        if rep is not None:
+            return rep
+        if self.spec.metric == "l2":
+            return getattr(self._index[0], "_sptag_pq_replica", None)
+        return None
 
     def explain(self) -> str:
         lines = [
@@ -385,7 +425,7 @@ class PlannedSearch:
             else _query_batch_rows(self.spec.queries)
         )
         if rep is not None and n_q <= REPLICA_DISPATCH_MAX_QUERIES:
-            self.last_dispatch = "replica"
+            self.last_dispatch = getattr(rep, "dispatch_label", "replica")
             return self._serve_replica(rep, q_rows)
         self.last_dispatch = "spark"
         if q_rows is not None:
@@ -426,7 +466,7 @@ class PlannedSearch:
             n_q = _query_batch_rows(s.queries)
             if n_q <= REPLICA_DISPATCH_MAX_QUERIES:
                 pdf = self._serve_replica(rep)
-                self.last_dispatch = "replica"
+                self.last_dispatch = getattr(rep, "dispatch_label", "replica")
                 return s.queries.sparkSession.createDataFrame(
                     pdf, schema="query_id long, rank long, id long, dist double"
                 )

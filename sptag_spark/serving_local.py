@@ -35,6 +35,8 @@ from sptag_spark.operators.knn import _exact_pair_dists
 class LocalSpannReplica:
     """Process-local SPANN index: broadcast-free, job-free serving."""
 
+    dispatch_label = "replica"  # planner last_dispatch tag
+
     def __init__(self, heads: DataFrame, postings: DataFrame) -> None:
         hp = heads.select("head_id", "vector").toPandas()
         self.head_ids = hp["head_id"].to_numpy(np.int64)
@@ -268,6 +270,8 @@ class LocalPqSpannReplica:
     returned distances are `adc_dist` — approximate, monotone enough for
     the PQ recall regime (gate mirrors test_pq_adc_recall)."""
 
+    dispatch_label = "pq_replica"  # planner last_dispatch tag
+
     def __init__(
         self, heads: DataFrame, postings: DataFrame, codes: DataFrame, books
     ) -> None:
@@ -281,7 +285,10 @@ class LocalPqSpannReplica:
         self.code_ids = cp["id"].to_numpy(np.int64)
         corder = np.argsort(self.code_ids)
         self.code_ids = self.code_ids[corder]
-        self.codes = np.array(cp["codes"].tolist(), dtype=np.int64)[corder]
+        # uint8 — PQ codes index 256-entry codebooks; storing them wider
+        # would silently forfeit the M-bytes-per-vector density this
+        # replica exists for
+        self.codes = np.array(cp["codes"].tolist(), dtype=np.uint8)[corder]
 
         pp = postings.select("head_id", "id").toPandas()  # NO vectors
         slot = np.searchsorted(self.head_ids, pp["head_id"].to_numpy(np.int64))
@@ -327,3 +334,34 @@ class LocalPqSpannReplica:
         ids = self.code_ids[rows]
         top = np.lexsort((ids, d))[: min(k, len(ids))]
         return ids[top], d[top]
+
+    def batch_search(
+        self,
+        queries: list[tuple[int, np.ndarray]],
+        k: int = 10,
+        nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
+        metric: str = "l2",
+        max_dist_ratio: float = MAX_DIST_RATIO,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ rows of (query_id, rank, id, adc_dist) — the QueryResult
+        contract with ADC-estimated distances (same as search_one)."""
+        out = []
+        for qid, q in queries:
+            ids, d = self.search_one(q, k, nprobe, metric, max_dist_ratio)
+            out.extend(
+                (int(qid), r + 1, int(i), float(dd))
+                for r, (i, dd) in enumerate(zip(ids, d))
+            )
+        return out
+
+    def memory_bytes(self) -> int:
+        """RAM actually held by the replica's arrays — the figure the
+        planner's budget dispatch trades against the full-vector twin."""
+        return int(
+            self.H.nbytes
+            + self.head_ids.nbytes
+            + self.codes.nbytes
+            + self.code_ids.nbytes
+            + self.post_rows.nbytes
+            + self.indptr.nbytes
+        )

@@ -396,3 +396,56 @@ def test_planner_adopts_tuned_operating_point(vecs, qs, tmp_path, monkeypatch):
     assert plan_topk(spec, brute_row_threshold=1).nprobe == 16
     heads.unpersist()
     postings.unpersist()
+
+
+def test_memory_budget_dispatches_pq_replica(vecs, qs):
+    """VERDICT r9 #6: when the full-vector replica would exceed the memory
+    budget and PQ artifacts exist, warm_replica warms the PQ replica
+    instead, the planner serves through it (last_dispatch='pq_replica'),
+    and the served rows are exactly the PQ replica's batch_search rows
+    (ivf_pq-style codes+ADC serving). A generous budget still picks the
+    full-vector replica."""
+    import numpy as np
+
+    from sptag_spark.index.pq import pq_encode, train_pq
+    from sptag_spark.plans.planner import warm_replica
+
+    base = vecs.select("id", "vector")
+    heads = select_heads(base, ratio=0.1).persist()
+    postings = build_postings(base, heads).persist()
+    postings.count()
+    books = train_pq(base, m=4)
+    codes = pq_encode(base, books).persist()
+    codes.count()
+
+    # 1-byte budget: full vectors can't fit -> PQ replica serves
+    rep = warm_replica(
+        heads, postings, codes=codes, books=books, memory_budget_bytes=1
+    )
+    assert rep.dispatch_label == "pq_replica"
+    assert getattr(heads, "_sptag_replica", None) is None  # never built
+    assert rep.memory_bytes() < N * DIM * 8  # denser than full float64
+
+    spec = TopKByDistance(vecs, qs, k=K, recall_target=0.9)
+    p = plan_topk(spec, spann_index=(heads, postings), brute_row_threshold=1)
+    got = p.execute().orderBy("query_id", "rank").collect()
+    assert p.last_dispatch == "pq_replica"
+    q_rows = [
+        (int(r["query_id"]), np.asarray(r["vector"], dtype=np.float64))
+        for r in qs.collect()
+    ]
+    direct = rep.batch_search(q_rows, k=K, nprobe=p.nprobe)
+    assert [(r["query_id"], r["rank"], r["id"]) for r in got] == sorted(
+        (a, b, c) for a, b, c, _ in direct
+    )
+
+    # generous budget -> full-vector replica wins; exact distances again
+    rep2 = warm_replica(
+        heads, postings, codes=codes, books=books,
+        memory_budget_bytes=1 << 40,
+    )
+    assert rep2.dispatch_label == "replica"
+    p2 = plan_topk(spec, spann_index=(heads, postings), brute_row_threshold=1)
+    p2.execute().collect()
+    assert p2.last_dispatch == "replica"
+    heads.unpersist(); postings.unpersist(); codes.unpersist()
