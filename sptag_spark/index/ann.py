@@ -102,11 +102,16 @@ def route_queries(
     if n_heads >= ROUTE_GROUPED_MIN_HEADS and metric != "ip":
         # ip does not localize under k-means groups — no routed structure
         # covers it; the reference's IP configs search a transformed space.
-        # Batch-size condition (measured, SCALING.md r8): the grouped win
-        # is proportional to the UNPROBED fraction — once the batch probes
-        # ~every group (nq·fanout_q ≳ g), the whole spilled head table
-        # pays Arrow conversion and the flat kernel's columnar broadcast
-        # scan is cheaper. Serve-sized batches probe a few % of groups.
+        # Batch-size condition (measured, SCALING.md r8 + the r9 1M-4M
+        # sweep): the grouped win is proportional to the UNPROBED
+        # fraction. The r9 probes put the LOCAL parity boundary at a
+        # probed fraction of ~1/16 — at 2M heads (in-memory OR
+        # partition-pruned parquet groups) nq=4-8 is parity, nq=32
+        # (probed 18%) loses 2-6x to the flat kernel's columnar scan,
+        # which stays within ~2x of the stage floor all the way to 4M
+        # heads. Above a node's cache (the 10^8-head reference regime)
+        # the pruned layout's I/O win takes over; locally the tight
+        # fraction keeps every measured batch size at parity-or-better.
         import numpy as np
 
         from sptag_spark.index.postings import ROUTE_FANOUT
@@ -114,7 +119,7 @@ def route_queries(
         nq = len(q_rows) if q_rows is not None else cached_count(queries)
         g_est = max(2, min(int(np.sqrt(n_heads * ROUTE_FANOUT)), n_heads // 2))
         fanout_q = min(g_est, max(ROUTE_FANOUT, 4 * nprobe))
-        if nq * fanout_q <= g_est:
+        if nq * fanout_q <= max(fanout_q, g_est // 16):
             sel = _route_grouped(queries, heads, nprobe, metric, q_rows)
         else:
             head_vectors = heads.select(F.col("head_id").alias("id"), "vector")
@@ -313,6 +318,49 @@ def _head_group_index(heads: DataFrame, metric: str):
         .persist()
     )
     groups_df.count()
+    memo = (gc, groups_df)
+    heads._sptag_head_groups = memo
+    return memo
+
+
+def save_head_groups(heads, path: str, metric: str = "l2") -> None:
+    """Persist the two-level routing structure as an index artifact — the
+    reference stores its head tree on disk (`tree.bin`,
+    `BKT/ParameterDefinitionList.h:7`), and this is its Spark twin:
+    group centers as .npy beside the grouped head slabs as parquet
+    PARTITIONED BY group_id. The partitioned layout is the point
+    (VERDICT r8 #5 probe finding, SCALING.md r9): an in-memory cached
+    groups table cannot partition-prune an isin filter — every cached
+    batch is scanned and the local wall never beats the flat kernel even
+    at 4M heads — but on the parquet layout the probed-group isin becomes
+    a PartitionFilter and a serve batch READS only its probed
+    directories, the same discipline as the SPANN posting files
+    (postings.py write_postings)."""
+    import os
+
+    import numpy as np
+
+    gc, groups_df = _head_group_index(heads, metric)
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "group_centers.npy"), gc)
+    (
+        groups_df.write.mode("overwrite")
+        .partitionBy("group_id")
+        .parquet(os.path.join(path, "groups"))
+    )
+
+
+def load_head_groups(spark, heads, path: str):
+    """Attach a saved routing structure (save_head_groups) to ``heads`` —
+    the memo _route_grouped consumes. groups_df stays a PARQUET SCAN, not
+    a cache: the probed-group isin prunes whole directories, so unprobed
+    groups are never read (their bytes never leave disk)."""
+    import os
+
+    import numpy as np
+
+    gc = np.load(os.path.join(path, "group_centers.npy"))
+    groups_df = spark.read.parquet(os.path.join(path, "groups"))
     memo = (gc, groups_df)
     heads._sptag_head_groups = memo
     return memo

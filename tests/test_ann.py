@@ -623,3 +623,58 @@ def test_grouped_head_routing_matches_flat(spark, monkeypatch):
     )
     for key in cos_overlap:
         assert abs(cos_flat[key] - cos_grp[key]) < 1e-9
+
+
+def test_head_groups_disk_store_prunes_partitions(spark, tmp_path):
+    """VERDICT r9 #5: the routing structure round-trips to disk
+    (save_head_groups/load_head_groups — the reference's tree.bin), the
+    loaded routes match the in-memory structure's, and the probed-group
+    filter reaches the scan as a PartitionFilter so unprobed group
+    directories are never read."""
+    import os
+
+    import sptag_spark.index.ann as A
+
+    rng = np.random.default_rng(9)
+    K, D, NQ, NPROBE = 4000, 16, 6, 8
+    H = rng.normal(size=(K, D)).astype("float32")
+    heads = spark.createDataFrame(
+        [(i, H[i].tolist()) for i in range(K)],
+        "head_id long, vector array<float>",
+    ).persist()
+    heads.count()
+    heads._sptag_cached_count = K
+    qs = spark.createDataFrame(
+        [(i, rng.normal(size=D).astype("float32").tolist()) for i in range(NQ)],
+        "query_id long, vector array<float>",
+    )
+    mem = {
+        (r["query_id"], r["head_id"], round(r["head_dist"], 9))
+        for r in A._ratio_cut(
+            A._route_grouped(qs, heads, NPROBE, "l2"), A.MAX_DIST_RATIO
+        ).collect()
+    }
+    A.save_head_groups(heads, str(tmp_path / "hg"))
+    # group dirs on disk, one per group
+    gdirs = [
+        d for d in os.listdir(tmp_path / "hg" / "groups")
+        if d.startswith("group_id=")
+    ]
+    assert len(gdirs) == len(heads._sptag_head_groups[0])
+
+    fresh = heads.alias("fresh")
+    fresh._sptag_cached_count = K
+    A.load_head_groups(spark, fresh, str(tmp_path / "hg"))
+    sel = A._route_grouped(qs, fresh, NPROBE, "l2")
+    disk = {
+        (r["query_id"], r["head_id"], round(r["head_dist"], 9))
+        for r in A._ratio_cut(sel, A.MAX_DIST_RATIO).collect()
+    }
+    assert disk == mem
+    # the probed-group isin prunes at the partition level
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        sel._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "group_id" in plan.split(
+        "PartitionFilters"
+    )[1][:400]
