@@ -505,15 +505,27 @@ def test_filtered_spann_prunes_postings_below_scoring(spark):
     )
     assert planned.strategy == "SPANN"
     p = plan(planned.execute())
-    # predicate present (label = '2' on the survivors branch) ...
-    assert "cast(label" in p and "= 2)" in p
-    # ... on a pruned two-column scan (id + label, never the vectors) ...
-    assert "struct<vec_id:bigint,label:int>" in p
+    # predicate present on the survivors branch — as a label filter when
+    # that branch scans parquet, or as a meta filter when Spark's cache
+    # manager substitutes another test's cached vectors table (both are
+    # below the kernel; the result schema has no meta column, so the
+    # predicate appearing at ALL proves it ran below scoring)
+    import re
+
+    m = re.search(r"(?:cast\(label[^\n]*|meta#\d+[^\n]*)= 2\)", p)
+    assert m, "survivor predicate missing from the plan"
+    # column pruning reaches whichever source serves the survivors:
+    # parquet → two-column ReadSchema; cached table → two-column
+    # InMemoryTableScan output (id + meta, never the vectors)
+    assert (
+        "struct<vec_id:bigint,label:int>" in p
+        or re.search(r"InMemoryTableScan\nOutput \[2\]: \[id#\d+L, meta#\d+\]", p)
+    ), "survivors branch reads more than (id, predicate-column)"
     # ... broadcast into postings (survivor ids are the small side) ...
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
     # ... and the details stream puts the survivor filter before the
     # scoring kernel (node numbering is bottom-up: build sides first)
-    assert p.index("cast(label") < p.index("Arguments: score(")
+    assert m.start() < p.index("Arguments: score(")
     # head routing still prunes the posting scan under the filter
     assert "INSET" in p
 
