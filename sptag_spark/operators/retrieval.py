@@ -62,10 +62,8 @@ class Bm25Index:
             1.0 - b + b * F.col("dl") / F.lit(self.avgdl)
         )
         contrib = idf * F.col("tf") * (k1 + 1.0) / denom
-        return (
-            tf.join(F.broadcast(dfs), "tok")
-            .groupBy("doc_id")
-            .agg(F.sum(contrib).alias("bm25"))
+        return _sum_contribs_by_tok(
+            tf.join(F.broadcast(dfs), "tok"), contrib
         )
 
     def topk(
@@ -201,6 +199,23 @@ def _bm25_tf(
     )
 
 
+def _sum_contribs_by_tok(joined: DataFrame, contrib) -> DataFrame:
+    """(doc_id, bm25): per-doc BM25 total as a TOK-ORDERED fold, not a
+    bare sum. Float addition is commutative but not associative, so with
+    ≥3 query terms an unordered sum's last bits depend on row arrival
+    order — two docs with identical text then score UNEQUAL in one run
+    and equal in another, flipping their rank-tie (observed: sf0.001
+    hybrid depth-100, docs 0/466). The per-doc term list is bounded by
+    the query's term count, so the collect_list is a few structs."""
+    return joined.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("tok", contrib.alias("c")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("bm25")
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: list[str],
@@ -238,10 +253,10 @@ def bm25_scores(
     from sptag_spark.resources import attach_artifacts
 
     return attach_artifacts(
-        tf.join(F.broadcast(dfs), "tok")
-        .crossJoin(F.broadcast(scal))
-        .groupBy("doc_id")
-        .agg(F.sum(contrib).alias("bm25")),
+        _sum_contribs_by_tok(
+            tf.join(F.broadcast(dfs), "tok").crossJoin(F.broadcast(scal)),
+            contrib,
+        ),
         [tf],
     )
 

@@ -41,10 +41,14 @@ tf AS (
 ),
 dfs AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
 bm25 AS (
+  -- tok-ordered fold, mirroring the Spark side's deterministic
+  -- summation (float addition is not associative; an unordered 3-term
+  -- sum can break exact ties between identical docs)
   SELECT doc_id,
          sum( ln(1 + (n_docs - df + 0.5) / (df + 0.5))
               * tf * (1.2 + 1.0)
-              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ) AS score
+              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              ORDER BY tok ) AS score
   FROM tf JOIN dfs USING (tok), scal
   GROUP BY doc_id
 )
