@@ -46,6 +46,26 @@ def summarize(plan: str) -> list[str]:
     return out
 
 
+def _bm25_index_topk(docs):
+    from sptag_spark.operators.retrieval import build_bm25_index
+
+    return build_bm25_index(docs).topk(["merge", "scan", "hash"], k=20)
+
+
+def _filtered_spann(spark, vectors, queries, heads, postings):
+    from pyspark.sql import functions as F
+
+    from sptag_spark.plans import TopKByDistance, plan_topk
+
+    return plan_topk(
+        TopKByDistance(
+            vectors, queries, k=10, recall_target=0.9,
+            filter=F.col("meta") == "2",
+        ),
+        spann_index=(heads, postings),
+    ).execute()
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -129,6 +149,27 @@ def main() -> None:
             "TakeOrderedAndProject (per-partition heap) with the rank "
             "window above it consuming <= k rows — no single-partition "
             "Exchange anywhere.",
+        ),
+        (
+            "BM25 served from the index artifact (`operators/retrieval.py Bm25Index.topk`)",
+            _bm25_index_topk(docs),
+            "Zero corpus scans at query time: the persisted inverted index "
+            "is the only EXECUTED input (term isin pushed into the index "
+            "scan, |terms|-row df side broadcast, corpus scalars folded in "
+            "as literals from the one-time single-tokenize-pass build). "
+            "The skeleton prints the cached frames' lineage — explain "
+            "always shows it — but execution reads the InMemoryRelations; "
+            "tests/test_plans.py pins that no corpus scan sits outside a "
+            "cached lineage.",
+        ),
+        (
+            "Filtered SPANN search (`plans/planner.py`, predicate below scoring)",
+            _filtered_spann(spark, vectors, queries, heads, postings_t),
+            "The metadata predicate prunes posting rows BEFORE the distance "
+            "kernel: survivors come from a two-column (id, label) scan, "
+            "broadcast into the head-routed postings; head_id "
+            "PartitionFilters still prune the posting scan underneath the "
+            "filter.",
         ),
         (
             "Relational agg (TPC-H Q1 shape)",
