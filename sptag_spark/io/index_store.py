@@ -10,6 +10,9 @@ metadataIndex.bin — `BKT/ParameterDefinitionList.h:7-10`). Our layout:
       tombstones/            (id)                    — deletes.bin
       heads/                 (head_id, vector)       — the in-memory tree
       postings/head_id=*/    (id, vector, dist)      — the SSD posting files
+      head_groups/           (centers .npy + group_id=*/ slabs) — tree.bin:
+                             the serve-side routing structure, saved when
+                             built (index/ann.py save_head_groups)
 
 Dump/LoadFromDump (`CoreInterface.h:67-69`) — byte-level snapshots — map to
 copying the directory; Parquet is already the portable serialization.
@@ -94,6 +97,16 @@ def save_index(index: SptagIndex, path: str) -> None:
         save_quantizer(index.quantizer, os.path.join(path, "quantizer"))
     if index.codes is not None:
         index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    # the serve-side head routing structure is an index artifact too (the
+    # reference persists its head tree as tree.bin) — saved only when it
+    # has already been BUILT this session; saving must not silently pay a
+    # head-table k-means
+    if index.heads is not None and getattr(
+        index.heads, "_sptag_head_groups", None
+    ) is not None:
+        from sptag_spark.index.ann import save_head_groups
+
+        save_head_groups(index.heads, os.path.join(path, "head_groups"))
 
 
 def load_index(spark: SparkSession, path: str) -> SptagIndex:
@@ -104,7 +117,7 @@ def load_index(spark: SparkSession, path: str) -> SptagIndex:
         return spark.read.parquet(p) if os.path.isdir(p) else None
 
     qdir = os.path.join(path, "quantizer")
-    return SptagIndex(
+    idx = SptagIndex(
         vectors=spark.read.parquet(os.path.join(path, "vectors")),
         tombstones=_opt("tombstones"),
         heads=_opt("heads"),
@@ -113,6 +126,15 @@ def load_index(spark: SparkSession, path: str) -> SptagIndex:
         codes=_opt("codes"),
         config=config,
     )
+    # re-attach a persisted head-routing structure (tree.bin analogue):
+    # the grouped serve path then partition-prunes probed groups straight
+    # off this layout instead of rebuilding the k-means per session
+    hg = os.path.join(path, "head_groups")
+    if idx.heads is not None and os.path.isdir(hg):
+        from sptag_spark.index.ann import load_head_groups
+
+        load_head_groups(spark, idx.heads, hg)
+    return idx
 
 
 def dump_index(index: SptagIndex) -> bytes:
