@@ -341,9 +341,20 @@ def cmd_serve(args, spark) -> int:
         raise SystemExit("serve requires a SPANN index (heads + postings)")
     idx.heads.persist().count()
     idx.postings.persist().count()
+    # --memory-budget: quantized indexes (build -pq saves quantizer+codes)
+    # serve from 16-byte ADC codes when the full-vector replica would
+    # exceed the budget — warm_replica's dispatch, over the wire
+    budget = getattr(args, "memory_budget", None)
+    if budget and (idx.codes is None or idx.quantizer is None):
+        raise SystemExit(
+            "--memory-budget needs a quantized index (build with -pq)"
+        )
     srv = AnnTcpServer.from_index(
         idx.heads,
         idx.postings,
+        codes=idx.codes,
+        books=idx.quantizer,
+        memory_budget_bytes=budget,
         host=args.host,
         port=args.port,
         k=args.k,
@@ -351,7 +362,12 @@ def cmd_serve(args, spark) -> int:
     ).start()
     print(
         json.dumps(
-            {"serving": list(srv.address), "k": args.k, "nprobe": srv.nprobe}
+            {
+                "serving": list(srv.address),
+                "k": args.k,
+                "nprobe": srv.nprobe,
+                "replica": getattr(srv.replica, "dispatch_label", "replica"),
+            }
         ),
         flush=True,
     )
@@ -486,6 +502,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("-k", type=int, default=10)
     v.add_argument("--duration", type=float, default=None,
                    help="serve for N seconds then exit (default: forever)")
+    v.add_argument("--memory-budget", type=int, default=None, dest="memory_budget",
+                   help="bytes; serve from PQ codes when full vectors exceed it")
 
     c = sub.add_parser("client", help="Client parity: query a serve loop")
     c.add_argument("-i", "--input", required=True, help="query vector file")

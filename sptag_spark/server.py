@@ -266,7 +266,15 @@ class AnnTcpServer:
         self._started = False
 
     @classmethod
-    def from_index(cls, heads, postings, **kwargs) -> "AnnTcpServer":
+    def from_index(
+        cls,
+        heads,
+        postings,
+        codes=None,
+        books=None,
+        memory_budget_bytes=None,
+        **kwargs,
+    ) -> "AnnTcpServer":
         """ONE serving tier (VERDICT r7 #8): build the socket server on the
         planner's memoized in-RAM replica (plans.planner.warm_replica) so
         the planner fast path and the TCP loop share a single replica per
@@ -274,7 +282,13 @@ class AnnTcpServer:
         operating point (AUTOTUNE.json chosen — tools/autotune.py) when one
         exists AND its recorded index_fingerprint matches this index
         (ADVICE r8 — a point tuned on another corpus/build must not be
-        adopted). Explicit kwargs win."""
+        adopted). Explicit kwargs win.
+
+        With ``codes``/``books``/``memory_budget_bytes``, the serve tier
+        inherits warm_replica's budgeted dispatch: when the full-vector
+        replica would exceed the budget, the socket loop answers from the
+        PQ replica (uint8 ADC codes, l2) instead — the reference's
+        compressed-RAM node shape."""
         from sptag_spark.plans.planner import (
             index_fingerprint,
             tuned_operating_point,
@@ -288,7 +302,14 @@ class AnnTcpServer:
             # a chosen entry may omit nprobe — guard, don't KeyError
             if point and point.get("nprobe") is not None:
                 kwargs["nprobe"] = int(point["nprobe"])
-        return cls(warm_replica(heads, postings), **kwargs)
+        rep = warm_replica(
+            heads,
+            postings,
+            codes=codes,
+            books=books,
+            memory_budget_bytes=memory_budget_bytes,
+        )
+        return cls(rep, **kwargs)
 
     def start(self) -> "AnnTcpServer":
         self._thread.start()

@@ -99,3 +99,30 @@ def test_bm25_index_save_load_roundtrip(spark, tmp_path):
     b = loaded.topk(["common", "term1"], k=10).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     idx.release()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bm25_index_inline_equivalence_randomized(spark, seed):
+    """Randomized corpora engineered with exact-duplicate docs, empty docs
+    and repeated terms: the index-served ranking must equal the inline
+    ranking EXACTLY (ranks, ids, rounded scores). Guards the FP-tie class
+    found at sf0.001 (unordered 3-term sums breaking identical-doc ties)."""
+    import random
+
+    from sptag_spark.operators.retrieval import bm25_topk, build_bm25_index
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)] + ["cat", "dog", "fish"]
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 14)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # exact duplicates of earlier docs (the tie generators)
+    for j, src in enumerate(rng.sample(range(40), 8)):
+        rows.append((100 + j, rows[src][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_bm25_index(docs)
+    inline = [tuple(r) for r in bm25_topk(docs, ["cat", "dog", "fish"], k=30).collect()]
+    served = [tuple(r) for r in bm25_topk(None, ["cat", "dog", "fish"], k=30, index=idx).collect()]
+    assert served == inline
+    idx.release()

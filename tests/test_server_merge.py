@@ -461,3 +461,48 @@ def test_tcp_server_from_index_shares_warm_replica(spark, tmp_path, monkeypatch)
     monkeypatch.setenv("SPTAG_AUTOTUNE", str(tmp_path / "missing.json"))
     srv3 = AnnTcpServer.from_index(heads, postings)
     assert srv3.nprobe == 8 and srv3.replica is rep
+
+
+def test_tcp_server_budget_dispatch_serves_pq(spark, tmp_path, monkeypatch):
+    """from_index with PQ artifacts + a 1-byte memory budget serves the
+    socket loop from the PQ replica (codes + ADC) — the compressed-RAM
+    node shape — and still answers the wire format correctly."""
+    import json
+    import socket
+
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.index.pq import pq_encode, train_pq
+    from sptag_spark.server import AnnTcpServer, encode_query
+
+    monkeypatch.setenv("SPTAG_AUTOTUNE", str(tmp_path / "none.json"))
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(64)],
+        "id long, vector array<float>",
+    )
+    heads = select_heads(vecs, ratio=0.2).persist()
+    postings = build_postings(vecs, heads).persist()
+    postings.count()
+    books = train_pq(vecs, m=4)
+    codes = pq_encode(vecs, books).persist()
+    codes.count()
+
+    srv = AnnTcpServer.from_index(
+        heads, postings, codes=codes, books=books, memory_budget_bytes=1,
+        k=3,
+    )
+    assert srv.replica.dispatch_label == "pq_replica"
+    srv.start()
+    try:
+        with socket.create_connection(srv.address, timeout=30) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            f.write(encode_query([9.0] * 8) + "\n")
+            f.flush()
+            r = json.loads(f.readline())
+        # ADC distances are approximate; the id contract holds for an
+        # easy self-corpus query
+        assert r["results"][0]["id"] in (8, 9, 10)
+        assert len(r["results"]) == 3
+    finally:
+        srv.stop()
+    codes.unpersist()
