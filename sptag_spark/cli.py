@@ -349,12 +349,27 @@ def cmd_serve(args, spark) -> int:
         raise SystemExit(
             "--memory-budget needs a quantized index (build with -pq)"
         )
+    refine = None
+    if budget:
+        # exact-rerank side table (float32 memmap beside the index): ADC
+        # serving recovers near-full recall while RAM stays codes-only
+        # (measured 0.934 vs 0.656 raw at sf0.1 — SCALING.md r9)
+        from sptag_spark.serving_local import (
+            build_refine_store,
+            open_refine_store,
+        )
+
+        rdir = os.path.join(args.index, "refine")
+        if not os.path.exists(os.path.join(rdir, "meta.json")):
+            build_refine_store(idx.vectors.select("id", "vector"), rdir)
+        refine = open_refine_store(rdir)
     srv = AnnTcpServer.from_index(
         idx.heads,
         idx.postings,
         codes=idx.codes,
         books=idx.quantizer,
         memory_budget_bytes=budget,
+        refine_store=refine,
         host=args.host,
         port=args.port,
         k=args.k,

@@ -273,6 +273,7 @@ class AnnTcpServer:
         codes=None,
         books=None,
         memory_budget_bytes=None,
+        refine_store=None,
         **kwargs,
     ) -> "AnnTcpServer":
         """ONE serving tier (VERDICT r7 #8): build the socket server on the
@@ -308,6 +309,7 @@ class AnnTcpServer:
             codes=codes,
             books=books,
             memory_budget_bytes=memory_budget_bytes,
+            refine_store=refine_store,
         )
         return cls(rep, **kwargs)
 

@@ -112,6 +112,129 @@ class LocalSpannReplica:
         return out
 
 
+class DiskSpannReplica(LocalSpannReplica):
+    """SPANN's actual serving-node architecture (NeurIPS'21 §3;
+    `SPANN/ExtraFullGraphSearcher.h` — head centroids in RAM, posting
+    VECTORS in page-aligned files on local SSD, read per query): the
+    posting matrix lives in a packed float32 file opened as np.memmap, so
+    a query touches only its routed heads' slabs (CSR-contiguous rows →
+    sequential page reads, the posting-file seek). RAM holds heads + the
+    CSR index — the footprint that lets one node serve a corpus whose
+    vectors don't fit memory.
+
+    Distances are BIT-IDENTICAL to LocalSpannReplica: vectors originate as
+    float32 (array<float> parquet), the RAM replica's float64 copy is the
+    exact upcast, and the distance kernels promote the memmap's float32
+    rows to float64 before any arithmetic."""
+
+    dispatch_label = "disk_replica"
+
+    def __init__(self, heads, postings, store_dir: str) -> None:
+        import json
+        import os
+
+        meta_p = os.path.join(store_dir, "meta.json")
+        if not os.path.exists(meta_p):
+            if heads is None or postings is None:
+                raise FileNotFoundError(
+                    f"no packed replica store at {store_dir} and no Spark "
+                    "artifacts supplied to build one"
+                )
+            # build once from the Spark artifacts (the posting-file write
+            # stage), then serve every later construction from the store
+            super().__init__(heads, postings)
+            os.makedirs(store_dir, exist_ok=True)
+            np.save(os.path.join(store_dir, "head_ids.npy"), self.head_ids)
+            np.save(os.path.join(store_dir, "H.npy"), self.H)
+            np.save(os.path.join(store_dir, "post_ids.npy"), self.post_ids)
+            np.save(os.path.join(store_dir, "indptr.npy"), self.indptr)
+            self.post_V.astype(np.float32).tofile(
+                os.path.join(store_dir, "post_vectors.f32")
+            )
+            with open(meta_p, "w") as f:
+                json.dump(
+                    {"rows": int(self.post_V.shape[0]),
+                     "dim": int(self.post_V.shape[1])},
+                    f,
+                )
+        with open(meta_p) as f:
+            meta = json.load(f)
+        self.head_ids = np.load(os.path.join(store_dir, "head_ids.npy"))
+        self.H = np.load(os.path.join(store_dir, "H.npy"))
+        self.post_ids = np.load(os.path.join(store_dir, "post_ids.npy"))
+        self.indptr = np.load(os.path.join(store_dir, "indptr.npy"))
+        # the SSD side: never resident; rows fault in per probed slab
+        self.post_V = np.memmap(
+            os.path.join(store_dir, "post_vectors.f32"),
+            dtype=np.float32,
+            mode="r",
+            shape=(meta["rows"], meta["dim"]),
+        )
+
+    @classmethod
+    def from_store(cls, store_dir: str) -> "DiskSpannReplica":
+        """Open an existing store with NO Spark session — the cold-start
+        path of a serving node that only has the files."""
+        return cls(None, None, store_dir)
+
+    @classmethod
+    def from_path(cls, spark: SparkSession, path: str) -> "DiskSpannReplica":
+        """From a save_index() directory; the packed store materializes
+        beside the index on first use (`<path>/replica_store`)."""
+        import os
+
+        store = os.path.join(path, "replica_store")
+        if os.path.exists(os.path.join(store, "meta.json")):
+            return cls.from_store(store)
+        heads = spark.read.parquet(os.path.join(path, "heads"))
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        return cls(heads, postings, store)
+
+    def memory_bytes(self) -> int:
+        """Resident footprint — the posting matrix is on disk."""
+        return int(
+            self.head_ids.nbytes
+            + self.H.nbytes
+            + self.post_ids.nbytes
+            + self.indptr.nbytes
+        )
+
+
+def build_refine_store(vectors, store_dir: str) -> None:
+    """Pack (id, vector) into an id-sorted float32 matrix + ids.npy — the
+    exact-rerank side table a compressed replica reads from disk (the
+    reference's SSD posting vectors, keyed by id instead of by head)."""
+    import json
+    import os
+
+    pdf = vectors.select("id", "vector").toPandas()
+    ids = pdf["id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    M = np.array(pdf["vector"].tolist(), dtype=np.float32)[order]
+    os.makedirs(store_dir, exist_ok=True)
+    np.save(os.path.join(store_dir, "ids.npy"), ids[order])
+    M.tofile(os.path.join(store_dir, "vectors.f32"))
+    with open(os.path.join(store_dir, "meta.json"), "w") as f:
+        json.dump({"rows": int(M.shape[0]), "dim": int(M.shape[1])}, f)
+
+
+def open_refine_store(store_dir: str):
+    """→ (ids int64 ndarray, float32 memmap matrix in id order)."""
+    import json
+    import os
+
+    with open(os.path.join(store_dir, "meta.json")) as f:
+        meta = json.load(f)
+    ids = np.load(os.path.join(store_dir, "ids.npy"))
+    M = np.memmap(
+        os.path.join(store_dir, "vectors.f32"),
+        dtype=np.float32,
+        mode="r",
+        shape=(meta["rows"], meta["dim"]),
+    )
+    return ids, M
+
+
 class ShardedSpannAggregator:
     """Scatter-gather over head-sharded replicas — the Aggregator tier
     (`AggregatorService.cpp:216-258`) for serving nodes whose RAM cannot
@@ -273,8 +396,21 @@ class LocalPqSpannReplica:
     dispatch_label = "pq_replica"  # planner last_dispatch tag
 
     def __init__(
-        self, heads: DataFrame, postings: DataFrame, codes: DataFrame, books
+        self,
+        heads: DataFrame,
+        postings: DataFrame,
+        codes: DataFrame,
+        books,
+        refine_store=None,
+        refine_factor: int = 4,
     ) -> None:
+        # refine_store: (ids, float32 memmap) from open_refine_store — ADC
+        # picks k·refine_factor candidates, their TRUE vectors are read
+        # from disk and exact-reranked (the ivf_pq_search refine stage at
+        # the serve tier; RAM stays codes-only, the reference's
+        # SSD-rerank shape). None → raw ADC distances.
+        self.refine = refine_store
+        self.refine_factor = int(refine_factor)
         hp = heads.select("head_id", "vector").toPandas()
         self.head_ids = hp["head_id"].to_numpy(np.int64)
         order = np.argsort(self.head_ids)
@@ -332,6 +468,17 @@ class LocalPqSpannReplica:
             lut[i] = (diff * diff).sum(1)
         d = lut[np.arange(m)[None, :], self.codes[rows]].sum(1)
         ids = self.code_ids[rows]
+        if self.refine is not None:
+            rf_ids, rf_V = self.refine
+            n_cand = min(len(ids), max(k, k * self.refine_factor))
+            pre = np.lexsort((ids, d))[:n_cand]
+            cand = ids[pre]
+            # id-sorted store: candidate rows by searchsorted; the memmap
+            # gather reads only those rows (the SSD rerank I/O)
+            V = rf_V[np.searchsorted(rf_ids, cand)]
+            dx = _exact_pair_dists(V, q, metric)
+            top = np.lexsort((cand, dx))[: min(k, len(cand))]
+            return cand[top], dx[top]
         top = np.lexsort((ids, d))[: min(k, len(ids))]
         return ids[top], d[top]
 

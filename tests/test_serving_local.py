@@ -302,3 +302,110 @@ def test_aggregator_crashed_shard_degrades_to_partial(spark, built):
     finally:
         agg.replicas[1] = crashed
         agg.close()
+
+
+def test_disk_replica_row_identical_and_out_of_core(spark, built, tmp_path):
+    """DiskSpannReplica (heads in RAM, posting vectors in a float32 memmap
+    — the reference's SSD node shape, ExtraFullGraphSearcher.h): rows are
+    BIT-identical to the all-RAM replica, the posting matrix is not
+    resident, and a store reopens with no Spark artifacts at all."""
+    import numpy as np
+
+    from sptag_spark.serving_local import DiskSpannReplica, LocalSpannReplica
+
+    v, heads, postings = built
+    ram = LocalSpannReplica(heads, postings)
+    disk = DiskSpannReplica(heads, postings, str(tmp_path / "store"))
+    assert isinstance(disk.post_V, np.memmap)
+    assert disk.post_V.dtype == np.float32
+    assert disk.memory_bytes() < ram.post_V.nbytes  # matrix stays on disk
+    qs = _qlist(spark)
+    for qid, q in qs[:8]:
+        ri, rd = ram.search_one(q, k=10, nprobe=6)
+        di, dd = disk.search_one(q, k=10, nprobe=6)
+        assert ri.tolist() == di.tolist()
+        assert rd.tolist() == dd.tolist()  # float32 upcast is exact
+    # cold start from files only — no DataFrames, no Spark
+    disk2 = DiskSpannReplica.from_store(str(tmp_path / "store"))
+    i2, d2 = disk2.search_one(qs[0][1], k=10, nprobe=6)
+    assert i2.tolist() == disk.search_one(qs[0][1], k=10, nprobe=6)[0].tolist()
+    import pytest as _p
+
+    with _p.raises(FileNotFoundError):
+        DiskSpannReplica.from_store(str(tmp_path / "missing"))
+
+
+def test_pq_replica_refine_recovers_exact_ranking(spark, built, tmp_path):
+    """PQ replica + refine store: ADC candidates are exact-reranked from
+    the on-disk float32 matrix — returned distances are the TRUE
+    distances and recall jumps to the full-vector replica's at the same
+    nprobe (the reference's SSD-rerank, RAM stays codes-only)."""
+    from sptag_spark.index.pq import pq_encode, train_pq
+    from sptag_spark.serving_local import (
+        LocalPqSpannReplica,
+        LocalSpannReplica,
+        build_refine_store,
+        open_refine_store,
+    )
+
+    v, heads, postings = built
+    books = train_pq(v, m=8)
+    codes = pq_encode(v, books)
+    build_refine_store(v.select("id", "vector"), str(tmp_path / "rf"))
+    store = open_refine_store(str(tmp_path / "rf"))
+    refined = LocalPqSpannReplica(
+        heads, postings, codes, books, refine_store=store, refine_factor=4
+    )
+    raw = LocalPqSpannReplica(heads, postings, codes, books)
+    full = LocalSpannReplica(heads, postings)
+    qs = _qlist(spark)
+    agree = raw_agree = 0
+    for qid, q in qs:
+        fi, fd = full.search_one(q, k=10, nprobe=8)
+        ri, rd = refined.search_one(q, k=10, nprobe=8)
+        ai, _ = raw.search_one(q, k=10, nprobe=8)
+        # refined distances are exact: every id it shares with the full
+        # replica carries the same distance
+        shared = set(fi.tolist()) & set(ri.tolist())
+        fmap = dict(zip(fi.tolist(), fd.tolist()))
+        rmap = dict(zip(ri.tolist(), rd.tolist()))
+        assert all(abs(fmap[i] - rmap[i]) < 1e-12 for i in shared)
+        agree += len(shared)
+        raw_agree += len(set(fi.tolist()) & set(ai.tolist()))
+    # exact rerank must recover at least as much of the true ranking as
+    # raw ADC order does
+    assert agree >= raw_agree
+    assert agree / (len(qs) * 10) >= 0.7, agree / (len(qs) * 10)
+
+
+def test_warm_replica_budget_with_refine_store(spark, built, tmp_path):
+    """warm_replica(budget, refine_store=...) warms a REFINED pq replica:
+    served distances are exact (match the full replica) on shared ids."""
+    from sptag_spark.index.pq import pq_encode, train_pq
+    from sptag_spark.plans.planner import warm_replica
+    from sptag_spark.serving_local import (
+        build_refine_store,
+        open_refine_store,
+    )
+
+    v, heads, postings = built
+    fresh = heads.alias("warmrf")
+    fresh._sptag_cached_count = heads.count()
+    books = train_pq(v, m=8)
+    codes = pq_encode(v, books)
+    build_refine_store(v.select("id", "vector"), str(tmp_path / "rf2"))
+    rep = warm_replica(
+        fresh, postings, codes=codes, books=books, memory_budget_bytes=1,
+        refine_store=open_refine_store(str(tmp_path / "rf2")),
+    )
+    assert rep.dispatch_label == "pq_replica" and rep.refine is not None
+    q = _qlist(spark)[0][1]
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    fi, fd = LocalSpannReplica(heads, postings).search_one(q, k=5, nprobe=8)
+    ri, rd = rep.search_one(q, k=5, nprobe=8)
+    fmap = dict(zip(fi.tolist(), fd.tolist()))
+    assert all(
+        abs(fmap[i] - d) < 1e-12 for i, d in zip(ri.tolist(), rd.tolist())
+        if i in fmap
+    )
