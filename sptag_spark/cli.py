@@ -349,6 +349,13 @@ def cmd_serve(args, spark) -> int:
         raise SystemExit(
             "--memory-budget needs a quantized index (build with -pq)"
         )
+    if budget and idx.config.get("metric", "l2") != "l2":
+        # the PQ replica's ADC LUT is squared-L2 only (ADVICE r9) — a
+        # cosine/ip index under budget would silently serve wrong rankings
+        raise SystemExit(
+            "--memory-budget serves from l2-ADC codes; this index's metric "
+            f"is {idx.config.get('metric')!r} — serve without a budget"
+        )
     refine = None
     if budget:
         # exact-rerank side table (float32 memmap beside the index): ADC
@@ -357,10 +364,16 @@ def cmd_serve(args, spark) -> int:
         from sptag_spark.serving_local import (
             build_refine_store,
             open_refine_store,
+            refine_fingerprint,
+            refine_store_matches,
         )
 
         rdir = os.path.join(args.index, "refine")
-        if not os.path.exists(os.path.join(rdir, "meta.json")):
+        # identity gate (ADVICE r9): a refine store left by a PREVIOUS
+        # build at this path would exact-rerank against stale vectors —
+        # rebuild unless the store's recorded fingerprint matches the
+        # index's current vector set
+        if not refine_store_matches(rdir, refine_fingerprint(idx.vectors)):
             build_refine_store(idx.vectors.select("id", "vector"), rdir)
         refine = open_refine_store(rdir)
     srv = AnnTcpServer.from_index(

@@ -163,8 +163,22 @@ def load_index_from_dump(
     directory, so unlike the reference's in-RAM ByteArray load the blob
     must land on storage) and load it."""
     import io
+    import shutil
     import tarfile
 
+    # clear KNOWN index artifacts first (ADVICE r9): extracting over a
+    # previous index at this path would leave stale members the new dump
+    # doesn't carry (old head_groups/, codes/, replica_store/, refine/)
+    # attached to the freshly loaded index
+    for member in (
+        "config.json", "vectors", "tombstones", "heads", "postings",
+        "quantizer", "codes", "head_groups", "replica_store", "refine",
+    ):
+        p = os.path.join(path, member)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
     os.makedirs(path, exist_ok=True)
     with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
         try:

@@ -495,6 +495,69 @@ FROM ({ORACLE_N})
 )
 
 
+def _serve_disk_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier parity as a driver-graded query (VERDICT r9 #3): the
+    out-of-core DiskSpannReplica — head centroids in RAM, posting vectors
+    in a float32 memmap faulted in per probed slab, the reference's SSD
+    node shape (`ExtraFullGraphSearcher.h:226-376`) — answers every query
+    BIT-IDENTICALLY (ids AND distances) to the distributed ann_search plan
+    over the same artifacts. The packed store is built STREAMED
+    (serving_local.build_packed_store: Spark sorts, the driver consumes
+    chunk-at-a-time — never the shard's vector matrix). Per query:
+    n_results and rows_identical, where rows_identical requires every
+    (rank → id, dist) pair to match the Spark plan exactly."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from sptag_spark.serving_local import DiskSpannReplica
+
+    heads, postings = spann_index(spark, sf_dir)
+    nprobe = max(10, -(-cached_count(heads) * 85 // 1000))  # same as ann_spann
+    queries = queries_table(spark, sf_dir)
+    spark_res = ann_search(queries, heads, postings, k=DEFAULT_K, nprobe=nprobe)
+
+    def build():
+        d = tempfile.mkdtemp(prefix="sptag_disk_replica_")
+        return (DiskSpannReplica(heads, postings, os.path.join(d, "store")),)
+
+    (rep,) = _memo(spark, sf_dir, "disk_replica", build)
+    qrows = [
+        (int(r["query_id"]), np.asarray(r["vector"], dtype=np.float64))
+        for r in queries.select("query_id", "vector").collect()
+    ]
+    rep_df = spark.createDataFrame(
+        rep.batch_search(qrows, k=DEFAULT_K, nprobe=nprobe),
+        schema="query_id long, rank int, id long, dist double",
+    )
+    # full outer: a rank present on only ONE side must surface as a
+    # mismatch (no broadcast — Spark cannot broadcast a full-outer side;
+    # the shuffle is k·|Q| rows, trivial at any scale)
+    j = spark_res.alias("s").join(rep_df.alias("r"), ["query_id", "rank"], "full")
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("n_results"),
+        F.min(
+            F.coalesce(
+                (F.col("s.id") == F.col("r.id"))
+                & (F.col("s.dist") == F.col("r.dist")),
+                F.lit(False),
+            )
+        ).alias("rows_identical"),
+    )
+
+
+register(
+    "serve_disk_replica",
+    _serve_disk_replica,
+    f"""
+SELECT query_id, CAST({DEFAULT_K} AS BIGINT) AS n_results,
+       TRUE AS rows_identical
+FROM ({ORACLE_PER_QUERY})
+""",
+)
+
+
 def _posting_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-structure invariants (F6): every vector in 1..ReplicaCount
     postings, every posting cut to the limit, every head_id a real head."""

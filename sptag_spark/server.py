@@ -310,6 +310,9 @@ class AnnTcpServer:
             books=books,
             memory_budget_bytes=memory_budget_bytes,
             refine_store=refine_store,
+            # the budget path's ADC LUT is l2-only — warm_replica gates
+            # the PQ dispatch on the index's metric (ADVICE r9)
+            metric=kwargs.get("metric", "l2"),
         )
         return cls(rep, **kwargs)
 

@@ -172,3 +172,25 @@ def test_dump_load_from_dump_bytes_roundtrip(spark, fixture_data, tmp_path_facto
     home2 = str(tmp_path_factory.mktemp("dumpidx2") / "restored")
     idx3 = SparkAnnIndex.load_from_dump(spark, blob, home2)
     assert _meta_sets(idx3, queries) == _meta_sets(idx, queries)
+
+
+def test_load_from_dump_clears_stale_artifacts(
+    spark, fixture_data, tmp_path_factory
+):
+    """ADVICE r9: restoring a dump into a previously-used index home must
+    not leave the OLD index's artifacts (codes/, refine/, ...) attached to
+    the freshly loaded index."""
+    import os
+
+    vec, metas, queries = fixture_data
+    idx = SparkAnnIndex.build(spark, vec, metas)
+    blob = idx.dump()  # no PQ: the dump carries no codes/ or refine/
+    home = str(tmp_path_factory.mktemp("dumphome") / "idx")
+    os.makedirs(os.path.join(home, "codes"))
+    with open(os.path.join(home, "codes", "stale.txt"), "w") as f:
+        f.write("stale")
+    os.makedirs(os.path.join(home, "refine"))
+    idx2 = SparkAnnIndex.load_from_dump(spark, blob, home)
+    assert not os.path.exists(os.path.join(home, "codes"))
+    assert not os.path.exists(os.path.join(home, "refine"))
+    assert _meta_sets(idx2, queries) == _meta_sets(idx, queries)

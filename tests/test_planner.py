@@ -449,3 +449,16 @@ def test_memory_budget_dispatches_pq_replica(vecs, qs):
     p2.execute().collect()
     assert p2.last_dispatch == "replica"
     heads.unpersist(); postings.unpersist(); codes.unpersist()
+
+
+def test_index_fingerprint_empty_heads(spark):
+    """ADVICE r9: zero heads → sentinel fingerprint, not a TypeError on
+    the null sum/max aggregates (and all-zeros never matches a real tune)."""
+    from sptag_spark.plans.planner import index_fingerprint
+
+    empty = spark.createDataFrame([], "head_id long, vector array<float>")
+    assert index_fingerprint(empty) == {
+        "heads": 0,
+        "dim": 0,
+        "head_ids_sum": 0,
+    }

@@ -409,3 +409,175 @@ def test_warm_replica_budget_with_refine_store(spark, built, tmp_path):
         abs(fmap[i] - d) < 1e-12 for i, d in zip(ri.tolist(), rd.tolist())
         if i in fmap
     )
+
+
+def test_disk_store_build_streams_never_collects(
+    spark, built, tmp_path, monkeypatch
+):
+    """VERDICT r9 #1: the packed-store BUILD is itself out-of-core — the
+    posting shard is never materialized on the driver (toPandas on any
+    id-carrying frame is forbidden for the duration) and the chunked
+    writer's peak buffer is hard-bounded at chunk_rows vector rows — while
+    search rows stay bit-identical to the all-RAM replica."""
+    from pyspark.sql import DataFrame
+
+    from sptag_spark.serving_local import (
+        DiskSpannReplica,
+        LocalSpannReplica,
+        build_packed_store,
+    )
+
+    v, heads, postings = built
+    ram = LocalSpannReplica(heads, postings)  # before the guard
+    n_posts = postings.count()
+    orig = DataFrame.toPandas
+
+    def guard(self):
+        if "id" in self.columns:
+            raise AssertionError("posting shard materialized on the driver")
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "toPandas", guard)
+    store = str(tmp_path / "streamed")
+    stats = build_packed_store(heads, postings, store, chunk_rows=16)
+    assert stats["max_buffer_rows"] <= 16  # the hard memory witness
+    assert stats["flushes"] >= n_posts // 16 > 1
+    disk = DiskSpannReplica.from_store(store)
+    for qid, q in _qlist(spark)[:8]:
+        ri, rd = ram.search_one(q, k=10, nprobe=6)
+        di, dd = disk.search_one(q, k=10, nprobe=6)
+        assert ri.tolist() == di.tolist()
+        assert rd.tolist() == dd.tolist()
+
+
+def test_refine_store_streams_with_fingerprint(
+    spark, built, tmp_path, monkeypatch
+):
+    """The refine store build streams (no driver materialization, bounded
+    chunk buffer) and records the source fingerprint for the staleness
+    gate (ADVICE r9)."""
+    from pyspark.sql import DataFrame
+
+    from sptag_spark.serving_local import (
+        build_refine_store,
+        open_refine_store,
+        refine_fingerprint,
+        refine_store_matches,
+    )
+
+    v, _, _ = built
+    fp = refine_fingerprint(v)
+
+    def banned(self):
+        raise AssertionError("vector set materialized on the driver")
+
+    monkeypatch.setattr(DataFrame, "toPandas", banned)
+    stats = build_refine_store(
+        v.select("id", "vector"), str(tmp_path / "rf"), chunk_rows=16
+    )
+    monkeypatch.undo()
+    assert stats["max_buffer_rows"] <= 16 and stats["flushes"] > 1
+    assert refine_store_matches(str(tmp_path / "rf"), fp)
+    assert not refine_store_matches(
+        str(tmp_path / "rf"), {"rows": fp["rows"] + 1, "id_sum": fp["id_sum"]}
+    )
+    assert not refine_store_matches(str(tmp_path / "missing"), fp)
+    ids, M = open_refine_store(str(tmp_path / "rf"))
+    exp = sorted(r["id"] for r in v.select("id").collect())
+    assert ids.tolist() == exp
+    assert M.shape == (len(exp), len(_qlist(spark)[0][1]))
+
+
+def test_stale_refine_store_raises_not_wrong_rows(spark, built, tmp_path):
+    """A refine store from a DIFFERENT vector set must raise loudly, not
+    silently exact-rerank against a wrong row's vector (ADVICE r9)."""
+    from sptag_spark.index.pq import pq_encode, train_pq
+    from sptag_spark.serving_local import (
+        LocalPqSpannReplica,
+        build_refine_store,
+        open_refine_store,
+    )
+
+    v, heads, postings = built
+    # store from a strict subset: routed candidates are guaranteed misses
+    build_refine_store(
+        v.filter("id % 7 = 0").select("id", "vector"), str(tmp_path / "stale")
+    )
+    books = train_pq(v, m=8)
+    codes = pq_encode(v, books)
+    rep = LocalPqSpannReplica(
+        heads,
+        postings,
+        codes,
+        books,
+        refine_store=open_refine_store(str(tmp_path / "stale")),
+    )
+    with pytest.raises(ValueError, match="stale|does not cover"):
+        rep.search_one(_qlist(spark)[0][1], k=10, nprobe=8)
+
+
+def test_warm_replica_budget_auto_materializes_refine(spark, built, tmp_path):
+    """VERDICT r9 #4: a library caller under budget with NO refine store
+    gets exact-reranked answers by default (auto-materialized, streamed),
+    not raw-ADC recall."""
+    from sptag_spark.index.pq import pq_encode, train_pq
+    from sptag_spark.plans.planner import warm_replica
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    v, heads, postings = built
+    fresh = heads.alias("warmauto")
+    fresh._sptag_cached_count = heads.count()
+    books = train_pq(v, m=8)
+    codes = pq_encode(v, books)
+    rep = warm_replica(
+        fresh,
+        postings,
+        codes=codes,
+        books=books,
+        memory_budget_bytes=1,
+        refine_store_dir=str(tmp_path / "auto_rf"),
+    )
+    assert rep.dispatch_label == "pq_replica" and rep.refine is not None
+    full = LocalSpannReplica(heads, postings)
+    hits = tot = 0
+    for qid, q in _qlist(spark):
+        fi, fd = full.search_one(q, k=10, nprobe=8)
+        ri, rd = rep.search_one(q, k=10, nprobe=8)
+        fmap = dict(zip(fi.tolist(), fd.tolist()))
+        # refined distances are exact on every shared id
+        assert all(
+            abs(fmap[i] - d) < 1e-12
+            for i, d in zip(ri.tolist(), rd.tolist())
+            if i in fmap
+        )
+        hits += len(set(fi.tolist()) & set(ri.tolist()))
+        tot += 10
+    assert hits / tot >= 0.9, hits / tot
+
+
+def test_warm_replica_budget_non_l2_falls_back_to_full(spark, built):
+    """ADVICE r9: the ADC LUT is squared-L2 only — under budget, a cosine
+    index warms the FULL replica (with a loud warning) instead of silently
+    serving L2-ADC rankings."""
+    import warnings as w
+
+    from sptag_spark.index.pq import pq_encode, train_pq
+    from sptag_spark.plans.planner import warm_replica
+
+    v, heads, postings = built
+    fresh = heads.alias("warmcos")
+    fresh._sptag_cached_count = heads.count()
+    books = train_pq(v, m=8)
+    codes = pq_encode(v, books)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        rep = warm_replica(
+            fresh,
+            postings,
+            codes=codes,
+            books=books,
+            memory_budget_bytes=1,
+            metric="cosine",
+        )
+    assert rep.dispatch_label == "replica"
+    assert any("l2-only" in str(c.message) for c in caught)
