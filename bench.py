@@ -545,6 +545,10 @@ def _compact_line(out: dict, budget: int = 1900) -> dict:
         "unit": out["unit"],
         "sf": out["sf"],
         "calibration": out["calibration"],
+        # calibration_after rides the compact line too (VERDICT r9 #2):
+        # the driver's BENCH_r{N}.json keeps only this line, and a compare
+        # tool can't audit machine-speed drift ACROSS a run it can't see
+        "calibration_after": out["calibration_after"],
         "n_queries": len(timings),
         "runs_per_query": out["runs_per_query"],
         "n_errors": len(errors),

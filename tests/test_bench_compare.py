@@ -87,3 +87,36 @@ def test_cli_space_separated_threshold(tmp_path, monkeypatch, capsys):
     )
     assert main() == 0  # 3.0 < 4 -> clean
     capsys.readouterr()
+
+
+def test_floor_bound_queries_gate_on_raw():
+    """VERDICT r9 #2: sub-floor walls are fixed stage/scheduling cost the
+    gemm kernel does not track — they gate on the RAW ratio."""
+    old = _artifact({"q": 1.0}, gflops=100.0)
+    new = _artifact({"q": 1.45}, gflops=140.0)  # norm 2.03, raw 1.45
+    r = compare(old, new)
+    row = r["rows"][0]
+    assert row["floor_bound"] is True
+    assert row["gate_ratio"] == row["raw_ratio"]
+    assert r["flagged"] == [] and r["n_floor_bound"] == 1
+    # the same walls ABOVE the floor would flag on the normalized ratio
+    r2 = compare(old, new, floor_sec=0.5)
+    assert r2["rows"][0]["floor_bound"] is False and r2["flagged"]
+
+
+def test_suspect_calibration_gates_all_on_raw():
+    """When the gemm reading claims a big machine swing but raw walls are
+    flat, the calibration did not track effective speed for this pair
+    (r8's committed sitting) — every query gates on raw, and a genuinely
+    slower query still flags."""
+    old = _artifact({"a": 10.0, "b": 8.0, "c": 6.0}, gflops=80.0)
+    new = _artifact({"a": 10.5, "b": 8.2, "c": 21.0}, gflops=250.0)
+    r = compare(old, new)
+    assert r["calibration_suspect"] is True
+    assert r["gating"].startswith("raw")
+    assert [f["query"] for f in r["flagged"]] == ["c"]  # raw 3.5
+    # a REAL 3x-faster sitting shows flat normalized ratios and ~0.33 raw
+    # medians — that is not suspect
+    fast = _artifact({"a": 3.3, "b": 2.7, "c": 2.0}, gflops=250.0)
+    r2 = compare(old, fast)
+    assert r2["calibration_suspect"] is False

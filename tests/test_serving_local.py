@@ -581,3 +581,29 @@ def test_warm_replica_budget_non_l2_falls_back_to_full(spark, built):
         )
     assert rep.dispatch_label == "replica"
     assert any("l2-only" in str(c.message) for c in caught)
+
+
+def test_sharded_aggregator_for_budget_sizing(spark, built):
+    """Default shard-sizing rule: shards = ceil(replica_bytes / budget) —
+    shard to fit the node, never more; answers match the unsharded
+    replica's ids at full coverage."""
+    from sptag_spark.plans.planner import index_fingerprint
+    from sptag_spark.serving_local import (
+        LocalSpannReplica,
+        ShardedSpannAggregator,
+    )
+
+    v, heads, postings = built
+    fp = index_fingerprint(heads, postings)
+    est = fp["posting_rows"] * (8 * fp["dim"] + 16)
+    # budget = half the replica -> 2 shards; huge budget -> 1 shard
+    agg = ShardedSpannAggregator.for_budget(heads, postings, est // 2 + 1)
+    assert len(agg.replicas) == 2
+    one = ShardedSpannAggregator.for_budget(heads, postings, est * 10)
+    assert len(one.replicas) == 1
+    full = LocalSpannReplica(heads, postings)
+    q = _qlist(spark)[0][1]
+    n_heads = len(full.head_ids)
+    fi, _ = full.search_one(q, k=5, nprobe=n_heads)
+    ai, _ = agg.search_one(q, k=5, nprobe=n_heads)  # full coverage
+    assert fi.tolist() == ai.tolist()

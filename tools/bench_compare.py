@@ -9,12 +9,20 @@ driver's BENCH_r{N}.json wrapper (whose payload is the JSON line inside
 "tail") — normalizes every per-query wall by the artifact's mean
 gemm_gflops, and reports ratios, flagging anything above the threshold.
 
+Floor-bound exemption (VERDICT r9 #2): walls under --floor-sec (default
+1.5 s) are fixed Spark stage/scheduling cost, which the gemm kernel does
+NOT track (r8's sitting: raw walls flat while gemm swung 3.4×, so
+normalization flagged 53/53 unchanged queries). Those gate on the RAW
+ratio; each row carries floor_bound + gate_ratio so the choice is
+auditable.
+
 Usage:
   python tools/bench_compare.py OLD.json NEW.json [--threshold 2.0]
+      [--floor-sec 1.5]
 
-Exit code 1 if any query exceeds the normalized threshold (regression
-gate), 0 otherwise. One JSON summary line on stdout; per-query table on
-stderr for humans.
+Exit code 1 if any query exceeds the threshold on its gate_ratio
+(regression gate), 0 otherwise. One JSON summary line on stdout;
+per-query table on stderr for humans.
 """
 
 from __future__ import annotations
@@ -47,7 +55,12 @@ def gflops(d: dict) -> float | None:
     return sum(cals) / len(cals) if cals else None
 
 
-def compare(old: dict, new: dict, threshold: float = 2.0) -> dict:
+FLOOR_SEC = 1.5  # walls under this are stage/scheduling-floor bound
+
+
+def compare(
+    old: dict, new: dict, threshold: float = 2.0, floor_sec: float = FLOOR_SEC
+) -> dict:
     g_old, g_new = gflops(old), gflops(new)
     # wall ∝ 1/speed: normalize each wall to a reference-speed machine
     # (multiply by measured/reference gflops; the reference cancels in the
@@ -61,6 +74,12 @@ def compare(old: dict, new: dict, threshold: float = 2.0) -> dict:
         w_old, w_new = float(qs_old[name]), float(qs_new[name])
         raw = w_new / w_old if w_old else float("inf")
         norm = raw * speed_ratio
+        # floor-bound queries (VERDICT r9 #2): a sub-floor wall is fixed
+        # Spark stage/scheduling cost, which does NOT scale with the gemm
+        # kernel's reading — r8's artifacts proved it (raw walls flat
+        # while gemm swung 3.4×, so "normalized" ratios flagged 53/53
+        # queries that hadn't changed). Gate those on the RAW ratio.
+        floor_bound = max(w_old, w_new) < floor_sec
         rows.append(
             {
                 "query": name,
@@ -68,13 +87,38 @@ def compare(old: dict, new: dict, threshold: float = 2.0) -> dict:
                 "new_sec": w_new,
                 "raw_ratio": round(raw, 3),
                 "norm_ratio": round(norm, 3),
+                "floor_bound": floor_bound,
+                "gate_ratio": round(raw if floor_bound else norm, 3),
             }
         )
-    flagged = [r for r in rows if r["norm_ratio"] > threshold]
+    # calibration sanity: if the gemm reading claims the machine swung
+    # hard (speed_ratio far from 1) but the raw wall medians are flat,
+    # the kernel did not track effective speed for THIS pair (r8's
+    # committed sitting: gemm 74.8 vs flat walls, NOTES.md) — normalized
+    # ratios are then meaningless and every query gates on raw instead.
+    med_raw = (
+        sorted(r["raw_ratio"] for r in rows)[len(rows) // 2] if rows else 1.0
+    )
+    calibration_suspect = (
+        calibrated
+        and not (0.67 < speed_ratio < 1.5)
+        and 0.67 < med_raw < 1.5
+    )
+    if calibration_suspect:
+        for r in rows:
+            r["gate_ratio"] = r["raw_ratio"]
+    flagged = [r for r in rows if r["gate_ratio"] > threshold]
     return {
         "gemm_gflops": {"old": g_old, "new": g_new},
         "calibrated": calibrated,
+        "calibration_suspect": calibration_suspect,
+        "gating": "raw (calibration_suspect)"
+        if calibration_suspect
+        else "norm, raw under floor_sec",
         "speed_ratio_new_over_old": round(speed_ratio, 3),
+        "median_raw_ratio": round(med_raw, 3),
+        "floor_sec": floor_sec,
+        "n_floor_bound": sum(1 for r in rows if r["floor_bound"]),
         "n_compared": len(rows),
         "only_in_old": sorted(set(qs_old) - set(qs_new)),
         "only_in_new": sorted(set(qs_new) - set(qs_old)),
@@ -82,6 +126,11 @@ def compare(old: dict, new: dict, threshold: float = 2.0) -> dict:
         "flagged": flagged,
         "median_norm_ratio": round(
             sorted(r["norm_ratio"] for r in rows)[len(rows) // 2], 3
+        )
+        if rows
+        else None,
+        "median_gate_ratio": round(
+            sorted(r["gate_ratio"] for r in rows)[len(rows) // 2], 3
         )
         if rows
         else None,
@@ -102,16 +151,19 @@ def main() -> int:
     ap.add_argument("old", help="older bench artifact (JSON)")
     ap.add_argument("new", help="newer bench artifact (JSON)")
     ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument("--floor-sec", type=float, default=FLOOR_SEC)
     ns = ap.parse_args()
     threshold = ns.threshold
     old, new = load_bench(ns.old), load_bench(ns.new)
-    result = compare(old, new, threshold)
+    result = compare(old, new, threshold, floor_sec=ns.floor_sec)
     rows = result.pop("rows")
-    for r in sorted(rows, key=lambda r: -r["norm_ratio"]):
-        mark = " <-- FLAG" if r["norm_ratio"] > threshold else ""
+    for r in sorted(rows, key=lambda r: -r["gate_ratio"]):
+        mark = " <-- FLAG" if r["gate_ratio"] > threshold else ""
+        fb = " (floor)" if r["floor_bound"] else ""
         print(
             f"{r['query']:35s} {r['old_sec']:7.2f} -> {r['new_sec']:7.2f}"
-            f"  raw {r['raw_ratio']:6.2f}  norm {r['norm_ratio']:6.2f}{mark}",
+            f"  raw {r['raw_ratio']:6.2f}  norm {r['norm_ratio']:6.2f}"
+            f"{fb}{mark}",
             file=sys.stderr,
         )
     print(json.dumps(result, separators=(",", ":")))
