@@ -341,48 +341,25 @@ def cmd_serve(args, spark) -> int:
         raise SystemExit("serve requires a SPANN index (heads + postings)")
     idx.heads.persist().count()
     idx.postings.persist().count()
-    # --memory-budget: quantized indexes (build -pq saves quantizer+codes)
-    # serve from 16-byte ADC codes when the full-vector replica would
-    # exceed the budget — warm_replica's dispatch, over the wire
+    # --memory-budget: when the full-vector replica would exceed the
+    # budget, warm_replica's dispatch ladder serves the next tier that
+    # can: the DiskSpannReplica beside the index (exact answers, any
+    # metric, heads+ids resident — the reference's SSD node shape; store
+    # streamed + fingerprint-gated), with the PQ+refine path as the
+    # RAM-only fallback for quantized indexes. Works for ANY index now —
+    # the old -pq/l2 requirements gated the PQ tier, which is no longer
+    # the first resort.
     budget = getattr(args, "memory_budget", None)
-    if budget and (idx.codes is None or idx.quantizer is None):
-        raise SystemExit(
-            "--memory-budget needs a quantized index (build with -pq)"
-        )
-    if budget and idx.config.get("metric", "l2") != "l2":
-        # the PQ replica's ADC LUT is squared-L2 only (ADVICE r9) — a
-        # cosine/ip index under budget would silently serve wrong rankings
-        raise SystemExit(
-            "--memory-budget serves from l2-ADC codes; this index's metric "
-            f"is {idx.config.get('metric')!r} — serve without a budget"
-        )
-    refine = None
-    if budget:
-        # exact-rerank side table (float32 memmap beside the index): ADC
-        # serving recovers near-full recall while RAM stays codes-only
-        # (measured 0.934 vs 0.656 raw at sf0.1 — SCALING.md r9)
-        from sptag_spark.serving_local import (
-            build_refine_store,
-            open_refine_store,
-            refine_fingerprint,
-            refine_store_matches,
-        )
-
-        rdir = os.path.join(args.index, "refine")
-        # identity gate (ADVICE r9): a refine store left by a PREVIOUS
-        # build at this path would exact-rerank against stale vectors —
-        # rebuild unless the store's recorded fingerprint matches the
-        # index's current vector set
-        if not refine_store_matches(rdir, refine_fingerprint(idx.vectors)):
-            build_refine_store(idx.vectors.select("id", "vector"), rdir)
-        refine = open_refine_store(rdir)
     srv = AnnTcpServer.from_index(
         idx.heads,
         idx.postings,
         codes=idx.codes,
         books=idx.quantizer,
         memory_budget_bytes=budget,
-        refine_store=refine,
+        disk_store_dir=os.path.join(args.index, "replica_store")
+        if budget
+        else None,
+        refine_store_dir=os.path.join(args.index, "refine"),
         host=args.host,
         port=args.port,
         k=args.k,

@@ -161,6 +161,7 @@ def warm_replica(
     refine_store=None,
     metric="l2",
     refine_store_dir=None,
+    disk_store_dir=None,
 ):
     """Load SPANN artifacts into a process-local in-RAM replica
     (serving_local.LocalSpannReplica) and memoize it on the heads
@@ -169,45 +170,52 @@ def warm_replica(
     moment); until called, the planner never pays the replica's
     postings-to-RAM load implicitly.
 
-    Budgeted dispatch (VERDICT r8 #6): with ``memory_budget_bytes`` set
-    and PQ artifacts supplied (``codes``, ``books``), the full-vector
-    replica is warmed only when its estimated footprint fits the budget;
-    otherwise the PQ replica serves instead — M-byte ADC codes in RAM,
-    ~4·D/M× denser (the reference's billion-scale RAM story,
-    `PQQuantizer.h`).
+    Budgeted dispatch (VERDICT r8 #6, ladder extended r10): with
+    ``memory_budget_bytes`` set and the full-vector replica's estimated
+    footprint over budget, the next tier that can serve does:
 
-    Two safety gates on that PQ path (VERDICT/ADVICE r9):
-
-    - **metric**: the ADC LUT is squared-L2 only (the same gate the
-      planner's fallback applies at `_replica`); a cosine/ip index falls
-      back to the full-vector replica with a loud warning instead of
-      silently serving L2-ADC rankings.
-    - **recall**: raw ADC serves ~0.66 recall@10 where the full replica
-      serves ~0.95; the reference's SSD path ALWAYS reranks with true
-      distances (`ExtraFullGraphSearcher.h:60-110`). So when no
-      ``refine_store`` is supplied, one is auto-materialized (STREAMED —
-      serving_local.build_refine_store — from the postings' id-deduped
-      vectors) into ``refine_store_dir`` (or a temp dir), restoring
-      ≥0.93 recall while RAM stays codes-only."""
+    1. **DiskSpannReplica** when ``disk_store_dir`` is given — the
+       reference's actual serving-node shape (heads in RAM, posting
+       vectors on SSD, `ExtraFullGraphSearcher.h`): EXACT answers for any
+       metric at the SMALLEST resident set (heads + ids — less than the
+       PQ replica, which also holds codes), the store built/reused
+       STREAMED with a staleness fingerprint gate. Strictly dominates PQ
+       on recall and RAM; PQ remains for nodes with no local store
+       (everything must be RAM-resident).
+    2. **PQ replica** with ``codes``/``books`` on an l2 index — M-byte
+       ADC codes (`PQQuantizer.h`), auto-materializing a streamed
+       ``refine_store`` when none is supplied (raw ADC serves ~0.66
+       recall@10 where refine restores ≥0.93; the reference's SSD path
+       always reranks with true distances). Non-l2 never takes this path
+       (the ADC LUT is squared-L2 only — ADVICE r9).
+    3. Otherwise the full-vector replica, over budget, with a loud
+       warning."""
     rep = getattr(heads, "_sptag_replica", None)
     if rep is not None:
         return rep
-    if (
-        memory_budget_bytes is not None
-        and codes is not None
-        and books is not None
+    if memory_budget_bytes is not None and (
+        disk_store_dir is not None or (codes is not None and books is not None)
     ):
         fp = index_fingerprint(heads, postings)
         # full replica holds float64 vectors + two int64 ids per posting row
         est = fp["posting_rows"] * (8 * fp["dim"] + 16)
         if est > memory_budget_bytes:
+            if disk_store_dir is not None:
+                from sptag_spark.serving_local import DiskSpannReplica
+
+                rep = DiskSpannReplica(heads, postings, disk_store_dir)
+                # exact semantics for any metric — memoized as THE replica
+                # so the planner fast path serves through it transparently
+                heads._sptag_replica = rep
+                return rep
             if metric != "l2":
                 import warnings
 
                 warnings.warn(
                     f"memory budget requests the PQ replica but its ADC "
                     f"LUT is l2-only and this index is {metric!r}; serving "
-                    f"from the FULL-VECTOR replica instead (over budget)",
+                    f"from the FULL-VECTOR replica instead (over budget) — "
+                    f"pass disk_store_dir for exact under-budget serving",
                     stacklevel=2,
                 )
             else:
@@ -217,6 +225,8 @@ def warm_replica(
                     from sptag_spark.serving_local import (
                         build_refine_store,
                         open_refine_store,
+                        refine_fingerprint,
+                        refine_store_matches,
                     )
 
                     rdir = refine_store_dir or tempfile.mkdtemp(
@@ -224,13 +234,16 @@ def warm_replica(
                     )
                     # every vector appears in ≥1 posting (replica
                     # invariant), so the id-deduped postings ARE the
-                    # vector set; the build streams, never collects
-                    build_refine_store(
-                        postings.select("id", "vector").dropDuplicates(
-                            ["id"]
-                        ),
-                        rdir,
+                    # vector set; the build streams, never collects.
+                    # A pre-existing store at refine_store_dir is reused
+                    # only if its fingerprint matches (stale-store gate).
+                    vec_src = postings.select("id", "vector").dropDuplicates(
+                        ["id"]
                     )
+                    if not refine_store_matches(
+                        rdir, refine_fingerprint(vec_src)
+                    ):
+                        build_refine_store(vec_src, rdir)
                     refine_store = open_refine_store(rdir)
                 return warm_pq_replica(
                     heads, postings, codes, books, refine_store=refine_store

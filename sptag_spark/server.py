@@ -274,6 +274,8 @@ class AnnTcpServer:
         books=None,
         memory_budget_bytes=None,
         refine_store=None,
+        disk_store_dir=None,
+        refine_store_dir=None,
         **kwargs,
     ) -> "AnnTcpServer":
         """ONE serving tier (VERDICT r7 #8): build the socket server on the
@@ -313,6 +315,8 @@ class AnnTcpServer:
             # the budget path's ADC LUT is l2-only — warm_replica gates
             # the PQ dispatch on the index's metric (ADVICE r9)
             metric=kwargs.get("metric", "l2"),
+            disk_store_dir=disk_store_dir,
+            refine_store_dir=refine_store_dir,
         )
         return cls(rep, **kwargs)
 

@@ -89,7 +89,13 @@ class LocalSpannReplica:
         _, first = np.unique(ids, return_index=True)
         cand = cand[first]
         ids = self.post_ids[cand]
-        d = _exact_pair_dists(self.post_V[cand], q, metric)
+        # explicit float64 promotion of the gathered slab: a float32
+        # store (DiskSpannReplica's memmap) must score bit-identically to
+        # the RAM replica's float64 copy — l2 promotes inside V - q, but
+        # cosine's norm would otherwise accumulate in float32
+        d = _exact_pair_dists(
+            np.asarray(self.post_V[cand], dtype=np.float64), q, metric
+        )
         top = np.lexsort((ids, d))[: min(k, len(ids))]
         return ids[top], d[top]
 
@@ -113,6 +119,37 @@ class LocalSpannReplica:
 
 
 _STORE_CHUNK_ROWS = 65536  # vector rows buffered per flush (~16 MB at d=64)
+
+
+def postings_fingerprint(postings: DataFrame) -> dict:
+    """Identity of the posting set a packed store was built from — row
+    count + (head_id, id) checksum, one tiny agg job. Recorded in the
+    store's meta.json so a rebuilt index at the same path never serves a
+    stale store (the same staleness class ADVICE r9 flagged for the
+    refine store)."""
+    from pyspark.sql import functions as F
+
+    r = postings.agg(
+        F.count("*").alias("n"),
+        (F.sum("id") + F.sum("head_id")).alias("s"),
+    ).first()
+    return {"post_rows": int(r["n"]), "post_id_sum": int(r["s"] or 0)}
+
+
+def packed_store_matches(store_dir: str, fingerprint: dict) -> bool:
+    """True when an existing packed store at ``store_dir`` was built from
+    the posting set with this fingerprint (missing/legacy meta → False)."""
+    import json
+    import os
+
+    meta_p = os.path.join(store_dir, "meta.json")
+    if not os.path.exists(meta_p):
+        return False
+    with open(meta_p) as f:
+        meta = json.load(f)
+    return meta.get("post_rows") == fingerprint["post_rows"] and meta.get(
+        "post_id_sum"
+    ) == fingerprint["post_id_sum"]
 
 
 def build_packed_store(
@@ -192,7 +229,145 @@ def build_packed_store(
     np.save(os.path.join(store_dir, "post_ids.npy"), post_ids)
     np.save(os.path.join(store_dir, "indptr.npy"), np.cumsum(counts))
     with open(os.path.join(store_dir, "meta.json"), "w") as f:
-        json.dump({"rows": int(rows), "dim": dim, "build": stats}, f)
+        json.dump(
+            {"rows": int(rows), "dim": dim, "build": stats,
+             **postings_fingerprint(postings)},
+            f,
+        )
+    return stats
+
+
+def build_packed_store_parallel(
+    heads: DataFrame,
+    postings: DataFrame,
+    store_dir: str,
+    n_fragments: int | None = None,
+) -> dict:
+    """Executor-parallel twin of build_packed_store: the SORT and the
+    vector serialization run on executors instead of funneling through one
+    driver iterator. Postings are range-partitioned by (head_id, id) —
+    partition i's keys all precede partition i+1's — each partition writes
+    its OWN float32 fragment + id/count sidecars (bounded memory: one
+    Arrow batch of vectors at a time), and the driver CONCATENATES the
+    fragments in partition order with file-to-file copies (no vector ever
+    driver-resident). Byte-identical store to the serial builder.
+
+    This is the 100 TB build shape — the reference's SSD build writes its
+    posting files batch-at-a-time per selection worker
+    (`ExtraFullGraphSearcher.h:587-1000`); here each Spark partition is
+    that worker. Local mode shares /tmp; on a cluster the fragment dir
+    must be shared storage (same place the posting files live).
+
+    → build stats: per-fragment row counts plus ``max_batch_rows``, the
+    largest vector block any single writer held."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(store_dir, exist_ok=True)
+    hp = heads.select("head_id", "vector").toPandas()  # small side, by contract
+    raw_ids = hp["head_id"].to_numpy(np.int64)
+    order = np.argsort(raw_ids)
+    head_ids = raw_ids[order]
+    H = np.array(hp["vector"].tolist(), dtype=np.float64)[order]
+    np.save(os.path.join(store_dir, "head_ids.npy"), head_ids)
+    np.save(os.path.join(store_dir, "H.npy"), H)
+
+    frag_dir = os.path.join(store_dir, "_fragments")
+    shutil.rmtree(frag_dir, ignore_errors=True)
+    os.makedirs(frag_dir)
+    if n_fragments is None:
+        spark = postings.sparkSession
+        n_fragments = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def write_fragment(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        f = None
+        ids: list[np.ndarray] = []
+        hcounts: dict[int, int] = {}
+        rows = 0
+        dim = 0
+        max_batch = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if f is None:
+                f = open(os.path.join(frag_dir, f"part_{pid:05d}.f32"), "wb")
+            V = np.array(pdf["vector"].tolist(), dtype=np.float32)
+            dim = int(V.shape[1])
+            max_batch = max(max_batch, len(V))
+            V.tofile(f)
+            ids.append(pdf["id"].to_numpy(np.int64))
+            hid, cnt = np.unique(
+                pdf["head_id"].to_numpy(np.int64), return_counts=True
+            )
+            for h, c in zip(hid.tolist(), cnt.tolist()):
+                hcounts[h] = hcounts.get(h, 0) + c
+            rows += len(V)
+        if f is None:
+            return
+        f.close()
+        np.save(
+            os.path.join(frag_dir, f"part_{pid:05d}.ids.npy"),
+            np.concatenate(ids),
+        )
+        hk = np.array(sorted(hcounts), dtype=np.int64)
+        np.save(
+            os.path.join(frag_dir, f"part_{pid:05d}.heads.npy"),
+            np.stack([hk, np.array([hcounts[h] for h in hk], np.int64)]),
+        )
+        yield pd.DataFrame(
+            {
+                "pid": [pid],
+                "rows": [rows],
+                "dim": [dim],
+                "max_batch_rows": [max_batch],
+            }
+        )
+
+    frags = (
+        postings.select("head_id", "id", "vector")
+        .repartitionByRange(n_fragments, "head_id", "id")
+        .sortWithinPartitions("head_id", "id")
+        .mapInPandas(
+            write_fragment,
+            "pid int, rows long, dim int, max_batch_rows long",
+        )
+        .collect()
+    )
+    frags.sort(key=lambda r: r["pid"])
+    rows = sum(r["rows"] for r in frags)
+    dim = max((r["dim"] for r in frags), default=int(H.shape[1]))
+    counts = np.zeros(len(head_ids) + 1, dtype=np.int64)
+    id_parts: list[np.ndarray] = []
+    with open(os.path.join(store_dir, "post_vectors.f32"), "wb") as out:
+        for r in frags:
+            base = os.path.join(frag_dir, f"part_{r['pid']:05d}")
+            with open(base + ".f32", "rb") as fin:
+                shutil.copyfileobj(fin, out, length=1 << 22)
+            id_parts.append(np.load(base + ".ids.npy"))
+            hk, hc = np.load(base + ".heads.npy")
+            counts[np.searchsorted(head_ids, hk) + 1] += hc
+    post_ids = (
+        np.concatenate(id_parts) if id_parts else np.empty(0, dtype=np.int64)
+    )
+    np.save(os.path.join(store_dir, "post_ids.npy"), post_ids)
+    np.save(os.path.join(store_dir, "indptr.npy"), np.cumsum(counts))
+    shutil.rmtree(frag_dir)
+    stats = {
+        "mode": "parallel",
+        "fragments": len(frags),
+        "max_batch_rows": max((r["max_batch_rows"] for r in frags), default=0),
+    }
+    with open(os.path.join(store_dir, "meta.json"), "w") as f:
+        json.dump(
+            {"rows": int(rows), "dim": dim, "build": stats,
+             **postings_fingerprint(postings)},
+            f,
+        )
     return stats
 
 
@@ -218,6 +393,19 @@ class DiskSpannReplica(LocalSpannReplica):
         import os
 
         meta_p = os.path.join(store_dir, "meta.json")
+        # identity gate (same staleness class as the refine store, ADVICE
+        # r9): when Spark artifacts ARE supplied, an existing store is
+        # trusted only if its recorded fingerprint matches the postings it
+        # claims to pack — a rebuilt index at the same path rebuilds the
+        # store instead of serving the old index's vectors. from_store
+        # (no artifacts) trusts the files; it has nothing to check against.
+        if os.path.exists(meta_p) and postings is not None:
+            if not packed_store_matches(
+                store_dir, postings_fingerprint(postings)
+            ):
+                import shutil
+
+                shutil.rmtree(store_dir)
         if not os.path.exists(meta_p):
             if heads is None or postings is None:
                 raise FileNotFoundError(
@@ -225,10 +413,15 @@ class DiskSpannReplica(LocalSpannReplica):
                     "artifacts supplied to build one"
                 )
             # build once from the Spark artifacts (the posting-file write
-            # stage), STREAMED so the driver never holds the shard's
+            # stage), OUT-OF-CORE so the driver never holds the shard's
             # vectors — the whole point of this replica is a shard that
-            # exceeds RAM; then serve every later construction from it
-            build_packed_store(heads, postings, store_dir)
+            # exceeds RAM; then serve every later construction from it.
+            # Parallel (executor-fragment) builder by default: measured
+            # 7.7-14.4× the serial streamer, which plateaus at ~31k rows/s
+            # on the driver iterator (SCALING.md r10); byte-identical
+            # stores (pinned by test). build_packed_store remains for
+            # deployments without shared fragment storage.
+            build_packed_store_parallel(heads, postings, store_dir)
         with open(meta_p) as f:
             meta = json.load(f)
         self.head_ids = np.load(os.path.join(store_dir, "head_ids.npy"))
@@ -658,7 +851,7 @@ class LocalPqSpannReplica:
                     "built from a different vector set (stale store after "
                     "a rebuild?); rebuild it with build_refine_store"
                 )
-            V = rf_V[pos]
+            V = np.asarray(rf_V[pos], dtype=np.float64)  # exact upcast
             dx = _exact_pair_dists(V, q, metric)
             top = np.lexsort((cand, dx))[: min(k, len(cand))]
             return cand[top], dx[top]

@@ -607,3 +607,88 @@ def test_sharded_aggregator_for_budget_sizing(spark, built):
     fi, _ = full.search_one(q, k=5, nprobe=n_heads)
     ai, _ = agg.search_one(q, k=5, nprobe=n_heads)  # full coverage
     assert fi.tolist() == ai.tolist()
+
+
+def test_parallel_store_build_byte_identical_to_serial(spark, built, tmp_path):
+    """build_packed_store_parallel (executor fragment write + driver
+    concat) produces a BYTE-identical store to the serial streamer —
+    same global (head_id, id) order via range partitioning, same files."""
+    import os
+
+    from sptag_spark.serving_local import (
+        build_packed_store,
+        build_packed_store_parallel,
+    )
+
+    v, heads, postings = built
+    a = str(tmp_path / "serial")
+    b = str(tmp_path / "parallel")
+    build_packed_store(heads, postings, a, chunk_rows=64)
+    stats = build_packed_store_parallel(heads, postings, b, n_fragments=8)
+    assert stats["fragments"] >= 2  # genuinely parallel, not one writer
+    for fn in ("post_vectors.f32", "head_ids.npy", "H.npy", "post_ids.npy",
+               "indptr.npy"):
+        with open(os.path.join(a, fn), "rb") as fa, open(
+            os.path.join(b, fn), "rb"
+        ) as fb:
+            assert fa.read() == fb.read(), fn
+    assert not os.path.exists(os.path.join(b, "_fragments"))
+
+
+def test_warm_replica_budget_prefers_disk_replica(spark, built, tmp_path):
+    """r10 dispatch ladder: under budget with a disk_store_dir, the
+    DiskSpannReplica serves — EXACT rows (identical to the full replica)
+    for any metric, at a resident set smaller than the PQ replica's — and
+    the planner memoizes it as THE replica."""
+    from sptag_spark.plans.planner import warm_replica
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    v, heads, postings = built
+    fresh = heads.alias("warmdisk")
+    fresh._sptag_cached_count = heads.count()
+    rep = warm_replica(
+        fresh,
+        postings,
+        memory_budget_bytes=1,
+        metric="cosine",  # disk tier is exact — no l2-only restriction
+        disk_store_dir=str(tmp_path / "dstore"),
+    )
+    assert rep.dispatch_label == "disk_replica"
+    assert getattr(fresh, "_sptag_replica", None) is rep  # planner-visible
+    full = LocalSpannReplica(heads, postings)
+    for qid, q in _qlist(spark)[:6]:
+        fi, fd = full.search_one(q, k=10, nprobe=6, metric="cosine")
+        ri, rd = rep.search_one(q, k=10, nprobe=6, metric="cosine")
+        assert fi.tolist() == ri.tolist()
+        assert fd.tolist() == rd.tolist()
+    assert rep.memory_bytes() < full.post_V.nbytes
+
+
+def test_stale_replica_store_rebuilt_on_fingerprint_mismatch(
+    spark, built, tmp_path
+):
+    """A packed store left by a PREVIOUS build at the same path is
+    rebuilt, not served: the store's postings fingerprint gates reuse
+    (same staleness class as the refine store, ADVICE r9)."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.serving_local import DiskSpannReplica
+
+    v, heads, postings = built
+    store = str(tmp_path / "store")
+    DiskSpannReplica(heads, postings, store)
+    # "rebuild" the index: postings change (drop ~half the rows)
+    postings2 = postings.filter(F.col("id") % 2 == 0).persist()
+    postings2.count()
+    rep2 = DiskSpannReplica(heads, postings2, store)
+    # the store was rebuilt from postings2 — odd ids are gone
+    qs = _qlist(spark)
+    ids, _ = rep2.search_one(qs[1][1], k=10, nprobe=8)
+    assert len(ids) and all(i % 2 == 0 for i in ids.tolist())
+    # an untouched store with a MATCHING fingerprint is reused (no wipe)
+    import os
+
+    mtime = os.path.getmtime(os.path.join(store, "post_vectors.f32"))
+    DiskSpannReplica(heads, postings2, store)
+    assert os.path.getmtime(os.path.join(store, "post_vectors.f32")) == mtime
+    postings2.unpersist()
