@@ -623,8 +623,19 @@ class ShardedSpannAggregator:
         )
 
     def __init__(
-        self, heads: DataFrame, postings: DataFrame, n_shards: int = 2
+        self,
+        heads: DataFrame,
+        postings: DataFrame,
+        n_shards: int = 2,
+        store_dir: str | None = None,
     ) -> None:
+        """``store_dir``: build each shard as a DiskSpannReplica under
+        ``store_dir/shard_<i>`` instead of an all-RAM LocalSpannReplica —
+        the multi-node out-of-core deployment (every serving node holds
+        its shard's heads in RAM and posting vectors on SSD), so the
+        aggregated corpus can exceed n_shards × RAM."""
+        import os
+
         import pyspark.sql.functions as F
 
         hp = heads.select("head_id").toPandas()
@@ -633,12 +644,15 @@ class ShardedSpannAggregator:
             hids[(len(hids) * i) // n_shards] for i in range(1, n_shards)
         ] + [np.iinfo(np.int64).max]
         self.replicas = []
-        self._pool = None  # lazy scatter pool for search_with_deadline
+        self._pool = None  # lazy persistent scatter pool
         lo = np.iinfo(np.int64).min
-        for hi in bounds:
+        for i, hi in enumerate(bounds):
             sel = (F.col("head_id") >= int(lo)) & (F.col("head_id") < int(hi))
+            h_i, p_i = heads.filter(sel), postings.filter(sel)
             self.replicas.append(
-                LocalSpannReplica(heads.filter(sel), postings.filter(sel))
+                DiskSpannReplica(h_i, p_i, os.path.join(store_dir, f"shard_{i}"))
+                if store_dir is not None
+                else LocalSpannReplica(h_i, p_i)
             )
             lo = hi
 
@@ -650,8 +664,15 @@ class ShardedSpannAggregator:
         metric: str = "l2",
         max_dist_ratio: float = MAX_DIST_RATIO,
     ) -> tuple[np.ndarray, np.ndarray]:
+        # SERIAL scatter, deliberately (measured r10, SCALING.md): a
+        # thread-pool scatter was built and REJECTED — per-shard searches
+        # here are µs-scale, so executor round-trips made p50 6.2 → 38.7
+        # ms at 16 shards. Across real machines the scatter is
+        # network-parallel regardless; locally the loop is the fast path.
+        # The deadline path stays threaded — there the budget semantics,
+        # not throughput, require concurrency.
         ids_all, d_all = [], []
-        for rep in self.replicas:  # scatter (parallel across machines IRL)
+        for rep in self.replicas:
             ids, d = rep.search_one(q, k, nprobe, metric, max_dist_ratio)
             ids_all.append(ids)
             d_all.append(d)
@@ -740,10 +761,11 @@ class ShardedSpannAggregator:
         return ids, d, bool(not_done) or n_failed > 0
 
     def close(self) -> None:
-        """Kept for symmetry with the other serving handles — the deadline
-        path now tears its executor down per call, so there is no pooled
-        state to release."""
-        self._pool = None
+        """Release the persistent scatter pool (the deadline path tears
+        its per-call executor down itself)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
 
 
 class LocalPqSpannReplica:

@@ -692,3 +692,29 @@ def test_stale_replica_store_rebuilt_on_fingerprint_mismatch(
     DiskSpannReplica(heads, postings2, store)
     assert os.path.getmtime(os.path.join(store, "post_vectors.f32")) == mtime
     postings2.unpersist()
+
+
+def test_sharded_aggregator_disk_shards(spark, built, tmp_path):
+    """store_dir shards: every shard is a DiskSpannReplica (the multi-node
+    out-of-core deployment) — answers identical to the RAM-sharded
+    aggregator, resident memory bounded by heads + ids per shard."""
+    from sptag_spark.serving_local import (
+        DiskSpannReplica,
+        ShardedSpannAggregator,
+    )
+
+    v, heads, postings = built
+    ram = ShardedSpannAggregator(heads, postings, n_shards=3)
+    disk = ShardedSpannAggregator(
+        heads, postings, n_shards=3, store_dir=str(tmp_path / "shards")
+    )
+    try:
+        assert all(isinstance(r, DiskSpannReplica) for r in disk.replicas)
+        for qid, q in _qlist(spark)[:6]:
+            ri, rd = ram.search_one(q, k=10, nprobe=4)
+            di, dd = disk.search_one(q, k=10, nprobe=4)
+            assert ri.tolist() == di.tolist()
+            assert rd.tolist() == dd.tolist()
+    finally:
+        ram.close()
+        disk.close()
