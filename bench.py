@@ -181,6 +181,7 @@ def main() -> None:
     replica_latency: dict = {}
     planner_latency: dict = {}
     pq_replica_latency: dict = {}
+    disk_replica_latency: dict = {}
     try:
         heads, postings = spann_index(spark, sf_dir)
         queries_df = queries_table(spark, sf_dir)
@@ -399,9 +400,11 @@ def main() -> None:
         from sptag_spark.plans.planner import warm_replica as _warm
 
         vt = vectors_table(spark, sf_dir)
-        # m=16 -> 16-byte codes, the ivf_pq_search layout; measured at
-        # sf0.1 nprobe 24: recall@10 0.656 vs 0.466 at m=8 (OPQ rotation
-        # adds nothing at m=16: 0.650) for +8 B/vector
+        # m=16 -> 16-byte codes, the ivf_pq_search layout; RAW ADC measured
+        # at sf0.1 nprobe 24: recall@10 0.656 vs 0.466 at m=8 (OPQ rotation
+        # adds nothing at m=16: 0.650) for +8 B/vector. Since r10,
+        # warm_replica auto-materializes a refine store when none is given
+        # (default-safe dispatch), so this row reports the REFINED regime.
         books = train_pq(vt, m=16)
         codes = pq_encode(vt, books).persist()
         codes.count()
@@ -438,6 +441,40 @@ def main() -> None:
             "memory_bytes": pq_rep.memory_bytes(),
         }
         codes.unpersist()
+
+        # Out-of-core serving node (r10 budget ladder tier 1):
+        # DiskSpannReplica — heads in RAM, posting vectors in a float32
+        # memmap (store built executor-parallel). Exact answers; the row
+        # to compare with the all-RAM replica's p50 and resident bytes.
+        import tempfile
+
+        from sptag_spark.serving_local import DiskSpannReplica
+
+        disk_rep = DiskSpannReplica(
+            heads.select("head_id", "vector"),
+            postings,
+            tempfile.mkdtemp(prefix="bench_disk_replica_"),
+        )
+        disk_rep.search_one(reps[0][1], k=10, nprobe=spann_point["nprobe"])
+        dlat = []
+        d_hits = d_total = 0
+        for qid, qv in reps:
+            t0 = time.time()
+            ids, _ = disk_rep.search_one(
+                qv, k=10, nprobe=spann_point["nprobe"]
+            )
+            dlat.append((time.time() - t0) * 1000)
+            d_hits += sum((qid, int(i)) in truth_pairs for i in ids)
+            d_total += 10
+        dlat.sort()
+        disk_replica_latency = {
+            "p50": round(dlat[len(dlat) // 2], 3),
+            "p99": round(dlat[min(len(dlat) - 1, int(0.99 * len(dlat)))], 3),
+            "n": len(dlat),
+            "nprobe": spann_point["nprobe"],
+            "recall_at_10": round(d_hits / max(d_total, 1), 4),
+            "memory_bytes": disk_rep.memory_bytes(),
+        }
     except Exception as exc:  # noqa: BLE001
         errors["spann_metrics"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -509,6 +546,7 @@ def main() -> None:
         "spann_local_replica_latency_ms": replica_latency,
         "planner_single_query_ms": planner_latency,
         "pq_replica_latency_ms": pq_replica_latency,
+        "disk_replica_latency_ms": disk_replica_latency,
         "streaming_serve_micro_batches": stream_serve,
         "index_build_sec": builds,
         "errors": errors,
@@ -573,6 +611,11 @@ def _compact_line(out: dict, budget: int = 1900) -> dict:
             k: (out.get("pq_replica_latency_ms") or {}).get(k)
             for k in ("p50", "dispatch", "recall_at_10")
             if k in (out.get("pq_replica_latency_ms") or {})
+        },
+        "disk_replica_ms": {
+            k: (out.get("disk_replica_latency_ms") or {}).get(k)
+            for k in ("p50", "recall_at_10", "memory_bytes")
+            if k in (out.get("disk_replica_latency_ms") or {})
         },
         "index_build_total_sec": round(
             sum(out["index_build_sec"].values()), 3
