@@ -508,7 +508,9 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--duration", type=float, default=None,
                    help="serve for N seconds then exit (default: forever)")
     v.add_argument("--memory-budget", type=int, default=None, dest="memory_budget",
-                   help="bytes; serve from PQ codes when full vectors exceed it")
+                   help="bytes; when full vectors exceed it, serve from the "
+                        "disk replica beside the index (exact, any metric), "
+                        "falling back to PQ codes for RAM-only setups")
 
     c = sub.add_parser("client", help="Client parity: query a serve loop")
     c.add_argument("-i", "--input", required=True, help="query vector file")

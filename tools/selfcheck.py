@@ -215,6 +215,23 @@ def main() -> int:
                 "timing gate SKIPPED: full-run-only baseline vs subset run "
                 "(memoized builds not amortized) — run all queries to gate"
             )
+        elif base.get("sf_dir") == SF_DIR and base.get(
+            "timing_runs", 1
+        ) != n_timing:
+            # protocol mismatch (found the hard way in r10): a baseline of
+            # MEDIANS over k runs is warm — comparing a single-run (cold
+            # first-execution) wall against it false-flags every query
+            # whose first run pays builds/JIT/worker spin-up (measured
+            # 9-24× on exactly those, median 1.29× elsewhere). Gate only
+            # at the baseline's own timing_runs.
+            gate["verdict"] = "SKIPPED"
+            gate["reason"] = (
+                f"baseline recorded medians over timing_runs="
+                f"{base.get('timing_runs', 1)}, this run used {n_timing}; "
+                f"set SPTAG_SELFCHECK_TIMING_RUNS={base.get('timing_runs', 1)}"
+                " to apply the gate"
+            )
+            print(f"timing gate SKIPPED: {gate['reason']}")
         elif base.get("sf_dir") == SF_DIR:
             # the machine swings ~2.7× between sittings for identical code
             # (AB_R5R6.md); normalize the budget by the calibration ratio
