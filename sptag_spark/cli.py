@@ -390,6 +390,47 @@ def cmd_serve(args, spark) -> int:
     return 0
 
 
+def cmd_aggserve(args, spark) -> int:
+    """Aggregator/main.cpp parity (`AggregatorService.cpp`): front N
+    running `serve` loops with one scatter-gather node speaking the same
+    wire format — the reference's three-tier deployment (client →
+    aggregator → serving nodes) over real sockets. `$timeout:<ms>` on a
+    query buys deadline partials across the remote shards. Spark is not
+    involved: the aggregator is pure network tier."""
+    from sptag_spark.server import aggregator_server
+
+    backends = []
+    for spec in args.backends.split(","):
+        h, _, p = spec.strip().rpartition(":")
+        backends.append((h or "127.0.0.1", int(p)))
+    srv = aggregator_server(
+        backends, host=args.host, port=args.port, k=args.k
+    ).start()
+    print(
+        json.dumps(
+            {
+                "aggregating": list(srv.address),
+                "backends": [list(b) for b in backends],
+                "k": args.k,
+            }
+        ),
+        flush=True,
+    )
+    try:
+        import threading
+
+        if args.duration:
+            time.sleep(args.duration)
+        else:  # pragma: no cover - interactive mode
+            threading.Event().wait()
+    except KeyboardInterrupt:  # pragma: no cover
+        pass
+    finally:
+        srv.stop()
+        srv.replica.close()
+    return 0
+
+
 def cmd_client(args, spark) -> int:
     """Client/main.cpp parity: read a query vector file, send each query
     to a running `serve` loop in the wire format, print/write one JSON
@@ -512,6 +553,17 @@ def main(argv: list[str] | None = None) -> int:
                         "disk replica beside the index (exact, any metric), "
                         "falling back to PQ codes for RAM-only setups")
 
+    g = sub.add_parser(
+        "aggserve", help="Aggregator parity: scatter-gather over serve loops"
+    )
+    g.add_argument("-b", "--backends", required=True,
+                   help="comma-separated host:port of running serve loops")
+    g.add_argument("--host", default="127.0.0.1")
+    g.add_argument("-p", "--port", type=int, default=0)
+    g.add_argument("-k", type=int, default=10)
+    g.add_argument("--duration", type=float, default=None,
+                   help="serve for N seconds then exit (default: forever)")
+
     c = sub.add_parser("client", help="Client parity: query a serve loop")
     c.add_argument("-i", "--input", required=True, help="query vector file")
     c.add_argument("--host", default="127.0.0.1")
@@ -543,6 +595,7 @@ def main(argv: list[str] | None = None) -> int:
             "search": cmd_search,
             "quantize": cmd_quantize,
             "serve": cmd_serve,
+            "aggserve": cmd_aggserve,
             "client": cmd_client,
         }[args.cmd](args, spark)
     finally:

@@ -223,7 +223,9 @@ def warm_replica(
                     import tempfile
 
                     from sptag_spark.serving_local import (
-                        build_refine_store,
+                        build_refine_store_parallel as build_refine_store,
+                    )
+                    from sptag_spark.serving_local import (
                         open_refine_store,
                         refine_fingerprint,
                         refine_store_matches,

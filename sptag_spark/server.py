@@ -335,3 +335,168 @@ class AnnTcpServer:
             self._server.shutdown()
             self._thread.join(timeout=10)
         self._server.server_close()
+
+
+class RemoteShard:
+    """Client handle to one remote serve loop (AnnTcpServer) — the
+    aggregator's view of a child server (`AggregatorService.cpp:209-258`
+    holds one socket per remote index). Speaks the same newline-framed
+    wire format; connections are per-thread and persistent (the
+    reference's sessions stay open across queries).
+
+    nprobe/metric arguments are accepted for replica-interface
+    compatibility but IGNORED: each remote node answers at its own
+    configured operating point, exactly the reference's child-index
+    semantics (every child applies its own MaxCheck budget)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 30.0) -> None:
+        import threading
+
+        self.host, self.port, self.timeout = host, int(port), timeout
+        self._local = threading.local()
+
+    def _files(self):
+        import socket
+
+        f = getattr(self._local, "f", None)
+        if f is None:
+            s = socket.create_connection(
+                (self.host, self.port), timeout=self.timeout
+            )
+            f = s.makefile("rw", encoding="utf-8")
+            self._local.s, self._local.f = s, f
+        return f
+
+    def search_one(
+        self,
+        q: np.ndarray,
+        k: int = 10,
+        nprobe: int | None = None,
+        metric: str | None = None,
+        max_dist_ratio: float | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        import json
+
+        f = self._files()
+        f.write(
+            encode_query([float(v) for v in q], resultnum=int(k)) + "\n"
+        )
+        f.flush()
+        line = f.readline()
+        if not line:
+            raise ConnectionError(f"shard {self.host}:{self.port} closed")
+        resp = json.loads(line)
+        if "error" in resp:
+            raise RuntimeError(resp["error"])
+        rs = resp["results"]
+        return (
+            np.array([r["id"] for r in rs], dtype=np.int64),
+            np.array([r["dist"] for r in rs], dtype=np.float64),
+        )
+
+    def close(self) -> None:
+        s = getattr(self._local, "s", None)
+        if s is not None:
+            s.close()
+            self._local.s = self._local.f = None
+
+
+class RemoteReplicaAggregator:
+    """Scatter-gather over REMOTE serve loops — the reference's Aggregator
+    node (`AggregatorService.cpp:216-323`: a network service that fans a
+    query out to child SPTAG servers and merges), completing the
+    deployment story: BalancedDataPartition → N `cli serve` nodes → one
+    `cli aggserve` front.
+
+    Gather and deadline semantics are shared with the in-process
+    ShardedSpannAggregator (global (dist, id) merge-rank with id dedup;
+    per-query budget → partial results); only the scatter differs — here
+    it is THREADED, which measurement rejected for in-process shards
+    (µs-scale work, SCALING.md r10) but is right for network shards:
+    each call is ms-scale socket wait with the GIL released."""
+
+    dispatch_label = "remote_aggregator"
+
+    def __init__(self, backends) -> None:
+        self.replicas = [RemoteShard(h, p) for h, p in backends]
+        self._pool = None
+
+    def _scatter_pool(self):
+        import concurrent.futures as cf
+
+        if self._pool is None:
+            self._pool = cf.ThreadPoolExecutor(
+                max_workers=max(len(self.replicas), 1),
+                thread_name_prefix="agg-scatter",
+            )
+        return self._pool
+
+    def search_one(self, q, k=10, nprobe=None, metric=None, **_):
+        from sptag_spark.serving_local import ShardedSpannAggregator
+
+        futs = [
+            self._scatter_pool().submit(rep.search_one, q, k)
+            for rep in self.replicas
+        ]
+        res = [f.result() for f in futs]
+        return ShardedSpannAggregator._merge(
+            [r[0] for r in res], [r[1] for r in res], k
+        )
+
+    def search_with_deadline(
+        self, q, k=10, nprobe=None, metric=None, budget_ms=50.0, **_
+    ):
+        """Same contract as ShardedSpannAggregator.search_with_deadline:
+        (ids, dists, partial); a shard that misses the budget or errors is
+        dropped and the answer flagged partial (the reference folds
+        timeout and failed children into the same partial merge). Per-call
+        executor for the same reason as the in-process twin: a stuck
+        straggler must not occupy a pooled worker and eat later queries'
+        budgets."""
+        import concurrent.futures as cf
+
+        from sptag_spark.serving_local import ShardedSpannAggregator
+
+        ex = cf.ThreadPoolExecutor(
+            max_workers=max(len(self.replicas), 1),
+            thread_name_prefix="agg-deadline",
+        )
+        try:
+            futs = [
+                ex.submit(rep.search_one, q, k) for rep in self.replicas
+            ]
+            done, not_done = cf.wait(futs, timeout=budget_ms / 1000.0)
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+        ids_all, d_all = [], []
+        n_failed = 0
+        for f in done:
+            if f.exception() is not None:
+                n_failed += 1
+                continue
+            ids, d = f.result()
+            ids_all.append(ids)
+            d_all.append(d)
+        ids, d = ShardedSpannAggregator._merge(ids_all, d_all, k)
+        return ids, d, bool(not_done) or n_failed > 0
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+        for rep in self.replicas:
+            rep.close()
+
+
+def aggregator_server(
+    backends, host: str = "127.0.0.1", port: int = 0, k: int = 10
+) -> AnnTcpServer:
+    """An Aggregator NODE: the same newline-framed wire loop
+    (AnnTcpServer), backed by RemoteReplicaAggregator instead of a local
+    replica — so clients speak to one front exactly as they would to a
+    single serving node, `$timeout:<ms>` buys deadline partials across
+    the remote shards, and the reference's three-tier deployment (client
+    → aggregator → serving nodes, `AggregatorService.cpp`) is complete
+    over real sockets."""
+    return AnnTcpServer(RemoteReplicaAggregator(backends), host=host,
+                        port=port, k=k)

@@ -229,3 +229,55 @@ def test_cli_gentruth_and_serve(spark, tmp_path, capsys):
     assert all(len(l["results"]) == 2 for l in lines)
     assert lines[0]["results"][0]["id"] == 0  # query 0 is corpus row 0
     t.join(timeout=30)
+
+
+def test_cli_aggserve(spark, capsys):
+    """`cli aggserve -b host:port,host:port` fronts running serve loops
+    with the same wire format (Aggregator/main.cpp parity)."""
+    import argparse
+    import json
+    import socket
+    import threading
+    import time as _t
+
+    from sptag_spark.cli import cmd_aggserve
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer, encode_query
+    from sptag_spark.serving_local import ShardedSpannAggregator
+    from sptag_spark.tables import vectors_table
+
+    v = vectors_table(spark, "/root/testdata/sf0.001")
+    heads = select_heads(v, ratio=0.12).persist()
+    postings = build_postings(v, heads).persist()
+    postings.count()
+    local = ShardedSpannAggregator(heads, postings, n_shards=2)
+    srvs = [AnnTcpServer(rep, k=5, nprobe=6).start() for rep in local.replicas]
+    ns = argparse.Namespace(
+        backends=",".join(f"{h}:{p}" for h, p in (s.address for s in srvs)),
+        host="127.0.0.1", port=0, k=5, duration=20.0,
+    )
+    t = threading.Thread(target=cmd_aggserve, args=(ns, spark), daemon=True)
+    t.start()
+    addr = None
+    for _ in range(80):
+        for line in capsys.readouterr().out.splitlines():
+            if '"aggregating"' in line:
+                addr = tuple(json.loads(line)["aggregating"])
+        if addr:
+            break
+        _t.sleep(0.25)
+    assert addr, "aggserve never reported its address"
+    row = v.limit(1).collect()[0]
+    q = [float(x) for x in row["vector"]]
+    with socket.create_connection((addr[0], int(addr[1])), timeout=30) as s:
+        f = s.makefile("rw", encoding="utf-8")
+        f.write(encode_query(q) + "\n")
+        f.flush()
+        resp = json.loads(f.readline())
+    assert resp["results"][0]["id"] == int(row["id"])
+    assert resp["results"][0]["dist"] == 0.0
+    for s2 in srvs:
+        s2.stop()
+    heads.unpersist()
+    postings.unpersist()

@@ -506,3 +506,105 @@ def test_tcp_server_budget_dispatch_serves_pq(spark, tmp_path, monkeypatch):
     finally:
         srv.stop()
     codes.unpersist()
+
+
+def test_aggregator_tcp_tier(spark, vectors):
+    """The Aggregator NODE over real sockets (AggregatorService.cpp
+    parity): two shard serve loops + one aggregator front speaking the
+    same wire format. Answers equal the in-process ShardedSpannAggregator
+    at the same per-shard operating point; $timeout yields deadline
+    partials (slow shard dropped, fast shard's answer flagged partial)."""
+    import json as _json
+    import socket
+    import time as _time
+
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.serving_local import ShardedSpannAggregator
+    from sptag_spark.server import (
+        AnnTcpServer,
+        RemoteReplicaAggregator,
+        aggregator_server,
+        encode_query,
+    )
+
+    heads = select_heads(vectors, ratio=0.12).persist()
+    postings = build_postings(vectors, heads).persist()
+    postings.count()
+    local = ShardedSpannAggregator(heads, postings, n_shards=2)
+    nprobe = 6
+    shard_srvs = [
+        AnnTcpServer(rep, k=10, nprobe=nprobe).start()
+        for rep in local.replicas
+    ]
+    agg = aggregator_server(
+        [s.address for s in shard_srvs], k=10
+    ).start()
+    try:
+        q_rows = vectors.limit(5).collect()
+        with socket.create_connection(agg.address, timeout=30) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            for row in q_rows:
+                q = [float(v) for v in row["vector"]]
+                f.write(encode_query(q, resultnum=10) + "\n")
+                f.flush()
+                resp = _json.loads(f.readline())
+                got = [(r["rank"], r["id"], r["dist"]) for r in resp["results"]]
+                import numpy as np
+
+                ids, d = local.search_one(
+                    np.asarray(q, dtype=np.float64), k=10, nprobe=nprobe
+                )
+                exp = [
+                    (r + 1, int(i), float(dd))
+                    for r, (i, dd) in enumerate(zip(ids, d))
+                ]
+                assert got == exp
+            # deadline partials across REMOTE shards: make shard 0 slow
+            slow = local.replicas[0]
+            real = slow.search_one
+
+            def lagged(q, *a, **kw):
+                _time.sleep(1.0)
+                return real(q, *a, **kw)
+
+            slow.search_one = lagged
+            try:
+                q = [float(v) for v in q_rows[0]["vector"]]
+                f.write(
+                    encode_query(q, resultnum=10, timeout=150) + "\n"
+                )
+                f.flush()
+                resp = _json.loads(f.readline())
+            finally:
+                slow.search_one = real
+            assert resp["partial"] is True
+            fast_ids, fast_d = local.replicas[1].search_one(
+                __import__("numpy").asarray(q), k=10, nprobe=nprobe
+            )
+            assert [r["id"] for r in resp["results"]] == [
+                int(i) for i in fast_ids
+            ]
+        # a crashed backend degrades to partial, not an error: kill shard 0
+        shard_srvs[0].stop()
+        agg2 = aggregator_server(
+            [s.address for s in shard_srvs], k=10
+        ).start()
+        try:
+            with socket.create_connection(agg2.address, timeout=30) as s:
+                f = s.makefile("rw", encoding="utf-8")
+                q = [float(v) for v in q_rows[0]["vector"]]
+                f.write(encode_query(q, resultnum=10, timeout=500) + "\n")
+                f.flush()
+                resp = _json.loads(f.readline())
+            assert resp["partial"] is True and len(resp["results"]) == 10
+        finally:
+            agg2.replica.close()
+            agg2.stop()
+    finally:
+        agg.replica.close()
+        agg.stop()
+        for s in shard_srvs[1:]:
+            s.stop()
+        heads.unpersist()
+        postings.unpersist()

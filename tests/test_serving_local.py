@@ -718,3 +718,36 @@ def test_sharded_aggregator_disk_shards(spark, built, tmp_path):
     finally:
         ram.close()
         disk.close()
+
+
+def test_parallel_refine_build_byte_identical_to_serial(spark, built, tmp_path):
+    """build_refine_store_parallel produces a byte-identical refine store
+    to the serial streamer (same id order via range partitioning), with
+    the same fingerprint fields in meta.json."""
+    import json
+    import os
+
+    from sptag_spark.serving_local import (
+        build_refine_store,
+        build_refine_store_parallel,
+        refine_fingerprint,
+        refine_store_matches,
+    )
+
+    v, _, _ = built
+    a = str(tmp_path / "serial")
+    b = str(tmp_path / "parallel")
+    build_refine_store(v.select("id", "vector"), a, chunk_rows=64)
+    stats = build_refine_store_parallel(
+        v.select("id", "vector"), b, n_fragments=8
+    )
+    assert stats["fragments"] >= 2
+    for fn in ("vectors.f32", "ids.npy"):
+        with open(os.path.join(a, fn), "rb") as fa, open(
+            os.path.join(b, fn), "rb"
+        ) as fb:
+            assert fa.read() == fb.read(), fn
+    ma = json.load(open(os.path.join(a, "meta.json")))
+    mb = json.load(open(os.path.join(b, "meta.json")))
+    assert (ma["rows"], ma["id_sum"]) == (mb["rows"], mb["id_sum"])
+    assert refine_store_matches(b, refine_fingerprint(v))
