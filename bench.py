@@ -446,14 +446,14 @@ def main() -> None:
         # DiskSpannReplica — heads in RAM, posting vectors in a float32
         # memmap (store built executor-parallel). Exact answers; the row
         # to compare with the all-RAM replica's p50 and resident bytes.
+        import shutil
         import tempfile
 
         from sptag_spark.serving_local import DiskSpannReplica
 
+        _disk_dir = tempfile.mkdtemp(prefix="bench_disk_replica_")
         disk_rep = DiskSpannReplica(
-            heads.select("head_id", "vector"),
-            postings,
-            tempfile.mkdtemp(prefix="bench_disk_replica_"),
+            heads.select("head_id", "vector"), postings, _disk_dir
         )
         disk_rep.search_one(reps[0][1], k=10, nprobe=spann_point["nprobe"])
         dlat = []
@@ -475,6 +475,10 @@ def main() -> None:
             "recall_at_10": round(d_hits / max(d_total, 1), 4),
             "memory_bytes": disk_rep.memory_bytes(),
         }
+        # a full float32 copy of the posting vectors — don't leak it
+        # into /tmp on every bench run
+        del disk_rep
+        shutil.rmtree(_disk_dir, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
         errors["spann_metrics"] = f"{type(exc).__name__}: {exc}"[:500]
 

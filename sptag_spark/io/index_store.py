@@ -166,7 +166,13 @@ def load_index_from_dump(
     import shutil
     import tarfile
 
-    # clear KNOWN index artifacts first (ADVICE r9): extracting over a
+    # VALIDATE the blob before touching anything at ``path`` (r10 review):
+    # clearing first meant a truncated/corrupt blob destroyed a previously
+    # good index before tarfile ever raised. getmembers() walks the whole
+    # archive, so a bad blob fails HERE with the old index intact.
+    tar = tarfile.open(fileobj=io.BytesIO(blob))
+    tar.getmembers()
+    # now clear KNOWN index artifacts (ADVICE r9): extracting over a
     # previous index at this path would leave stale members the new dump
     # doesn't carry (old head_groups/, codes/, replica_store/, refine/)
     # attached to the freshly loaded index
@@ -180,7 +186,7 @@ def load_index_from_dump(
         elif os.path.exists(p):
             os.remove(p)
     os.makedirs(path, exist_ok=True)
-    with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
+    with tar:
         try:
             tar.extractall(path, filter="data")
         except TypeError:  # pre-3.11.4: no filter= (trusted local blob)

@@ -193,14 +193,26 @@ def warm_replica(
     rep = getattr(heads, "_sptag_replica", None)
     if rep is not None:
         return rep
-    if memory_budget_bytes is not None and (
-        disk_store_dir is not None or (codes is not None and books is not None)
-    ):
+    if memory_budget_bytes is not None:
         fp = index_fingerprint(heads, postings)
         # full replica holds float64 vectors + two int64 ids per posting row
         est = fp["posting_rows"] * (8 * fp["dim"] + 16)
         if est > memory_budget_bytes:
-            if disk_store_dir is not None:
+            if disk_store_dir is None and (codes is None or books is None):
+                # no under-budget tier available — the caller gave a
+                # budget but nothing to serve it with; the full replica
+                # loads anyway, LOUDLY (r10 review: this case previously
+                # skipped the estimate and said nothing)
+                import warnings
+
+                warnings.warn(
+                    f"estimated replica footprint {est} B exceeds the "
+                    f"{memory_budget_bytes} B budget and neither "
+                    f"disk_store_dir nor PQ artifacts were supplied; "
+                    f"loading the FULL-VECTOR replica over budget",
+                    stacklevel=2,
+                )
+            elif disk_store_dir is not None:
                 from sptag_spark.serving_local import DiskSpannReplica
 
                 rep = DiskSpannReplica(heads, postings, disk_store_dir)
@@ -208,7 +220,7 @@ def warm_replica(
                 # so the planner fast path serves through it transparently
                 heads._sptag_replica = rep
                 return rep
-            if metric != "l2":
+            elif metric != "l2":
                 import warnings
 
                 warnings.warn(
@@ -231,9 +243,15 @@ def warm_replica(
                         refine_store_matches,
                     )
 
-                    rdir = refine_store_dir or tempfile.mkdtemp(
-                        prefix="sptag_refine_"
-                    )
+                    rdir = refine_store_dir
+                    if rdir is None:
+                        import atexit
+                        import shutil
+
+                        rdir = tempfile.mkdtemp(prefix="sptag_refine_")
+                        atexit.register(
+                            shutil.rmtree, rdir, ignore_errors=True
+                        )
                     # every vector appears in ≥1 posting (replica
                     # invariant), so the id-deduped postings ARE the
                     # vector set; the build streams, never collects.

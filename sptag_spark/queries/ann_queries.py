@@ -519,7 +519,11 @@ def _serve_disk_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark_res = ann_search(queries, heads, postings, k=DEFAULT_K, nprobe=nprobe)
 
     def build():
+        import atexit
+        import shutil
+
         d = tempfile.mkdtemp(prefix="sptag_disk_replica_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         return (DiskSpannReplica(heads, postings, os.path.join(d, "store")),)
 
     (rep,) = _memo(spark, sf_dir, "disk_replica", build)

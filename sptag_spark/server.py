@@ -349,7 +349,7 @@ class RemoteShard:
     configured operating point, exactly the reference's child-index
     semantics (every child applies its own MaxCheck budget)."""
 
-    def __init__(self, host: str, port: int, timeout: float = 30.0) -> None:
+    def __init__(self, host: str, port: int, timeout: float = 10.0) -> None:
         import threading
 
         self.host, self.port, self.timeout = host, int(port), timeout
@@ -367,6 +367,19 @@ class RemoteShard:
             self._local.s, self._local.f = s, f
         return f
 
+    def _invalidate(self) -> None:
+        """Drop this thread's cached connection after ANY transport
+        failure — a dead socket cached in a long-lived scatter-pool
+        thread would otherwise poison every later query on that thread
+        even after the backend recovers (r10 review)."""
+        s = getattr(self._local, "s", None)
+        if s is not None:
+            try:
+                s.close()
+            except OSError:
+                pass
+        self._local.s = self._local.f = None
+
     def search_one(
         self,
         q: np.ndarray,
@@ -377,13 +390,18 @@ class RemoteShard:
     ) -> tuple[np.ndarray, np.ndarray]:
         import json
 
-        f = self._files()
-        f.write(
-            encode_query([float(v) for v in q], resultnum=int(k)) + "\n"
-        )
-        f.flush()
-        line = f.readline()
+        try:
+            f = self._files()
+            f.write(
+                encode_query([float(v) for v in q], resultnum=int(k)) + "\n"
+            )
+            f.flush()
+            line = f.readline()
+        except OSError:
+            self._invalidate()
+            raise
         if not line:
+            self._invalidate()
             raise ConnectionError(f"shard {self.host}:{self.port} closed")
         resp = json.loads(line)
         if "error" in resp:
@@ -452,7 +470,17 @@ class RemoteReplicaAggregator:
         timeout and failed children into the same partial merge). Per-call
         executor for the same reason as the in-process twin: a stuck
         straggler must not occupy a pooled worker and eat later queries'
-        budgets."""
+        budgets.
+
+        Known trade-off (r10 review): fresh executor threads have empty
+        connection thread-locals, so each deadline call pays one TCP
+        connect per shard inside the budget — negligible on a LAN
+        (<0.1 ms), but budget-relevant across slow links; and a hung
+        backend's straggler thread lives until the shard socket timeout
+        (default 10 s) before its socket is GC-closed. Deployments doing
+        sustained deadline traffic against flaky backends should front
+        each backend with its own health check rather than lean on this
+        path for liveness."""
         import concurrent.futures as cf
 
         from sptag_spark.serving_local import ShardedSpannAggregator

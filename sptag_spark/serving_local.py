@@ -72,6 +72,8 @@ class LocalSpannReplica:
     ) -> tuple[np.ndarray, np.ndarray]:
         """→ (ids, dists), rank order. Same routing + scoring semantics as
         the distributed plan (index/ann.py)."""
+        if len(self.head_ids) == 0:  # empty shard answers empty, not a crash
+            return np.empty(0, dtype=np.int64), np.empty(0)
         q = np.asarray(q, dtype=np.float64)
         hd = _exact_pair_dists(self.H, q, metric)
         sel = np.lexsort((self.head_ids, hd))[: min(nprobe, len(self.head_ids))]
@@ -121,19 +123,36 @@ class LocalSpannReplica:
 _STORE_CHUNK_ROWS = 65536  # vector rows buffered per flush (~16 MB at d=64)
 
 
+def _vector_crc(df: DataFrame):
+    """Order-independent CONTENT checksum of the vector column: integer
+    sum of per-row crc32 over the JSON form. Ids alone are blind to a
+    re-embedded corpus (same ids, new values) — the exact case where
+    serving a stale store silently answers with the previous embedding's
+    distances (r10 review)."""
+    from pyspark.sql import functions as F
+
+    return F.sum(F.crc32(F.to_json(F.col("vector"))))
+
+
 def postings_fingerprint(postings: DataFrame) -> dict:
     """Identity of the posting set a packed store was built from — row
-    count + (head_id, id) checksum, one tiny agg job. Recorded in the
-    store's meta.json so a rebuilt index at the same path never serves a
-    stale store (the same staleness class ADVICE r9 flagged for the
-    refine store)."""
+    count + (head_id, id) checksum + vector content checksum, one agg
+    job. Recorded in the store's meta.json so a rebuilt index at the same
+    path never serves a stale store (the same staleness class ADVICE r9
+    flagged for the refine store), including an in-place re-embedding
+    that preserves ids."""
     from pyspark.sql import functions as F
 
     r = postings.agg(
         F.count("*").alias("n"),
         (F.sum("id") + F.sum("head_id")).alias("s"),
+        _vector_crc(postings).alias("v"),
     ).first()
-    return {"post_rows": int(r["n"]), "post_id_sum": int(r["s"] or 0)}
+    return {
+        "post_rows": int(r["n"]),
+        "post_id_sum": int(r["s"] or 0),
+        "post_vec_crc": int(r["v"] or 0),
+    }
 
 
 def packed_store_matches(store_dir: str, fingerprint: dict) -> bool:
@@ -147,9 +166,10 @@ def packed_store_matches(store_dir: str, fingerprint: dict) -> bool:
         return False
     with open(meta_p) as f:
         meta = json.load(f)
-    return meta.get("post_rows") == fingerprint["post_rows"] and meta.get(
-        "post_id_sum"
-    ) == fingerprint["post_id_sum"]
+    return all(
+        meta.get(k) == fingerprint[k]
+        for k in ("post_rows", "post_id_sum", "post_vec_crc")
+    )
 
 
 def build_packed_store(
@@ -340,7 +360,12 @@ def build_packed_store_parallel(
     )
     frags.sort(key=lambda r: r["pid"])
     rows = sum(r["rows"] for r in frags)
-    dim = max((r["dim"] for r in frags), default=int(H.shape[1]))
+    # H is (0,)-shaped for an EMPTY shard (n_shards > head count makes
+    # some range empty) — the store must still build and load (r10 review)
+    dim = max(
+        (r["dim"] for r in frags),
+        default=int(H.shape[1]) if H.ndim == 2 else 0,
+    )
     counts = np.zeros(len(head_ids) + 1, dtype=np.int64)
     id_parts: list[np.ndarray] = []
     with open(os.path.join(store_dir, "post_vectors.f32"), "wb") as out:
@@ -428,13 +453,20 @@ class DiskSpannReplica(LocalSpannReplica):
         self.H = np.load(os.path.join(store_dir, "H.npy"))
         self.post_ids = np.load(os.path.join(store_dir, "post_ids.npy"))
         self.indptr = np.load(os.path.join(store_dir, "indptr.npy"))
-        # the SSD side: never resident; rows fault in per probed slab
-        self.post_V = np.memmap(
-            os.path.join(store_dir, "post_vectors.f32"),
-            dtype=np.float32,
-            mode="r",
-            shape=(meta["rows"], meta["dim"]),
-        )
+        # the SSD side: never resident; rows fault in per probed slab.
+        # A zero-row store (empty shard) cannot mmap an empty file — use
+        # an empty in-RAM array with the same dtype/shape contract.
+        if meta["rows"] == 0:
+            self.post_V = np.empty(
+                (0, max(meta["dim"], 1)), dtype=np.float32
+            )
+        else:
+            self.post_V = np.memmap(
+                os.path.join(store_dir, "post_vectors.f32"),
+                dtype=np.float32,
+                mode="r",
+                shape=(meta["rows"], meta["dim"]),
+            )
 
     @classmethod
     def from_store(cls, store_dir: str) -> "DiskSpannReplica":
@@ -467,13 +499,23 @@ class DiskSpannReplica(LocalSpannReplica):
 
 def refine_fingerprint(vectors) -> dict:
     """Identity of the vector set a refine store was packed from — row
-    count + id checksum, one tiny agg job. Recorded in refine meta.json
-    and re-checked before serving so a rebuilt index at the same path
-    never exact-reranks against a stale store (ADVICE r9)."""
+    count + id checksum + vector CONTENT checksum (a re-embedded corpus
+    with unchanged ids must not reuse the old store), one agg job.
+    Recorded in refine meta.json and re-checked before serving so a
+    rebuilt index at the same path never exact-reranks against a stale
+    store (ADVICE r9; content term r10)."""
     from pyspark.sql import functions as F
 
-    r = vectors.agg(F.count("*").alias("n"), F.sum("id").alias("s")).first()
-    return {"rows": int(r["n"]), "id_sum": int(r["s"] or 0)}
+    r = vectors.agg(
+        F.count("*").alias("n"),
+        F.sum("id").alias("s"),
+        _vector_crc(vectors).alias("v"),
+    ).first()
+    return {
+        "rows": int(r["n"]),
+        "id_sum": int(r["s"] or 0),
+        "vec_crc": int(r["v"] or 0),
+    }
 
 
 def refine_store_matches(store_dir: str, fingerprint: dict) -> bool:
@@ -488,9 +530,9 @@ def refine_store_matches(store_dir: str, fingerprint: dict) -> bool:
         return False
     with open(meta_p) as f:
         meta = json.load(f)
-    return meta.get("rows") == fingerprint["rows"] and meta.get(
-        "id_sum"
-    ) == fingerprint["id_sum"]
+    return all(
+        meta.get(k) == fingerprint[k] for k in ("rows", "id_sum", "vec_crc")
+    )
 
 
 def build_refine_store(
@@ -513,13 +555,12 @@ def build_refine_store(
     id_chunks: list[np.ndarray] = []
     rows = 0
     dim = 0
-    id_sum = 0
     buf_i: list[int] = []
     buf_v: list = []
     with open(os.path.join(store_dir, "vectors.f32"), "wb") as f:
 
         def flush() -> None:
-            nonlocal rows, dim, id_sum
+            nonlocal rows, dim
             if not buf_v:
                 return
             stats["max_buffer_rows"] = max(stats["max_buffer_rows"], len(buf_v))
@@ -528,7 +569,6 @@ def build_refine_store(
             V.tofile(f)
             ids = np.array(buf_i, dtype=np.int64)
             id_chunks.append(ids)
-            id_sum += int(ids.sum())
             rows += len(buf_v)
             stats["flushes"] += 1
             buf_i.clear()
@@ -549,7 +589,8 @@ def build_refine_store(
     np.save(os.path.join(store_dir, "ids.npy"), ids)
     with open(os.path.join(store_dir, "meta.json"), "w") as f:
         json.dump(
-            {"rows": int(rows), "dim": dim, "id_sum": id_sum, "build": stats},
+            {"rows": int(rows), "dim": dim, "build": stats,
+             **refine_fingerprint(vectors)},
             f,
         )
     return stats
@@ -644,15 +685,12 @@ def build_refine_store_parallel(
     rows = sum(r["rows"] for r in frags)
     dim = max((r["dim"] for r in frags), default=0)
     id_parts: list[np.ndarray] = []
-    id_sum = 0
     with open(os.path.join(store_dir, "vectors.f32"), "wb") as out:
         for r in frags:
             base = os.path.join(frag_dir, f"part_{r['pid']:05d}")
             with open(base + ".f32", "rb") as fin:
                 shutil.copyfileobj(fin, out, length=1 << 22)
-            part_ids = np.load(base + ".ids.npy")
-            id_parts.append(part_ids)
-            id_sum += int(part_ids.sum())
+            id_parts.append(np.load(base + ".ids.npy"))
     ids = np.concatenate(id_parts) if id_parts else np.empty(0, dtype=np.int64)
     np.save(os.path.join(store_dir, "ids.npy"), ids)
     shutil.rmtree(frag_dir)
@@ -663,7 +701,8 @@ def build_refine_store_parallel(
     }
     with open(os.path.join(store_dir, "meta.json"), "w") as f:
         json.dump(
-            {"rows": int(rows), "dim": dim, "id_sum": id_sum, "build": stats},
+            {"rows": int(rows), "dim": dim, "build": stats,
+             **refine_fingerprint(vectors)},
             f,
         )
     return stats
@@ -741,7 +780,6 @@ class ShardedSpannAggregator:
             hids[(len(hids) * i) // n_shards] for i in range(1, n_shards)
         ] + [np.iinfo(np.int64).max]
         self.replicas = []
-        self._pool = None  # lazy persistent scatter pool
         lo = np.iinfo(np.int64).min
         for i, hi in enumerate(bounds):
             sel = (F.col("head_id") >= int(lo)) & (F.col("head_id") < int(hi))
@@ -858,11 +896,10 @@ class ShardedSpannAggregator:
         return ids, d, bool(not_done) or n_failed > 0
 
     def close(self) -> None:
-        """Release the persistent scatter pool (the deadline path tears
-        its per-call executor down itself)."""
-        if self._pool is not None:
-            self._pool.shutdown(wait=False, cancel_futures=True)
-            self._pool = None
+        """Kept for handle symmetry — the scatter is a plain serial loop
+        (the threaded variant was measured and rejected, SCALING.md r10)
+        and the deadline path tears its per-call executor down itself, so
+        there is no pooled state to release."""
 
 
 class LocalPqSpannReplica:

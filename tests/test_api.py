@@ -194,3 +194,26 @@ def test_load_from_dump_clears_stale_artifacts(
     assert not os.path.exists(os.path.join(home, "codes"))
     assert not os.path.exists(os.path.join(home, "refine"))
     assert _meta_sets(idx2, queries) == _meta_sets(idx, queries)
+
+
+def test_load_from_dump_corrupt_blob_preserves_existing_index(
+    spark, fixture_data, tmp_path_factory
+):
+    """r10 review: a corrupt blob must fail BEFORE the existing index at
+    the destination is cleared — restore validates the tar first."""
+    import os
+
+    import pytest
+
+    vec, metas, queries = fixture_data
+    idx = SparkAnnIndex.build(spark, vec, metas)
+    blob = idx.dump()
+    home = str(tmp_path_factory.mktemp("dumpsafe") / "idx")
+    idx2 = SparkAnnIndex.load_from_dump(spark, blob, home)  # good restore
+    before = _meta_sets(idx2, queries)
+    with pytest.raises(Exception):
+        SparkAnnIndex.load_from_dump(spark, blob[: len(blob) // 2], home)
+    # the previously restored index is intact and still answers
+    assert os.path.exists(os.path.join(home, "config.json"))
+    idx3 = SparkAnnIndex.load(spark, home)
+    assert _meta_sets(idx3, queries) == before

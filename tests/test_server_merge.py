@@ -608,3 +608,43 @@ def test_aggregator_tcp_tier(spark, vectors):
             s.stop()
         heads.unpersist()
         postings.unpersist()
+
+
+def test_remote_shard_reconnects_after_backend_restart(spark, vectors):
+    """r10 review: a RemoteShard invalidates its cached per-thread
+    connection on failure, so the aggregator recovers when a backend
+    comes back (same port) instead of staying poisoned forever."""
+    import numpy as np
+    import pytest
+
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer, RemoteShard
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    heads = select_heads(vectors, ratio=0.12).persist()
+    postings = build_postings(vectors, heads).persist()
+    postings.count()
+    rep = LocalSpannReplica(heads, postings)
+    srv = AnnTcpServer(rep, k=5, nprobe=6).start()
+    host, port = srv.address
+    shard = RemoteShard(host, port)
+    q = np.asarray(vectors.limit(1).collect()[0]["vector"], dtype=np.float64)
+    try:
+        ids1, _ = shard.search_one(q, k=5)
+        # the cached connection dies under us (TCP reset / backend
+        # restart); the next call must fail ONCE and invalidate...
+        import socket as _socket
+
+        shard._local.s.shutdown(_socket.SHUT_RDWR)
+        with pytest.raises((ConnectionError, OSError)):
+            shard.search_one(q, k=5)
+        # ...so this call reconnects to the live backend and answers —
+        # without the invalidation the dead socket is cached forever
+        ids2, _ = shard.search_one(q, k=5)
+        assert ids2.tolist() == ids1.tolist()
+    finally:
+        shard.close()
+        srv.stop()
+        heads.unpersist()
+        postings.unpersist()

@@ -751,3 +751,80 @@ def test_parallel_refine_build_byte_identical_to_serial(spark, built, tmp_path):
     mb = json.load(open(os.path.join(b, "meta.json")))
     assert (ma["rows"], ma["id_sum"]) == (mb["rows"], mb["id_sum"])
     assert refine_store_matches(b, refine_fingerprint(v))
+
+
+def test_warm_replica_budget_without_tiers_warns(spark, built):
+    """r10 review: a budget with neither disk_store_dir nor PQ artifacts
+    still loads the full replica — but LOUDLY, not silently."""
+    import warnings as w
+
+    from sptag_spark.plans.planner import warm_replica
+
+    v, heads, postings = built
+    fresh = heads.alias("warmnotier")
+    fresh._sptag_cached_count = heads.count()
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        rep = warm_replica(fresh, postings, memory_budget_bytes=1)
+    assert rep.dispatch_label == "replica"
+    assert any("over budget" in str(c.message) for c in caught)
+
+
+def test_fingerprint_detects_reembedded_corpus(spark, built, tmp_path):
+    """r10 review: ids alone are blind to a re-embedded corpus (same ids,
+    new vector values) — the content CRC in the fingerprint catches it
+    and the stores rebuild."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.serving_local import (
+        packed_store_matches,
+        postings_fingerprint,
+        refine_fingerprint,
+        refine_store_matches,
+        build_refine_store,
+        DiskSpannReplica,
+    )
+
+    v, heads, postings = built
+    # "re-embedding": same ids/head structure, scaled vector values
+    postings2 = postings.withColumn(
+        "vector", F.transform("vector", lambda x: x * F.lit(2.0))
+    )
+    assert packed_store_matches.__name__  # silence linters
+    fp1 = postings_fingerprint(postings)
+    fp2 = postings_fingerprint(postings2)
+    assert fp1["post_rows"] == fp2["post_rows"]
+    assert fp1["post_id_sum"] == fp2["post_id_sum"]
+    assert fp1["post_vec_crc"] != fp2["post_vec_crc"]
+    store = str(tmp_path / "store")
+    DiskSpannReplica(heads, postings, store)
+    assert packed_store_matches(store, fp1) and not packed_store_matches(
+        store, fp2
+    )
+    # refine store: same property
+    v2 = v.withColumn("vector", F.transform("vector", lambda x: x * F.lit(2.0)))
+    build_refine_store(v.select("id", "vector"), str(tmp_path / "rf"))
+    assert refine_store_matches(str(tmp_path / "rf"), refine_fingerprint(v))
+    assert not refine_store_matches(
+        str(tmp_path / "rf"), refine_fingerprint(v2)
+    )
+
+
+def test_disk_sharded_aggregator_handles_empty_shard(spark, built, tmp_path):
+    """r10 review: n_shards above the head count leaves some shards
+    empty — the disk-sharded aggregator must build and answer anyway
+    (the RAM-sharded twin already did)."""
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    v, heads, postings = built
+    n_heads = heads.count()
+    agg = ShardedSpannAggregator(
+        heads, postings, n_shards=n_heads + 3,
+        store_dir=str(tmp_path / "many"),
+    )
+    try:
+        qid, q = _qlist(spark)[0]
+        ids, d = agg.search_one(q, k=5, nprobe=2)
+        assert ids[0] == qid and d[0] == 0.0
+    finally:
+        agg.close()
