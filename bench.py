@@ -304,6 +304,18 @@ def main() -> None:
             replica.search_one(qv, k=10, nprobe=spann_point["nprobe"])
             rlat.append((time.time() - t0) * 1000)
         rlat.sort()
+        # Vectorized batch path (r10): head-major slab sharing + tie-safe
+        # BLAS preselect + exact rescore — one sub-batch at the measured
+        # chunk knee, warmed at THIS size (first-touch page faults on the
+        # batch temps cost ~30x once; steady state is what serving sees).
+        qb = (reps * ((512 // len(reps)) + 1))[:512]
+        for _ in range(2):
+            replica.batch_search(qb, k=10, nprobe=spann_point["nprobe"])
+        t0 = time.time()
+        n_brep = 3
+        for _ in range(n_brep):
+            replica.batch_search(qb, k=10, nprobe=spann_point["nprobe"])
+        batch_qps = len(qb) * n_brep / (time.time() - t0)
         # Multi-core QPS mirrors the reference harness's operating mode
         # (the SIFT1B buildconfig runs 45 search threads). Python threads
         # LOSE here — at ~0.5 ms/query the GIL-bound glue dominates the
@@ -355,6 +367,8 @@ def main() -> None:
             "p99": round(rlat[min(len(rlat) - 1, int(0.99 * len(rlat)))], 3),
             "max": round(rlat[-1], 3),
             "qps_single_thread": round(1000.0 / (sum(rlat) / len(rlat)), 1),
+            "qps_batch": round(batch_qps, 1),
+            "batch_size": len(qb),
             "qps_multiprocess": round(done / mp_wall, 1),
             "n_procs": n_procs,
             "n": len(rlat),

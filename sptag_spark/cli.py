@@ -397,15 +397,27 @@ def cmd_aggserve(args, spark) -> int:
     aggregator → serving nodes) over real sockets. `$timeout:<ms>` on a
     query buys deadline partials across the remote shards. Spark is not
     involved: the aggregator is pure network tier."""
-    from sptag_spark.server import aggregator_server
+    from sptag_spark.server import aggregator_server, load_aggregator_ini
 
-    backends = []
-    for spec in args.backends.split(","):
-        h, _, p = spec.strip().rpartition(":")
-        backends.append((h or "127.0.0.1", int(p)))
-    srv = aggregator_server(
-        backends, host=args.host, port=args.port, k=args.k
-    ).start()
+    # Aggregator.ini supplies defaults (the reference boots from exactly
+    # this file, AggregatorService.cpp:27); explicit flags override
+    ini = load_aggregator_ini(args.config) if args.config else {}
+    backends = list(ini.get("backends", []))
+    if args.backends:
+        backends = []
+        for spec in args.backends.split(","):
+            h, _, p = spec.strip().rpartition(":")
+            backends.append((h or "127.0.0.1", int(p)))
+    if not backends:
+        print("aggserve: no backends (use -b or --config)", file=sys.stderr)
+        return 2
+    host = args.host if args.host is not None else ini.get("host", "127.0.0.1")
+    port = args.port if args.port is not None else ini.get("port", 0)
+    k = args.k if args.k is not None else ini.get("k", -1)
+    if k is None or k <= 0:
+        k = 10  # reference TopK=-1 → per-query k; 10 is the wire default
+    args.k = k  # reported below
+    srv = aggregator_server(backends, host=host, port=port, k=k).start()
     print(
         json.dumps(
             {
@@ -556,11 +568,14 @@ def main(argv: list[str] | None = None) -> int:
     g = sub.add_parser(
         "aggserve", help="Aggregator parity: scatter-gather over serve loops"
     )
-    g.add_argument("-b", "--backends", required=True,
+    g.add_argument("-b", "--backends", default=None,
                    help="comma-separated host:port of running serve loops")
-    g.add_argument("--host", default="127.0.0.1")
-    g.add_argument("-p", "--port", type=int, default=0)
-    g.add_argument("-k", type=int, default=10)
+    g.add_argument("--config", default=None,
+                   help="Aggregator.ini ([Service] + [Server_<i>] sections,"
+                        " AggregatorContext.cpp format); explicit flags win")
+    g.add_argument("--host", default=None)
+    g.add_argument("-p", "--port", type=int, default=None)
+    g.add_argument("-k", type=int, default=None)
     g.add_argument("--duration", type=float, default=None,
                    help="serve for N seconds then exit (default: forever)")
 

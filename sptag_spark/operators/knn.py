@@ -118,7 +118,17 @@ def _block_distances(V: np.ndarray, Q: np.ndarray, metric: str) -> np.ndarray:
 def _exact_pair_dists(V: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
     """Direct per-pair distances — the same arithmetic shape as the column
     expressions and the SQL oracle, so reported values agree bit-for-bit at
-    the fixtures' scale (e.g. self-distance is exactly 0.0)."""
+    the fixtures' scale (e.g. self-distance is exactly 0.0).
+
+    Deliberately SHAPE-STABLE: every row's value is a row-local elementwise
+    product + pairwise sum, never a BLAS matvec, because dgemv results for
+    a given row vary in the last ulp with the MATRIX's shape (measured:
+    ``V[sel] @ q`` vs ``V @ q`` differ by 1 ulp on some rows). Engine paths
+    score the same (vector, query) pair through candidate matrices of
+    different shapes — distributed Arrow batches, replica candidate sets,
+    batch-path margin subsets — and their strict row-identity pins
+    (`serve_disk_replica`, test_serving_local) require the value to depend
+    on the PAIR alone."""
     if metric == "l2":
         d = V - q[None, :]
         return (d * d).sum(axis=1)
@@ -127,11 +137,37 @@ def _exact_pair_dists(V: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
         nq = np.linalg.norm(q)
         out = np.ones(len(V))
         ok = (nv != 0) & (nq != 0)
-        out[ok] = 1.0 - (V[ok] @ q) / (nv[ok] * nq)
+        out[ok] = 1.0 - (V[ok] * q).sum(axis=1) / (nv[ok] * nq)
         # clamp >= 0 and drop the -0.0 sign bit (see _block_distances)
         np.maximum(out, 0.0, out=out)
         return out + 0.0
-    return -(V @ q)
+    return -(V * q).sum(axis=1)
+
+
+def _exact_rowpair_dists(
+    V: np.ndarray,
+    Qm: np.ndarray,
+    metric: str,
+    nq_rows: np.ndarray | None = None,
+) -> np.ndarray:
+    """Row-paired exact distances — element i is bitwise
+    ``_exact_pair_dists(V[i:i+1], Qm[i], metric)[0]``. For cosine, pass
+    ``nq_rows`` (per-row query norms computed with 1-D np.linalg.norm, the
+    pair kernel's convention) to avoid a per-row norm loop."""
+    if metric == "l2":
+        d = V - Qm
+        return (d * d).sum(axis=1)
+    dots = (V * Qm).sum(axis=1)
+    if metric == "cosine":
+        nv = np.linalg.norm(V, axis=1)
+        if nq_rows is None:
+            nq_rows = np.array([np.linalg.norm(q) for q in Qm])
+        out = np.ones(len(V))
+        ok = (nv != 0) & (nq_rows != 0)
+        out[ok] = 1.0 - dots[ok] / (nv[ok] * nq_rows[ok])
+        np.maximum(out, 0.0, out=out)
+        return out + 0.0
+    return -dots
 
 
 def _topk_frame(

@@ -516,6 +516,43 @@ class RemoteReplicaAggregator:
             rep.close()
 
 
+def load_aggregator_ini(path: str) -> dict:
+    """Parse the reference's Aggregator.ini
+    (`AggregatorContext.cpp:30-55`): [Service] ListenAddr / ListenPort /
+    TopK, [Servers] Number, then one [Server_<i>] section per backend with
+    Address / Port — missing or incomplete server sections are SKIPPED,
+    mirroring the reference's empty-address ``continue``. TopK <= 0 means
+    "use the query's k" (the reference default -1); callers substitute
+    their own default. → {host, port, k, backends}."""
+    import configparser
+
+    cp = configparser.ConfigParser()
+    with open(path) as f:
+        cp.read_string(f.read())
+    svc = cp["Service"] if cp.has_section("Service") else {}
+    n = (
+        int(cp.get("Servers", "Number", fallback="0"))
+        if cp.has_section("Servers")
+        else 0
+    )
+    backends = []
+    for i in range(n):
+        sec = f"Server_{i}"
+        if not cp.has_section(sec):
+            continue
+        addr = cp.get(sec, "Address", fallback="")
+        bport = cp.get(sec, "Port", fallback="")
+        if not addr or not bport:
+            continue
+        backends.append((addr, int(bport)))
+    return {
+        "host": svc.get("ListenAddr", "0.0.0.0"),
+        "port": int(svc.get("ListenPort", "8100")),
+        "k": int(svc.get("TopK", "-1")),
+        "backends": backends,
+    }
+
+
 def aggregator_server(
     backends, host: str = "127.0.0.1", port: int = 0, k: int = 10
 ) -> AnnTcpServer:

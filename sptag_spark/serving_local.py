@@ -32,6 +32,81 @@ from sptag_spark.index.ann import MAX_DIST_RATIO, SEARCH_INTERNAL_RESULT_NUM
 from sptag_spark.operators.knn import _exact_pair_dists
 
 
+def _route_batch(
+    head_ids: np.ndarray,
+    H: np.ndarray,
+    Q: np.ndarray,
+    nprobe: int,
+    metric: str,
+    max_dist_ratio: float,
+    nq: np.ndarray | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched head routing — per query, bitwise the search_one selection:
+    BLAS preselect of nprobe+16 heads behind a tie-safe threshold (keep
+    everything <= the kth value, so boundary ties never drop), exact
+    row-paired rescore of just those pairs, then the (dist, head_id) order
+    and limitDist guard on exact values. → (pair_q, pair_h): query index /
+    head slot of every (query, probed head) pair."""
+    from sptag_spark.operators.knn import (
+        _block_distances,
+        _exact_rowpair_dists,
+    )
+
+    B = len(Q)
+    nH = len(head_ids)
+    npb = min(nprobe, nH)
+    kkh = min(npb + 16, nH)
+    chunk = max(1, int(16_000_000 // max(nH, 1)))
+    pq_parts: list[np.ndarray] = []
+    ph_parts: list[np.ndarray] = []
+    for c0 in range(0, B, chunk):
+        Qc = Q[c0 : c0 + chunk]
+        DH = _block_distances(H, Qc, metric)  # (nH, m)
+        t = np.partition(DH, kkh - 1, axis=0)[kkh - 1]  # (m,)
+        qi, hi_ = np.nonzero((DH <= t[None, :]).T)
+        pq_parts.append(qi + c0)
+        ph_parts.append(hi_)
+    pair_q = np.concatenate(pq_parts)
+    pair_h = np.concatenate(ph_parts)
+    hd = _exact_rowpair_dists(
+        H[pair_h],
+        Q[pair_q],
+        metric,
+        nq_rows=(nq[pair_q] if nq is not None else None),
+    )
+    o = np.lexsort((head_ids[pair_h], hd, pair_q))
+    pair_q, pair_h, hd = pair_q[o], pair_h[o], hd[o]
+    pos = _run_positions(pair_q)
+    keep = pos < npb
+    pair_q, pair_h, hd, pos = (
+        pair_q[keep],
+        pair_h[keep],
+        hd[keep],
+        pos[keep],
+    )
+    if max_dist_ratio < float("inf"):
+        # pos==0 is each query's min head distance (runs are
+        # (dist, id)-sorted); scatter it to the run then cut
+        starts = np.nonzero(pos == 0)[0]
+        run_id = np.cumsum(pos == 0) - 1
+        cut = hd[starts][run_id] * max_dist_ratio
+        keep = ~(cut > 0.1) | (hd <= cut)  # limitDist guard
+        pair_q, pair_h = pair_q[keep], pair_h[keep]
+    return pair_q, pair_h
+
+
+def _run_positions(sorted_keys: np.ndarray) -> np.ndarray:
+    """Position of each element within its run of equal keys (keys must
+    be pre-sorted) — the segment-arithmetic replacement for a per-group
+    ``arange`` loop in the batched rank/preselect stages."""
+    new = np.empty(len(sorted_keys), dtype=bool)
+    new[0] = True
+    new[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    starts = np.nonzero(new)[0]
+    run_id = np.cumsum(new) - 1
+    return np.arange(len(sorted_keys), dtype=np.int64) - starts[run_id]
+
+
 class LocalSpannReplica:
     """Process-local SPANN index: broadcast-free, job-free serving."""
 
@@ -101,7 +176,7 @@ class LocalSpannReplica:
         top = np.lexsort((ids, d))[: min(k, len(ids))]
         return ids[top], d[top]
 
-    def batch_search(
+    def _batch_search_serial(
         self,
         queries: list[tuple[int, np.ndarray]],
         k: int = 10,
@@ -109,7 +184,8 @@ class LocalSpannReplica:
         metric: str = "l2",
         max_dist_ratio: float = MAX_DIST_RATIO,
     ) -> list[tuple[int, int, int, float]]:
-        """→ rows of (query_id, rank, id, dist) — the QueryResult contract."""
+        """Per-query loop over search_one — the semantic definition of
+        batch_search; tests pin the vectorized path row-identical to it."""
         out = []
         for qid, q in queries:
             ids, d = self.search_one(q, k, nprobe, metric, max_dist_ratio)
@@ -119,8 +195,191 @@ class LocalSpannReplica:
             )
         return out
 
+    def batch_search(
+        self,
+        queries: list[tuple[int, np.ndarray]],
+        k: int = 10,
+        nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
+        metric: str = "l2",
+        max_dist_ratio: float = MAX_DIST_RATIO,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ rows of (query_id, rank, id, dist) — the QueryResult contract,
+        row-identical to a search_one loop but VECTORIZED head-major: the
+        batch's (query, probed-head) pairs are inverted so each posting
+        slab is gathered from the store ONCE per batch (for the disk
+        replica, one page-read per slab instead of one per query probing
+        it) and scored against all its queries in one BLAS block — the
+        reference's batch-throughput shape (`SearchIndex` over a query
+        batch amortizes posting reads the same way). Final distances are
+        the exact per-pair recompute on a (k+16)-margin preselect, the
+        same BLAS-select / exact-rescore contract as the distributed
+        kernel (`operators/knn.py _topk_frame`), so reported values stay
+        bit-identical to search_one and the SQL oracle.
+
+        Candidate memory is O(batch · nprobe · posting_limit) scalar rows
+        (vectors never accumulate — only the probed slab is resident);
+        the planner's REPLICA_DISPATCH_MAX_QUERIES cap bounds it at serve
+        scale."""
+        from sptag_spark.operators.knn import (
+            _block_distances,
+            _exact_rowpair_dists,
+        )
+
+        if not queries or len(self.head_ids) == 0:
+            return []
+        # above ~512 queries the global sort/dedup arrays outgrow cache and
+        # per-query cost starts climbing back up — process in chunks at the
+        # measured sweet spot (SCALING.md r10 batch table; a THREADED chunk
+        # fan-out was also measured: ≤13% at 4 workers, negative at 8, so
+        # the loop stays serial)
+        if len(queries) > _BATCH_QUERY_CHUNK:
+            out: list[tuple[int, int, int, float]] = []
+            for i in range(0, len(queries), _BATCH_QUERY_CHUNK):
+                out.extend(
+                    self.batch_search(
+                        queries[i : i + _BATCH_QUERY_CHUNK],
+                        k,
+                        nprobe,
+                        metric,
+                        max_dist_ratio,
+                    )
+                )
+            return out
+        qids = np.array([int(qid) for qid, _ in queries], dtype=np.int64)
+        Q = np.array([np.asarray(v, dtype=np.float64) for _, v in queries])
+        B, d = Q.shape
+        nH = len(self.head_ids)
+        npb = min(nprobe, nH)
+        # per-query 1-D norms for cosine rescore (the pair kernel computes
+        # np.linalg.norm(q) per query — same code path, so same ulps)
+        nq = (
+            np.array([np.linalg.norm(q) for q in Q])
+            if metric == "cosine"
+            else None
+        )
+
+        # The select-then-rescore contract used throughout: BLAS block
+        # values pick candidates behind a TIE-SAFE threshold (the kth
+        # smallest value per query, keeping everything <= it, so boundary
+        # ties are never dropped) with a +16 noise margin, and every
+        # REPORTED value is the exact row-paired recompute — bitwise
+        # search_one's — so the final (dist, id) rank can only differ if
+        # GEMM noise exceeded 16 true neighbors, which distinct vectors'
+        # distance gaps dwarf.
+
+        # Stage 1 — routing (shared helper; bitwise the search_one
+        # selection, incl. the (dist, head_id) tie order and limitDist
+        # guard on exact values)
+        pair_q, pair_h = _route_batch(
+            self.head_ids, self.H, Q, npb, metric, max_dist_ratio, nq
+        )
+        if pair_h.size == 0:
+            return []
+
+        # Stage 2 — head-major scoring: one slab gather + one BLAS block
+        # per distinct probed head, shared by every query probing it;
+        # per-head tie-safe local top-(k+16) caps what flows downstream
+        # (the global top-k is a subset of every slab's local top-k).
+        ho = np.argsort(pair_h, kind="stable")
+        ph, pq = pair_h[ho], pair_q[ho]
+        bnd = np.nonzero(ph[1:] != ph[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(ph)]))
+        cand_q: list[np.ndarray] = []
+        cand_rows: list[np.ndarray] = []
+        cand_d: list[np.ndarray] = []
+        kk = k + 16
+        for s0, e0 in zip(starts, ends):
+            s = int(ph[s0])
+            lo, hi = int(self.indptr[s]), int(self.indptr[s + 1])
+            if hi == lo:
+                continue
+            qsub = pq[s0:e0]
+            slab = np.asarray(self.post_V[lo:hi], dtype=np.float64)
+            D = _block_distances(slab, Q[qsub], metric)  # (hi-lo, |qsub|)
+            if hi - lo > kk:
+                t = np.partition(D, kk - 1, axis=0)[kk - 1]  # (|qsub|,)
+                r, c = np.nonzero((D <= t[None, :]).T)
+                cand_q.append(qsub[r])
+                cand_rows.append(c + lo)
+                cand_d.append(D[c, r])
+            else:
+                cand_q.append(np.repeat(qsub, hi - lo))
+                cand_rows.append(
+                    np.tile(np.arange(lo, hi, dtype=np.int64), len(qsub))
+                )
+                cand_d.append(D.T.ravel())
+        if not cand_q:
+            return []
+        cq = np.concatenate(cand_q)
+        cr = np.concatenate(cand_rows)
+        cd = np.concatenate(cand_d)
+        ids_all = self.post_ids[cr]
+
+        # Stage 3 — global dedup + rank: replica dedup by (query, id)
+        # (replicas of an id share one vector, so any representative row
+        # scores identically), margin preselect on BLAS values, exact
+        # row-paired rescore of survivors, final (dist, id) rank — all
+        # segment arithmetic, no per-query loop. Dedup packs (query, id)
+        # into one int64 key when ids fit 32 bits (one argsort pass
+        # instead of a 3-key lexsort); arbitrary ids take the lexsort.
+        if (
+            B < (1 << 31)
+            and len(ids_all)
+            and ids_all.min() >= 0
+            and ids_all.max() < (1 << 32)
+        ):
+            key = (cq << np.int64(32)) | ids_all
+            o = np.argsort(key, kind="stable")
+            key_s = key[o]
+            new = np.empty(len(key_s), dtype=bool)
+            new[0] = True
+            new[1:] = key_s[1:] != key_s[:-1]
+            starts = np.nonzero(new)[0]
+            cd_u = np.minimum.reduceat(cd[o], starts)
+            cr_u = cr[o][starts]
+            cq_u = key_s[starts] >> np.int64(32)
+            ids_u = key_s[starts] & np.int64(0xFFFFFFFF)
+        else:
+            o = np.lexsort((cd, ids_all, cq))
+            cq_s, ids_s, cd_s, cr_s = cq[o], ids_all[o], cd[o], cr[o]
+            new = np.empty(len(cq_s), dtype=bool)
+            new[0] = True
+            new[1:] = (cq_s[1:] != cq_s[:-1]) | (ids_s[1:] != ids_s[:-1])
+            cq_u, ids_u, cd_u, cr_u = (
+                cq_s[new],
+                ids_s[new],
+                cd_s[new],
+                cr_s[new],
+            )
+        o2 = np.lexsort((ids_u, cd_u, cq_u))
+        cq_u, ids_u, cr_u = cq_u[o2], ids_u[o2], cr_u[o2]
+        pos = _run_positions(cq_u)
+        mkeep = pos < kk
+        cq_u, ids_u, cr_u = cq_u[mkeep], ids_u[mkeep], cr_u[mkeep]
+        V_sel = np.asarray(self.post_V[cr_u], dtype=np.float64)
+        d_exact = _exact_rowpair_dists(
+            V_sel,
+            Q[cq_u],
+            metric,
+            nq_rows=(nq[cq_u] if nq is not None else None),
+        )
+        o3 = np.lexsort((ids_u, d_exact, cq_u))
+        cq_u, ids_u, d_exact = cq_u[o3], ids_u[o3], d_exact[o3]
+        pos = _run_positions(cq_u)
+        fin = pos < k
+        qid_f = qids[cq_u[fin]]
+        rank_f = pos[fin] + 1
+        id_f = ids_u[fin]
+        d_f = d_exact[fin]
+        return [
+            (int(a), int(r), int(i), float(dd))
+            for a, r, i, dd in zip(qid_f, rank_f, id_f, d_f)
+        ]
+
 
 _STORE_CHUNK_ROWS = 65536  # vector rows buffered per flush (~16 MB at d=64)
+_BATCH_QUERY_CHUNK = 512  # batch_search sub-batch size (measured knee, r10)
 
 
 def _vector_crc(df: DataFrame):
@@ -813,6 +1072,59 @@ class ShardedSpannAggregator:
             d_all.append(d)
         return self._merge(ids_all, d_all, k)
 
+    def batch_search(
+        self,
+        queries: list[tuple[int, np.ndarray]],
+        k: int = 10,
+        nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
+        metric: str = "l2",
+        max_dist_ratio: float = MAX_DIST_RATIO,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ rows of (query_id, rank, id, dist) — the whole batch scatters
+        to every shard's VECTORIZED batch path (each shard gathers each of
+        its probed slabs once for the batch), and the gather is the same
+        global (dist, id) merge-rank as search_one's _merge, batched with
+        segment arithmetic. Queries are tracked by batch POSITION so
+        duplicate query_ids stay independent, like a search_one loop."""
+        if not queries:
+            return []
+        pos_q = [(i, v) for i, (_, v) in enumerate(queries)]
+        qids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+        pi_parts: list[np.ndarray] = []
+        id_parts: list[np.ndarray] = []
+        d_parts: list[np.ndarray] = []
+        for rep in self.replicas:
+            rows = rep.batch_search(pos_q, k, nprobe, metric, max_dist_ratio)
+            if not rows:
+                continue
+            pi_parts.append(np.array([r[0] for r in rows], dtype=np.int64))
+            id_parts.append(np.array([r[2] for r in rows], dtype=np.int64))
+            d_parts.append(np.array([r[3] for r in rows]))
+        if not pi_parts:
+            return []
+        pi = np.concatenate(pi_parts)
+        ids = np.concatenate(id_parts)
+        d = np.concatenate(d_parts)
+        # cross-shard dedup (a vector replicated into heads of different
+        # shards answers once; replicas of an id share one vector, so the
+        # exact kernel scored it identically in every shard), then the
+        # (dist, id) re-rank per query — _merge, without the per-query loop
+        o = np.lexsort((d, ids, pi))
+        pi, ids, d = pi[o], ids[o], d[o]
+        keep = np.ones(len(pi), dtype=bool)
+        keep[1:] = (pi[1:] != pi[:-1]) | (ids[1:] != ids[:-1])
+        pi, ids, d = pi[keep], ids[keep], d[keep]
+        o2 = np.lexsort((ids, d, pi))
+        pi, ids, d = pi[o2], ids[o2], d[o2]
+        pos = _run_positions(pi)
+        fin = pos < k
+        return [
+            (int(qids[p]), int(r), int(i), float(dd))
+            for p, r, i, dd in zip(
+                pi[fin], pos[fin] + 1, ids[fin], d[fin]
+            )
+        ]
+
     @staticmethod
     def _merge(
         ids_all: list, d_all: list, k: int
@@ -1014,6 +1326,25 @@ class LocalPqSpannReplica:
         top = np.lexsort((ids, d))[: min(k, len(ids))]
         return ids[top], d[top]
 
+    def _batch_search_serial(
+        self,
+        queries: list[tuple[int, np.ndarray]],
+        k: int = 10,
+        nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
+        metric: str = "l2",
+        max_dist_ratio: float = MAX_DIST_RATIO,
+    ) -> list[tuple[int, int, int, float]]:
+        """Per-query loop over search_one — the semantic definition of
+        batch_search; tests pin the vectorized path row-identical to it."""
+        out = []
+        for qid, q in queries:
+            ids, d = self.search_one(q, k, nprobe, metric, max_dist_ratio)
+            out.extend(
+                (int(qid), r + 1, int(i), float(dd))
+                for r, (i, dd) in enumerate(zip(ids, d))
+            )
+        return out
+
     def batch_search(
         self,
         queries: list[tuple[int, np.ndarray]],
@@ -1023,15 +1354,162 @@ class LocalPqSpannReplica:
         max_dist_ratio: float = MAX_DIST_RATIO,
     ) -> list[tuple[int, int, int, float]]:
         """→ rows of (query_id, rank, id, adc_dist) — the QueryResult
-        contract with ADC-estimated distances (same as search_one)."""
-        out = []
-        for qid, q in queries:
-            ids, d = self.search_one(q, k, nprobe, metric, max_dist_ratio)
-            out.extend(
-                (int(qid), r + 1, int(i), float(dd))
-                for r, (i, dd) in enumerate(zip(ids, d))
+        contract with ADC-estimated distances (or exact reranked distances
+        when a refine store is attached), row-identical to a search_one
+        loop. Vectorized like the full-vector replica's batch path: shared
+        head routing, ONE (batch, m, 256) LUT tensor built for all queries
+        (same subspace arithmetic as the per-query LUT), and head-major
+        ADC scoring so each head's code slab is gathered once per batch.
+        ADC values are deterministic gather-sums (not BLAS), so no margin/
+        rescore stage is needed — the batched sums are bitwise the
+        per-query ones."""
+        from sptag_spark.operators.knn import _exact_rowpair_dists
+
+        if not queries or len(self.head_ids) == 0:
+            return []
+        if len(queries) > _BATCH_QUERY_CHUNK:
+            out: list[tuple[int, int, int, float]] = []
+            for i in range(0, len(queries), _BATCH_QUERY_CHUNK):
+                out.extend(
+                    self.batch_search(
+                        queries[i : i + _BATCH_QUERY_CHUNK],
+                        k,
+                        nprobe,
+                        metric,
+                        max_dist_ratio,
+                    )
+                )
+            return out
+        qids = np.array([int(qid) for qid, _ in queries], dtype=np.int64)
+        Q = np.array([np.asarray(v, dtype=np.float64) for _, v in queries])
+        B = len(qids)
+        nq = (
+            np.array([np.linalg.norm(q) for q in Q])
+            if metric == "cosine"
+            else None
+        )
+        pair_q, pair_h = _route_batch(
+            self.head_ids,
+            self.H,
+            Q,
+            min(nprobe, len(self.head_ids)),
+            metric,
+            max_dist_ratio,
+            nq,
+        )
+        if pair_h.size == 0:
+            return []
+
+        # LUT tensor for the whole batch — per query i, subspace j:
+        # (codebook[j] - rotated_q[j·sub:(j+1)·sub])² summed over the
+        # subspace, exactly search_one's per-query loop body
+        cb, R = self.books.codebooks, self.books.rotation
+        m, n_codes, sub = cb.shape
+        # rotate per query (vecmat), NOT one GEMM: dgemm and dgemv differ
+        # in the last ulp and search_one rotates per query
+        QR = np.array([q @ R for q in Q]) if R is not None else Q
+        lut = np.empty((B, m, n_codes))
+        for j in range(m):
+            diff = cb[j][None, :, :] - QR[:, None, j * sub : (j + 1) * sub]
+            sq = diff * diff
+            # reduce in 2D, not 3D: numpy's last-axis pairwise reduction
+            # blocks DIFFERENTLY for 3-D arrays at some shapes (measured:
+            # one-ulp drift vs the per-query 2-D sum), and these values
+            # must be bitwise the serial kernel's
+            lut[:, j, :] = sq.reshape(-1, sub).sum(axis=1).reshape(B, n_codes)
+        lut_flat = lut.reshape(B, m * n_codes)
+        code_cols = np.arange(m, dtype=np.int64) * n_codes  # (m,)
+
+        # head-major candidate collection + ADC scoring: one code-slab
+        # gather per probed head, scored for all its queries in one
+        # fancy-gather sum (bitwise the per-query axis-1 sum)
+        ho = np.argsort(pair_h, kind="stable")
+        ph, pq = pair_h[ho], pair_q[ho]
+        bnd = np.nonzero(ph[1:] != ph[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(ph)]))
+        cand_q: list[np.ndarray] = []
+        cand_rows: list[np.ndarray] = []
+        cand_d: list[np.ndarray] = []
+        for s0, e0 in zip(starts, ends):
+            s = int(ph[s0])
+            lo, hi = int(self.indptr[s]), int(self.indptr[s + 1])
+            if hi == lo:
+                continue
+            qsub = pq[s0:e0]
+            rows = self.post_rows[lo:hi]
+            idx = code_cols[None, :] + self.codes[rows]  # (n, m) flat cols
+            G = lut_flat[qsub][:, idx]  # (|qsub|, n, m)
+            # 2-D reduction for bitwise parity with search_one (see LUT)
+            D = G.reshape(-1, m).sum(axis=1).reshape(len(qsub), hi - lo)
+            cand_q.append(np.repeat(qsub, hi - lo))
+            cand_rows.append(np.tile(rows, len(qsub)))
+            cand_d.append(D.ravel())
+        if not cand_q:
+            return []
+        cq = np.concatenate(cand_q)
+        cr = np.concatenate(cand_rows)
+        cd = np.concatenate(cand_d)
+
+        # dedup by (query, code row) — row index ≡ vector id here, and
+        # the ADC value of a row is identical wherever it was scored
+        if B < (1 << 31) and len(cr) and cr.max() < (1 << 32):
+            key = (cq << np.int64(32)) | cr
+            o = np.argsort(key, kind="stable")
+            key_s = key[o]
+            new = np.empty(len(key_s), dtype=bool)
+            new[0] = True
+            new[1:] = key_s[1:] != key_s[:-1]
+            cq_u = key_s[new] >> np.int64(32)
+            cr_u = key_s[new] & np.int64(0xFFFFFFFF)
+            cd_u = cd[o][new]
+        else:
+            o = np.lexsort((cr, cq))
+            cq_s, cr_s, cd_s = cq[o], cr[o], cd[o]
+            new = np.empty(len(cq_s), dtype=bool)
+            new[0] = True
+            new[1:] = (cq_s[1:] != cq_s[:-1]) | (cr_s[1:] != cr_s[:-1])
+            cq_u, cr_u, cd_u = cq_s[new], cr_s[new], cd_s[new]
+        ids_u = self.code_ids[cr_u]
+
+        # rank by (adc, id) per query — deterministic values, no rescore
+        o2 = np.lexsort((ids_u, cd_u, cq_u))
+        cq_u, ids_u, cd_u = cq_u[o2], ids_u[o2], cd_u[o2]
+        pos = _run_positions(cq_u)
+
+        if self.refine is not None:
+            rf_ids, rf_V = self.refine
+            n_cand = max(k, k * self.refine_factor)
+            pre = pos < n_cand
+            cq_u, ids_u = cq_u[pre], ids_u[pre]
+            rf_pos = (
+                np.minimum(np.searchsorted(rf_ids, ids_u), len(rf_ids) - 1)
+                if len(rf_ids)
+                else np.zeros(len(ids_u), dtype=np.int64)
             )
-        return out
+            if len(rf_ids) == 0 or not np.array_equal(rf_ids[rf_pos], ids_u):
+                raise ValueError(
+                    "refine store does not cover the index's ids — it was "
+                    "built from a different vector set (stale store after "
+                    "a rebuild?); rebuild it with build_refine_store"
+                )
+            V = np.asarray(rf_V[rf_pos], dtype=np.float64)  # exact upcast
+            dx = _exact_rowpair_dists(
+                V,
+                Q[cq_u],
+                metric,
+                nq_rows=(nq[cq_u] if nq is not None else None),
+            )
+            o3 = np.lexsort((ids_u, dx, cq_u))
+            cq_u, ids_u, cd_u = cq_u[o3], ids_u[o3], dx[o3]
+            pos = _run_positions(cq_u)
+        fin = pos < k
+        return [
+            (int(qids[p]), int(r), int(i), float(dd))
+            for p, r, i, dd in zip(
+                cq_u[fin], pos[fin] + 1, ids_u[fin], cd_u[fin]
+            )
+        ]
 
     def memory_bytes(self) -> int:
         """RAM actually held by the replica's arrays — the figure the

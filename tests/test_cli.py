@@ -255,7 +255,105 @@ def test_cli_aggserve(spark, capsys):
     srvs = [AnnTcpServer(rep, k=5, nprobe=6).start() for rep in local.replicas]
     ns = argparse.Namespace(
         backends=",".join(f"{h}:{p}" for h, p in (s.address for s in srvs)),
-        host="127.0.0.1", port=0, k=5, duration=20.0,
+        config=None, host="127.0.0.1", port=0, k=5, duration=20.0,
+    )
+    t = threading.Thread(target=cmd_aggserve, args=(ns, spark), daemon=True)
+    t.start()
+    addr = None
+    for _ in range(80):
+        for line in capsys.readouterr().out.splitlines():
+            if '"aggregating"' in line:
+                addr = tuple(json.loads(line)["aggregating"])
+        if addr:
+            break
+        _t.sleep(0.25)
+    assert addr, "aggserve never reported its address"
+    row = v.limit(1).collect()[0]
+    q = [float(x) for x in row["vector"]]
+    with socket.create_connection((addr[0], int(addr[1])), timeout=30) as s:
+        f = s.makefile("rw", encoding="utf-8")
+        f.write(encode_query(q) + "\n")
+        f.flush()
+        resp = json.loads(f.readline())
+    assert resp["results"][0]["id"] == int(row["id"])
+    assert resp["results"][0]["dist"] == 0.0
+    for s2 in srvs:
+        s2.stop()
+    heads.unpersist()
+    postings.unpersist()
+
+
+def test_load_aggregator_ini(tmp_path):
+    """load_aggregator_ini parses the reference's Aggregator.ini shape
+    (AggregatorContext.cpp:30-55): [Service] knobs, [Servers] Number,
+    [Server_<i>] sections — incomplete server sections are skipped like
+    the reference's empty-address continue."""
+    from sptag_spark.server import load_aggregator_ini
+
+    p = tmp_path / "Aggregator.ini"
+    p.write_text(
+        "[Service]\n"
+        "ListenAddr=127.0.0.1\n"
+        "ListenPort=8123\n"
+        "TopK=7\n"
+        "[Servers]\n"
+        "Number=3\n"
+        "[Server_0]\n"
+        "Address=10.0.0.1\n"
+        "Port=8000\n"
+        "[Server_1]\n"
+        "Address=\n"
+        "Port=8001\n"
+        "[Server_2]\n"
+        "Address=10.0.0.3\n"
+        "Port=8002\n"
+    )
+    cfg = load_aggregator_ini(str(p))
+    assert cfg["host"] == "127.0.0.1" and cfg["port"] == 8123
+    assert cfg["k"] == 7
+    assert cfg["backends"] == [("10.0.0.1", 8000), ("10.0.0.3", 8002)]
+    # defaults when sections are absent (reference defaults 0.0.0.0:8100)
+    (tmp_path / "empty.ini").write_text("")
+    cfg = load_aggregator_ini(str(tmp_path / "empty.ini"))
+    assert cfg == {
+        "host": "0.0.0.0", "port": 8100, "k": -1, "backends": [],
+    }
+
+
+def test_cli_aggserve_ini_config(spark, capsys, tmp_path):
+    """`cli aggserve --config Aggregator.ini` boots the aggregator node
+    from the reference's own config file shape — no flags needed."""
+    import argparse
+    import json
+    import socket
+    import threading
+    import time as _t
+
+    from sptag_spark.cli import cmd_aggserve
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer, encode_query
+    from sptag_spark.serving_local import ShardedSpannAggregator
+    from sptag_spark.tables import vectors_table
+
+    v = vectors_table(spark, "/root/testdata/sf0.001")
+    heads = select_heads(v, ratio=0.12).persist()
+    postings = build_postings(v, heads).persist()
+    postings.count()
+    local = ShardedSpannAggregator(heads, postings, n_shards=2)
+    srvs = [AnnTcpServer(rep, k=5, nprobe=6).start() for rep in local.replicas]
+    lines = [
+        "[Service]", "ListenAddr=127.0.0.1", "ListenPort=0", "TopK=5",
+        "[Servers]", f"Number={len(srvs)}",
+    ]
+    for i, s in enumerate(srvs):
+        h, p = s.address
+        lines += [f"[Server_{i}]", f"Address={h}", f"Port={p}"]
+    ini = tmp_path / "Aggregator.ini"
+    ini.write_text("\n".join(lines) + "\n")
+    ns = argparse.Namespace(
+        backends=None, config=str(ini), host=None, port=None, k=None,
+        duration=20.0,
     )
     t = threading.Thread(target=cmd_aggserve, args=(ns, spark), daemon=True)
     t.start()

@@ -828,3 +828,121 @@ def test_disk_sharded_aggregator_handles_empty_shard(spark, built, tmp_path):
         assert ids[0] == qid and d[0] == 0.0
     finally:
         agg.close()
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "ip"])
+def test_batch_search_vectorized_identical_to_serial(spark, built, metric):
+    """The vectorized batch path (head-major slab sharing, tie-safe BLAS
+    preselect, exact row-paired rescore) is row-identical — ids AND exact
+    float dists — to the per-query search_one loop, under every metric,
+    from nprobe=1 through exhaustive."""
+    _, heads, postings = built
+    replica = LocalSpannReplica(heads, postings)
+    qs = _qlist(spark)
+    for nprobe in (1, 6, 10**9):
+        assert replica.batch_search(
+            qs, k=10, nprobe=nprobe, metric=metric
+        ) == replica._batch_search_serial(
+            qs, k=10, nprobe=nprobe, metric=metric
+        )
+
+
+def test_batch_search_ratio_cut_identical_to_serial(spark, built):
+    """The vectorized limitDist guard (per-run min scatter + cut mask)
+    reproduces search_one's ratio pruning exactly when it actually fires
+    (tight ratio on l2 distances > 0.1)."""
+    _, heads, postings = built
+    replica = LocalSpannReplica(heads, postings)
+    qs = _qlist(spark)
+    for ratio in (1.2, 1.5, 4.0):
+        assert replica.batch_search(
+            qs, k=10, nprobe=6, max_dist_ratio=ratio
+        ) == replica._batch_search_serial(
+            qs, k=10, nprobe=6, max_dist_ratio=ratio
+        )
+
+
+def test_batch_search_chunking_preserves_identity(spark, built, monkeypatch):
+    """Batches above _BATCH_QUERY_CHUNK are processed in sub-batches (the
+    measured cache knee) — chunk boundaries must not change a single row
+    or the output's query order."""
+    import sptag_spark.serving_local as sl
+
+    _, heads, postings = built
+    replica = LocalSpannReplica(heads, postings)
+    qs = _qlist(spark)
+    want = replica._batch_search_serial(qs, k=10, nprobe=6)
+    monkeypatch.setattr(sl, "_BATCH_QUERY_CHUNK", 7)
+    assert replica.batch_search(qs, k=10, nprobe=6) == want
+    assert replica.batch_search([], k=10) == []
+
+
+def test_batch_search_disk_replica_identical(spark, built, tmp_path):
+    """The float32-memmap disk replica's vectorized batch path promotes
+    each gathered slab exactly like search_one does — bit-identical rows
+    to the all-RAM replica's batch, per metric."""
+    from sptag_spark.serving_local import DiskSpannReplica
+
+    _, heads, postings = built
+    ram = LocalSpannReplica(heads, postings)
+    disk = DiskSpannReplica(heads, postings, str(tmp_path / "store"))
+    qs = _qlist(spark)
+    for metric in ("l2", "cosine"):
+        assert disk.batch_search(
+            qs, k=10, nprobe=6, metric=metric
+        ) == ram.batch_search(qs, k=10, nprobe=6, metric=metric)
+
+
+def test_aggregator_batch_search_matches_loop(spark, built):
+    """ShardedSpannAggregator.batch_search == a search_one loop over the
+    same aggregator: identical ids, ranks, and exact distances (the merge
+    is the same dedup + (dist, id) re-rank, batched)."""
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    _, heads, postings = built
+    agg = ShardedSpannAggregator(heads, postings, n_shards=3)
+    qs = _qlist(spark)
+    for metric in ("l2", "cosine"):
+        got = agg.batch_search(qs, k=10, nprobe=4, metric=metric)
+        want = []
+        for qid, q in qs:
+            ids, d = agg.search_one(q, k=10, nprobe=4, metric=metric)
+            want.extend(
+                (qid, r + 1, int(i), float(dd))
+                for r, (i, dd) in enumerate(zip(ids, d))
+            )
+        assert got == want
+    assert agg.batch_search([], k=10) == []
+
+
+def test_pq_replica_batch_identical_to_serial(spark, built, tmp_path):
+    """LocalPqSpannReplica's vectorized batch path (shared routing, one
+    batch LUT tensor, head-major code-slab gathers) is row-identical to
+    the search_one loop — raw ADC and exact-refined regimes, with and
+    without OPQ rotation (rotation is applied per query: dgemm ulps)."""
+    from sptag_spark.index.pq import pq_encode, train_pq
+    from sptag_spark.serving_local import (
+        LocalPqSpannReplica,
+        build_refine_store,
+        open_refine_store,
+    )
+
+    v, heads, postings = built
+    qs = _qlist(spark)
+    for opq in (False, True):
+        books = train_pq(v, m=8, opq_rotation=opq)
+        codes = pq_encode(v, books)
+        rep = LocalPqSpannReplica(heads, postings, codes, books)
+        for nprobe in (2, 8):
+            assert rep.batch_search(
+                qs, k=10, nprobe=nprobe
+            ) == rep._batch_search_serial(qs, k=10, nprobe=nprobe)
+    store = str(tmp_path / "refine")
+    build_refine_store(v, store)
+    rep = LocalPqSpannReplica(
+        heads, postings, codes, books, refine_store=open_refine_store(store)
+    )
+    assert rep.batch_search(qs, k=10, nprobe=8) == rep._batch_search_serial(
+        qs, k=10, nprobe=8
+    )
+    assert rep.batch_search([], k=10) == []
