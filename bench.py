@@ -617,7 +617,13 @@ def _compact_line(out: dict, budget: int = 1900) -> dict:
         },
         "replica_ms": {
             k: rl.get(k)
-            for k in ("p50", "p99", "qps_single_thread", "qps_multiprocess")
+            for k in (
+                "p50",
+                "p99",
+                "qps_single_thread",
+                "qps_batch",
+                "qps_multiprocess",
+            )
             if k in rl
         },
         "planner_ms": {

@@ -334,8 +334,77 @@ def cmd_serve(args, spark) -> int:
     one shared serving tier (AnnTcpServer.from_index → warm_replica +
     committed autotuned operating point)."""
     from sptag_spark.io.index_store import load_index
-    from sptag_spark.server import AnnTcpServer
+    from sptag_spark.server import AnnTcpServer, load_server_ini
 
+    if args.index is None:
+        specs = []
+    elif isinstance(args.index, list):
+        specs = args.index
+    else:
+        specs = [args.index]
+    cfg = getattr(args, "config", None)
+    if cfg:
+        # service config (ServiceContext.cpp's Server boot file) supplies
+        # host/port/k and the index map; explicit flags/-x win
+        ini = load_server_ini(cfg)
+        if not specs:
+            specs = [f"{n}={p}" for n, p in ini["indexes"].items()]
+        if args.host is None:
+            args.host = ini["host"]
+        if args.port is None:
+            args.port = ini["port"]
+        if args.k is None:
+            args.k = ini["k"]
+    if not specs:
+        raise SystemExit("serve: no index (use -x or --config)")
+    if args.host is None:
+        args.host = "127.0.0.1"
+    if args.port is None:
+        args.port = 0
+    if args.k is None:
+        args.k = 10
+    if len(specs) > 1 or "=" in specs[0]:
+        # multi-index node (`ServiceContext` index map): -x name=path per
+        # member; queries select with $indexname:a,b. The budget ladder is
+        # a single-index concern — not combined here.
+        indexes = {}
+        for spec in specs:
+            name, _, path = spec.partition("=")
+            if not path:
+                name, path = os.path.basename(spec.rstrip("/")), spec
+            idx = load_index(spark, path)
+            if idx.heads is None or idx.postings is None:
+                raise SystemExit(f"serve: {path} is not a SPANN index")
+            idx.heads.persist().count()
+            idx.postings.persist().count()
+            indexes[name] = (idx.heads, idx.postings)
+        srv = AnnTcpServer.from_indexes(
+            indexes, host=args.host, port=args.port, k=args.k
+        ).start()
+        print(
+            json.dumps(
+                {
+                    "serving": list(srv.address),
+                    "k": args.k,
+                    "nprobe": srv.nprobe,
+                    "indexes": sorted(indexes),
+                }
+            ),
+            flush=True,
+        )
+        try:
+            import threading
+
+            if args.duration:
+                time.sleep(args.duration)
+            else:  # pragma: no cover - interactive mode
+                threading.Event().wait()
+        except KeyboardInterrupt:  # pragma: no cover
+            pass
+        finally:
+            srv.stop()
+        return 0
+    args.index = specs[0]
     idx = load_index(spark, args.index)
     if idx.heads is None or idx.postings is None:
         raise SystemExit("serve requires a SPANN index (heads + postings)")
@@ -554,10 +623,16 @@ def main(argv: list[str] | None = None) -> int:
     _common_reader_flags(s)
 
     v = sub.add_parser("serve", help="Server parity: TCP serve loop")
-    v.add_argument("-x", "--index", required=True, help="index folder")
-    v.add_argument("--host", default="127.0.0.1")
-    v.add_argument("-p", "--port", type=int, default=0)
-    v.add_argument("-k", type=int, default=10)
+    v.add_argument("-x", "--index", default=None, action="append",
+                   help="index folder; repeat with name=path to host a "
+                        "multi-index node ($indexname selects)")
+    v.add_argument("--config", default=None,
+                   help="Server service config INI ([Service] + [Index] "
+                        "List + [Index_<name>] IndexFolder sections, "
+                        "ServiceContext.cpp format); explicit flags win")
+    v.add_argument("--host", default=None)
+    v.add_argument("-p", "--port", type=int, default=None)
+    v.add_argument("-k", type=int, default=None)
     v.add_argument("--duration", type=float, default=None,
                    help="serve for N seconds then exit (default: forever)")
     v.add_argument("--memory-budget", type=int, default=None, dest="memory_budget",

@@ -299,6 +299,86 @@ FROM ({ORACLE_PER_QUERY})
 )
 
 
+def _serve_filtered_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-time filtered search at the SERVING tier (§2.2 inside §2.11):
+    the replica drops non-matching ids DURING search — the reference
+    node's per-candidate deleted-set/filter check (`SPANNIndex.cpp`
+    m_deletedID in traversal) — with ``allowed_ids`` = the predicate's
+    surviving ids, the node-local filter state a serving node carries.
+    Runs on the OUT-OF-CORE DiskSpannReplica (same memoized store as
+    serve_disk_replica) through the vectorized batch path. Contract
+    columns mirror ann_filtered_search: n_results (k survivors found),
+    filter_ok (every returned id matches the predicate — exact, joined
+    back to the corpus), recall_ok (corpus-average recall@k vs the
+    filter-then-exact-rank truth ≥ 0.9)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from sptag_spark.operators.recall import result_hits
+    from sptag_spark.serving_local import DiskSpannReplica
+
+    heads, postings = spann_index(spark, sf_dir)
+    vectors = vectors_table(spark, sf_dir)
+    queries = queries_table(spark, sf_dir)
+    pred = F.col("meta") == FILTER_META
+    # the predicate's survivors — bounded by the filter's selectivity; a
+    # serving node holds exactly this (its filter bitmap / deleted set)
+    allowed = np.array(
+        sorted(r["id"] for r in vectors.filter(pred).select("id").collect()),
+        dtype=np.int64,
+    )
+
+    def build():
+        import atexit
+        import shutil
+
+        d = tempfile.mkdtemp(prefix="sptag_disk_replica_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        return (DiskSpannReplica(heads, postings, os.path.join(d, "store")),)
+
+    (rep,) = _memo(spark, sf_dir, "disk_replica", build)
+    # predicate drops ~9/10 of each posting — probe wide, as
+    # ann_filtered_search does (measured there: 0.965 @ sf0.01)
+    nprobe = max(16, -(-cached_count(heads) * 15 // 100))
+    qrows = [
+        (int(r["query_id"]), np.asarray(r["vector"], dtype=np.float64))
+        for r in queries.select("query_id", "vector").collect()
+    ]
+    rows = rep.batch_search(
+        qrows, k=DEFAULT_K, nprobe=nprobe, allowed_ids=allowed
+    )
+    res = spark.createDataFrame(
+        rows, schema="query_id long, rank int, id long, dist double"
+    )
+    hits = result_hits(res, filtered_truth(spark, sf_dir))
+    labeled = hits.join(vectors.select("id", pred.alias("match")), "id")
+    per_q = labeled.groupBy("query_id").agg(
+        F.count("*").alias("n_results"),
+        F.min("match").alias("filter_ok"),
+        (F.sum(F.col("hit").cast("double")) / F.lit(float(DEFAULT_K))).alias(
+            "_recall"
+        ),
+    )
+    per_q = per_q.localCheckpoint(eager=False)
+    gate = per_q.agg((F.avg("_recall") >= F.lit(0.9)).alias("recall_ok"))
+    return per_q.crossJoin(F.broadcast(gate)).select(
+        "query_id", "n_results", "filter_ok", "recall_ok"
+    )
+
+
+register(
+    "serve_filtered_replica",
+    _serve_filtered_replica,
+    f"""
+SELECT query_id, CAST({DEFAULT_K} AS BIGINT) AS n_results,
+       TRUE AS filter_ok, TRUE AS recall_ok
+FROM ({ORACLE_PER_QUERY})
+""",
+)
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, lists = ivf_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)

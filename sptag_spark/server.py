@@ -201,6 +201,31 @@ class AnnTcpServer:
 
         outer = self
 
+        def _search(rep, p, kk):
+            """One replica, one parsed query → (rows, partial|None).
+            $timeout:<ms> → per-query budget with partial results, when
+            the backend is a sharded aggregator (AggregatorService.cpp:
+            280-323 semantics); a single replica has no shards to drop,
+            so the option is ignored there."""
+            budget = p.options.get("timeout")
+            deadline_fn = getattr(rep, "search_with_deadline", None)
+            partial = None
+            if budget is not None and deadline_fn is not None:
+                ids, dists, partial = deadline_fn(
+                    p.vector, k=kk, nprobe=outer.nprobe,
+                    metric=outer.metric, budget_ms=float(budget),
+                )
+            else:
+                ids, dists = rep.search_one(
+                    p.vector, k=kk, nprobe=outer.nprobe,
+                    metric=outer.metric,
+                )
+            rows = [
+                {"rank": r + 1, "id": int(i), "dist": float(d)}
+                for r, (i, d) in enumerate(zip(ids, dists))
+            ]
+            return rows, partial
+
         class Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:
                 for raw in self.rfile:
@@ -210,39 +235,51 @@ class AnnTcpServer:
                     try:
                         p = parse_query(line)
                         kk = p.result_num or outer.k
-                        # $timeout:<ms> → per-query budget with partial
-                        # results, when the backend is a sharded aggregator
-                        # (AggregatorService.cpp:280-323 semantics); a
-                        # single replica has no shards to drop, so the
-                        # option is ignored there.
-                        budget = p.options.get("timeout")
-                        deadline_fn = getattr(
-                            outer.replica, "search_with_deadline", None
-                        )
-                        partial = None
-                        if budget is not None and deadline_fn is not None:
-                            ids, dists, partial = deadline_fn(
-                                p.vector, k=kk, nprobe=outer.nprobe,
-                                metric=outer.metric,
-                                budget_ms=float(budget),
-                            )
+                        if outer.replicas is None:
+                            # single-replica node: $indexname is ignored
+                            # (one index IS the map, SelectIndex's
+                            # size()==1 arm)
+                            rows, partial = _search(outer.replica, p, kk)
+                            resp = {"results": rows}
+                            if partial is not None:
+                                resp["partial"] = partial
                         else:
-                            ids, dists = outer.replica.search_one(
-                                p.vector, k=kk, nprobe=outer.nprobe,
-                                metric=outer.metric,
-                            )
-                        resp = {
-                            "results": [
-                                {
-                                    "rank": r + 1,
-                                    "id": int(i),
-                                    "dist": float(d),
-                                }
-                                for r, (i, d) in enumerate(zip(ids, dists))
-                            ]
-                        }
-                        if partial is not None:
-                            resp["partial"] = partial
+                            # multi-index node (`ServiceContext` hosts an
+                            # index MAP; `SearchExecutor::SelectIndex`):
+                            # $indexname:a,b searches each named index
+                            # (unknown names silently skipped); with no
+                            # option, only a singleton map selects
+                            if p.index_name:
+                                names = [
+                                    n
+                                    for n in p.index_name.split(",")
+                                    if n in outer.replicas
+                                ]
+                            elif len(outer.replicas) == 1:
+                                names = list(outer.replicas)
+                            else:
+                                names = []
+                            per_index = []
+                            partial = None
+                            for n in names:
+                                rows, pa = _search(outer.replicas[n], p, kk)
+                                per_index.append(
+                                    {"index": n, "results": rows}
+                                )
+                                if pa:
+                                    partial = True
+                            # "results" mirrors the first selected index so
+                            # single-index clients work against either node
+                            resp = {
+                                "results": (
+                                    per_index[0]["results"]
+                                    if per_index
+                                    else []
+                                ),
+                                "indexResults": per_index,
+                            }
+                            if partial is not None:
+                                resp["partial"] = partial
                     except Exception as exc:  # noqa: BLE001 - wire boundary
                         resp = {"error": f"{type(exc).__name__}: {exc}"}
                     self.wfile.write(
@@ -254,7 +291,18 @@ class AnnTcpServer:
             allow_reuse_address = True
             daemon_threads = True
 
-        self.replica = replica
+        if isinstance(replica, dict):
+            # multi-index node: name → replica, the reference's
+            # ServiceContext index map (one serving process hosts several
+            # indexes; $indexname selects). self.replica stays the first
+            # entry for single-index callers (close(), aggregators).
+            self.replicas = dict(replica)
+            self.replica = (
+                next(iter(self.replicas.values())) if self.replicas else None
+            )
+        else:
+            self.replicas = None
+            self.replica = replica
         self.k = k
         self.nprobe = nprobe
         self.metric = metric
@@ -319,6 +367,28 @@ class AnnTcpServer:
             refine_store_dir=refine_store_dir,
         )
         return cls(rep, **kwargs)
+
+    @classmethod
+    def from_indexes(cls, indexes: dict, **kwargs) -> "AnnTcpServer":
+        """Multi-index node (`Server/ServiceContext.cpp` loads an index
+        MAP from its config; queries pick members with ``$indexname``):
+        ``indexes`` maps name → (heads, postings) Spark artifacts or an
+        already-built replica object. Artifact pairs warm through the same
+        memoized warm_replica path as from_index; node-wide kwargs
+        (k/nprobe/metric) apply to every member, like the reference
+        service's shared settings."""
+        from sptag_spark.plans.planner import warm_replica
+
+        reps = {}
+        for name, v in indexes.items():
+            if isinstance(v, tuple):
+                h, p = v
+                reps[name] = warm_replica(
+                    h, p, metric=kwargs.get("metric", "l2")
+                )
+            else:
+                reps[name] = v
+        return cls(reps, **kwargs)
 
     def start(self) -> "AnnTcpServer":
         self._thread.start()
@@ -514,6 +584,44 @@ class RemoteReplicaAggregator:
             self._pool = None
         for rep in self.replicas:
             rep.close()
+
+
+def load_server_ini(path: str) -> dict:
+    """Parse the reference's Server service config
+    (`Server/ServiceContext.cpp:24-58`): [Service] ListenAddr /
+    ListenPort, [QueryConfig] DefaultMaxResultNumber, [Index]
+    List=<a,b,...> with one [Index_<name>] IndexFolder=... section per
+    member — names whose section lacks IndexFolder are SKIPPED, mirroring
+    the reference's DoesParameterExist continue. → {host, port, k,
+    indexes: {name: folder}} (insertion order = List order)."""
+    import configparser
+
+    cp = configparser.ConfigParser()
+    with open(path) as f:
+        cp.read_string(f.read())
+    svc = cp["Service"] if cp.has_section("Service") else {}
+    qc = cp["QueryConfig"] if cp.has_section("QueryConfig") else {}
+    index_list = (
+        cp.get("Index", "List", fallback="")
+        if cp.has_section("Index")
+        else ""
+    )
+    indexes: dict[str, str] = {}
+    for name in (n.strip() for n in index_list.split(",") if n.strip()):
+        sec = f"Index_{name}"
+        folder = (
+            cp.get(sec, "IndexFolder", fallback="")
+            if cp.has_section(sec)
+            else ""
+        )
+        if folder:
+            indexes[name] = folder
+    return {
+        "host": svc.get("ListenAddr", "0.0.0.0"),
+        "port": int(svc.get("ListenPort", "8000")),
+        "k": int(qc.get("DefaultMaxResultNumber", "10")),
+        "indexes": indexes,
+    }
 
 
 def load_aggregator_ini(path: str) -> dict:

@@ -95,6 +95,24 @@ def _route_batch(
     return pair_q, pair_h
 
 
+def _id_filter_mask(
+    ids: np.ndarray,
+    deleted_ids: np.ndarray | None,
+    allowed_ids: np.ndarray | None,
+) -> np.ndarray | None:
+    """Serve-time candidate filter: keep ids not in ``deleted_ids``
+    (tombstones) and, when given, in ``allowed_ids`` (a metadata
+    predicate's surviving ids). → boolean mask, or None when no filter
+    applies (callers skip the indexing pass)."""
+    keep = None
+    if deleted_ids is not None and len(deleted_ids):
+        keep = np.isin(ids, np.asarray(deleted_ids), invert=True)
+    if allowed_ids is not None:
+        k2 = np.isin(ids, np.asarray(allowed_ids))
+        keep = k2 if keep is None else (keep & k2)
+    return keep
+
+
 def _run_positions(sorted_keys: np.ndarray) -> np.ndarray:
     """Position of each element within its run of equal keys (keys must
     be pre-sorted) — the segment-arithmetic replacement for a per-group
@@ -144,9 +162,19 @@ class LocalSpannReplica:
         nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
         metric: str = "l2",
         max_dist_ratio: float = MAX_DIST_RATIO,
+        deleted_ids: np.ndarray | None = None,
+        allowed_ids: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """→ (ids, dists), rank order. Same routing + scoring semantics as
-        the distributed plan (index/ann.py)."""
+        the distributed plan (index/ann.py).
+
+        ``deleted_ids`` / ``allowed_ids``: serve-time candidate filters —
+        the reference's serving node drops tombstoned ids during search
+        (`SPANNIndex.cpp` checks m_deletedID per candidate; metadata
+        filters reach the same spot via the filter UDF, §2.2) rather than
+        rebuilding. Filtering happens BEFORE scoring, after dedup, so the
+        top-k back-fills from the surviving candidates exactly like the
+        reference's heap that never admits a deleted id."""
         if len(self.head_ids) == 0:  # empty shard answers empty, not a crash
             return np.empty(0, dtype=np.int64), np.empty(0)
         q = np.asarray(q, dtype=np.float64)
@@ -166,6 +194,11 @@ class LocalSpannReplica:
         _, first = np.unique(ids, return_index=True)
         cand = cand[first]
         ids = self.post_ids[cand]
+        keep = _id_filter_mask(ids, deleted_ids, allowed_ids)
+        if keep is not None:
+            cand, ids = cand[keep], ids[keep]
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0)
         # explicit float64 promotion of the gathered slab: a float32
         # store (DiskSpannReplica's memmap) must score bit-identically to
         # the RAM replica's float64 copy — l2 promotes inside V - q, but
@@ -183,12 +216,17 @@ class LocalSpannReplica:
         nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
         metric: str = "l2",
         max_dist_ratio: float = MAX_DIST_RATIO,
+        deleted_ids: np.ndarray | None = None,
+        allowed_ids: np.ndarray | None = None,
     ) -> list[tuple[int, int, int, float]]:
         """Per-query loop over search_one — the semantic definition of
         batch_search; tests pin the vectorized path row-identical to it."""
         out = []
         for qid, q in queries:
-            ids, d = self.search_one(q, k, nprobe, metric, max_dist_ratio)
+            ids, d = self.search_one(
+                q, k, nprobe, metric, max_dist_ratio,
+                deleted_ids=deleted_ids, allowed_ids=allowed_ids,
+            )
             out.extend(
                 (int(qid), r + 1, int(i), float(dd))
                 for r, (i, dd) in enumerate(zip(ids, d))
@@ -202,6 +240,8 @@ class LocalSpannReplica:
         nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
         metric: str = "l2",
         max_dist_ratio: float = MAX_DIST_RATIO,
+        deleted_ids: np.ndarray | None = None,
+        allowed_ids: np.ndarray | None = None,
     ) -> list[tuple[int, int, int, float]]:
         """→ rows of (query_id, rank, id, dist) — the QueryResult contract,
         row-identical to a search_one loop but VECTORIZED head-major: the
@@ -242,6 +282,8 @@ class LocalSpannReplica:
                         nprobe,
                         metric,
                         max_dist_ratio,
+                        deleted_ids=deleted_ids,
+                        allowed_ids=allowed_ids,
                     )
                 )
             return out
@@ -352,6 +394,19 @@ class LocalSpannReplica:
                 cd_s[new],
                 cr_s[new],
             )
+        fmask = _id_filter_mask(ids_u, deleted_ids, allowed_ids)
+        if fmask is not None:
+            # serve-time tombstone/predicate filter, BEFORE the margin
+            # preselect so the top-k back-fills from survivors (the
+            # reference's heap never admits a deleted id)
+            cq_u, ids_u, cd_u, cr_u = (
+                cq_u[fmask],
+                ids_u[fmask],
+                cd_u[fmask],
+                cr_u[fmask],
+            )
+            if len(cq_u) == 0:
+                return []
         o2 = np.lexsort((ids_u, cd_u, cq_u))
         cq_u, ids_u, cr_u = cq_u[o2], ids_u[o2], cr_u[o2]
         pos = _run_positions(cq_u)
@@ -1057,6 +1112,8 @@ class ShardedSpannAggregator:
         nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
         metric: str = "l2",
         max_dist_ratio: float = MAX_DIST_RATIO,
+        deleted_ids: np.ndarray | None = None,
+        allowed_ids: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         # SERIAL scatter, deliberately (measured r10, SCALING.md): a
         # thread-pool scatter was built and REJECTED — per-shard searches
@@ -1067,7 +1124,10 @@ class ShardedSpannAggregator:
         # not throughput, require concurrency.
         ids_all, d_all = [], []
         for rep in self.replicas:
-            ids, d = rep.search_one(q, k, nprobe, metric, max_dist_ratio)
+            ids, d = rep.search_one(
+                q, k, nprobe, metric, max_dist_ratio,
+                deleted_ids=deleted_ids, allowed_ids=allowed_ids,
+            )
             ids_all.append(ids)
             d_all.append(d)
         return self._merge(ids_all, d_all, k)
@@ -1079,6 +1139,8 @@ class ShardedSpannAggregator:
         nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
         metric: str = "l2",
         max_dist_ratio: float = MAX_DIST_RATIO,
+        deleted_ids: np.ndarray | None = None,
+        allowed_ids: np.ndarray | None = None,
     ) -> list[tuple[int, int, int, float]]:
         """→ rows of (query_id, rank, id, dist) — the whole batch scatters
         to every shard's VECTORIZED batch path (each shard gathers each of
@@ -1094,7 +1156,10 @@ class ShardedSpannAggregator:
         id_parts: list[np.ndarray] = []
         d_parts: list[np.ndarray] = []
         for rep in self.replicas:
-            rows = rep.batch_search(pos_q, k, nprobe, metric, max_dist_ratio)
+            rows = rep.batch_search(
+                pos_q, k, nprobe, metric, max_dist_ratio,
+                deleted_ids=deleted_ids, allowed_ids=allowed_ids,
+            )
             if not rows:
                 continue
             pi_parts.append(np.array([r[0] for r in rows], dtype=np.int64))
@@ -1150,6 +1215,8 @@ class ShardedSpannAggregator:
         metric: str = "l2",
         max_dist_ratio: float = MAX_DIST_RATIO,
         budget_ms: float = 50.0,
+        deleted_ids: np.ndarray | None = None,
+        allowed_ids: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray, bool]:
         """Per-query time budget with PARTIAL results — the reference
         aggregator's shard-timeout semantics (`AggregatorService.cpp:
@@ -1181,7 +1248,8 @@ class ShardedSpannAggregator:
         try:
             futs = [
                 ex.submit(
-                    rep.search_one, q, k, nprobe, metric, max_dist_ratio
+                    rep.search_one, q, k, nprobe, metric, max_dist_ratio,
+                    deleted_ids, allowed_ids,
                 )
                 for rep in self.replicas
             ]
@@ -1278,8 +1346,12 @@ class LocalPqSpannReplica:
         nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
         metric: str = "l2",
         max_dist_ratio: float = MAX_DIST_RATIO,
+        deleted_ids: np.ndarray | None = None,
+        allowed_ids: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """→ (ids, adc_dists) in rank order; distances are ADC estimates."""
+        """→ (ids, adc_dists) in rank order; distances are ADC estimates.
+        ``deleted_ids``/``allowed_ids``: serve-time candidate filters
+        (see LocalSpannReplica.search_one)."""
         q = np.asarray(q, dtype=np.float64)
         hd = _exact_pair_dists(self.H, q, metric)
         sel = np.lexsort((self.head_ids, hd))[: min(nprobe, len(self.head_ids))]
@@ -1293,6 +1365,11 @@ class LocalPqSpannReplica:
         if rows.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0)
         rows = np.unique(rows)  # replica dedup (row index ≡ vector id)
+        keep = _id_filter_mask(self.code_ids[rows], deleted_ids, allowed_ids)
+        if keep is not None:
+            rows = rows[keep]
+        if rows.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0)
         cb, R = self.books.codebooks, self.books.rotation
         m, n_codes, sub = cb.shape
         qr = q @ R if R is not None else q
@@ -1333,12 +1410,17 @@ class LocalPqSpannReplica:
         nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
         metric: str = "l2",
         max_dist_ratio: float = MAX_DIST_RATIO,
+        deleted_ids: np.ndarray | None = None,
+        allowed_ids: np.ndarray | None = None,
     ) -> list[tuple[int, int, int, float]]:
         """Per-query loop over search_one — the semantic definition of
         batch_search; tests pin the vectorized path row-identical to it."""
         out = []
         for qid, q in queries:
-            ids, d = self.search_one(q, k, nprobe, metric, max_dist_ratio)
+            ids, d = self.search_one(
+                q, k, nprobe, metric, max_dist_ratio,
+                deleted_ids=deleted_ids, allowed_ids=allowed_ids,
+            )
             out.extend(
                 (int(qid), r + 1, int(i), float(dd))
                 for r, (i, dd) in enumerate(zip(ids, d))
@@ -1352,6 +1434,8 @@ class LocalPqSpannReplica:
         nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
         metric: str = "l2",
         max_dist_ratio: float = MAX_DIST_RATIO,
+        deleted_ids: np.ndarray | None = None,
+        allowed_ids: np.ndarray | None = None,
     ) -> list[tuple[int, int, int, float]]:
         """→ rows of (query_id, rank, id, adc_dist) — the QueryResult
         contract with ADC-estimated distances (or exact reranked distances
@@ -1377,6 +1461,8 @@ class LocalPqSpannReplica:
                         nprobe,
                         metric,
                         max_dist_ratio,
+                        deleted_ids=deleted_ids,
+                        allowed_ids=allowed_ids,
                     )
                 )
             return out
@@ -1471,6 +1557,16 @@ class LocalPqSpannReplica:
             new[1:] = (cq_s[1:] != cq_s[:-1]) | (cr_s[1:] != cr_s[:-1])
             cq_u, cr_u, cd_u = cq_s[new], cr_s[new], cd_s[new]
         ids_u = self.code_ids[cr_u]
+        fmask = _id_filter_mask(ids_u, deleted_ids, allowed_ids)
+        if fmask is not None:
+            cq_u, cr_u, cd_u, ids_u = (
+                cq_u[fmask],
+                cr_u[fmask],
+                cd_u[fmask],
+                ids_u[fmask],
+            )
+            if len(cq_u) == 0:
+                return []
 
         # rank by (adc, id) per query — deterministic values, no rescore
         o2 = np.lexsort((ids_u, cd_u, cq_u))

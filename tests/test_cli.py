@@ -379,3 +379,153 @@ def test_cli_aggserve_ini_config(spark, capsys, tmp_path):
         s2.stop()
     heads.unpersist()
     postings.unpersist()
+
+
+def test_cli_serve_multi_index(spark, tmp_path, capsys):
+    """`cli serve -x a=path1 -x b=path2` hosts a multi-index node
+    (ServiceContext map); $indexname routes queries to a member."""
+    import socket
+    import threading
+    import time as _t
+
+    from sptag_spark.cli import cmd_build, cmd_serve
+    from sptag_spark.server import encode_query
+
+    rng = np.random.default_rng(11)
+    idxs = {}
+    for name, base in (("a", 0.0), ("b", 100.0)):
+        X = (rng.normal(size=(60, 6)) + base).astype("float32")
+        corpus = str(tmp_path / f"{name}.tsv")
+        _write_txt(corpus, X, name)
+        idx = str(tmp_path / f"idx_{name}")
+        assert cmd_build(
+            argparse.Namespace(
+                input=corpus, output=idx, algo="SPANN",
+                valuetype="float32", filetype="TXT", delimiter="|",
+                overrides=["SelectHead.Ratio=0.2"],
+            ),
+            spark,
+        ) == 0
+        idxs[name] = (idx, X)
+    capsys.readouterr()
+    ns = argparse.Namespace(
+        index=[f"a={idxs['a'][0]}", f"b={idxs['b'][0]}"],
+        host="127.0.0.1", port=0, k=3, duration=25.0, memory_budget=None,
+    )
+    t = threading.Thread(target=cmd_serve, args=(ns, spark), daemon=True)
+    t.start()
+    addr = None
+    for _ in range(80):
+        for line in capsys.readouterr().out.splitlines():
+            if '"serving"' in line:
+                info = json.loads(line)
+                addr = tuple(info["serving"])
+                assert info["indexes"] == ["a", "b"]
+        if addr:
+            break
+        _t.sleep(0.25)
+    assert addr, "serve never reported its address"
+    # the TSV writer truncates to 5 decimals — query what the index stored
+    qb = [float(f"{v:.5f}") for v in idxs["b"][1][3]]
+    with socket.create_connection((addr[0], int(addr[1])), timeout=30) as s:
+        f = s.makefile("rw", encoding="utf-8")
+        f.write(encode_query(qb, indexname="b") + "\n")
+        f.flush()
+        resp = json.loads(f.readline())
+    assert [e["index"] for e in resp["indexResults"]] == ["b"]
+    # float32 parquet storage vs the float64 decimal query → ~1e-11 self-dist
+    assert resp["results"][0]["id"] == 3
+    assert resp["results"][0]["dist"] < 1e-9
+
+
+def test_load_server_ini(tmp_path):
+    """load_server_ini parses the reference's Server boot config
+    (ServiceContext.cpp:24-58): [Service]/[QueryConfig] knobs and the
+    [Index] List → [Index_<name>] IndexFolder map; names whose section
+    lacks IndexFolder are skipped."""
+    from sptag_spark.server import load_server_ini
+
+    p = tmp_path / "Server.ini"
+    p.write_text(
+        "[Service]\n"
+        "ListenAddr=127.0.0.1\n"
+        "ListenPort=8765\n"
+        "[QueryConfig]\n"
+        "DefaultMaxResultNumber=6\n"
+        "[Index]\n"
+        "List=a,b,ghost\n"
+        "[Index_a]\n"
+        "IndexFolder=/data/idx_a\n"
+        "[Index_b]\n"
+        "IndexFolder=/data/idx_b\n"
+        "[Index_ghost]\n"
+        "SomethingElse=1\n"
+    )
+    cfg = load_server_ini(str(p))
+    assert cfg["host"] == "127.0.0.1" and cfg["port"] == 8765
+    assert cfg["k"] == 6
+    assert cfg["indexes"] == {"a": "/data/idx_a", "b": "/data/idx_b"}
+    (tmp_path / "empty.ini").write_text("")
+    assert load_server_ini(str(tmp_path / "empty.ini")) == {
+        "host": "0.0.0.0", "port": 8000, "k": 10, "indexes": {},
+    }
+
+
+def test_cli_serve_from_server_ini(spark, tmp_path, capsys):
+    """`cli serve --config Server.ini` boots the node entirely from the
+    reference's service config — index map, port, and k."""
+    import socket
+    import threading
+    import time as _t
+
+    from sptag_spark.cli import cmd_build, cmd_serve
+    from sptag_spark.server import encode_query
+
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(50, 6)).astype("float32")
+    corpus = str(tmp_path / "c.tsv")
+    _write_txt(corpus, X, "m")
+    idx = str(tmp_path / "idx")
+    assert cmd_build(
+        argparse.Namespace(
+            input=corpus, output=idx, algo="SPANN",
+            valuetype="float32", filetype="TXT", delimiter="|",
+            overrides=["SelectHead.Ratio=0.2"],
+        ),
+        spark,
+    ) == 0
+    ini = tmp_path / "Server.ini"
+    ini.write_text(
+        "[Service]\nListenAddr=127.0.0.1\nListenPort=0\n"
+        "[QueryConfig]\nDefaultMaxResultNumber=4\n"
+        "[Index]\nList=main\n"
+        f"[Index_main]\nIndexFolder={idx}\n"
+    )
+    capsys.readouterr()
+    ns = argparse.Namespace(
+        index=None, config=str(ini), host=None, port=None, k=None,
+        duration=25.0, memory_budget=None,
+    )
+    t = threading.Thread(target=cmd_serve, args=(ns, spark), daemon=True)
+    t.start()
+    addr = None
+    for _ in range(80):
+        for line in capsys.readouterr().out.splitlines():
+            if '"serving"' in line:
+                info = json.loads(line)
+                addr = tuple(info["serving"])
+                assert info["k"] == 4 and info["indexes"] == ["main"]
+        if addr:
+            break
+        _t.sleep(0.25)
+    assert addr, "serve never reported its address"
+    q = [float(f"{v:.5f}") for v in X[7]]
+    with socket.create_connection((addr[0], int(addr[1])), timeout=30) as s:
+        f = s.makefile("rw", encoding="utf-8")
+        f.write(encode_query(q) + "\n")
+        f.flush()
+        resp = json.loads(f.readline())
+    # a singleton index map answers without $indexname (SelectIndex)
+    assert resp["results"][0]["id"] == 7
+    assert resp["results"][0]["dist"] < 1e-9
+    assert len(resp["results"]) == 4

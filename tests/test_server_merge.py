@@ -648,3 +648,69 @@ def test_remote_shard_reconnects_after_backend_restart(spark, vectors):
         srv.stop()
         heads.unpersist()
         postings.unpersist()
+
+
+def test_tcp_server_multi_index_map(spark):
+    """Multi-index node (`Server/ServiceContext.cpp` index map +
+    `SearchExecutor::SelectIndex`): $indexname:a,b searches each named
+    index and the response carries per-index result sets; unknown names
+    are silently skipped; with NO $indexname, only a singleton map
+    selects (a multi-index node answers empty, like the reference)."""
+    import json
+    import socket
+
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    def mk(base):
+        vecs = spark.createDataFrame(
+            [(base + i, [float(base + i)] * 6) for i in range(30)],
+            "id long, vector array<float>",
+        )
+        heads = select_heads(vecs, ratio=0.2)
+        return LocalSpannReplica(heads, build_postings(vecs, heads))
+
+    rep_a, rep_b = mk(0), mk(1000)
+    srv = AnnTcpServer({"a": rep_a, "b": rep_b}, k=3, nprobe=4).start()
+    try:
+        with socket.create_connection(srv.address, timeout=30) as s:
+            f = s.makefile("rw", encoding="utf-8")
+
+            def ask(line):
+                f.write(line + "\n")
+                f.flush()
+                return json.loads(f.readline())
+
+            # one named index → that index only; results mirrors it
+            r = ask(encode_query([5.0] * 6, indexname="a"))
+            assert [e["index"] for e in r["indexResults"]] == ["a"]
+            assert r["results"][0]["id"] == 5
+            # both → two result sets, each with its own nearest
+            r = ask(encode_query([1005.0] * 6, indexname="a,b"))
+            assert [e["index"] for e in r["indexResults"]] == ["a", "b"]
+            assert r["indexResults"][1]["results"][0] == {
+                "rank": 1, "id": 1005, "dist": 0.0,
+            }
+            assert r["indexResults"][0]["results"][0]["id"] == 29  # a's max
+            # unknown names skipped (SelectIndex's find-miss continue)
+            r = ask(encode_query([5.0] * 6, indexname="zzz,b"))
+            assert [e["index"] for e in r["indexResults"]] == ["b"]
+            # no $indexname on a 2-index node → nothing selected
+            r = ask(encode_query([5.0] * 6))
+            assert r["indexResults"] == [] and r["results"] == []
+    finally:
+        srv.stop()
+    # a SINGLETON map selects without $indexname (SelectIndex size()==1)
+    srv1 = AnnTcpServer({"only": rep_a}, k=3, nprobe=4).start()
+    try:
+        with socket.create_connection(srv1.address, timeout=30) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            f.write(encode_query([5.0] * 6) + "\n")
+            f.flush()
+            r = json.loads(f.readline())
+            assert r["results"][0] == {"rank": 1, "id": 5, "dist": 0.0}
+            assert [e["index"] for e in r["indexResults"]] == ["only"]
+    finally:
+        srv1.stop()

@@ -946,3 +946,94 @@ def test_pq_replica_batch_identical_to_serial(spark, built, tmp_path):
         qs, k=10, nprobe=8
     )
     assert rep.batch_search([], k=10) == []
+
+
+def test_replica_serve_time_filters(spark, built):
+    """Serve-time tombstone/predicate filters (the reference node checks
+    its deleted set per candidate during search, §2.2 at the serving
+    tier): excluded ids never appear, the top-k back-fills from
+    survivors, and with nprobe = all heads the filtered answer equals
+    exact filtered kNN computed independently."""
+    v, heads, postings = built
+    replica = LocalSpannReplica(heads, postings)
+    qs = _qlist(spark)
+    n_heads = heads.count()
+    rows = v.select("id", "vector").collect()
+    all_ids = np.array(sorted(r["id"] for r in rows), dtype=np.int64)
+    V = np.array(
+        [r["vector"] for r in sorted(rows, key=lambda r: r["id"])],
+        dtype=np.float64,
+    )
+    qid, q = qs[0]
+    # tombstone the self-hit: it must vanish and k results remain
+    dele = np.array([qid], dtype=np.int64)
+    ids, d = replica.search_one(q, k=10, nprobe=6, deleted_ids=dele)
+    assert qid not in ids and len(ids) == 10 and d[0] > 0.0
+    # allowed-set: only members are returned
+    allowed = all_ids[all_ids % 3 == 0]
+    ids, d = replica.search_one(q, k=10, nprobe=6, allowed_ids=allowed)
+    assert set(ids) <= set(allowed.tolist())
+    # exhaustive probe == exact filtered kNN (independent numpy oracle)
+    from sptag_spark.operators.knn import _exact_pair_dists
+
+    mask = np.isin(all_ids, allowed)
+    dd = _exact_pair_dists(V[mask], q, "l2")
+    order = np.lexsort((all_ids[mask], dd))[:10]
+    want_ids = all_ids[mask][order]
+    ids, d = replica.search_one(
+        q, k=10, nprobe=n_heads, allowed_ids=allowed
+    )
+    assert list(ids) == list(want_ids)
+    # batch path (vectorized) == search_one loop under the same filters
+    got = replica.batch_search(
+        qs, k=10, nprobe=6, deleted_ids=dele, allowed_ids=allowed
+    )
+    want = replica._batch_search_serial(
+        qs, k=10, nprobe=6, deleted_ids=dele, allowed_ids=allowed
+    )
+    assert got == want
+    # everything filtered away answers empty, not a crash
+    assert replica.batch_search(
+        qs[:2], k=10, nprobe=6, allowed_ids=np.array([], dtype=np.int64)
+    ) == []
+
+
+def test_pq_and_aggregator_serve_time_filters(spark, built):
+    """The PQ replica and the sharded aggregator honor the same
+    serve-time filters; batch paths stay identical to their loops."""
+    from sptag_spark.index.pq import pq_encode, train_pq
+    from sptag_spark.serving_local import (
+        LocalPqSpannReplica,
+        ShardedSpannAggregator,
+    )
+
+    v, heads, postings = built
+    qs = _qlist(spark)
+    qid, q = qs[0]
+    dele = np.array([qid], dtype=np.int64)
+
+    books = train_pq(v, m=8)
+    codes = pq_encode(v, books)
+    pq_rep = LocalPqSpannReplica(heads, postings, codes, books)
+    ids, _ = pq_rep.search_one(q, k=10, nprobe=8, deleted_ids=dele)
+    assert qid not in ids and len(ids) == 10
+    assert pq_rep.batch_search(
+        qs, k=10, nprobe=8, deleted_ids=dele
+    ) == pq_rep._batch_search_serial(qs, k=10, nprobe=8, deleted_ids=dele)
+
+    agg = ShardedSpannAggregator(heads, postings, n_shards=3)
+    ids, _ = agg.search_one(q, k=10, nprobe=4, deleted_ids=dele)
+    assert qid not in ids and len(ids) == 10
+    got = agg.batch_search(qs, k=10, nprobe=4, deleted_ids=dele)
+    want = []
+    for qq, vv in qs:
+        i2, d2 = agg.search_one(vv, k=10, nprobe=4, deleted_ids=dele)
+        want.extend(
+            (qq, r + 1, int(i), float(dd))
+            for r, (i, dd) in enumerate(zip(i2, d2))
+        )
+    assert got == want
+    ids, d, partial = agg.search_with_deadline(
+        q, k=10, nprobe=4, budget_ms=5000.0, deleted_ids=dele
+    )
+    assert qid not in ids and not partial
