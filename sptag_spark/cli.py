@@ -482,17 +482,35 @@ def cmd_aggserve(args, spark) -> int:
         return 2
     host = args.host if args.host is not None else ini.get("host", "127.0.0.1")
     port = args.port if args.port is not None else ini.get("port", 0)
-    k = args.k if args.k is not None else ini.get("k", -1)
-    if k is None or k <= 0:
-        k = 10  # reference TopK=-1 → per-query k; 10 is the wire default
+    k = args.k if args.k is not None else 10  # wire default result count
     args.k = k  # reported below
-    srv = aggregator_server(backends, host=host, port=port, k=k).start()
+    # center-routed scatter ([Service] TopK + Centers,
+    # AggregatorService.cpp:215-258): with one center per backend and
+    # TopK > 0, each query goes to only the TopK nearest backends
+    centers = None
+    scatter_topk = ini.get("scatter_topk", -1)
+    centers_path = ini.get("centers", "")
+    if scatter_topk and scatter_topk > 0 and os.path.exists(centers_path):
+        from sptag_spark.io.readers import read_binary_vectors
+
+        rows = (
+            read_binary_vectors(spark, centers_path, "default")
+            .orderBy("id")
+            .collect()
+        )
+        centers = [list(r["vector"]) for r in rows]
+    srv = aggregator_server(
+        backends, host=host, port=port, k=k,
+        centers=centers,
+        scatter_topk=scatter_topk if scatter_topk > 0 else None,
+    ).start()
     print(
         json.dumps(
             {
                 "aggregating": list(srv.address),
                 "backends": [list(b) for b in backends],
                 "k": args.k,
+                "scatter_topk": scatter_topk if centers is not None else None,
             }
         ),
         flush=True,

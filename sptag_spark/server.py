@@ -482,6 +482,52 @@ class RemoteShard:
             np.array([r["dist"] for r in rs], dtype=np.float64),
         )
 
+    def batch_search(
+        self,
+        queries,
+        k: int = 10,
+        nprobe: int | None = None,
+        metric: str | None = None,
+        max_dist_ratio: float | None = None,
+    ) -> list[tuple[int, int, int, float]]:
+        """→ rows of (query_id, rank, id, dist) — the batch PIPELINED over
+        the persistent connection: every query line is written before any
+        response is read (the serve loop answers one connection's lines in
+        order), so a batch pays one round-trip's latency instead of
+        len(queries). The remote node's own vectorized batch path does the
+        per-line work; this client never waits per query."""
+        import json
+
+        if not queries:
+            return []
+        try:
+            f = self._files()
+            for _, q in queries:
+                f.write(
+                    encode_query([float(v) for v in q], resultnum=int(k))
+                    + "\n"
+                )
+            f.flush()
+            out: list[tuple[int, int, int, float]] = []
+            for qid, _ in queries:
+                line = f.readline()
+                if not line:
+                    self._invalidate()
+                    raise ConnectionError(
+                        f"shard {self.host}:{self.port} closed"
+                    )
+                resp = json.loads(line)
+                if "error" in resp:
+                    raise RuntimeError(resp["error"])
+                out.extend(
+                    (int(qid), int(r["rank"]), int(r["id"]), float(r["dist"]))
+                    for r in resp["results"]
+                )
+            return out
+        except OSError:
+            self._invalidate()
+            raise
+
     def close(self) -> None:
         s = getattr(self._local, "s", None)
         if s is not None:
@@ -505,9 +551,54 @@ class RemoteReplicaAggregator:
 
     dispatch_label = "remote_aggregator"
 
-    def __init__(self, backends) -> None:
+    def __init__(
+        self,
+        backends,
+        centers=None,
+        scatter_topk: int | None = None,
+        metric: str = "l2",
+    ) -> None:
+        """``centers``/``scatter_topk``: center-routed scatter — one
+        center vector per backend (BalancedDataPartition's per-node
+        centers; the reference reads them from the `[Service] Centers`
+        file) and the number of nearest backends to scatter each query to
+        (`[Service] TopK`, `AggregatorService.cpp:215-258`). Requires one
+        center per backend, like the reference's count check; None
+        broadcasts."""
         self.replicas = [RemoteShard(h, p) for h, p in backends]
+        self.centers = (
+            np.asarray(centers, dtype=np.float64)
+            if centers is not None
+            else None
+        )
+        if self.centers is not None and len(self.centers) != len(
+            self.replicas
+        ):
+            raise ValueError(
+                f"{len(self.centers)} centers for {len(self.replicas)} "
+                "backends — the reference routes only when counts match"
+            )
+        self.scatter_topk = scatter_topk
+        self.metric = metric
         self._pool = None
+
+    def _route(self, q) -> list[int]:
+        """Backend indices for this query: all, or the scatter_topk
+        nearest by query-to-center distance ((dist, index) ties)."""
+        from sptag_spark.operators.knn import _exact_pair_dists
+
+        n = len(self.replicas)
+        if (
+            self.centers is None
+            or not self.scatter_topk
+            or self.scatter_topk >= n
+        ):
+            return list(range(n))
+        d = _exact_pair_dists(
+            self.centers, np.asarray(q, np.float64), self.metric
+        )
+        order = np.lexsort((np.arange(n), d))
+        return [int(i) for i in order[: self.scatter_topk]]
 
     def _scatter_pool(self):
         import concurrent.futures as cf
@@ -523,13 +614,42 @@ class RemoteReplicaAggregator:
         from sptag_spark.serving_local import ShardedSpannAggregator
 
         futs = [
-            self._scatter_pool().submit(rep.search_one, q, k)
-            for rep in self.replicas
+            self._scatter_pool().submit(self.replicas[j].search_one, q, k)
+            for j in self._route(q)
         ]
         res = [f.result() for f in futs]
         return ShardedSpannAggregator._merge(
             [r[0] for r in res], [r[1] for r in res], k
         )
+
+    def batch_search(
+        self, queries, k=10, nprobe=None, metric=None, **_
+    ) -> list[tuple[int, int, int, float]]:
+        """→ (query_id, rank, id, dist) rows: the WHOLE batch scatters to
+        every shard's pipelined batch path concurrently (one pool thread
+        per shard — these are network waits, where threading is right),
+        and the gather is the in-process aggregator's batched segment
+        merge. Queries tracked by batch position, so duplicate query_ids
+        stay independent."""
+        import numpy as np
+
+        from sptag_spark.serving_local import ShardedSpannAggregator
+
+        if not queries:
+            return []
+        pos_q = [(i, v) for i, (_, v) in enumerate(queries)]
+        qids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+        per_shard: list[list] = [[] for _ in self.replicas]
+        for item in pos_q:
+            for j in self._route(item[1]):
+                per_shard[j].append(item)
+        futs = [
+            self._scatter_pool().submit(self.replicas[j].batch_search, sub, k)
+            for j, sub in enumerate(per_shard)
+            if sub
+        ]
+        parts = [f.result() for f in futs]
+        return ShardedSpannAggregator._merge_batch(parts, qids, k)
 
     def search_with_deadline(
         self, q, k=10, nprobe=None, metric=None, budget_ms=50.0, **_
@@ -627,11 +747,16 @@ def load_server_ini(path: str) -> dict:
 def load_aggregator_ini(path: str) -> dict:
     """Parse the reference's Aggregator.ini
     (`AggregatorContext.cpp:30-55`): [Service] ListenAddr / ListenPort /
-    TopK, [Servers] Number, then one [Server_<i>] section per backend with
-    Address / Port — missing or incomplete server sections are SKIPPED,
-    mirroring the reference's empty-address ``continue``. TopK <= 0 means
-    "use the query's k" (the reference default -1); callers substitute
-    their own default. → {host, port, k, backends}."""
+    TopK / Centers, [Servers] Number, then one [Server_<i>] section per
+    backend with Address / Port — missing or incomplete server sections
+    are SKIPPED, mirroring the reference's empty-address ``continue``.
+
+    NOTE the reference semantics of TopK: it is the CENTER-ROUTED SCATTER
+    fan-out — the number of nearest servers (by query-to-center distance
+    against the `Centers` vector file) each query is sent to
+    (`AggregatorService.cpp:215-258`) — NOT a result count. <= 0 (the
+    default -1) means broadcast to all servers.
+    → {host, port, scatter_topk, centers (file path), backends}."""
     import configparser
 
     cp = configparser.ConfigParser()
@@ -656,13 +781,20 @@ def load_aggregator_ini(path: str) -> dict:
     return {
         "host": svc.get("ListenAddr", "0.0.0.0"),
         "port": int(svc.get("ListenPort", "8100")),
-        "k": int(svc.get("TopK", "-1")),
+        "scatter_topk": int(svc.get("TopK", "-1")),
+        "centers": svc.get("Centers", "centers"),
         "backends": backends,
     }
 
 
 def aggregator_server(
-    backends, host: str = "127.0.0.1", port: int = 0, k: int = 10
+    backends,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    k: int = 10,
+    centers=None,
+    scatter_topk: int | None = None,
+    metric: str = "l2",
 ) -> AnnTcpServer:
     """An Aggregator NODE: the same newline-framed wire loop
     (AnnTcpServer), backed by RemoteReplicaAggregator instead of a local
@@ -671,5 +803,12 @@ def aggregator_server(
     the remote shards, and the reference's three-tier deployment (client
     → aggregator → serving nodes, `AggregatorService.cpp`) is complete
     over real sockets."""
-    return AnnTcpServer(RemoteReplicaAggregator(backends), host=host,
-                        port=port, k=k)
+    return AnnTcpServer(
+        RemoteReplicaAggregator(
+            backends, centers=centers, scatter_topk=scatter_topk,
+            metric=metric,
+        ),
+        host=host,
+        port=port,
+        k=k,
+    )

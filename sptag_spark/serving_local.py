@@ -1078,12 +1078,22 @@ class ShardedSpannAggregator:
         postings: DataFrame,
         n_shards: int = 2,
         store_dir: str | None = None,
+        scatter_topk: int | None = None,
     ) -> None:
         """``store_dir``: build each shard as a DiskSpannReplica under
         ``store_dir/shard_<i>`` instead of an all-RAM LocalSpannReplica —
         the multi-node out-of-core deployment (every serving node holds
         its shard's heads in RAM and posting vectors on SSD), so the
-        aggregated corpus can exceed n_shards × RAM."""
+        aggregated corpus can exceed n_shards × RAM.
+
+        ``scatter_topk``: center-routed scatter — send each query to only
+        the N shards whose CENTER (mean of the shard's head centroids) is
+        nearest, instead of broadcasting to all. The reference
+        aggregator's `[Service] TopK` + `Centers` mode
+        (`AggregatorService.cpp:215-258` ranks servers by query-to-center
+        distance and scatters to the TopK): at hundreds of serving nodes,
+        broadcast is the RPC bottleneck and per-node centers bound the
+        fan-out. None (default) broadcasts — exhaustive over shards."""
         import os
 
         import pyspark.sql.functions as F
@@ -1104,6 +1114,32 @@ class ShardedSpannAggregator:
                 else LocalSpannReplica(h_i, p_i)
             )
             lo = hi
+        self.scatter_topk = scatter_topk
+        # one center per shard — what BalancedDataPartition writes as the
+        # per-node centers file the reference aggregator routes with. An
+        # EMPTY shard's center is +inf so routing never selects it (it
+        # has nothing to answer; n_shards can exceed the head count).
+        dim = next(
+            (int(r.H.shape[1]) for r in self.replicas if len(r.H)), 1
+        )
+        self.centers = np.array(
+            [
+                rep.H.mean(axis=0) if len(rep.H) else np.full(dim, np.inf)
+                for rep in self.replicas
+            ]
+        )
+
+    def _route_shards(self, q: np.ndarray, metric: str) -> list[int]:
+        """Shard indices to scatter this query to: all (broadcast), or
+        the scatter_topk nearest by query-to-center distance — the
+        reference's sort-servers-by-distance selection, with (dist, index)
+        determinism in place of std::sort's unstable ties."""
+        n = len(self.replicas)
+        if not self.scatter_topk or self.scatter_topk >= n:
+            return list(range(n))
+        d = _exact_pair_dists(self.centers, np.asarray(q, np.float64), metric)
+        order = np.lexsort((np.arange(n), d))
+        return [int(i) for i in order[: self.scatter_topk]]
 
     def search_one(
         self,
@@ -1123,8 +1159,8 @@ class ShardedSpannAggregator:
         # The deadline path stays threaded — there the budget semantics,
         # not throughput, require concurrency.
         ids_all, d_all = [], []
-        for rep in self.replicas:
-            ids, d = rep.search_one(
+        for j in self._route_shards(q, metric):
+            ids, d = self.replicas[j].search_one(
                 q, k, nprobe, metric, max_dist_ratio,
                 deleted_ids=deleted_ids, allowed_ids=allowed_ids,
             )
@@ -1152,14 +1188,36 @@ class ShardedSpannAggregator:
             return []
         pos_q = [(i, v) for i, (_, v) in enumerate(queries)]
         qids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+        # center routing: each shard answers only the sub-batch of queries
+        # that selected it (broadcast = every shard gets the whole batch)
+        per_shard: list[list] = [[] for _ in self.replicas]
+        for item in pos_q:
+            for j in self._route_shards(item[1], metric):
+                per_shard[j].append(item)
+        parts = [
+            self.replicas[j].batch_search(
+                sub, k, nprobe, metric, max_dist_ratio,
+                deleted_ids=deleted_ids, allowed_ids=allowed_ids,
+            )
+            for j, sub in enumerate(per_shard)
+            if sub
+        ]
+        return self._merge_batch(parts, qids, k)
+
+    @staticmethod
+    def _merge_batch(parts, qids: np.ndarray, k: int):
+        """Gather for a scattered batch: ``parts`` is one row-list per
+        shard, each keyed by batch POSITION. Cross-shard dedup (a vector
+        replicated into heads of different shards answers once; replicas
+        of an id share one vector, so the exact kernel scored it
+        identically in every shard), then the (dist, id) re-rank per
+        query — _merge, without the per-query loop. Shared by the
+        in-process aggregator and the network tier
+        (server.RemoteReplicaAggregator)."""
         pi_parts: list[np.ndarray] = []
         id_parts: list[np.ndarray] = []
         d_parts: list[np.ndarray] = []
-        for rep in self.replicas:
-            rows = rep.batch_search(
-                pos_q, k, nprobe, metric, max_dist_ratio,
-                deleted_ids=deleted_ids, allowed_ids=allowed_ids,
-            )
+        for rows in parts:
             if not rows:
                 continue
             pi_parts.append(np.array([r[0] for r in rows], dtype=np.int64))
@@ -1170,10 +1228,6 @@ class ShardedSpannAggregator:
         pi = np.concatenate(pi_parts)
         ids = np.concatenate(id_parts)
         d = np.concatenate(d_parts)
-        # cross-shard dedup (a vector replicated into heads of different
-        # shards answers once; replicas of an id share one vector, so the
-        # exact kernel scored it identically in every shard), then the
-        # (dist, id) re-rank per query — _merge, without the per-query loop
         o = np.lexsort((d, ids, pi))
         pi, ids, d = pi[o], ids[o], d[o]
         keep = np.ones(len(pi), dtype=bool)
@@ -1248,10 +1302,10 @@ class ShardedSpannAggregator:
         try:
             futs = [
                 ex.submit(
-                    rep.search_one, q, k, nprobe, metric, max_dist_ratio,
-                    deleted_ids, allowed_ids,
+                    self.replicas[j].search_one, q, k, nprobe, metric,
+                    max_dist_ratio, deleted_ids, allowed_ids,
                 )
-                for rep in self.replicas
+                for j in self._route_shards(q, metric)
             ]
             done, not_done = cf.wait(futs, timeout=budget_ms / 1000.0)
         finally:

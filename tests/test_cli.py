@@ -310,13 +310,18 @@ def test_load_aggregator_ini(tmp_path):
     )
     cfg = load_aggregator_ini(str(p))
     assert cfg["host"] == "127.0.0.1" and cfg["port"] == 8123
-    assert cfg["k"] == 7
+    # TopK is the CENTER-ROUTED SCATTER fan-out (number of nearest
+    # servers a query goes to, AggregatorService.cpp:215-258) — not a
+    # result count
+    assert cfg["scatter_topk"] == 7
     assert cfg["backends"] == [("10.0.0.1", 8000), ("10.0.0.3", 8002)]
-    # defaults when sections are absent (reference defaults 0.0.0.0:8100)
+    # defaults when sections are absent (reference defaults 0.0.0.0:8100,
+    # TopK -1 = broadcast, Centers "centers")
     (tmp_path / "empty.ini").write_text("")
     cfg = load_aggregator_ini(str(tmp_path / "empty.ini"))
     assert cfg == {
-        "host": "0.0.0.0", "port": 8100, "k": -1, "backends": [],
+        "host": "0.0.0.0", "port": 8100, "scatter_topk": -1,
+        "centers": "centers", "backends": [],
     }
 
 
@@ -529,3 +534,74 @@ def test_cli_serve_from_server_ini(spark, tmp_path, capsys):
     assert resp["results"][0]["id"] == 7
     assert resp["results"][0]["dist"] < 1e-9
     assert len(resp["results"]) == 4
+
+
+def test_cli_aggserve_center_routed(spark, capsys, tmp_path):
+    """`cli aggserve --config` with [Service] TopK + a Centers vector
+    file (DEFAULT binary, one center per backend) boots the reference's
+    center-routed mode: each query is answered by its nearest backend
+    only."""
+    import socket
+    import struct
+    import threading
+    import time as _t
+
+    from sptag_spark.cli import cmd_aggserve
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer, encode_query
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    def mk(base):
+        vecs = spark.createDataFrame(
+            [(base + i, [float(base + i)] * 4) for i in range(20)],
+            "id long, vector array<float>",
+        )
+        heads = select_heads(vecs, ratio=0.2)
+        return LocalSpannReplica(heads, build_postings(vecs, heads))
+
+    srvs = [AnnTcpServer(mk(b), k=5, nprobe=4).start() for b in (0, 500)]
+    centers = np.array([[10.0] * 4, [510.0] * 4], dtype=np.float32)
+    cpath = tmp_path / "centers.bin"
+    with open(cpath, "wb") as f:
+        f.write(struct.pack("<ii", *centers.shape))
+        centers.tofile(f)
+    lines = [
+        "[Service]", "ListenAddr=127.0.0.1", "ListenPort=0",
+        "TopK=1", f"Centers={cpath}",
+        "[Servers]", f"Number={len(srvs)}",
+    ]
+    for i, s in enumerate(srvs):
+        h, p = s.address
+        lines += [f"[Server_{i}]", f"Address={h}", f"Port={p}"]
+    ini = tmp_path / "Aggregator.ini"
+    ini.write_text("\n".join(lines) + "\n")
+    ns = argparse.Namespace(
+        backends=None, config=str(ini), host=None, port=None, k=5,
+        duration=20.0,
+    )
+    t = threading.Thread(target=cmd_aggserve, args=(ns, spark), daemon=True)
+    t.start()
+    addr = None
+    for _ in range(80):
+        for line in capsys.readouterr().out.splitlines():
+            if '"aggregating"' in line:
+                info = json.loads(line)
+                addr = tuple(info["aggregating"])
+                assert info["scatter_topk"] == 1
+        if addr:
+            break
+        _t.sleep(0.25)
+    assert addr, "aggserve never reported its address"
+    with socket.create_connection((addr[0], int(addr[1])), timeout=30) as s:
+        f = s.makefile("rw", encoding="utf-8")
+        f.write(encode_query([507.0] * 4) + "\n")
+        f.flush()
+        r1 = json.loads(f.readline())
+        f.write(encode_query([3.0] * 4) + "\n")
+        f.flush()
+        r2 = json.loads(f.readline())
+    assert all(e["id"] >= 500 for e in r1["results"])
+    assert all(e["id"] < 500 for e in r2["results"])
+    for s2 in srvs:
+        s2.stop()

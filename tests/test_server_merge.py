@@ -714,3 +714,113 @@ def test_tcp_server_multi_index_map(spark):
             assert [e["index"] for e in r["indexResults"]] == ["only"]
     finally:
         srv1.stop()
+
+
+def test_remote_batch_pipelining(spark, vectors):
+    """The network tier's batch paths: RemoteShard.batch_search pipelines
+    every query line before reading any response (rows identical to a
+    search_one loop over the same shard), and
+    RemoteReplicaAggregator.batch_search scatters the batch to all
+    backends and merges identically to its own search_one loop."""
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import (
+        AnnTcpServer,
+        RemoteReplicaAggregator,
+        RemoteShard,
+    )
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    heads = select_heads(vectors, ratio=0.12).persist()
+    postings = build_postings(vectors, heads).persist()
+    postings.count()
+    local = ShardedSpannAggregator(heads, postings, n_shards=2)
+    srvs = [
+        AnnTcpServer(rep, k=10, nprobe=6).start() for rep in local.replicas
+    ]
+    agg = RemoteReplicaAggregator([s.address for s in srvs])
+    try:
+        qs = [
+            (int(r["id"]), np.asarray(r["vector"], dtype=np.float64))
+            for r in vectors.limit(12).collect()
+        ]
+        shard = RemoteShard(*srvs[0].address)
+        try:
+            got = shard.batch_search(qs, k=5)
+            want = []
+            for qid, q in qs:
+                ids, d = shard.search_one(q, k=5)
+                want.extend(
+                    (qid, r + 1, int(i), float(dd))
+                    for r, (i, dd) in enumerate(zip(ids, d))
+                )
+            assert got == want
+            assert shard.batch_search([], k=5) == []
+        finally:
+            shard.close()
+        got = agg.batch_search(qs, k=5)
+        want = []
+        for qid, q in qs:
+            ids, d = agg.search_one(q, k=5)
+            want.extend(
+                (qid, r + 1, int(i), float(dd))
+                for r, (i, dd) in enumerate(zip(ids, d))
+            )
+        assert got == want
+        # the batch answer equals the in-process aggregator's (same index,
+        # same merge), modulo each node's configured k/nprobe being equal
+        in_proc = local.batch_search(qs, k=5, nprobe=6)
+        assert got == in_proc
+    finally:
+        agg.close()
+        for s in srvs:
+            s.stop()
+        heads.unpersist()
+        postings.unpersist()
+
+
+def test_remote_center_routed_scatter(spark):
+    """The network aggregator honors centers + scatter_topk (the
+    reference's Aggregator.ini TopK/Centers mode): a query near one
+    backend's center is answered by that backend alone; mismatched center
+    count is rejected like the reference's count gate."""
+    import pytest as _pytest
+
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer, RemoteReplicaAggregator
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    def mk(base):
+        vecs = spark.createDataFrame(
+            [(base + i, [float(base + i)] * 4) for i in range(20)],
+            "id long, vector array<float>",
+        )
+        heads = select_heads(vecs, ratio=0.2)
+        return LocalSpannReplica(heads, build_postings(vecs, heads))
+
+    srvs = [AnnTcpServer(mk(b), k=5, nprobe=4).start() for b in (0, 500)]
+    centers = np.array([[10.0] * 4, [510.0] * 4])
+    agg = RemoteReplicaAggregator(
+        [s.address for s in srvs], centers=centers, scatter_topk=1
+    )
+    try:
+        ids, d = agg.search_one(np.array([507.0] * 4), k=5)
+        assert all(int(i) >= 500 for i in ids)
+        rows = agg.batch_search(
+            [(0, np.array([3.0] * 4)), (1, np.array([503.0] * 4))], k=3
+        )
+        by_q = {}
+        for qid, rank, i, dd in rows:
+            by_q.setdefault(qid, []).append(i)
+        assert all(i < 500 for i in by_q[0])
+        assert all(i >= 500 for i in by_q[1])
+    finally:
+        agg.close()
+        for s in srvs:
+            s.stop()
+    with _pytest.raises(ValueError):
+        RemoteReplicaAggregator(
+            [("h", 1), ("h", 2)], centers=np.array([[0.0] * 4]),
+            scatter_topk=1,
+        )

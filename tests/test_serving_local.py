@@ -1037,3 +1037,50 @@ def test_pq_and_aggregator_serve_time_filters(spark, built):
         q, k=10, nprobe=4, budget_ms=5000.0, deleted_ids=dele
     )
     assert qid not in ids and not partial
+
+
+def test_center_routed_scatter(spark):
+    """Center-routed scatter (AggregatorService.cpp:215-258 — [Service]
+    TopK + Centers): each query goes to only the scatter_topk shards with
+    the nearest center. On well-separated shard data, topk=1 routing
+    still finds the self-hit; topk = n_shards equals broadcast exactly;
+    routing applies to search_one, batch_search, and the deadline path."""
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    # two well-separated clusters whose head-id ranges coincide with the
+    # shard split (ids 0..39 near 0, ids 1000..1039 near 100)
+    rows = [(i, [float(i % 40) / 40.0] * 6) for i in range(40)]
+    rows += [(1000 + i, [100.0 + float(i % 40) / 40.0] * 6) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "id long, vector array<float>")
+    heads = select_heads(vecs, ratio=0.2)
+    postings = build_postings(vecs, heads)
+    routed = ShardedSpannAggregator(heads, postings, n_shards=2, scatter_topk=1)
+    bcast = ShardedSpannAggregator(heads, postings, n_shards=2)
+    assert routed.centers.shape[0] == 2
+    q_far = np.array([100.2] * 6)
+    ids, d = routed.search_one(q_far, k=3, nprobe=4)
+    assert all(int(i) >= 1000 for i in ids)  # answered by the far shard
+    # topk >= n_shards falls back to broadcast — identical rows
+    all_r = ShardedSpannAggregator(
+        heads, postings, n_shards=2, scatter_topk=2
+    )
+    qs = [(0, np.array([0.3] * 6)), (1, q_far)]
+    assert all_r.batch_search(qs, k=3, nprobe=4) == bcast.batch_search(
+        qs, k=3, nprobe=4
+    )
+    # batch routing == a search_one loop on the routed aggregator
+    got = routed.batch_search(qs, k=3, nprobe=4)
+    want = []
+    for qid, q in qs:
+        i2, d2 = routed.search_one(q, k=3, nprobe=4)
+        want.extend(
+            (qid, r + 1, int(i), float(dd))
+            for r, (i, dd) in enumerate(zip(i2, d2))
+        )
+    assert got == want
+    ids, d, partial = routed.search_with_deadline(
+        q_far, k=3, nprobe=4, budget_ms=5000.0
+    )
+    assert all(int(i) >= 1000 for i in ids) and not partial
