@@ -156,6 +156,10 @@ def main() -> int:
     threshold = ns.threshold
     old, new = load_bench(ns.old), load_bench(ns.new)
     result = compare(old, new, threshold, floor_sec=ns.floor_sec)
+    # provenance (VERDICT r9 #2): the committed compare must name the
+    # exact committed inputs it was computed from, so a reviewer rerunning
+    # `bench_compare.py <inputs>` reproduces the committed output
+    result = {"inputs": {"old": ns.old, "new": ns.new}, **result}
     rows = result.pop("rows")
     for r in sorted(rows, key=lambda r: -r["gate_ratio"]):
         mark = " <-- FLAG" if r["gate_ratio"] > threshold else ""
