@@ -363,10 +363,24 @@ def cmd_serve(args, spark) -> int:
         args.port = 0
     if args.k is None:
         args.k = 10
-    if len(specs) > 1 or "=" in specs[0]:
+    if len(specs) == 1:
+        # a single index — named or not — takes the single-index path
+        # below (autotuned operating point + budget dispatch ladder): a
+        # one-entry map routes exactly like a lone index anyway
+        # (SelectIndex's size()==1 arm), and booting the same index via
+        # --config must not serve at a different operating point than -x
+        name, _, path = specs[0].partition("=")
+        specs = [path or name]
+    if len(specs) > 1:
         # multi-index node (`ServiceContext` index map): -x name=path per
         # member; queries select with $indexname:a,b. The budget ladder is
-        # a single-index concern — not combined here.
+        # a single-index concern — warn instead of silently ignoring.
+        if getattr(args, "memory_budget", None):
+            print(
+                "serve: --memory-budget applies to single-index nodes "
+                "only; ignored for a multi-index map",
+                file=sys.stderr,
+            )
         indexes = {}
         for spec in specs:
             name, _, path = spec.partition("=")

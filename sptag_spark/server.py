@@ -278,6 +278,16 @@ class AnnTcpServer:
                                 ),
                                 "indexResults": per_index,
                             }
+                            if not names and not p.index_name:
+                                # reference parity: >1 hosted index + no
+                                # $indexname selects NOTHING — but say so,
+                                # or a misconfigured client (aggregators
+                                # never send $indexname) reads the empty
+                                # answer as "no neighbors"
+                                resp["hint"] = (
+                                    "multi-index node: pass "
+                                    "$indexname:<name[,name]> to select"
+                                )
                             if partial is not None:
                                 resp["partial"] = partial
                     except Exception as exc:  # noqa: BLE001 - wire boundary
@@ -407,6 +417,12 @@ class AnnTcpServer:
         self._server.server_close()
 
 
+_PIPELINE_CHUNK = 128  # pipelined queries in flight per window (see
+# RemoteShard.batch_search: bounds unread-response bytes below socket
+# buffer sizes so the write side can never deadlock against a
+# stopped-reading server)
+
+
 class RemoteShard:
     """Client handle to one remote serve loop (AnnTcpServer) — the
     aggregator's view of a child server (`AggregatorService.cpp:209-258`
@@ -491,38 +507,58 @@ class RemoteShard:
         max_dist_ratio: float | None = None,
     ) -> list[tuple[int, int, int, float]]:
         """→ rows of (query_id, rank, id, dist) — the batch PIPELINED over
-        the persistent connection: every query line is written before any
-        response is read (the serve loop answers one connection's lines in
-        order), so a batch pays one round-trip's latency instead of
-        len(queries). The remote node's own vectorized batch path does the
-        per-line work; this client never waits per query."""
+        the persistent connection: a window of query lines is written
+        before any response is read (the serve loop answers one
+        connection's lines in order), so a batch pays one round-trip's
+        latency per window instead of per query. Windowed at
+        _PIPELINE_CHUNK to bound unread-response bytes — an unbounded
+        write-all-then-read-all can deadlock once the server's send
+        buffer and this client's receive buffer both fill (the server
+        blocks in write, stops reading, and our write blocks in turn).
+
+        An error RESPONSE drains the window's remaining responses before
+        raising, so the connection stays request/response-synced and is
+        reusable; only transport failures invalidate it."""
         import json
 
         if not queries:
             return []
+        out: list[tuple[int, int, int, float]] = []
         try:
             f = self._files()
-            for _, q in queries:
-                f.write(
-                    encode_query([float(v) for v in q], resultnum=int(k))
-                    + "\n"
-                )
-            f.flush()
-            out: list[tuple[int, int, int, float]] = []
-            for qid, _ in queries:
-                line = f.readline()
-                if not line:
-                    self._invalidate()
-                    raise ConnectionError(
-                        f"shard {self.host}:{self.port} closed"
+            for w0 in range(0, len(queries), _PIPELINE_CHUNK):
+                window = queries[w0 : w0 + _PIPELINE_CHUNK]
+                for _, q in window:
+                    f.write(
+                        encode_query([float(v) for v in q], resultnum=int(k))
+                        + "\n"
                     )
-                resp = json.loads(line)
-                if "error" in resp:
-                    raise RuntimeError(resp["error"])
-                out.extend(
-                    (int(qid), int(r["rank"]), int(r["id"]), float(r["dist"]))
-                    for r in resp["results"]
-                )
+                f.flush()
+                first_err: str | None = None
+                for qid, _ in window:
+                    line = f.readline()
+                    if not line:
+                        self._invalidate()
+                        raise ConnectionError(
+                            f"shard {self.host}:{self.port} closed"
+                        )
+                    resp = json.loads(line)
+                    if "error" in resp:
+                        if first_err is None:
+                            first_err = resp["error"]
+                        continue  # keep draining — stay wire-synced
+                    if first_err is None:
+                        out.extend(
+                            (
+                                int(qid),
+                                int(r["rank"]),
+                                int(r["id"]),
+                                float(r["dist"]),
+                            )
+                            for r in resp["results"]
+                        )
+                if first_err is not None:
+                    raise RuntimeError(first_err)
             return out
         except OSError:
             self._invalidate()
@@ -583,22 +619,14 @@ class RemoteReplicaAggregator:
         self._pool = None
 
     def _route(self, q) -> list[int]:
-        """Backend indices for this query: all, or the scatter_topk
-        nearest by query-to-center distance ((dist, index) ties)."""
-        from sptag_spark.operators.knn import _exact_pair_dists
+        """Backend indices for this query (shared center-routing helper;
+        scatter_topk <= 0 broadcasts, the reference TopK=-1 default)."""
+        from sptag_spark.serving_local import route_to_shards
 
-        n = len(self.replicas)
-        if (
-            self.centers is None
-            or not self.scatter_topk
-            or self.scatter_topk >= n
-        ):
-            return list(range(n))
-        d = _exact_pair_dists(
-            self.centers, np.asarray(q, np.float64), self.metric
+        return route_to_shards(
+            self.centers, self.scatter_topk, q, self.metric,
+            len(self.replicas),
         )
-        order = np.lexsort((np.arange(n), d))
-        return [int(i) for i in order[: self.scatter_topk]]
 
     def _scatter_pool(self):
         import concurrent.futures as cf

@@ -95,6 +95,32 @@ def _route_batch(
     return pair_q, pair_h
 
 
+def route_to_shards(
+    centers: np.ndarray | None,
+    scatter_topk: int | None,
+    q: np.ndarray,
+    metric: str,
+    n: int,
+) -> list[int]:
+    """Center-routed scatter selection, shared by the in-process and
+    network aggregators: indices of the scatter_topk nearest of ``n``
+    shards by query-to-center distance ((dist, index) determinism in
+    place of the reference's unstable std::sort ties), or all of them
+    when routing is off. scatter_topk <= 0 means BROADCAST — the
+    reference's TopK default -1 (`AggregatorContext.cpp:36`), not a
+    negative slice."""
+    if (
+        centers is None
+        or scatter_topk is None
+        or scatter_topk <= 0
+        or scatter_topk >= n
+    ):
+        return list(range(n))
+    d = _exact_pair_dists(centers, np.asarray(q, np.float64), metric)
+    order = np.lexsort((np.arange(n), d))
+    return [int(i) for i in order[:scatter_topk]]
+
+
 def _id_filter_mask(
     ids: np.ndarray,
     deleted_ids: np.ndarray | None,
@@ -123,6 +149,51 @@ def _run_positions(sorted_keys: np.ndarray) -> np.ndarray:
     starts = np.nonzero(new)[0]
     run_id = np.cumsum(new) - 1
     return np.arange(len(sorted_keys), dtype=np.int64) - starts[run_id]
+
+
+def _dedup_keep_min(
+    cq: np.ndarray,
+    key2: np.ndarray,
+    val: np.ndarray,
+    *carry: np.ndarray,
+) -> tuple:
+    """One row per (cq, key2) pair, keeping the MINIMUM ``val`` (carried
+    arrays take the group's first row in sorted order — callers only pass
+    carries whose value is identical across a group's rows, e.g. replica
+    rows of one vector id). Packs the pair into one int64 for a single
+    argsort pass when key2 fits 32 bits; arbitrary keys take the 3-key
+    lexsort. Shared by the full-vector and PQ batch dedups.
+    → (cq_u, key2_u, val_u, *carry_u)."""
+    if (
+        len(key2)
+        and key2.min() >= 0
+        and key2.max() < (1 << 32)
+        and cq.max() < (1 << 31)
+    ):
+        key = (cq << np.int64(32)) | key2
+        o = np.argsort(key, kind="stable")
+        key_s = key[o]
+        new = np.empty(len(key_s), dtype=bool)
+        new[0] = True
+        new[1:] = key_s[1:] != key_s[:-1]
+        starts = np.nonzero(new)[0]
+        return (
+            key_s[starts] >> np.int64(32),
+            key_s[starts] & np.int64(0xFFFFFFFF),
+            np.minimum.reduceat(val[o], starts),
+            *(c[o][starts] for c in carry),
+        )
+    o = np.lexsort((val, key2, cq))
+    cq_s, k_s, v_s = cq[o], key2[o], val[o]
+    new = np.empty(len(cq_s), dtype=bool)
+    new[0] = True
+    new[1:] = (cq_s[1:] != cq_s[:-1]) | (k_s[1:] != k_s[:-1])
+    return (
+        cq_s[new],
+        k_s[new],
+        v_s[new],
+        *(c[o][new] for c in carry),
+    )
 
 
 class LocalSpannReplica:
@@ -337,19 +408,30 @@ class LocalSpannReplica:
             if hi == lo:
                 continue
             qsub = pq[s0:e0]
-            slab = np.asarray(self.post_V[lo:hi], dtype=np.float64)
-            D = _block_distances(slab, Q[qsub], metric)  # (hi-lo, |qsub|)
-            if hi - lo > kk:
+            rows = np.arange(lo, hi, dtype=np.int64)
+            # serve-time filter BEFORE the per-slab cap: the cap ranks by
+            # unfiltered distance, so a selective filter applied later
+            # would silently evict surviving candidates that search_one
+            # back-fills (caught by code review; pinned by
+            # test_batch_filter_survives_slab_cap)
+            fmask = _id_filter_mask(
+                self.post_ids[lo:hi], deleted_ids, allowed_ids
+            )
+            if fmask is not None:
+                rows = rows[fmask]
+                if rows.size == 0:
+                    continue
+            slab = np.asarray(self.post_V[rows], dtype=np.float64)
+            D = _block_distances(slab, Q[qsub], metric)  # (|rows|, |qsub|)
+            if len(rows) > kk:
                 t = np.partition(D, kk - 1, axis=0)[kk - 1]  # (|qsub|,)
                 r, c = np.nonzero((D <= t[None, :]).T)
                 cand_q.append(qsub[r])
-                cand_rows.append(c + lo)
+                cand_rows.append(rows[c])
                 cand_d.append(D[c, r])
             else:
-                cand_q.append(np.repeat(qsub, hi - lo))
-                cand_rows.append(
-                    np.tile(np.arange(lo, hi, dtype=np.int64), len(qsub))
-                )
+                cand_q.append(np.repeat(qsub, len(rows)))
+                cand_rows.append(np.tile(rows, len(qsub)))
                 cand_d.append(D.T.ravel())
         if not cand_q:
             return []
@@ -362,51 +444,10 @@ class LocalSpannReplica:
         # (replicas of an id share one vector, so any representative row
         # scores identically), margin preselect on BLAS values, exact
         # row-paired rescore of survivors, final (dist, id) rank — all
-        # segment arithmetic, no per-query loop. Dedup packs (query, id)
-        # into one int64 key when ids fit 32 bits (one argsort pass
-        # instead of a 3-key lexsort); arbitrary ids take the lexsort.
-        if (
-            B < (1 << 31)
-            and len(ids_all)
-            and ids_all.min() >= 0
-            and ids_all.max() < (1 << 32)
-        ):
-            key = (cq << np.int64(32)) | ids_all
-            o = np.argsort(key, kind="stable")
-            key_s = key[o]
-            new = np.empty(len(key_s), dtype=bool)
-            new[0] = True
-            new[1:] = key_s[1:] != key_s[:-1]
-            starts = np.nonzero(new)[0]
-            cd_u = np.minimum.reduceat(cd[o], starts)
-            cr_u = cr[o][starts]
-            cq_u = key_s[starts] >> np.int64(32)
-            ids_u = key_s[starts] & np.int64(0xFFFFFFFF)
-        else:
-            o = np.lexsort((cd, ids_all, cq))
-            cq_s, ids_s, cd_s, cr_s = cq[o], ids_all[o], cd[o], cr[o]
-            new = np.empty(len(cq_s), dtype=bool)
-            new[0] = True
-            new[1:] = (cq_s[1:] != cq_s[:-1]) | (ids_s[1:] != ids_s[:-1])
-            cq_u, ids_u, cd_u, cr_u = (
-                cq_s[new],
-                ids_s[new],
-                cd_s[new],
-                cr_s[new],
-            )
-        fmask = _id_filter_mask(ids_u, deleted_ids, allowed_ids)
-        if fmask is not None:
-            # serve-time tombstone/predicate filter, BEFORE the margin
-            # preselect so the top-k back-fills from survivors (the
-            # reference's heap never admits a deleted id)
-            cq_u, ids_u, cd_u, cr_u = (
-                cq_u[fmask],
-                ids_u[fmask],
-                cd_u[fmask],
-                cr_u[fmask],
-            )
-            if len(cq_u) == 0:
-                return []
+        # segment arithmetic, no per-query loop.
+        cq_u, ids_u, cd_u, cr_u = _dedup_keep_min(cq, ids_all, cd, cr)
+        # (serve-time filters were already applied per slab in stage 2 —
+        # before the slab cap — so every candidate here is a survivor)
         o2 = np.lexsort((ids_u, cd_u, cq_u))
         cq_u, ids_u, cr_u = cq_u[o2], ids_u[o2], cr_u[o2]
         pos = _run_positions(cq_u)
@@ -1130,16 +1171,9 @@ class ShardedSpannAggregator:
         )
 
     def _route_shards(self, q: np.ndarray, metric: str) -> list[int]:
-        """Shard indices to scatter this query to: all (broadcast), or
-        the scatter_topk nearest by query-to-center distance — the
-        reference's sort-servers-by-distance selection, with (dist, index)
-        determinism in place of std::sort's unstable ties."""
-        n = len(self.replicas)
-        if not self.scatter_topk or self.scatter_topk >= n:
-            return list(range(n))
-        d = _exact_pair_dists(self.centers, np.asarray(q, np.float64), metric)
-        order = np.lexsort((np.arange(n), d))
-        return [int(i) for i in order[: self.scatter_topk]]
+        return route_to_shards(
+            self.centers, self.scatter_topk, q, metric, len(self.replicas)
+        )
 
     def search_one(
         self,
@@ -1593,23 +1627,7 @@ class LocalPqSpannReplica:
 
         # dedup by (query, code row) — row index ≡ vector id here, and
         # the ADC value of a row is identical wherever it was scored
-        if B < (1 << 31) and len(cr) and cr.max() < (1 << 32):
-            key = (cq << np.int64(32)) | cr
-            o = np.argsort(key, kind="stable")
-            key_s = key[o]
-            new = np.empty(len(key_s), dtype=bool)
-            new[0] = True
-            new[1:] = key_s[1:] != key_s[:-1]
-            cq_u = key_s[new] >> np.int64(32)
-            cr_u = key_s[new] & np.int64(0xFFFFFFFF)
-            cd_u = cd[o][new]
-        else:
-            o = np.lexsort((cr, cq))
-            cq_s, cr_s, cd_s = cq[o], cr[o], cd[o]
-            new = np.empty(len(cq_s), dtype=bool)
-            new[0] = True
-            new[1:] = (cq_s[1:] != cq_s[:-1]) | (cr_s[1:] != cr_s[:-1])
-            cq_u, cr_u, cd_u = cq_s[new], cr_s[new], cd_s[new]
+        cq_u, cr_u, cd_u = _dedup_keep_min(cq, cr, cd)
         ids_u = self.code_ids[cr_u]
         fmask = _id_filter_mask(ids_u, deleted_ids, allowed_ids)
         if fmask is not None:

@@ -519,7 +519,11 @@ def test_cli_serve_from_server_ini(spark, tmp_path, capsys):
             if '"serving"' in line:
                 info = json.loads(line)
                 addr = tuple(info["serving"])
-                assert info["k"] == 4 and info["indexes"] == ["main"]
+                # a SINGLE-index config boots the single-index path (same
+                # autotuned operating point + budget ladder as -x PATH —
+                # r10 review: --config must not serve at a different
+                # operating point), carrying QueryConfig's k
+                assert info["k"] == 4 and "replica" in info
         if addr:
             break
         _t.sleep(0.25)
@@ -530,7 +534,6 @@ def test_cli_serve_from_server_ini(spark, tmp_path, capsys):
         f.write(encode_query(q) + "\n")
         f.flush()
         resp = json.loads(f.readline())
-    # a singleton index map answers without $indexname (SelectIndex)
     assert resp["results"][0]["id"] == 7
     assert resp["results"][0]["dist"] < 1e-9
     assert len(resp["results"]) == 4

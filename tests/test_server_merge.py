@@ -824,3 +824,66 @@ def test_remote_center_routed_scatter(spark):
             [("h", 1), ("h", 2)], centers=np.array([[0.0] * 4]),
             scatter_topk=1,
         )
+
+
+def test_remote_batch_error_drains_and_connection_survives(spark, vectors):
+    """r10 review: an error RESPONSE inside a pipelined batch must drain
+    the window's remaining responses before raising, so the persistent
+    connection stays request/response-synced — the next query on the same
+    shard answers correctly instead of reading a stale response."""
+    import pytest as _pytest
+
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer, RemoteShard
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    heads = select_heads(vectors, ratio=0.12)
+    srv = AnnTcpServer(
+        LocalSpannReplica(heads, build_postings(vectors, heads)),
+        k=5, nprobe=6,
+    ).start()
+    shard = RemoteShard(*srv.address)
+    try:
+        rows = [
+            (int(r["id"]), np.asarray(r["vector"], dtype=np.float64))
+            for r in vectors.limit(3).collect()
+        ]
+        bad = [rows[0], (99, np.zeros(2)), rows[1]]  # wrong dimension
+        with _pytest.raises(RuntimeError):
+            shard.batch_search(bad, k=5)
+        # the connection is still synced: a fresh query answers itself
+        qid, q = rows[2]
+        ids, d = shard.search_one(q, k=5)
+        assert int(ids[0]) == qid and d[0] == 0.0
+    finally:
+        shard.close()
+        srv.stop()
+
+
+def test_remote_batch_pipeline_windowing(spark, vectors, monkeypatch):
+    """The pipeline window (_PIPELINE_CHUNK) bounds in-flight responses;
+    window boundaries must not change a single row."""
+    import sptag_spark.server as srv_mod
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer, RemoteShard
+    from sptag_spark.serving_local import LocalSpannReplica
+
+    heads = select_heads(vectors, ratio=0.12)
+    srv = AnnTcpServer(
+        LocalSpannReplica(heads, build_postings(vectors, heads)),
+        k=5, nprobe=6,
+    ).start()
+    shard = RemoteShard(*srv.address)
+    try:
+        qs = [
+            (int(r["id"]), np.asarray(r["vector"], dtype=np.float64))
+            for r in vectors.limit(10).collect()
+        ]
+        want = shard.batch_search(qs, k=5)
+        monkeypatch.setattr(srv_mod, "_PIPELINE_CHUNK", 3)
+        assert shard.batch_search(qs, k=5) == want
+    finally:
+        shard.close()
+        srv.stop()

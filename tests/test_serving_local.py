@@ -1084,3 +1084,49 @@ def test_center_routed_scatter(spark):
         q_far, k=3, nprobe=4, budget_ms=5000.0
     )
     assert all(int(i) >= 1000 for i in ids) and not partial
+
+
+def test_batch_filter_survives_slab_cap(spark):
+    """r10 review: the per-slab top-(k+16) BLAS cap must rank FILTERED
+    candidates — a selective allowed set whose survivors all rank beyond
+    the slab's unfiltered top-26 used to be silently dropped by the batch
+    path while search_one back-filled them."""
+    heads = spark.createDataFrame(
+        [(0, [0.0] * 4)], "head_id long, vector array<float>"
+    )
+    postings = spark.createDataFrame(
+        [(0, i, [float(i)] * 4) for i in range(100)],
+        "head_id long, id long, vector array<float>",
+    )
+    rep = LocalSpannReplica(heads, postings)
+    q = np.zeros(4)
+    # survivors are exactly the ids the unfiltered top-26 excludes
+    allowed = np.arange(50, 100, dtype=np.int64)
+    got = rep.batch_search([(7, q)], k=10, nprobe=1, allowed_ids=allowed)
+    want = rep._batch_search_serial(
+        [(7, q)], k=10, nprobe=1, allowed_ids=allowed
+    )
+    assert got == want
+    assert [r[2] for r in got] == list(range(50, 60))
+    # tombstones likewise filter before the cap
+    dele = np.arange(0, 60, dtype=np.int64)
+    got = rep.batch_search([(7, q)], k=10, nprobe=1, deleted_ids=dele)
+    assert [r[2] for r in got] == list(range(60, 70))
+
+
+def test_scatter_topk_nonpositive_broadcasts(spark, built):
+    """r10 review: scatter_topk <= 0 (the Aggregator.ini TopK default -1)
+    means BROADCAST, not a negative slice that silently drops the
+    farthest shard."""
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    _, heads, postings = built
+    qs = _qlist(spark)[:4]
+    bcast = ShardedSpannAggregator(heads, postings, n_shards=3)
+    for tk in (-1, 0, None):
+        agg = ShardedSpannAggregator(
+            heads, postings, n_shards=3, scatter_topk=tk
+        )
+        assert agg.batch_search(qs, k=5, nprobe=4) == bcast.batch_search(
+            qs, k=5, nprobe=4
+        )
