@@ -1120,6 +1120,7 @@ class ShardedSpannAggregator:
         n_shards: int = 2,
         store_dir: str | None = None,
         scatter_topk: int | None = None,
+        split: str = "range",
     ) -> None:
         """``store_dir``: build each shard as a DiskSpannReplica under
         ``store_dir/shard_<i>`` instead of an all-RAM LocalSpannReplica —
@@ -1134,27 +1135,69 @@ class ShardedSpannAggregator:
         (`AggregatorService.cpp:215-258` ranks servers by query-to-center
         distance and scatters to the TopK): at hundreds of serving nodes,
         broadcast is the RPC bottleneck and per-node centers bound the
-        fan-out. None (default) broadcasts — exhaustive over shards."""
+        fan-out. None (default) broadcasts — exhaustive over shards.
+
+        ``split``: how heads are assigned to shards. "range" (default)
+        slices the head-id space — arbitrary spatial assignment, the
+        conservative choice when routing is off. "kmeans" clusters the
+        head CENTROIDS (deterministic Lloyd's on the driver — heads are
+        the small RAM side by this tier's contract) so each shard is
+        spatially coherent and its center actually summarizes it — what
+        the reference's BalancedDataPartition produces and the layout
+        center routing is designed for (measured: range split needs
+        topk=n/2 for ≥0.99 recall, kmeans split reaches it at topk=1-2,
+        SCALING.md r10)."""
         import os
 
         import pyspark.sql.functions as F
 
-        hp = heads.select("head_id").toPandas()
-        hids = np.sort(hp["head_id"].to_numpy(np.int64))
-        bounds = [
-            hids[(len(hids) * i) // n_shards] for i in range(1, n_shards)
-        ] + [np.iinfo(np.int64).max]
+        if split == "kmeans":
+            from sptag_spark.operators.knn import _block_distances
+
+            hp = heads.select("head_id", "vector").toPandas()
+            hid = hp["head_id"].to_numpy(np.int64)
+            H = np.array(hp["vector"].tolist(), dtype=np.float64)
+            # deterministic Lloyd's: spread init over the id-sorted heads,
+            # fixed 10 passes (assignment, not quality, is the product)
+            o = np.argsort(hid)
+            hid, H = hid[o], H[o]
+            C = H[np.linspace(0, len(H) - 1, min(n_shards, len(H))).astype(int)]
+            for _ in range(10):
+                a = np.argmin(_block_distances(C, H, "l2"), axis=0)
+                for j in range(len(C)):
+                    m = a == j
+                    if m.any():
+                        C[j] = H[m].mean(axis=0)
+            groups = [
+                hid[a == j] if j < len(C) else np.empty(0, np.int64)
+                for j in range(n_shards)
+            ]
+            selections = [
+                F.col("head_id").isin([int(x) for x in g]) if len(g)
+                else F.lit(False)
+                for g in groups
+            ]
+        else:
+            hp = heads.select("head_id").toPandas()
+            hids = np.sort(hp["head_id"].to_numpy(np.int64))
+            bounds = [
+                hids[(len(hids) * i) // n_shards] for i in range(1, n_shards)
+            ] + [np.iinfo(np.int64).max]
+            selections = []
+            lo = np.iinfo(np.int64).min
+            for hi in bounds:
+                selections.append(
+                    (F.col("head_id") >= int(lo)) & (F.col("head_id") < int(hi))
+                )
+                lo = hi
         self.replicas = []
-        lo = np.iinfo(np.int64).min
-        for i, hi in enumerate(bounds):
-            sel = (F.col("head_id") >= int(lo)) & (F.col("head_id") < int(hi))
+        for i, sel in enumerate(selections):
             h_i, p_i = heads.filter(sel), postings.filter(sel)
             self.replicas.append(
                 DiskSpannReplica(h_i, p_i, os.path.join(store_dir, f"shard_{i}"))
                 if store_dir is not None
                 else LocalSpannReplica(h_i, p_i)
             )
-            lo = hi
         self.scatter_topk = scatter_topk
         # one center per shard — what BalancedDataPartition writes as the
         # per-node centers file the reference aggregator routes with. An

@@ -1130,3 +1130,46 @@ def test_scatter_topk_nonpositive_broadcasts(spark, built):
         assert agg.batch_search(qs, k=5, nprobe=4) == bcast.batch_search(
             qs, k=5, nprobe=4
         )
+
+
+def test_kmeans_split_routes_at_topk1_on_clustered_data(spark):
+    """split="kmeans" makes shards spatially coherent, so center routing
+    reaches the reference's design point on clustered data: topk=1
+    equals the broadcast answer, while the arbitrary range split (ids
+    shuffled against clusters) loses recall at the same fan-out."""
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    rng = np.random.default_rng(3)
+    cents = rng.normal(scale=10.0, size=(4, 8))
+    X = np.concatenate(
+        [c + rng.normal(scale=0.5, size=(50, 8)) for c in cents]
+    ).astype("float32")
+    perm = rng.permutation(len(X))  # ids uncorrelated with clusters
+    X = X[perm]
+    vecs = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(len(X))],
+        "id long, vector array<float>",
+    )
+    heads = select_heads(vecs, ratio=0.15)
+    postings = build_postings(vecs, heads)
+    qs = [(int(i), X[i].astype(np.float64)) for i in range(0, 200, 25)]
+    bcast = ShardedSpannAggregator(heads, postings, n_shards=4)
+    want = bcast.batch_search(qs, k=5, nprobe=6)
+    km = ShardedSpannAggregator(
+        heads, postings, n_shards=4, scatter_topk=1, split="kmeans"
+    )
+    got = km.batch_search(qs, k=5, nprobe=6)
+    # per-query result SETS match the broadcast answer at 1/4 fan-out
+    def sets(rows):
+        by = {}
+        for qid, _, i, _ in rows:
+            by.setdefault(qid, set()).add(i)
+        return by
+
+    assert sets(got) == sets(want)
+    # every shard holds one spatial cluster => self-hit always routed home
+    for qid, q in qs:
+        ids, d = km.search_one(q, k=1, nprobe=6)
+        assert int(ids[0]) == qid and d[0] == 0.0

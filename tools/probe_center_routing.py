@@ -30,7 +30,13 @@ def main() -> int:
     from sptag_spark.session import get_spark
     from sptag_spark.tables import queries_table, vectors_table
 
-    shard_counts = [int(a) for a in sys.argv[1:]] or [8]
+    split = "range"
+    args = [a for a in sys.argv[1:]]
+    if "--split" in args:
+        i = args.index("--split")
+        split = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    shard_counts = [int(a) for a in args] or [8]
     spark = get_spark("probe-center-routing")
     v = vectors_table(spark, SF)
     heads = select_heads(v, ratio=0.12).persist()
@@ -50,7 +56,8 @@ def main() -> int:
     for n_shards in shard_counts:
         for topk in sorted({1, 2, max(1, n_shards // 2), n_shards}):
             agg = ShardedSpannAggregator(
-                heads, postings, n_shards=n_shards, scatter_topk=topk
+                heads, postings, n_shards=n_shards, scatter_topk=topk,
+                split=split,
             )
             # warm + recall
             hits = total = 0
@@ -63,6 +70,7 @@ def main() -> int:
                 total += 10
             lat.sort()
             row = {
+                "split": split,
                 "n_shards": n_shards,
                 "scatter_topk": topk,
                 "recall_at_10": round(hits / total, 4),
