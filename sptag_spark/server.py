@@ -709,7 +709,8 @@ class RemoteReplicaAggregator:
         )
         try:
             futs = [
-                ex.submit(rep.search_one, q, k) for rep in self.replicas
+                ex.submit(self.replicas[j].search_one, q, k)
+                for j in self._route(q)
             ]
             done, not_done = cf.wait(futs, timeout=budget_ms / 1000.0)
         finally:
@@ -725,6 +726,60 @@ class RemoteReplicaAggregator:
             d_all.append(d)
         ids, d = ShardedSpannAggregator._merge(ids_all, d_all, k)
         return ids, d, bool(not_done) or n_failed > 0
+
+    def batch_search_with_deadline(
+        self,
+        queries,
+        k=10,
+        nprobe=None,
+        metric=None,
+        budget_ms: float = 50.0,
+        **_,
+    ) -> tuple[list[tuple[int, int, int, float]], bool]:
+        """→ (rows, partial): one budget for the whole batch across the
+        REMOTE shards — each routed backend answers its pipelined
+        sub-batch concurrently; a backend missing the budget or failing
+        is dropped and the answer flagged partial (the in-process twin's
+        semantics over sockets). Per-call executor: fresh threads mean a
+        straggler can never occupy a pooled worker and eat later calls'
+        budgets (they do pay one TCP connect per backend inside the
+        budget — the documented deadline-path trade-off)."""
+        import concurrent.futures as cf
+
+        import numpy as np
+
+        from sptag_spark.serving_local import ShardedSpannAggregator
+
+        if not queries:
+            return [], False
+        pos_q = [(i, v) for i, (_, v) in enumerate(queries)]
+        qids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+        per_shard: list[list] = [[] for _ in self.replicas]
+        for item in pos_q:
+            for j in self._route(item[1]):
+                per_shard[j].append(item)
+        work = [(j, sub) for j, sub in enumerate(per_shard) if sub]
+        ex = cf.ThreadPoolExecutor(
+            max_workers=max(len(work), 1),
+            thread_name_prefix="agg-batch-deadline",
+        )
+        try:
+            futs = [
+                ex.submit(self.replicas[j].batch_search, sub, k)
+                for j, sub in work
+            ]
+            done, not_done = cf.wait(futs, timeout=budget_ms / 1000.0)
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+        parts = []
+        n_failed = 0
+        for f in done:
+            if f.exception() is not None:
+                n_failed += 1
+                continue
+            parts.append(f.result())
+        rows = ShardedSpannAggregator._merge_batch(parts, qids, k)
+        return rows, bool(not_done) or n_failed > 0
 
     def close(self) -> None:
         if self._pool is not None:

@@ -1406,6 +1406,64 @@ class ShardedSpannAggregator:
         ids, d = self._merge(ids_all, d_all, k)
         return ids, d, bool(not_done) or n_failed > 0
 
+    def batch_search_with_deadline(
+        self,
+        queries: list[tuple[int, np.ndarray]],
+        k: int = 10,
+        nprobe: int = SEARCH_INTERNAL_RESULT_NUM,
+        metric: str = "l2",
+        max_dist_ratio: float = MAX_DIST_RATIO,
+        budget_ms: float = 50.0,
+        deleted_ids: np.ndarray | None = None,
+        allowed_ids: np.ndarray | None = None,
+    ) -> tuple[list[tuple[int, int, int, float]], bool]:
+        """→ (rows, partial): ONE budget for the whole batch scatter.
+        Each shard answers its routed sub-batch concurrently (one thread
+        per shard — batch work per shard is ms-scale, unlike the µs
+        per-query case where threading was measured and rejected); a
+        shard missing the budget or crashing is dropped from the merge
+        and the whole answer is flagged partial — the reference
+        aggregator's shard-timeout semantics
+        (`AggregatorService.cpp:280-323`), batched. Per-call executor
+        for the same straggler-isolation reason as
+        search_with_deadline."""
+        import concurrent.futures as cf
+
+        if not queries:
+            return [], False
+        pos_q = [(i, v) for i, (_, v) in enumerate(queries)]
+        qids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+        per_shard: list[list] = [[] for _ in self.replicas]
+        for item in pos_q:
+            for j in self._route_shards(item[1], metric):
+                per_shard[j].append(item)
+        work = [(j, sub) for j, sub in enumerate(per_shard) if sub]
+        ex = cf.ThreadPoolExecutor(
+            max_workers=max(len(work), 1),
+            thread_name_prefix="spann-shard-batch",
+        )
+        try:
+            futs = [
+                ex.submit(
+                    self.replicas[j].batch_search,
+                    sub, k, nprobe, metric, max_dist_ratio,
+                    deleted_ids, allowed_ids,
+                )
+                for j, sub in work
+            ]
+            done, not_done = cf.wait(futs, timeout=budget_ms / 1000.0)
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+        parts = []
+        n_failed = 0
+        for f in done:
+            if f.exception() is not None:
+                n_failed += 1  # crashed shard folds into the partial merge
+                continue
+            parts.append(f.result())
+        rows = self._merge_batch(parts, qids, k)
+        return rows, bool(not_done) or n_failed > 0
+
     def close(self) -> None:
         """Kept for handle symmetry — the scatter is a plain serial loop
         (the threaded variant was measured and rejected, SCALING.md r10)

@@ -887,3 +887,43 @@ def test_remote_batch_pipeline_windowing(spark, vectors, monkeypatch):
     finally:
         shard.close()
         srv.stop()
+
+
+def test_remote_batch_deadline_partials(spark, vectors):
+    """The network tier's batched deadline: generous budget == the plain
+    batch scatter unflagged; a killed backend folds into a partial merge
+    instead of failing the whole batch."""
+    from sptag_spark.index.heads import select_heads
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.server import AnnTcpServer, RemoteReplicaAggregator
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    heads = select_heads(vectors, ratio=0.12).persist()
+    postings = build_postings(vectors, heads).persist()
+    postings.count()
+    local = ShardedSpannAggregator(heads, postings, n_shards=2)
+    srvs = [
+        AnnTcpServer(rep, k=10, nprobe=6).start() for rep in local.replicas
+    ]
+    agg = RemoteReplicaAggregator([s.address for s in srvs])
+    try:
+        qs = [
+            (int(r["id"]), np.asarray(r["vector"], dtype=np.float64))
+            for r in vectors.limit(6).collect()
+        ]
+        rows, partial = agg.batch_search_with_deadline(
+            qs, k=5, budget_ms=20_000.0
+        )
+        assert not partial and rows == agg.batch_search(qs, k=5)
+        srvs[1].stop()  # killed backend → partial, not an exception
+        rows, partial = agg.batch_search_with_deadline(
+            qs, k=5, budget_ms=2_000.0
+        )
+        assert partial
+        assert rows  # the surviving shard still answers
+    finally:
+        agg.close()
+        for s in srvs:
+            s.stop()
+        heads.unpersist()
+        postings.unpersist()

@@ -1173,3 +1173,45 @@ def test_kmeans_split_routes_at_topk1_on_clustered_data(spark):
     for qid, q in qs:
         ids, d = km.search_one(q, k=1, nprobe=6)
         assert int(ids[0]) == qid and d[0] == 0.0
+
+
+def test_batch_deadline_partials(spark, built):
+    """batch_search_with_deadline: a generous budget returns exactly
+    batch_search's rows unflagged; a stalled shard is dropped from the
+    merge and the answer flagged partial — the per-query deadline
+    semantics, batched under one budget."""
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    _, heads, postings = built
+    agg = ShardedSpannAggregator(heads, postings, n_shards=3)
+    qs = _qlist(spark)[:6]
+    rows, partial = agg.batch_search_with_deadline(
+        qs, k=5, nprobe=4, budget_ms=10_000.0
+    )
+    assert not partial
+    assert rows == agg.batch_search(qs, k=5, nprobe=4)
+    assert agg.batch_search_with_deadline([], k=5) == ([], False)
+
+    class _Slow:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def batch_search(self, *a, **kw):
+            import time as _t
+
+            _t.sleep(5.0)
+            return self.inner.batch_search(*a, **kw)
+
+        def search_one(self, *a, **kw):
+            return self.inner.search_one(*a, **kw)
+
+    agg.replicas[1] = _Slow(agg.replicas[1])
+    rows, partial = agg.batch_search_with_deadline(
+        qs, k=5, nprobe=4, budget_ms=300.0
+    )
+    assert partial
+    # surviving shards' merge is still rank-consistent per query
+    by_q = {}
+    for qid, rank, i, d in rows:
+        by_q.setdefault(qid, []).append(rank)
+    assert all(r == list(range(1, len(r) + 1)) for r in by_q.values())
