@@ -504,6 +504,17 @@ def cmd_aggserve(args, spark) -> int:
     centers = None
     scatter_topk = ini.get("scatter_topk", -1)
     centers_path = ini.get("centers", "")
+    if scatter_topk and scatter_topk > 0 and not os.path.exists(centers_path):
+        # the reference treats TopK>0 without a readable Centers file as
+        # fatal misconfiguration (AggregatorContext.cpp:66-68 logs and
+        # exit(1)) — a silent broadcast fallback would quietly lose the
+        # operator's fan-out bound
+        print(
+            "aggserve: [Service] TopK=%d but Centers file %r is missing "
+            "(fatal, matching the reference)" % (scatter_topk, centers_path),
+            file=sys.stderr,
+        )
+        return 1
     if scatter_topk and scatter_topk > 0 and os.path.exists(centers_path):
         from sptag_spark.io.readers import read_binary_vectors
 

@@ -278,16 +278,28 @@ class AnnTcpServer:
                                 ),
                                 "indexResults": per_index,
                             }
-                            if not names and not p.index_name:
-                                # reference parity: >1 hosted index + no
-                                # $indexname selects NOTHING — but say so,
-                                # or a misconfigured client (aggregators
-                                # never send $indexname) reads the empty
-                                # answer as "no neighbors"
-                                resp["hint"] = (
-                                    "multi-index node: pass "
-                                    "$indexname:<name[,name]> to select"
-                                )
+                            if not names:
+                                # reference parity: no selected index
+                                # answers NOTHING — but say so, or the
+                                # empty answer reads as "no neighbors".
+                                # Covers both a missing $indexname (e.g.
+                                # aggregators never send one) and a
+                                # $indexname whose names all miss —
+                                # a client typo should not look like an
+                                # empty neighborhood (r10 advice).
+                                if p.index_name:
+                                    resp["hint"] = (
+                                        "multi-index node: $indexname "
+                                        f"{p.index_name!r} matched no "
+                                        "hosted index (hosted: "
+                                        + ",".join(sorted(outer.replicas))
+                                        + ")"
+                                    )
+                                else:
+                                    resp["hint"] = (
+                                        "multi-index node: pass "
+                                        "$indexname:<name[,name]> to select"
+                                    )
                             if partial is not None:
                                 resp["partial"] = partial
                     except Exception as exc:  # noqa: BLE001 - wire boundary
@@ -417,10 +429,23 @@ class AnnTcpServer:
         self._server.server_close()
 
 
-_PIPELINE_CHUNK = 128  # pipelined queries in flight per window (see
-# RemoteShard.batch_search: bounds unread-response bytes below socket
-# buffer sizes so the write side can never deadlock against a
-# stopped-reading server)
+_PIPELINE_CHUNK = 128  # max pipelined queries in flight per window
+_PIPELINE_BYTE_BUDGET = 32768  # unread-response byte ceiling per window
+# (half a typical 64 KiB socket buffer: the r10 advice flagged that the
+# old fixed 128-query window at k=10 already sat AT the buffer size)
+_EST_RESULT_ROW_BYTES = 50  # ~ one {"rank","id","dist"} JSON element
+
+
+def _pipeline_window(k: int) -> int:
+    """Queries in flight per window for RemoteShard.batch_search —
+    bounded by RESPONSE bytes, not a fixed query count: unread response
+    bytes per window scale with k (~window·k·50B), and a fixed window of
+    128 at a large resultnum would push past default socket buffer sizes
+    and recreate exactly the write/write deadlock the windowing exists
+    to prevent. window = BYTE_BUDGET // (k · row_bytes), clamped to
+    [1, _PIPELINE_CHUNK]."""
+    est = max(1, int(k)) * _EST_RESULT_ROW_BYTES
+    return max(1, min(_PIPELINE_CHUNK, _PIPELINE_BYTE_BUDGET // est))
 
 
 class RemoteShard:
@@ -515,6 +540,9 @@ class RemoteShard:
         write-all-then-read-all can deadlock once the server's send
         buffer and this client's receive buffer both fill (the server
         blocks in write, stops reading, and our write blocks in turn).
+        The window size is BYTE-budgeted via _pipeline_window(k): large
+        resultnum → fewer queries in flight, so the unread-byte ceiling
+        holds at any k.
 
         An error RESPONSE drains the window's remaining responses before
         raising, so the connection stays request/response-synced and is
@@ -526,8 +554,9 @@ class RemoteShard:
         out: list[tuple[int, int, int, float]] = []
         try:
             f = self._files()
-            for w0 in range(0, len(queries), _PIPELINE_CHUNK):
-                window = queries[w0 : w0 + _PIPELINE_CHUNK]
+            win = _pipeline_window(k)
+            for w0 in range(0, len(queries), win):
+                window = queries[w0 : w0 + win]
                 for _, q in window:
                     f.write(
                         encode_query([float(v) for v in q], resultnum=int(k))

@@ -117,6 +117,11 @@ def route_to_shards(
     ):
         return list(range(n))
     d = _exact_pair_dists(centers, np.asarray(q, np.float64), metric)
+    # empty shards carry +inf sentinel centers; for ip/cosine the
+    # elementwise dot can turn inf·0 into NaN rather than +inf. Enforce
+    # the never-route-to-empty invariant explicitly instead of leaning
+    # on lexsort's NaN-last ordering (r10 advice).
+    d = np.where(np.isfinite(d), d, np.inf)
     order = np.lexsort((np.arange(n), d))
     return [int(i) for i in order[:scatter_topk]]
 

@@ -347,8 +347,11 @@ def test_cli_aggserve_ini_config(spark, capsys, tmp_path):
     postings.count()
     local = ShardedSpannAggregator(heads, postings, n_shards=2)
     srvs = [AnnTcpServer(rep, k=5, nprobe=6).start() for rep in local.replicas]
+    # TopK=-1 (the reference default): broadcast, no Centers file needed
+    # — TopK>0 without a readable Centers file is FATAL
+    # (AggregatorContext.cpp:66-68), covered separately below
     lines = [
-        "[Service]", "ListenAddr=127.0.0.1", "ListenPort=0", "TopK=5",
+        "[Service]", "ListenAddr=127.0.0.1", "ListenPort=0", "TopK=-1",
         "[Servers]", f"Number={len(srvs)}",
     ]
     for i, s in enumerate(srvs):
@@ -608,3 +611,28 @@ def test_cli_aggserve_center_routed(spark, capsys, tmp_path):
     assert all(e["id"] < 500 for e in r2["results"])
     for s2 in srvs:
         s2.stop()
+
+
+def test_cli_aggserve_missing_centers_fatal(spark, capsys, tmp_path):
+    """[Service] TopK>0 with a missing Centers file is a FATAL
+    misconfiguration (AggregatorContext.cpp:66-68 logs and exit(1)) —
+    a silent broadcast fallback would quietly drop the operator's
+    fan-out bound (r10 advice)."""
+    import argparse
+
+    from sptag_spark.cli import cmd_aggserve
+
+    ini = tmp_path / "Aggregator.ini"
+    ini.write_text(
+        "[Service]\nListenAddr=127.0.0.1\nListenPort=0\nTopK=1\n"
+        "Centers=/nonexistent/centers.bin\n"
+        "[Servers]\nNumber=1\n[Server_0]\nAddress=127.0.0.1\nPort=9\n"
+    )
+    ns = argparse.Namespace(
+        backends=None, config=str(ini), host=None, port=None, k=None,
+        duration=0.1,
+    )
+    rc = cmd_aggserve(ns, spark)
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "TopK" in err and "Centers" in err.replace("centers", "Centers")

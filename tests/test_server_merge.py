@@ -697,9 +697,16 @@ def test_tcp_server_multi_index_map(spark):
             # unknown names skipped (SelectIndex's find-miss continue)
             r = ask(encode_query([5.0] * 6, indexname="zzz,b"))
             assert [e["index"] for e in r["indexResults"]] == ["b"]
+            # ALL-unknown names → empty, but with an explanatory hint
+            # naming the hosted indexes (a client typo must not read as
+            # "no neighbors"; r10 advice)
+            r = ask(encode_query([5.0] * 6, indexname="zzz"))
+            assert r["indexResults"] == [] and r["results"] == []
+            assert "zzz" in r["hint"] and "a,b" in r["hint"]
             # no $indexname on a 2-index node → nothing selected
             r = ask(encode_query([5.0] * 6))
             assert r["indexResults"] == [] and r["results"] == []
+            assert "$indexname" in r["hint"]
     finally:
         srv.stop()
     # a SINGLETON map selects without $indexname (SelectIndex size()==1)
@@ -927,3 +934,40 @@ def test_remote_batch_deadline_partials(spark, vectors):
             s.stop()
         heads.unpersist()
         postings.unpersist()
+
+
+def test_pipeline_window_byte_budget():
+    """The pipeline window is RESPONSE-byte bounded, not a fixed query
+    count: large resultnum shrinks the window so unread bytes per window
+    stay under the budget at any k (r10 advice)."""
+    from sptag_spark.server import (
+        _EST_RESULT_ROW_BYTES,
+        _PIPELINE_BYTE_BUDGET,
+        _PIPELINE_CHUNK,
+        _pipeline_window,
+    )
+
+    for k in (1, 10, 100, 1000, 100_000):
+        w = _pipeline_window(k)
+        assert 1 <= w <= _PIPELINE_CHUNK
+        # estimated unread bytes per window stay under budget (unless
+        # a single response alone exceeds it — then window is 1)
+        if w > 1:
+            assert w * k * _EST_RESULT_ROW_BYTES <= _PIPELINE_BYTE_BUDGET
+    assert _pipeline_window(1) == _PIPELINE_CHUNK  # tiny k → full chunk
+    assert _pipeline_window(100_000) == 1  # huge k → one in flight
+
+
+def test_route_to_shards_empty_center_guard():
+    """Empty shards carry +inf sentinel centers; for ip/cosine the dot
+    product can go NaN (inf*0). The never-route-to-empty invariant must
+    hold by explicit guard, not lexsort's NaN-last detail (r10 advice)."""
+    from sptag_spark.serving_local import route_to_shards
+
+    centers = np.array(
+        [[1.0, 0.0], [np.inf, np.inf], [0.0, 1.0], [np.inf, np.inf]]
+    )
+    q = np.array([0.0, 1.0])  # zero component meets inf → inf*0 = nan
+    for metric in ("l2", "ip", "cosine"):
+        sel = route_to_shards(centers, 2, q, metric, 4)
+        assert set(sel) <= {0, 2}, (metric, sel)
