@@ -19,22 +19,77 @@ Spark mapping — `SpannLiveIndex`:
 - deletes are tombstones, anti-joined at search time (`Labelset.h` soft
   deletes);
 - after `rebuild_threshold` adds, rebuild() re-selects heads, re-cuts
-  postings from the live vector set (the reference's background rebuild;
-  SPFresh's split/merge is subsumed by the re-cut at this scale), and swaps.
+  postings from the live vector set (the reference's background rebuild),
+  and swaps;
+- with ``maintenance="local"`` the global re-cut is replaced by SPFresh's
+  LIRE protocol (SOSP'23 §4: split / merge / reassign): a posting whose
+  length crosses ``split_limit`` is split IN PLACE — 2-means over only
+  that posting's members, the old head retired, two new heads added, and
+  replica assignment recomputed for only the affected vectors (members of
+  the split posting plus its ``neighbor_fanout`` nearest postings — the
+  paper's bounded NPA reassign check). The edit is a broadcast-anti-join
+  + union over the postings view: no shuffle, no head re-selection, no
+  corpus re-cut — at 100 TB a split touches one posting partition plus a
+  handful of neighbors while the reference-discipline rebuild() is a
+  full-corpus job. Undersized postings merge by the same machinery
+  (retire the head, reassign its members to surviving heads).
 
 At 100 TB the postings view is a base partitioned-Parquet table plus delta
 files per micro-batch (the union below IS that view); rebuild compacts.
+The posting-length ledger kept on the driver is the same per-posting size
+array SPFresh keeps in memory (one int per head).
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sptag_spark.index.ann import ann_search
 from sptag_spark.index.heads import DEFAULT_HEAD_RATIO, select_heads
-from sptag_spark.index.postings import assign_replicas, build_postings
+from sptag_spark.index.postings import (
+    POSTING_LIMIT,
+    assign_replicas,
+    build_postings,
+)
 from sptag_spark.streaming.ingest import ADD_COUNT_FOR_REBUILD
+
+#: nearest neighboring postings whose members are re-checked after a
+#: split — SPFresh's bounded reassign scope (the paper checks the split
+#: partition's neighbors, not the corpus)
+NEIGHBOR_FANOUT = 4
+
+
+def two_means(
+    X: np.ndarray, n_iter: int = 10
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic 2-means over one posting's members (SPFresh's split
+    step clusters the oversized partition into two balanced halves).
+    Seeds: the member farthest from the centroid, then the member
+    farthest from that seed — no RNG, so a split is reproducible.
+    → (labels ∈ {0,1} per row, centers (2, dim))."""
+    X = np.asarray(X, dtype=np.float64)
+    c0 = X.mean(axis=0)
+    s0 = int(np.argmax(((X - c0) ** 2).sum(axis=1)))
+    s1 = int(np.argmax(((X - X[s0]) ** 2).sum(axis=1)))
+    centers = np.stack([X[s0], X[s1]])
+    labels = np.zeros(len(X), dtype=np.int64)
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        new = d.argmin(axis=1)
+        if (new == labels).all() and _ > 0:
+            break
+        labels = new
+        for j in (0, 1):
+            if (labels == j).any():
+                centers[j] = X[labels == j].mean(axis=0)
+    # a degenerate posting (all-identical members) still yields two
+    # nonempty halves: move the lexicographically-last member over
+    if len(set(labels.tolist())) == 1:
+        labels[-1] = 1 - labels[-1]
+        centers[labels[-1]] = X[-1]
+    return labels, centers
 
 
 class SpannLiveIndex:
@@ -45,13 +100,39 @@ class SpannLiveIndex:
         metric: str = "l2",
         rebuild_threshold: int = ADD_COUNT_FOR_REBUILD,
         prebuilt: tuple[DataFrame, DataFrame] | None = None,
+        maintenance: str = "rebuild",
+        split_limit: int = POSTING_LIMIT,
+        merge_limit: int = 0,
+        neighbor_fanout: int = NEIGHBOR_FANOUT,
     ) -> None:
         """prebuilt=(heads, postings) attaches an already-built base index
         (the offline build artifact) so serve/maintain cost can be measured
-        separately from the build, as the reference's harness does."""
+        separately from the build, as the reference's harness does.
+
+        maintenance: "rebuild" (reference discipline — global re-cut at
+        rebuild_threshold, `BKTIndex.cpp:901-970` AddCountForRebuild) or
+        "local" (SPFresh LIRE — length-triggered split/merge of only the
+        violating posting; the global rebuild trigger is disabled, which
+        is the point: at 100 TB the re-cut is a full-corpus job while a
+        split touches one posting + its neighbors). split_limit /
+        merge_limit bound posting lengths; merge_limit=0 disables merges
+        (the SPFresh default keeps merge optional)."""
+        if maintenance not in ("rebuild", "local"):
+            raise ValueError(f"maintenance must be rebuild|local: {maintenance}")
         self._metric = metric
         self._ratio = ratio
         self._rebuild_threshold = rebuild_threshold
+        self._maintenance = maintenance
+        self._split_limit = int(split_limit)
+        self._merge_limit = int(merge_limit)
+        self._neighbor_fanout = int(neighbor_fanout)
+        #: driver-side posting-length ledger (SPFresh's in-memory posting
+        #: size array — one int per head); built lazily on first local
+        #: maintenance pass
+        self._lengths: dict[int, int] | None = None
+        self._next_head_id: int | None = None
+        #: one report dict per split/merge, newest last (the test witness)
+        self.maintenance_log: list[dict] = []
         self._spark = vectors.sparkSession
         self._base = vectors.select("id", "vector").persist()
         self._deltas: list[DataFrame] = []
@@ -95,7 +176,15 @@ class SpannLiveIndex:
         # atomic reference swap — readers keep their snapshot
         self.postings = self.postings.unionByName(delta)
         self.adds_since_build += n
-        if self.adds_since_build >= self._rebuild_threshold:
+        if self._maintenance == "local":
+            # SPFresh: fold the delta into the length ledger, then fix
+            # ONLY the postings this batch pushed over the limit
+            if self._lengths is not None:
+                for r in delta.groupBy("head_id").count().collect():
+                    h = int(r["head_id"])
+                    self._lengths[h] = self._lengths.get(h, 0) + int(r["count"])
+            self.maintain()
+        elif self.adds_since_build >= self._rebuild_threshold:
             self.rebuild()
 
     def delete_ids(self, ids: DataFrame) -> None:
@@ -121,6 +210,251 @@ class SpannLiveIndex:
             queries, self.heads, live_postings, k=k, nprobe=nprobe,
             metric=self._metric,
         )
+
+    # ------------------------------------------------------------------
+    # SPFresh LIRE local maintenance (SOSP'23 §4) — split / merge /
+    # bounded reassign, never a global re-cut
+    # ------------------------------------------------------------------
+
+    def _ensure_ledger(self) -> None:
+        """Lazily build the driver-side posting-length ledger and the
+        next-free head id — one groupBy over the postings (O(#heads)
+        rows collected, the same size array SPFresh holds in RAM)."""
+        if self._lengths is None:
+            self._lengths = {
+                int(r["head_id"]): int(r["count"])
+                for r in self.postings.groupBy("head_id").count().collect()
+            }
+        if self._next_head_id is None:
+            top = self.heads.agg(F.max("head_id")).first()[0]
+            self._next_head_id = int(top) + 1 if top is not None else 0
+
+    def posting_lengths(self) -> dict[int, int]:
+        """Current ledger (test/introspection hook)."""
+        self._ensure_ledger()
+        return dict(self._lengths)
+
+    def maintain(self, max_ops: int = 64) -> list[dict]:
+        """Run local maintenance until every posting satisfies
+        merge_limit <= length <= split_limit (or max_ops edits, a
+        termination guard — a merge can push a neighbor over the split
+        limit, which the next iteration then splits). Splits run before
+        merges: an oversized posting is the recall hazard (truncation
+        loses members), an undersized one only a seek-efficiency one.
+        → the list of per-op report dicts (also appended to
+        self.maintenance_log)."""
+        self._ensure_ledger()
+        ops: list[dict] = []
+        for _ in range(max_ops):
+            over = sorted(
+                h for h, n in self._lengths.items() if n > self._split_limit
+            )
+            under = (
+                sorted(
+                    h
+                    for h, n in self._lengths.items()
+                    if 0 < n < self._merge_limit
+                )
+                if self._merge_limit
+                else []
+            )
+            if over:
+                ops.append(self._split_posting(over[0]))
+            elif under and len(self._lengths) > 1:
+                ops.append(self._merge_posting(under[0]))
+            else:
+                break
+        self.maintenance_log.extend(ops)
+        return ops
+
+    def _split_posting(self, h: int) -> dict:
+        """SPFresh split: 2-means over ONLY the oversized posting's
+        members → two new head centers; the old head retires and the
+        bounded reassign runs (`_retire_and_reassign`). Reads one
+        posting (partition-pruned at 100 TB), never the corpus."""
+        rows = (
+            self.postings.filter(F.col("head_id") == int(h))
+            .select("id", "vector")
+            .orderBy("id")
+            .collect()
+        )
+        X = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
+        _, centers = two_means(X)
+        a, b = self._next_head_id, self._next_head_id + 1
+        self._next_head_id += 2
+        return self._retire_and_reassign(
+            h,
+            [(a, [float(v) for v in centers[0]]),
+             (b, [float(v) for v in centers[1]])],
+            kind="split",
+        )
+
+    def _merge_posting(self, h: int) -> dict:
+        """SPFresh merge: retire the undersized posting's head; its
+        members reassign to their nearest surviving heads (the paper
+        merges into the neighboring partition — full replica recompute
+        over the small member set lands them exactly there)."""
+        return self._retire_and_reassign(h, [], kind="merge")
+
+    def _retire_and_reassign(
+        self, h: int, new_head_rows: list[tuple[int, list[float]]], kind: str
+    ) -> dict:
+        """The shared LIRE edit — rows MOVE, they are never duplicated,
+        so maintenance can never inflate posting sizes (a full replica
+        recompute here was measured to cascade: two adjacent new heads
+        both capture every member and re-trip the split limit forever).
+
+        split: rows of the retired posting move to the nearer of the two
+        new centers (the 2-means assignment step); rows of the
+        neighbor_fanout nearest postings move ONLY if a new center is
+        strictly closer than their current head — SPFresh's bounded NPA
+        reassign check (only vectors near the split can prefer a new
+        head). merge: the retired posting's rows move to the nearest of
+        its neighbor_fanout nearest surviving heads; rows whose vector
+        already has a replica in the target posting are dropped, not
+        duplicated.
+
+        The edit is a per-row column transform over ONLY the touched
+        postings (partition-pruned head_id IN (...) scan at 100 TB) plus
+        a union with the untouched remainder — no shuffle, no corpus
+        scan, no head re-selection. Rows of untouched postings are
+        bit-identical afterwards. The length ledger is patched from the
+        transformed row counts."""
+        import pandas as pd
+
+        from sptag_spark.operators.knn import _as_matrix, _block_distances
+
+        heads_rows = self.heads.select("head_id", "vector").collect()
+        hid = np.array([r["head_id"] for r in heads_rows], dtype=np.int64)
+        H = np.array([list(r["vector"]) for r in heads_rows], dtype=np.float64)
+        pos = int(np.where(hid == h)[0][0])
+        d = ((H - H[pos]) ** 2).sum(axis=1)
+        d[pos] = np.inf
+        order = np.lexsort((hid, d))
+        neighbors = [
+            int(hid[i])
+            for i in order[: self._neighbor_fanout]
+            if np.isfinite(d[i])
+        ]
+        if kind == "split":
+            # targets are the two new centers; edit scope = retired
+            # posting + neighbors (NPA check)
+            targets = np.array(
+                [c for _, c in new_head_rows], dtype=np.float64
+            )
+            target_ids = np.array(
+                [i for i, _ in new_head_rows], dtype=np.int64
+            )
+            scope = [int(h)] + neighbors
+        else:
+            # merge: targets are the nearest surviving heads; edit scope
+            # = the retired posting only
+            tpos = [int(np.where(hid == n)[0][0]) for n in neighbors]
+            targets = H[tpos]
+            target_ids = np.array(neighbors, dtype=np.int64)
+            scope = [int(h)]
+        metric, retired = self._metric, int(h)
+        bc = self._spark.sparkContext.broadcast((targets, target_ids))
+
+        def kernel(batches):
+            T, TI = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = _as_matrix(pdf["vector"])
+                D = _block_distances(V, T, metric)  # (n, n_targets)
+                # nearest target, (dist, id)-deterministic ties
+                j = D.argmin(axis=1)
+                ties = D == D[np.arange(len(D)), j][:, None]
+                # among tied minima pick the lowest target id
+                j = np.where(
+                    ties.sum(axis=1) > 1,
+                    np.where(ties, TI[None, :], np.iinfo(np.int64).max)
+                    .argmin(axis=1),
+                    j,
+                )
+                dmin = D[np.arange(len(D)), j]
+                own = pdf["head_id"].to_numpy() == retired
+                move = own | (dmin < pdf["dist"].to_numpy())
+                out = pdf.copy()
+                out.loc[move, "head_id"] = TI[j[move]]
+                out.loc[move, "dist"] = dmin[move]
+                yield out
+
+        cols = ["head_id", "id", "vector", "dist"]
+        touched_rows = self.postings.filter(
+            F.col("head_id").isin(scope)
+        ).select(*cols)
+        transformed = touched_rows.mapInPandas(
+            kernel, schema=touched_rows.schema
+        )
+        if kind == "merge":
+            # drop rows whose vector already has a replica in the target
+            # posting (local anti-join: both sides are touched-partition
+            # reads only)
+            existing = self.postings.filter(
+                F.col("head_id").isin([int(t) for t in target_ids])
+            ).select("head_id", "id")
+            transformed = transformed.join(
+                existing, ["head_id", "id"], "left_anti"
+            )
+        else:
+            # a vector replicated in BOTH the retired posting and a
+            # neighbor can move both rows to the same new center — keep
+            # one (rows are identical tuples)
+            transformed = transformed.dropDuplicates(["head_id", "id"])
+        new_counts = {
+            int(r["head_id"]): int(r["count"])
+            for r in transformed.groupBy("head_id").count().collect()
+        }
+        new_heads = self.heads.filter(F.col("head_id") != retired)
+        if new_head_rows:
+            new_heads = new_heads.unionByName(
+                self._spark.createDataFrame(
+                    new_head_rows,
+                    self.heads.select("head_id", "vector").schema,
+                )
+            )
+        new_heads = new_heads.persist()
+        new_heads.count()
+        new_postings = (
+            self.postings.filter(~F.col("head_id").isin(scope))
+            .select(*cols)
+            .unionByName(transformed)
+            .persist()
+        )
+        new_postings.count()
+        # swap, then release superseded frames WE pinned (prebuilt frames
+        # belong to the caller); new_postings is materialized so dropping
+        # its lineage parents is safe
+        old_heads, old_postings = self.heads, self.postings
+        self.heads, self.postings = new_heads, new_postings
+        for old in (old_heads, old_postings):
+            if any(old is p for p in self._pinned):
+                self._pinned = [p for p in self._pinned if p is not old]
+                old.unpersist()
+        self._pinned += [new_heads, new_postings]
+        # ledger patch: scope heads take their transformed counts (the
+        # retired head vanishes); merge targets gained rows in place
+        n_before = sum(self._lengths.get(s, 0) for s in scope)
+        for s in scope:
+            self._lengths.pop(s, None)
+        for hh, c in new_counts.items():
+            if kind == "merge" and hh in self._lengths:
+                self._lengths[hh] = self._lengths.get(hh, 0) + c
+            else:
+                self._lengths[hh] = c
+        return {
+            "op": kind,
+            "head": retired,
+            "new_heads": [int(i) for i, _ in new_head_rows],
+            "neighbors": neighbors,
+            "scope": scope,
+            "rows_in_scope": int(n_before),
+            "rows_after": int(sum(new_counts.values())),
+            "heads_before": int(len(hid)),
+            "heads_after": int(len(hid)) - 1 + len(new_head_rows),
+        }
 
     def rebuild(self, should_abort=None) -> None:
         """The reference's background rebuild: fold deltas into the base,
@@ -168,6 +502,10 @@ class SpannLiveIndex:
         self._n_tombstones = 0
         self.adds_since_build = 0
         self.builds += 1
+        # the head set changed wholesale — the local-maintenance ledger
+        # is stale; rebuild it lazily on next use
+        self._lengths = None
+        self._next_head_id = None
 
     def _unpersist_pinned(self) -> None:
         # resources.release discipline: the SparkContext (or the whole

@@ -194,3 +194,186 @@ def test_concurrent_add_delete_search(split_vectors):
         "query_id long, vector array<float>",
     )
     assert idx.search(vq, k=3).filter(F.col("id").isin(deleted)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# SPFresh LIRE local maintenance (SOSP'23 §4): split / merge / bounded
+# reassign — maintenance touches ONLY affected postings, never the corpus
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def _clustered(spark, n_clusters=12, per=20, jitter=0.05, extra=None):
+    """Well-separated clusters (centers 1000 apart) so replica RNG
+    pruning keeps each vector in its own cluster's posting — maintenance
+    locality is then observable as bit-identical far postings."""
+    rng = np.random.default_rng(7)
+    rows, centers = [], []
+    for j in range(n_clusters):
+        c = np.array([1000.0 * j, 0.0, 0.0, 0.0])
+        centers.append((j, [float(v) for v in c]))
+        for i in range(per):
+            p = c + rng.normal(scale=jitter, size=4)
+            rows.append((j * per + i, [float(v) for v in p]))
+    if extra:
+        rows += extra
+    vecs = spark.createDataFrame(rows, "id long, vector array<float>")
+    heads = spark.createDataFrame(centers, "head_id long, vector array<float>")
+    return vecs, heads
+
+
+def test_two_means_deterministic_and_degenerate():
+    from sptag_spark.streaming.spfresh import two_means
+
+    X = np.vstack([np.zeros((5, 3)), np.ones((5, 3)) * 9])
+    labels, centers = two_means(X)
+    assert len(set(labels[:5])) == 1 and len(set(labels[5:])) == 1
+    assert labels[0] != labels[5]
+    l2, c2 = two_means(X)
+    assert (labels == l2).all() and (centers == c2).all()  # no RNG
+    # all-identical members still split into two nonempty halves
+    labels, _ = two_means(np.ones((6, 3)))
+    assert 0 < labels.sum() < 6
+
+
+def test_local_split_touches_only_affected_postings(spark):
+    """Adds concentrated on ONE posting trigger a split of that posting
+    only: the head retires into two new heads, rows for non-affected ids
+    are bit-identical, the length ledger stays exact, no global rebuild
+    fires, and search at exhaustive nprobe matches a full fresh rebuild
+    row-for-row."""
+    from sptag_spark.index.postings import build_postings
+
+    vecs, heads = _clustered(spark)
+    postings = build_postings(vecs, heads).persist()
+    postings.count()
+    # base postings carry replica redundancy (max 45 members/head here),
+    # so the limit sits just above the base maximum: only the targeted
+    # adds below can trip it
+    idx = SpannLiveIndex(
+        vecs, prebuilt=(heads, postings), rebuild_threshold=10**9,
+        maintenance="local", split_limit=45,
+    )
+    before = {
+        (r["head_id"], r["id"]): round(r["dist"], 6)
+        for r in postings.collect()
+    }
+    # 25 adds in a sub-blob near cluster 0 (x=-200: replica RNG prunes
+    # every other head) → posting 0 goes 34 → 59 > 45
+    rng = np.random.default_rng(3)
+    off = np.array([-200.0, 0.0, 0.0, 0.0])
+    batch = spark.createDataFrame(
+        [
+            (
+                10_000 + i,
+                [float(v) for v in off + rng.normal(scale=0.05, size=4)],
+            )
+            for i in range(25)
+        ],
+        "id long, vector array<float>",
+    )
+    idx.add_batch(batch)
+    assert idx.builds == 0  # the global re-cut NEVER ran
+    splits = [op for op in idx.maintenance_log if op["op"] == "split"]
+    assert splits and splits[0]["head"] == 0
+    assert idx.heads.count() == 13  # 12 - 1 retired + 2 new
+    # ledger == physical truth, and every posting is back under limit
+    actual = {
+        int(r["head_id"]): int(r["count"])
+        for r in idx.postings.groupBy("head_id").count().collect()
+    }
+    ledger = {h: n for h, n in idx.posting_lengths().items() if n > 0}
+    assert ledger == actual
+    assert max(actual.values()) <= 45
+    # locality witness: rows for ids outside the affected set unchanged
+    # locality witness: the edit scope is the retired posting + its
+    # neighbors — every row in a head OUTSIDE the union of scopes is
+    # bit-identical (batch rows excluded from the after-side: they were
+    # added, not edited)
+    touched = set()
+    for op in idx.maintenance_log:
+        touched |= {*op["scope"], *op["new_heads"]}
+    batch_ids = {10_000 + i for i in range(25)}
+    after = {
+        (r["head_id"], r["id"]): round(r["dist"], 6)
+        for r in idx.postings.collect()
+    }
+    before_rest = {k: v for k, v in before.items() if k[0] not in touched}
+    after_rest = {
+        k: v
+        for k, v in after.items()
+        if k[0] not in touched and k[1] not in batch_ids
+    }
+    assert before_rest == after_rest
+    # search parity vs a FULL fresh rebuild over the same live set, at
+    # exhaustive nprobe (both exact): row-for-row identical
+    q = _self_query(batch, 4)
+    got = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["dist"], 6))
+        for r in idx.search(q, k=5, nprobe=64).collect()
+    )
+    full = SpannLiveIndex(vecs.unionByName(batch), rebuild_threshold=10**9)
+    want = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["dist"], 6))
+        for r in full.search(q, k=5, nprobe=64).collect()
+    )
+    assert got == want
+    full.close()
+    idx.close()
+    postings.unpersist()
+
+
+def test_local_merge_reassigns_members(spark):
+    """An undersized posting merges away: its head retires, members
+    reassign to surviving heads (still searchable as exact self-hits),
+    and far postings stay bit-identical."""
+    from sptag_spark.index.postings import build_postings
+
+    # far from every cluster so nothing else bleeds into its posting
+    tiny = [(9_000 + i, [50_000.0 + i * 0.01, 0.0, 0.0, 0.0]) for i in range(3)]
+    vecs, heads = _clustered(spark, extra=tiny)
+    heads = heads.unionByName(
+        spark.createDataFrame(
+            [(12, [50_000.0, 0.0, 0.0, 0.0])],
+            "head_id long, vector array<float>",
+        )
+    )
+    postings = build_postings(vecs, heads).persist()
+    postings.count()
+    idx = SpannLiveIndex(
+        vecs, prebuilt=(heads, postings), rebuild_threshold=10**9,
+        # the tiny posting carries 17 rows (3 tiny members + far replicas
+        # the collinear RNG geometry keeps) — every other posting has >30
+        maintenance="local", split_limit=1000, merge_limit=20,
+    )
+    before = {
+        (r["head_id"], r["id"]): round(r["dist"], 6)
+        for r in postings.collect()
+    }
+    ops = idx.maintain()
+    merges = [op for op in ops if op["op"] == "merge"]
+    assert merges and merges[0]["head"] == 12
+    assert 12 not in idx.posting_lengths()
+    assert idx.heads.filter(F.col("head_id") == 12).count() == 0
+    # the merged members are still searchable (exact self-hits)
+    q = spark.createDataFrame(
+        [(i, v) for i, v in tiny], "query_id long, vector array<float>"
+    )
+    hits = idx.search(q, k=3, nprobe=64).filter(
+        (F.col("rank") == 1)
+        & (F.col("id") == F.col("query_id"))
+        & (F.col("dist") == 0.0)
+    )
+    assert hits.count() == 3
+    # far postings untouched
+    affected_ids = {i for (h, i) in before if h == 12}
+    before_rest = {k: v for k, v in before.items() if k[1] not in affected_ids}
+    after = {
+        (r["head_id"], r["id"]): round(r["dist"], 6)
+        for r in idx.postings.collect()
+    }
+    after_rest = {k: v for k, v in after.items() if k[1] not in affected_ids}
+    assert before_rest == after_rest
+    idx.close()
+    postings.unpersist()
