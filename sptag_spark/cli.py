@@ -629,6 +629,144 @@ def cmd_quantize(args, spark) -> int:
     return 0
 
 
+def cmd_partition(args, spark) -> int:
+    """BalancedDataPartition parity (`src/BalancedDataPartition/main.cpp:
+    151-241`): balance-penalized k-means over the WHOLE corpus (the
+    reference's lambda·count penalty — `balanced_kmeans` mirrors it),
+    then write the tool's output shape:
+
+      <out>/shards/cluster=<i>/  — per-partition vector files (parquet;
+                                   the reference writes one binary file
+                                   per partition)
+      <out>/centers.bin          — DEFAULT-binary centers (+ the
+                                   reference's trailing lambda/diff/
+                                   mindist/noimprovement record,
+                                   main.cpp:140-144)
+      <out>/Aggregator.ini       — [Service] TopK/Centers + [Server_<i>]
+                                   sections that `cli aggserve --config`
+                                   boots UNMODIFIED (center-routed
+                                   scatter against these shards)
+
+    --build additionally builds one SPANN index per shard
+    (<out>/index_<i>) so `cli serve -x` can host each shard directly:
+    corpus → sharded deployment is one command.
+
+    Scale shape: the clustering is the distributed penalized Lloyd
+    (hierarchical above 2048 shards), the shard write is ONE
+    partitionBy(cluster) job, and only the k centers ever reach the
+    driver."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sptag_spark.index.balanced import balanced_kmeans
+    from sptag_spark.io.readers import write_default_bin
+
+    vectors = _read_vectors(
+        spark, args.input, args.filetype, args.valuetype, args.delimiter
+    ).persist()
+    n = vectors.count()
+    k = args.nparts
+    t0 = time.time()
+    assign = balanced_kmeans(
+        vectors.select("id", "vector"), k, lam=args.penalty,
+        _emit_vector=True,
+    ).persist()
+    shards_dir = os.path.join(args.output, "shards")
+    assign.write.mode("overwrite").partitionBy("cluster").option(
+        "compression", "zstd"
+    ).parquet(shards_dir)
+    sizes = {
+        int(r["cluster"]): int(r["count"])
+        for r in assign.groupBy("cluster").count().collect()
+    }
+    # centers = per-cluster means, computed distributed (posexplode →
+    # per-dimension avg); only k×dim doubles reach the driver
+    crows = (
+        assign.select("cluster", F.posexplode("vector").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    dim = 1 + max(r["pos"] for r in crows)
+    C = np.zeros((k, dim), dtype=np.float32)
+    for r in crows:
+        C[int(r["cluster"]), int(r["pos"])] = float(r["m"])
+    centers_path = os.path.join(args.output, "centers.bin")
+    write_default_bin(C, centers_path)
+    with open(centers_path, "ab") as f:
+        # reference trailer (main.cpp:140-144): lambda, currDiff,
+        # minClusterDist, noImprovement — readers that only honor the
+        # DEFAULT header (count·dim) skip it
+        import struct as _struct
+
+        f.write(_struct.pack("<fffi", float(args.penalty or 0.0), 0.0, 0.0, 0))
+    ini_path = os.path.join(args.output, "Aggregator.ini")
+    lines = [
+        "[Service]",
+        f"ListenAddr={args.host}",
+        f"ListenPort={args.port}",
+        f"TopK={args.topk}",
+        f"Centers={os.path.abspath(centers_path)}",
+        "[Servers]",
+        f"Number={k}",
+    ]
+    for i in range(k):
+        lines += [
+            f"[Server_{i}]",
+            "Address=127.0.0.1",
+            f"Port={args.base_port + i}",
+        ]
+    with open(ini_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    built = []
+    if args.build:
+        from sptag_spark.index.heads import DEFAULT_HEAD_RATIO, select_heads
+        from sptag_spark.index.postings import build_postings
+        from sptag_spark.io.index_store import SptagIndex, save_index
+
+        for i in sorted(sizes):
+            sh = spark.read.parquet(
+                os.path.join(shards_dir, f"cluster={i}")
+            ).select("id", "vector")
+            heads = select_heads(sh, ratio=DEFAULT_HEAD_RATIO).persist()
+            postings = build_postings(sh, heads)
+            idx_dir = os.path.join(args.output, f"index_{i}")
+            save_index(
+                SptagIndex(
+                    vectors=sh,
+                    heads=heads,
+                    postings=postings,
+                    config={
+                        "algo": "SPANN",
+                        "metric": "l2",
+                        "value_type": args.valuetype,
+                        "n_vectors": sizes[i],
+                        "shard": i,
+                    },
+                ),
+                idx_dir,
+            )
+            heads.unpersist()
+            built.append(idx_dir)
+    assign.unpersist()
+    vectors.unpersist()
+    print(
+        json.dumps(
+            {
+                "partitioned": n,
+                "nparts": k,
+                "sizes": [sizes.get(i, 0) for i in range(k)],
+                "centers": centers_path,
+                "ini": ini_path,
+                "indexes": built,
+                "sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    return 0
+
+
 def _common_reader_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-v", "--valuetype", default="float32",
                    help="vector value type (float32|int8|int16)")
@@ -714,6 +852,29 @@ def main(argv: list[str] | None = None) -> int:
                    help="quantized dimension (PQ subspaces M)")
     _common_reader_flags(q)
 
+    pt = sub.add_parser(
+        "partition",
+        help="BalancedDataPartition parity: corpus → per-shard files + "
+             "Centers + a bootable Aggregator.ini",
+    )
+    pt.add_argument("-i", "--input", required=True)
+    pt.add_argument("-o", "--output", required=True)
+    pt.add_argument("-c", "--nparts", type=int, required=True,
+                    help="number of partitions (reference -c/numclusters)")
+    pt.add_argument("-l", "--penalty", type=float, default=None,
+                    help="balance lambda (reference -l; default auto)")
+    pt.add_argument("--topk", type=int, default=1,
+                    help="[Service] TopK scatter fan-out in the generated "
+                         "Aggregator.ini")
+    pt.add_argument("--host", default="127.0.0.1")
+    pt.add_argument("-p", "--port", type=int, default=0)
+    pt.add_argument("--base-port", type=int, default=9000, dest="base_port",
+                    help="Server_<i> ports start here")
+    pt.add_argument("--build", action="store_true",
+                    help="also build one SPANN index per shard "
+                         "(<out>/index_<i>)")
+    _common_reader_flags(pt)
+
     args = ap.parse_args(argv)
     # normalize valuetype aliases the reference accepts
     args.valuetype = {"float": "float32", "int8": "int8", "int16": "int16"}.get(
@@ -730,6 +891,7 @@ def main(argv: list[str] | None = None) -> int:
             "serve": cmd_serve,
             "aggserve": cmd_aggserve,
             "client": cmd_client,
+            "partition": cmd_partition,
         }[args.cmd](args, spark)
     finally:
         spark.stop()

@@ -115,6 +115,89 @@ def hier_kmeans(
     return np.vstack(out)
 
 
+def select_heads_distributed(
+    vectors: DataFrame,
+    k: int,
+    n: int,
+    metric: str = "l2",
+    seed: int = 42,
+    iters: int = 10,
+) -> DataFrame:
+    """Two-level DISTRIBUTED Lloyd: level 1 is the partition boundary
+    (Spark's random row split — each partition sees ≈ the global
+    distribution), level 2 is a per-partition partial k-means on the
+    executors training size-proportional local centers, each snapped to
+    a real local row. The union of partial heads IS the head set — no
+    driver-side merge of k centers, no sample ceiling: every corpus row
+    participates in some partition's fit, matching the reference's
+    SelectHeadInternal building its BKT over ALL vectors
+    (`SPANNIndex.cpp:579-705`).
+
+    Scale shape: per-task cost is O(rows_p · k_p · d · iters) with
+    k_p = k·rows_p/n — at 1000 executors the N·k·d Lloyd bill divides by
+    the partition count and runs in parallel; driver traffic is the k
+    result rows only. Within a task, large k_p delegates to hier_kmeans
+    (the two-level local fit), and a partition too small to define its
+    quota falls back to uniform choice of its own rows — the same fixed
+    point the flat path uses when k ≈ n."""
+    import pandas as pd
+
+    from sptag_spark.operators.knn import _as_matrix
+
+    frac_k = k / max(n, 1)
+    cosine = metric == "cosine"
+
+    def kernel(batches):
+        ids_l, X_l = [], []
+        for pdf in batches:
+            if len(pdf):
+                ids_l.append(pdf["id"].to_numpy(np.int64))
+                X_l.append(_as_matrix(pdf["vector"]))
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        X = np.vstack(X_l)
+        # deterministic per-partition seed: partitioning of a stable
+        # source is stable, so min-id identifies the partition
+        pseed = int(seed + (int(ids.min()) % 1_000_003))
+        k_p = max(1, int(round(len(ids) * frac_k)))
+        if cosine:
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            Xw = X / np.where(norms == 0.0, 1.0, norms)
+        else:
+            Xw = X
+        if 2 * k_p >= len(ids):
+            pick = np.random.default_rng(pseed).choice(
+                len(ids), size=min(k_p, len(ids)), replace=False
+            )
+            chosen = np.sort(pick)
+        else:
+            centers = hier_kmeans(Xw, k_p, iters=iters, seed=pseed)
+            order = np.argsort(ids, kind="stable")
+            ids_s, X_s = ids[order], Xw[order]
+            x2 = (X_s**2).sum(1)
+            nearest = np.empty(len(centers), dtype=np.int64)
+            block = max(1, int(2.5e7 / max(len(X_s), 1)))
+            for s in range(0, len(centers), block):
+                D = -2.0 * (centers[s : s + block] @ X_s.T) + x2[None, :]
+                nearest[s : s + block] = order[D.argmin(axis=1)]
+            chosen = np.unique(nearest)
+        yield pd.DataFrame(
+            {
+                "head_id": ids[chosen],
+                "vector": [
+                    np.asarray(X[i], dtype=np.float32) for i in chosen
+                ],
+            }
+        )
+
+    return (
+        vectors.select("id", "vector")
+        .mapInPandas(kernel, "head_id long, vector array<float>")
+        .dropDuplicates(["head_id"])
+    )
+
+
 def select_heads(
     vectors: DataFrame,
     ratio: float = DEFAULT_HEAD_RATIO,
@@ -122,6 +205,7 @@ def select_heads(
     seed: int = 42,
     max_heads: int = 1 << 20,
     sample_rows: int = 200_000,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Pick ~ratio·N real vectors as heads. Returns (head_id, vector) where
     head_id is the chosen vector's id in the base table.
@@ -131,6 +215,18 @@ def select_heads(
     """
     n = vectors.count()
     k = max(1, min(int(n * ratio), max_heads))
+    # past the sample ceiling a 200k sample cannot DEFINE k distinct
+    # heads (the SPACEV regime: k up to 10⁸) — the old path degenerated
+    # to uniform choice. Train on the WHOLE corpus instead via
+    # per-partition partial Lloyd (distributed two-level fit); the
+    # sampled driver fit remains for every scale the sample covers, so
+    # existing builds are byte-identical.
+    if distributed is None:
+        distributed = 2 * k >= sample_rows and n > sample_rows
+    if distributed and n > 2 * k:
+        return select_heads_distributed(
+            vectors, k, n, metric=metric, seed=seed
+        )
     frac = min(1.0, sample_rows / max(n, 1))
     sample = vectors if frac >= 1.0 else vectors.sample(frac, seed=seed)
     rows = sample.select("id", "vector").collect()

@@ -678,3 +678,63 @@ def test_head_groups_disk_store_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "group_id" in plan.split(
         "PartitionFilters"
     )[1][:400]
+
+
+def test_select_heads_distributed_full_corpus(spark):
+    """Distributed two-level Lloyd (per-partition partial k-means on the
+    executors): trains on ALL rows with no sample ceiling, returns ~k
+    REAL rows as heads, deterministic across runs, honors cosine
+    normalization, and a SPANN search over the resulting index still
+    self-hits."""
+    import numpy as np
+
+    from sptag_spark.index.heads import select_heads, select_heads_distributed
+    from sptag_spark.index.postings import build_postings
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(v) for v in rng.normal(size=6)]) for i in range(4000)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "id long, vector array<float>"
+    ).repartition(8)
+    heads = select_heads_distributed(vecs, k=400, n=4000)
+    hrows = heads.collect()
+    got_k = len(hrows)
+    assert 200 <= got_k <= 500  # ≈ k: per-partition rounding + dedup
+    by_id = dict(rows)
+    for r in hrows[:50]:  # heads are REAL corpus rows, exact values
+        assert list(np.float32(r["vector"])) == list(
+            np.float32(by_id[r["head_id"]])
+        )
+    again = {r["head_id"] for r in select_heads_distributed(
+        vecs, k=400, n=4000
+    ).collect()}
+    assert {r["head_id"] for r in hrows} == again  # deterministic
+    # cosine trains on normalized rows but returns ORIGINAL vectors
+    hc = select_heads_distributed(vecs, k=400, n=4000, metric="cosine")
+    r0 = hc.limit(5).collect()
+    for r in r0:
+        assert list(np.float32(r["vector"])) == list(
+            np.float32(by_id[r["head_id"]])
+        )
+    # the auto gate: small corpus keeps the sampled driver fit
+    # (bit-stable memoized builds), forcing distributed=True overrides
+    h_auto = select_heads(vecs, ratio=0.1)
+    h_forced = select_heads(vecs, ratio=0.1, distributed=True)
+    assert h_auto.count() > 0 and h_forced.count() > 0
+    # end-to-end: index built on distributed heads still self-hits
+    from sptag_spark.index.ann import ann_search
+
+    postings = build_postings(vecs, heads)
+    q = spark.createDataFrame(
+        [(i, by_id[i]) for i in range(20)],
+        "query_id long, vector array<float>",
+    )
+    res = ann_search(q, heads, postings, k=3, nprobe=8)
+    hits = res.filter(
+        (F.col("rank") == 1)
+        & (F.col("id") == F.col("query_id"))
+        & (F.col("dist") == 0.0)
+    )
+    assert hits.count() == 20

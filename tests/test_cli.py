@@ -636,3 +636,111 @@ def test_cli_aggserve_missing_centers_fatal(spark, capsys, tmp_path):
     assert rc == 1
     err = capsys.readouterr().err
     assert "TopK" in err and "Centers" in err.replace("centers", "Centers")
+
+
+def test_cli_partition_roundtrip(spark, tmp_path, capsys):
+    """BalancedDataPartition journey (main.cpp:151-241 output parity):
+    `cli partition --build` writes per-shard files + a DEFAULT-binary
+    Centers file + an Aggregator.ini; serve loops host the per-shard
+    indexes at the ini's ports; `cli aggserve --config` boots the ini
+    UNMODIFIED with center routing (TopK=1) — and routed results equal a
+    broadcast aggregator's on the clustered corpus."""
+    import json as _json
+    import socket
+    import threading
+    import time as _t
+
+    from sptag_spark.cli import cmd_aggserve, cmd_partition, cmd_serve
+    from sptag_spark.io.readers import read_binary_vectors
+    from sptag_spark.server import encode_query
+
+    rng = np.random.default_rng(21)
+    sites = np.array(
+        [[0.0] * 6, [500.0] * 6, [-500.0, 500.0, -500.0, 500.0, -500.0, 500.0]]
+    )
+    X = np.vstack(
+        [s + rng.normal(scale=0.3, size=(60, 6)) for s in sites]
+    ).astype("float32")
+    corpus = str(tmp_path / "corpus.tsv")
+    _write_txt(corpus, X, "m")
+    out = str(tmp_path / "part")
+    bp = 21000 + (os.getpid() % 1500) * 3
+    rc = cmd_partition(
+        argparse.Namespace(
+            input=corpus, output=out, nparts=3, penalty=None, topk=1,
+            host="127.0.0.1", port=0, base_port=bp, build=True,
+            valuetype="float32", filetype="TXT", delimiter="|",
+        ),
+        spark,
+    )
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(rep["sizes"]) == 180 and min(rep["sizes"]) > 0
+    assert len(rep["indexes"]) == 3
+    # the centers file is reference DEFAULT binary (trailing
+    # lambda/diff/mindist/noimprovement record skipped by the header)
+    C = read_binary_vectors(spark, rep["centers"], "default").collect()
+    assert len(C) == 3 and len(C[0]["vector"]) == 6
+    # host each shard index at the ini's Server_<i> port
+    threads = []
+    for i, idx_dir in enumerate(rep["indexes"]):
+        ns = argparse.Namespace(
+            index=[idx_dir], config=None, host="127.0.0.1", port=bp + i,
+            k=None, duration=60.0, memory_budget=None,
+        )
+        t = threading.Thread(target=cmd_serve, args=(ns, spark), daemon=True)
+        t.start()
+        threads.append(t)
+
+    seen: list[str] = []
+
+    def wait_addrs(key, want):
+        for _ in range(240):
+            seen.extend(capsys.readouterr().out.splitlines())
+            got = [
+                tuple(_json.loads(ln)[key])
+                for ln in seen
+                if f'"{key}"' in ln
+            ]
+            if len(got) >= want:
+                return got
+            _t.sleep(0.25)
+        raise AssertionError(f"saw {len(got)} {key} lines, want {want}")
+
+    wait_addrs("serving", 3)
+    # routed aggregator: boots the GENERATED ini unmodified
+    ns = argparse.Namespace(
+        backends=None, config=rep["ini"], host=None, port=None, k=None,
+        duration=60.0,
+    )
+    threading.Thread(
+        target=cmd_aggserve, args=(ns, spark), daemon=True
+    ).start()
+    routed_addr = wait_addrs("aggregating", 1)[0]
+    # broadcast aggregator over the same backends, for the equality check
+    ns2 = argparse.Namespace(
+        backends=",".join(f"127.0.0.1:{bp + i}" for i in range(3)),
+        config=None, host="127.0.0.1", port=0, k=None, duration=60.0,
+    )
+    threading.Thread(
+        target=cmd_aggserve, args=(ns2, spark), daemon=True
+    ).start()
+    bcast_addr = wait_addrs("aggregating", 2)[1]
+
+    def ask(addr, vec):
+        with socket.create_connection(
+            (addr[0], int(addr[1])), timeout=30
+        ) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            f.write(encode_query([float(v) for v in vec], resultnum=5) + "\n")
+            f.flush()
+            return [
+                (r["id"], round(r["dist"], 4))
+                for r in _json.loads(f.readline())["results"]
+            ]
+
+    for qi in (0, 5, 60, 65, 120, 125):  # two probes per cluster
+        r_routed = ask(routed_addr, X[qi])
+        r_bcast = ask(bcast_addr, X[qi])
+        assert r_routed == r_bcast, (qi, r_routed, r_bcast)
+        assert r_routed[0][1] == 0.0  # exact self-hit
