@@ -34,6 +34,19 @@ def _replica_proc_main(replica, qs, k, nprobe, ready, start, done):
     done.put(len(qs))
 
 
+def _aggserve_proc_main(replica, k, nprobe, ready, stop_ev):
+    """One shard server PROCESS for the network-aggregator bench row: a
+    real AnnTcpServer (newline wire format) hosting one shard replica.
+    Children are spawned, so they get only the pickled replica (pure
+    NumPy) — no py4j. Port 0 → the kernel picks; reported via ready."""
+    from sptag_spark.server import AnnTcpServer
+
+    srv = AnnTcpServer(replica, k=k, nprobe=nprobe).start()
+    ready.put(srv.address)
+    stop_ev.wait()
+    srv.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -496,6 +509,97 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["spann_metrics"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Multi-process NETWORK aggregator (r10 ask #5): N real server
+    # processes on localhost, one per k-means-split shard, fronted by
+    # RemoteReplicaAggregator over real sockets — the reference's full
+    # client → aggregator → serving-node deployment, measured end to end
+    # (batch scatter QPS + batched-deadline partial behavior). Compare
+    # qps_batch (in-process replica) with aggregator_batch_qps: the delta
+    # is the wire + JSON + scatter cost of the network tier.
+    aggregator_ms: dict = {}
+    try:
+        import multiprocessing as mp
+
+        from sptag_spark.server import RemoteReplicaAggregator
+        from sptag_spark.serving_local import ShardedSpannAggregator
+
+        n_shards = 4
+        sharded = ShardedSpannAggregator(
+            heads, postings, n_shards=n_shards, split="kmeans"
+        )
+        ctx = mp.get_context("spawn")
+        ready_q = ctx.Queue()
+        stop_ev = ctx.Event()
+        procs = [
+            ctx.Process(
+                target=_aggserve_proc_main,
+                args=(rep, 10, spann_point["nprobe"], ready_q, stop_ev),
+                daemon=True,
+            )
+            for rep in sharded.replicas
+        ]
+        try:
+            for p in procs:
+                p.start()
+            addrs = [ready_q.get(timeout=180) for _ in procs]
+            agg = RemoteReplicaAggregator(
+                addrs,
+                centers=sharded.centers,
+                scatter_topk=2,
+            )
+            qb = (reps * ((512 // len(reps)) + 1))[:512]
+            agg.batch_search(qb[:32], k=10)  # warm connections + pages
+            t0 = time.time()
+            n_arep = 3
+            for _ in range(n_arep):
+                rows = agg.batch_search(qb, k=10)
+            agg_batch_qps = len(qb) * n_arep / (time.time() - t0)
+            # single-query latency through the full network scatter
+            alat = []
+            for _, qv in reps:
+                t0 = time.time()
+                agg.search_one(qv, k=10)
+                alat.append((time.time() - t0) * 1000)
+            alat.sort()
+            # batched deadline over real sockets: generous budget must be
+            # complete; a 1 ms budget demonstrates graceful partials
+            _, partial_gen = agg.batch_search_with_deadline(
+                qb[:64], k=10, budget_ms=60_000.0
+            )
+            rows_tight, partial_tight = agg.batch_search_with_deadline(
+                qb[:64], k=10, budget_ms=1.0
+            )
+            a_hits = a_total = 0
+            for qid, ids_rank in {
+                q: [r[2] for r in rows if r[0] == q][:10]
+                for q, _ in reps
+            }.items():
+                a_hits += sum((qid, int(i)) in truth_pairs for i in ids_rank)
+                a_total += 10
+            aggregator_ms = {
+                "n_server_procs": n_shards,
+                "scatter_topk": 2,
+                "batch_qps": round(agg_batch_qps, 1),
+                "batch_size": len(qb),
+                "p50_single_ms": round(alat[len(alat) // 2], 3),
+                "p99_single_ms": round(
+                    alat[min(len(alat) - 1, int(0.99 * len(alat)))], 3
+                ),
+                "recall_at_10": round(a_hits / max(a_total, 1), 4),
+                "deadline_partial_generous": bool(partial_gen),
+                "deadline_partial_1ms": bool(partial_tight),
+                "nprobe": spann_point["nprobe"],
+            }
+            agg.close()
+        finally:
+            stop_ev.set()
+            for p in procs:
+                p.join(timeout=15)
+                if p.is_alive():
+                    p.terminate()
+    except Exception as exc:  # noqa: BLE001
+        errors["aggregator_ms"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # Multi-micro-batch streaming serve: the §2.11 serve LOOP as a
     # sequence of micro-batches (queries land as N files,
     # maxFilesPerTrigger=1 → one serve execution each), reporting
@@ -565,6 +669,7 @@ def main() -> None:
         "planner_single_query_ms": planner_latency,
         "pq_replica_latency_ms": pq_replica_latency,
         "disk_replica_latency_ms": disk_replica_latency,
+        "aggregator_ms": aggregator_ms,
         "streaming_serve_micro_batches": stream_serve,
         "index_build_sec": builds,
         "errors": errors,

@@ -108,7 +108,35 @@ def compare(
         for r in rows:
             r["gate_ratio"] = r["raw_ratio"]
     flagged = [r for r in rows if r["gate_ratio"] > threshold]
+    # serving-tier tracking (r10 ask #5): throughput/latency rows diffed
+    # informationally (never gated — QPS figures swing with machine load
+    # in ways the gemm kernel does not normalize; the walls above are the
+    # regression gate). "better" records the desired direction.
+    serving = {}
+    for sec, key, better in (
+        ("spann_local_replica_latency_ms", "qps_batch", "higher"),
+        ("spann_local_replica_latency_ms", "qps_multiprocess", "higher"),
+        ("spann_local_replica_latency_ms", "p50", "lower"),
+        ("aggregator_ms", "batch_qps", "higher"),
+        ("aggregator_ms", "p50_single_ms", "lower"),
+        ("disk_replica_latency_ms", "p50", "lower"),
+        ("pq_replica_latency_ms", "p50", "lower"),
+    ):
+        vo = (old.get(sec) or {}).get(key)
+        vn = (new.get(sec) or {}).get(key)
+        if (
+            isinstance(vo, (int, float))
+            and isinstance(vn, (int, float))
+            and vo
+        ):
+            serving[f"{sec}.{key}"] = {
+                "old": vo,
+                "new": vn,
+                "ratio": round(vn / vo, 3),
+                "better": better,
+            }
     return {
+        "serving": serving,
         "gemm_gflops": {"old": g_old, "new": g_new},
         "calibrated": calibrated,
         "calibration_suspect": calibration_suspect,
