@@ -683,3 +683,78 @@ FROM tok t JOIN ratio USING (tok)
 GROUP BY t.doc_id
 """,
 )
+
+
+# -- curated-corpus composite (r10 ask #6) ----------------------------------
+#
+# One driver query that TRANSITS two perennially-unsampled operators in
+# sequence: the C4/Gopher rule filters gate the corpus, and the DSIR
+# importance estimator (Xie et al. 2023) is trained on and scored over
+# only the survivors — the real curation pipeline shape (filter, then
+# importance-resample toward the target domain). The oracle is composed
+# from the SAME independent rules SQL (_RULES_SQL's CTEs) plus the full
+# DSIR estimator recomputed over the kept set, so a hash match certifies
+# both operators' semantics in one row.
+#
+# Plan shape: the rules are map-only column expressions fused into the
+# scan; the estimator adds one vocab-sized groupBy, a broadcast totals
+# row, and a per-doc rollup. No new wide op beyond dsir_sample's.
+
+
+def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.textops import (
+        dsir_importance_weights,
+        rule_filters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    rules = rule_filters(docs).select("doc_id", "keep")
+    kept = docs.join(rules.filter(F.col("keep")), "doc_id").select(
+        "doc_id", "source", "text"
+    )
+    return dsir_importance_weights(kept, F.col("source") == "src0")
+
+
+_CURATED_SQL = (
+    _RULES_SQL[: _RULES_SQL.index("SELECT doc_id, n_tokens")]
+    + r""",
+kept AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN rules r USING (doc_id)
+  WHERE r.r_min_words AND r.r_max_words AND r.r_avg_word_len
+    AND r.r_terminal_punct AND r.r_symbol_ratio AND r.r_bullet_ratio
+    AND r.r_no_lorem AND r.r_no_brace AND r.r_alpha_ratio
+),
+ktok AS (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM kept
+),
+kfreq AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS cnt_all,
+         CAST(sum(is_t) AS DOUBLE) AS cnt_t
+  FROM ktok GROUP BY tok
+),
+ktot AS (
+  SELECT sum(cnt_all) AS total_all, sum(cnt_t) AS total_t,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM kfreq
+),
+kratio AS (
+  SELECT tok,
+         ln((cnt_t + 0.5) / (total_t + 0.5 * v))
+         - ln((cnt_all + 0.5) / (total_all + 0.5 * v)) AS lr
+  FROM kfreq CROSS JOIN ktot
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lr), 4) + 0.0 AS avg_log_ratio,
+       (round(avg(lr), 4) + 0.0 > 0.0) AS selected
+FROM ktok t JOIN kratio USING (tok)
+GROUP BY t.doc_id
+"""
+)
+
+register("pipeline_curated_corpus", _curated_corpus, _CURATED_SQL)
