@@ -103,7 +103,7 @@ def recall_at_10(spark, vecs, heads, postings, queries, nprobe) -> float:
     from sptag_spark.index.ann import ann_search
     from sptag_spark.operators.knn import knn
 
-    truth = knn(queries, vecs, k=10).select(
+    truth = knn(vecs, queries, k=10).select(
         F.col("query_id"), F.col("id").alias("tid")
     )
     got = ann_search(queries, heads, postings, k=10, nprobe=nprobe).select(
