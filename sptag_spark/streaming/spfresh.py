@@ -278,6 +278,13 @@ class SpannLiveIndex:
             .orderBy("id")
             .collect()
         )
+        if len(rows) < 2:
+            # stale ledger (a concurrent edit shrank the posting): correct
+            # it and report a no-op — the maintain() loop re-reads the
+            # ledger next pass and moves on
+            self._lengths[int(h)] = len(rows)
+            return {"op": "noop", "head": int(h), "rows": len(rows),
+                    "new_heads": [], "neighbors": [], "scope": [int(h)]}
         X = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
         _, centers = two_means(X)
         a, b = self._next_head_id, self._next_head_id + 1
