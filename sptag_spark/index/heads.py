@@ -146,6 +146,17 @@ def select_heads_distributed(
 
     frac_k = k / max(n, 1)
     cosine = metric == "cosine"
+    src = vectors.select("id", "vector")
+    # parallelism guard (same as balanced.py / assign_replicas): a compact
+    # parquet arrives as a handful of row-group splits, which would run
+    # the per-partition fits on a quarter of the cores (measured: the
+    # 8.4M dress rehearsal spent P1 on 8 of 32 threads). Spark's
+    # round-robin repartition is deterministic (local sort, SPARK-23207),
+    # so per-partition seeds stay stable. Real large tables already have
+    # more splits than cores — this is a local-mode correction.
+    sc = vectors.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
 
     def kernel(batches):
         ids_l, X_l = [], []
@@ -192,8 +203,7 @@ def select_heads_distributed(
         )
 
     return (
-        vectors.select("id", "vector")
-        .mapInPandas(kernel, "head_id long, vector array<float>")
+        src.mapInPandas(kernel, "head_id long, vector array<float>")
         .dropDuplicates(["head_id"])
     )
 
