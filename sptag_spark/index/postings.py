@@ -45,6 +45,10 @@ POSTING_LIMIT = 1000  # members kept per posting (PostingPageLimit analog)
 ROUTED_MIN_HEADS = 8192
 ROUTE_FANOUT = 16
 ROUTE_SLACK = 2.0  # group capacity = slack × proportional share
+#: k·g cells above which _head_routing switches from the exact dense
+#: preference matrix (O(k·g) driver RAM — 45 GB at 1M heads, measured in
+#: the r11 dress rehearsal) to the blocked top-T path (O(k·T))
+_DENSE_ROUTING_ENTRIES = 64_000_000
 
 
 def _bmd_dists(Vb: np.ndarray, Hj: np.ndarray, metric: str) -> np.ndarray:
@@ -82,25 +86,73 @@ def _head_routing(
     clustered + unstructured-gaussian worst case): tight cap + fanout 8 →
     0.93/0.90; slack 2.0 + fanout 16 → 1.000/0.997. Duplicate sightings of
     a head through both groups are masked in the kernel after the
-    (dist, id) sort. Build cost is one k×g BLAS block + an O(k) python
-    pass — negligible next to the scan it replaces."""
+    (dist, id) sort. Build cost: one k×g BLAS block + an O(k) python pass
+    below _DENSE_ROUTING_ENTRIES; above it, a blocked top-T scan keeps
+    driver memory O(k·T) (the dense block is O(k^1.5) — 45 GB at 1M
+    heads, measured r11)."""
     from sptag_spark.index.heads import lloyd_kmeans
 
     k, d = H.shape
     spill = 2
     g = max(2, min(int(np.sqrt(k * fanout)), k // 2))
     gc = lloyd_kmeans(H, g, iters=5, seed=11)
-    D = _block_distances(H, gc, metric)  # (k, g)
     m = min(k, int(np.ceil(ROUTE_SLACK * spill * k / g)))
-    pref = np.argsort(D, axis=1, kind="stable")
     cap = np.zeros(g, dtype=np.int64)
     slots: list[list[int]] = [[] for _ in range(g)]
-    for h in np.argsort(D.min(axis=1), kind="stable"):
+    if k * g <= _DENSE_ROUTING_ENTRIES:
+        # exact path, byte-identical to every committed small-scale build:
+        # the full (k, g) block + full preference argsort
+        D = _block_distances(H, gc, metric)  # (k, g)
+        pref = np.argsort(D, axis=1, kind="stable")
+        order = np.argsort(D.min(axis=1), kind="stable")
+        bestd = None
+    else:
+        # blocked top-T preference path (r11, found by the 8.4M dress
+        # rehearsal): the dense (k, g) block + its argsort are O(k^1.5)
+        # DRIVER memory — 2 × 22.6 GB at 1M heads, impossible at the
+        # SPACEV 10⁸-head regime. A head only ever consults its few
+        # nearest groups (spill=2 placements with slack 2.0), so keep
+        # top-T per head from a blocked scan: O(k·T) memory. Heads whose
+        # T nearest groups are all full (rare by the capacity slack) fall
+        # back to one O(g·d) distance row on demand.
+        T = int(min(g, 16))
+        pref = np.empty((k, T), dtype=np.int64)
+        bestd = np.empty(k)
+        block = max(1024, int(2.5e7 / max(g, 1)))
+        for s in range(0, k, block):
+            Db = _block_distances(H[s : s + block], gc, metric)
+            idx = (
+                np.argpartition(Db, T - 1, axis=1)[:, :T]
+                if T < Db.shape[1]
+                else np.broadcast_to(
+                    np.arange(Db.shape[1]), Db.shape
+                ).copy()
+            )
+            dv = np.take_along_axis(Db, idx, 1)
+            o = np.argsort(dv, axis=1, kind="stable")
+            pref[s : s + block] = np.take_along_axis(idx, o, 1)
+            bestd[s : s + block] = np.take_along_axis(dv, o, 1)[:, 0]
+        order = np.argsort(bestd, kind="stable")
+    for h in order:
         placed = 0
+        taken: list[int] = []
         for gi in pref[h]:
             if cap[gi] < m:
                 slots[gi].append(h)
                 cap[gi] += 1
+                taken.append(int(gi))
+                placed += 1
+                if placed >= spill:
+                    break
+        if placed < spill and bestd is not None:
+            # top-T exhausted (all full): one exact row for this head
+            drow = _block_distances(H[h : h + 1], gc, metric)[0]
+            for gi in np.argsort(drow, kind="stable"):
+                if int(gi) in taken or cap[gi] >= m:
+                    continue
+                slots[gi].append(h)
+                cap[gi] += 1
+                taken.append(int(gi))
                 placed += 1
                 if placed >= spill:
                     break
