@@ -107,13 +107,24 @@ def main() -> None:
     base_rss = rss_mb()
     out["base_driver_rss_mb"] = round(base_rss, 1)
 
-    # P1: distributed head selection over ALL rows
+    # P1: distributed head selection over ALL rows. Built artifacts are
+    # checkpointed to parquet so a crashed later phase resumes without
+    # repeating the ~15/~40-minute builds (walls recorded on first build;
+    # "cached" thereafter — the committed JSON keeps first-build walls).
+    heads_path = os.path.join(WORK, f"heads_{n}_{dim}.parquet")
     t0 = time.time()
     with RssWatch() as w1:
-        heads = select_heads(vecs, ratio=ratio).persist()
-        n_heads = heads.count()
+        if os.path.isdir(heads_path):
+            heads = spark.read.parquet(heads_path).persist()
+            n_heads = heads.count()
+            p1_wall = "cached"
+        else:
+            heads = select_heads(vecs, ratio=ratio).persist()
+            n_heads = heads.count()
+            heads.write.parquet(heads_path)
+            p1_wall = round(time.time() - t0, 1)
     out["phases"]["p1_select_heads"] = {
-        "wall_sec": round(time.time() - t0, 1),
+        "wall_sec": p1_wall,
         "n_heads": n_heads,
         "driver_rss_peak_mb": round(w1.peak, 1),
         "path": "distributed two-level Lloyd (no sample ceiling)",
@@ -127,12 +138,21 @@ def main() -> None:
         assert n_heads > 500_000, "head count under the 1M-head regime"
 
     # P2: posting build (routed assignment at 1M heads)
+    post_path = os.path.join(WORK, f"postings_{n}_{dim}.parquet")
     t0 = time.time()
     with RssWatch() as w2:
-        postings = build_postings(vecs, heads).persist()
-        n_rows = postings.count()
+        if os.path.isdir(post_path):
+            postings = spark.read.parquet(post_path)
+            n_rows = postings.count()
+            p2_wall = "cached"
+        else:
+            built = build_postings(vecs, heads)
+            built.write.option("compression", "zstd").parquet(post_path)
+            postings = spark.read.parquet(post_path)
+            n_rows = postings.count()
+            p2_wall = round(time.time() - t0, 1)
     out["phases"]["p2_build_postings"] = {
-        "wall_sec": round(time.time() - t0, 1),
+        "wall_sec": p2_wall,
         "posting_rows": n_rows,
         "driver_rss_peak_mb": round(w2.peak, 1),
     }
