@@ -253,17 +253,25 @@ def main() -> None:
         "recall_ok": curve[-1]["warm"]["recall_at_10"] >= 0.90,
     }
 
-    # P6: induced slow shard under a tight budget → partial, not failure
+    # P6: induced slow shard → partial, not failure. Budget and delay
+    # scale off the measured warm batch wall: healthy shards must FIT the
+    # budget (1.5× the whole warm wall) while the slow one (delayed by
+    # 3× wall + 1 s) must miss it — otherwise at this corpus every shard
+    # misses a fixed small budget and coverage reads 0 for the wrong
+    # reason.
+    warm_wall = curve[-1]["warm"]["wall_sec"]
+    budget_ms = warm_wall * 1000.0 * 1.5
+    delay_s = warm_wall * 3.0 + 1.0
     slow_j = 0
     orig = agg.replicas[slow_j].batch_search
 
     def slow_batch(*a, **kw):
-        time.sleep(0.5)
+        time.sleep(delay_s)
         return orig(*a, **kw)
 
     agg.replicas[slow_j].batch_search = slow_batch
     rows, partial = agg.batch_search_with_deadline(
-        reps, k=10, nprobe=nprobe, budget_ms=200.0
+        reps, k=10, nprobe=nprobe, budget_ms=budget_ms
     )
     agg.replicas[slow_j].batch_search = orig
     answered = len({q for q, _, _, _ in rows})
@@ -271,8 +279,8 @@ def main() -> None:
         "partial": bool(partial),
         "answered_queries": answered,
         "coverage": round(answered / len(reps), 3),
-        "budget_ms": 200.0,
-        "induced_delay_ms": 500.0,
+        "budget_ms": round(budget_ms, 1),
+        "induced_delay_ms": round(delay_s * 1000.0, 1),
     }
     print(json.dumps(out["phases"]["p6_slow_shard"]), flush=True)
 
