@@ -569,13 +569,40 @@ def main() -> None:
             rows_tight, partial_tight = agg.batch_search_with_deadline(
                 qb[:64], k=10, budget_ms=1.0
             )
+            # group rows by query ONCE (the old per-query list-comprehension
+            # rescan was O(|queries|·|rows|), ADVICE r11); keep the first 10
+            # rows per qid — rank order within a query, duplicates of a qid
+            # in the padded batch answer identically
+            by_q: dict[int, list[int]] = {}
+            for r in rows:
+                lst = by_q.setdefault(int(r[0]), [])
+                if len(lst) < 10:
+                    lst.append(int(r[2]))
             a_hits = a_total = 0
-            for qid, ids_rank in {
-                q: [r[2] for r in rows if r[0] == q][:10]
-                for q, _ in reps
-            }.items():
-                a_hits += sum((qid, int(i)) in truth_pairs for i in ids_rank)
+            for qid, _ in reps:
+                a_hits += sum(
+                    (qid, i) in truth_pairs for i in by_q.get(qid, [])
+                )
                 a_total += 10
+            # recall at scatter_topk=2 conflates index recall with routing
+            # fan-out loss (ADVICE r11) — also measure the BROADCAST
+            # scatter over the same servers so the two are separable:
+            # broadcast recall is the index bound, the delta is what
+            # center routing trades for 2/n_shards the fan-out
+            agg_bcast = RemoteReplicaAggregator(
+                addrs, centers=sharded.centers, scatter_topk=None
+            )
+            b_by_q: dict[int, list[int]] = {}
+            for r in agg_bcast.batch_search(reps, k=10):
+                lst = b_by_q.setdefault(int(r[0]), [])
+                if len(lst) < 10:
+                    lst.append(int(r[2]))
+            agg_bcast.close()
+            b_hits = sum(
+                (qid, i) in truth_pairs
+                for qid, _ in reps
+                for i in b_by_q.get(qid, [])
+            )
             aggregator_ms = {
                 "n_server_procs": n_shards,
                 "scatter_topk": 2,
@@ -586,6 +613,9 @@ def main() -> None:
                     alat[min(len(alat) - 1, int(0.99 * len(alat)))], 3
                 ),
                 "recall_at_10": round(a_hits / max(a_total, 1), 4),
+                "recall_at_10_broadcast": round(
+                    b_hits / max(a_total, 1), 4
+                ),
                 "deadline_partial_generous": bool(partial_gen),
                 "deadline_partial_1ms": bool(partial_tight),
                 "nprobe": spann_point["nprobe"],

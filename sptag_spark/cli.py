@@ -666,6 +666,13 @@ def cmd_partition(args, spark) -> int:
         spark, args.input, args.filetype, args.valuetype, args.delimiter
     ).persist()
     n = vectors.count()
+    if n == 0:
+        # fail fast: balanced_kmeans cannot seed from zero samples and
+        # `1 + max(...)` over no center rows would raise bare ValueError
+        # (ADVICE r11)
+        print(json.dumps({"error": "empty corpus: nothing to partition"}))
+        vectors.unpersist()
+        return 2
     k = args.nparts
     t0 = time.time()
     assign = balanced_kmeans(
@@ -680,6 +687,13 @@ def cmd_partition(args, spark) -> int:
         int(r["cluster"]): int(r["count"])
         for r in assign.groupBy("cluster").count().collect()
     }
+    # EMPTY clusters (k exceeds what the penalized Lloyd could fill) are
+    # dropped from every serving artifact (ADVICE r11): an all-zeros
+    # center row would route near-origin queries to a backend that has no
+    # index or server process. Centers/ini/index dirs are numbered DENSELY
+    # over the live clusters; `clusters` in the report maps dense slot →
+    # original cluster id (the shards/cluster=<orig> parquet names).
+    live = sorted(sizes)
     # centers = per-cluster means, computed distributed (posexplode →
     # per-dimension avg); only k×dim doubles reach the driver
     crows = (
@@ -689,9 +703,10 @@ def cmd_partition(args, spark) -> int:
         .collect()
     )
     dim = 1 + max(r["pos"] for r in crows)
-    C = np.zeros((k, dim), dtype=np.float32)
+    slot = {c: j for j, c in enumerate(live)}
+    C = np.zeros((len(live), dim), dtype=np.float32)
     for r in crows:
-        C[int(r["cluster"]), int(r["pos"])] = float(r["m"])
+        C[slot[int(r["cluster"])], int(r["pos"])] = float(r["m"])
     centers_path = os.path.join(args.output, "centers.bin")
     write_default_bin(C, centers_path)
     with open(centers_path, "ab") as f:
@@ -709,13 +724,13 @@ def cmd_partition(args, spark) -> int:
         f"TopK={args.topk}",
         f"Centers={os.path.abspath(centers_path)}",
         "[Servers]",
-        f"Number={k}",
+        f"Number={len(live)}",
     ]
-    for i in range(k):
+    for j in range(len(live)):
         lines += [
-            f"[Server_{i}]",
+            f"[Server_{j}]",
             "Address=127.0.0.1",
-            f"Port={args.base_port + i}",
+            f"Port={args.base_port + j}",
         ]
     with open(ini_path, "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -725,13 +740,16 @@ def cmd_partition(args, spark) -> int:
         from sptag_spark.index.postings import build_postings
         from sptag_spark.io.index_store import SptagIndex, save_index
 
-        for i in sorted(sizes):
+        for j, i in enumerate(live):
             sh = spark.read.parquet(
                 os.path.join(shards_dir, f"cluster={i}")
             ).select("id", "vector")
             heads = select_heads(sh, ratio=DEFAULT_HEAD_RATIO).persist()
             postings = build_postings(sh, heads)
-            idx_dir = os.path.join(args.output, f"index_{i}")
+            # dense numbering to stay aligned with centers.bin row j and
+            # the ini's [Server_j] (identical to cluster ids when no
+            # cluster came up empty)
+            idx_dir = os.path.join(args.output, f"index_{j}")
             save_index(
                 SptagIndex(
                     vectors=sh,
@@ -757,6 +775,7 @@ def cmd_partition(args, spark) -> int:
                 "partitioned": n,
                 "nparts": k,
                 "sizes": [sizes.get(i, 0) for i in range(k)],
+                "clusters": live,  # dense server slot j → cluster id
                 "centers": centers_path,
                 "ini": ini_path,
                 "indexes": built,

@@ -136,6 +136,12 @@ class SpannLiveIndex:
         self._spark = vectors.sparkSession
         self._base = vectors.select("id", "vector").persist()
         self._deltas: list[DataFrame] = []
+        #: per-batch posting-delta frames currently reachable ONLY through
+        #: the postings union lineage — released the moment a maintenance
+        #: swap materializes a new postings frame (ADVICE r11: in local
+        #: mode rebuild() never fires, so without this every micro-batch
+        #: pinned a delta forever)
+        self._posting_deltas: list[DataFrame] = []
         self._tombstones = self._spark.createDataFrame([], "id long")
         self._n_tombstones = 0
         # every DataFrame THIS index persisted and currently serves from —
@@ -172,6 +178,7 @@ class SpannLiveIndex:
         delta = assign_replicas(batch, self.heads, self._metric).persist()
         delta.count()
         self._deltas.append(batch)
+        self._posting_deltas.append(delta)
         self._pinned += [batch, delta]
         # atomic reference swap — readers keep their snapshot
         self.postings = self.postings.unionByName(delta)
@@ -184,6 +191,14 @@ class SpannLiveIndex:
                     h = int(r["head_id"])
                     self._lengths[h] = self._lengths.get(h, 0) + int(r["count"])
             self.maintain()
+            # local mode never rebuilds, so the per-batch frames would
+            # otherwise accumulate for the stream's lifetime (ADVICE r11):
+            # honor rebuild_threshold as a COMPACTION trigger — fold
+            # deltas/tombstones into materialized base+postings frames and
+            # release everything superseded. Heads and posting contents are
+            # untouched (no re-cut — that is the whole point of LIRE).
+            if self.adds_since_build >= self._rebuild_threshold:
+                self.compact()
         elif self.adds_since_build >= self._rebuild_threshold:
             self.rebuild()
 
@@ -335,7 +350,11 @@ class SpannLiveIndex:
         hid = np.array([r["head_id"] for r in heads_rows], dtype=np.int64)
         H = np.array([list(r["vector"]) for r in heads_rows], dtype=np.float64)
         pos = int(np.where(hid == h)[0][0])
-        d = ((H - H[pos]) ** 2).sum(axis=1)
+        # neighbor scope ranked under the INDEX metric (ADVICE r11: raw L2
+        # here picked wrong NPA neighbors / merge targets for cosine and ip
+        # indexes even though the reassignment kernel scored correctly) —
+        # _block_distances normalizes for cosine itself
+        d = _block_distances(H, H[pos : pos + 1], self._metric)[:, 0]
         d[pos] = np.inf
         order = np.lexsort((hid, d))
         neighbors = [
@@ -440,6 +459,15 @@ class SpannLiveIndex:
             if any(old is p for p in self._pinned):
                 self._pinned = [p for p in self._pinned if p is not old]
                 old.unpersist()
+        # new_postings is MATERIALIZED (counted above), so the per-batch
+        # posting-delta frames only reachable through the superseded union
+        # lineage can be released now (ADVICE r11 — in local mode no
+        # rebuild ever fires to collect them)
+        for d in self._posting_deltas:
+            if any(d is p for p in self._pinned):
+                self._pinned = [p for p in self._pinned if p is not d]
+                d.unpersist()
+        self._posting_deltas = []
         self._pinned += [new_heads, new_postings]
         # ledger patch: scope heads take their transformed counts (the
         # retired head vanishes); merge targets gained rows in place
@@ -462,6 +490,41 @@ class SpannLiveIndex:
             "heads_before": int(len(hid)),
             "heads_after": int(len(hid)) - 1 + len(new_head_rows),
         }
+
+    def compact(self) -> None:
+        """Local-mode housekeeping (ADVICE r11): materialize the live
+        vector view and the postings view into single persisted frames,
+        fold tombstones into both, and release every superseded per-batch
+        frame. Unlike rebuild() this NEVER re-selects heads or re-cuts
+        postings — posting membership is bit-identical afterwards except
+        for tombstoned rows, so it composes with LIRE maintenance instead
+        of replacing it. Bounds the cached-frame count and the
+        union-lineage depth at O(1) per rebuild_threshold adds."""
+        cols = ["head_id", "id", "vector", "dist"]
+        new_base = self.live_vectors().persist()
+        new_base.count()
+        new_postings = self.postings.select(*cols)
+        if self._n_tombstones:
+            new_postings = new_postings.join(
+                self._tombstones, "id", "left_anti"
+            )
+        new_postings = new_postings.persist()
+        new_postings.count()
+        old_base, old_postings = self._base, self.postings
+        self._base, self.postings = new_base, new_postings
+        for old in (old_base, old_postings, *self._deltas,
+                    *self._posting_deltas):
+            if any(old is p for p in self._pinned):
+                self._pinned = [p for p in self._pinned if p is not old]
+                old.unpersist()
+        self._pinned += [new_base, new_postings]
+        self._deltas = []
+        self._posting_deltas = []
+        self._tombstones = self._spark.createDataFrame([], "id long")
+        self._n_tombstones = 0
+        self.adds_since_build = 0
+        # tombstoned rows left the postings — the ledger is stale
+        self._lengths = None
 
     def rebuild(self, should_abort=None) -> None:
         """The reference's background rebuild: fold deltas into the base,
@@ -505,6 +568,7 @@ class SpannLiveIndex:
         self._unpersist_pinned()
         self._pinned = built
         self._deltas = []
+        self._posting_deltas = []
         self._tombstones = self._spark.createDataFrame([], "id long")
         self._n_tombstones = 0
         self.adds_since_build = 0

@@ -744,3 +744,49 @@ def test_cli_partition_roundtrip(spark, tmp_path, capsys):
         r_bcast = ask(bcast_addr, X[qi])
         assert r_routed == r_bcast, (qi, r_routed, r_bcast)
         assert r_routed[0][1] == 0.0  # exact self-hit
+
+
+def test_cli_partition_drops_empty_clusters(spark, tmp_path, capsys):
+    """nparts above what the corpus can fill: empty clusters must not
+    leave all-zero center rows or dangling [Server_i] sections (ADVICE
+    r11 — a routed aggregator would scatter near-origin queries to a
+    backend that has no server). Centers/ini are numbered densely over
+    the LIVE clusters; an empty corpus fails fast instead of raising."""
+    import json as _json
+    import struct as _struct
+
+    from sptag_spark.cli import cmd_partition
+
+    # 3 identical points, 5 parts → at most 1 live cluster
+    X = np.full((3, 4), 7.0, dtype="float32")
+    corpus = str(tmp_path / "tiny.tsv")
+    _write_txt(corpus, X, "m")
+    out = str(tmp_path / "part_sparse")
+    ns = argparse.Namespace(
+        input=corpus, output=out, nparts=5, penalty=None, topk=1,
+        host="127.0.0.1", port=0, base_port=23000, build=False,
+        valuetype="float32", filetype="TXT", delimiter="|",
+    )
+    assert cmd_partition(ns, spark) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    live = rep["clusters"]
+    assert len(live) < 5 and sum(rep["sizes"]) == 3
+    # centers.bin row count == live clusters (DEFAULT header)
+    with open(rep["centers"], "rb") as f:
+        n_rows, dim = _struct.unpack("<ii", f.read(8))
+    assert n_rows == len(live) and dim == 4
+    ini = open(rep["ini"]).read()
+    assert f"Number={len(live)}" in ini
+    assert f"[Server_{len(live) - 1}]" in ini
+    assert f"[Server_{len(live)}]" not in ini
+    # empty corpus: fail fast with rc=2, no traceback
+    empty = str(tmp_path / "empty.tsv")
+    open(empty, "w").close()
+    ns2 = argparse.Namespace(
+        input=empty, output=str(tmp_path / "part_empty"), nparts=2,
+        penalty=None, topk=1, host="127.0.0.1", port=0, base_port=23100,
+        build=False, valuetype="float32", filetype="TXT", delimiter="|",
+    )
+    assert cmd_partition(ns2, spark) == 2
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err

@@ -377,3 +377,104 @@ def test_local_merge_reassigns_members(spark):
     assert before_rest == after_rest
     idx.close()
     postings.unpersist()
+
+
+def test_local_mode_compacts_per_batch_frames(spark):
+    """Local mode never rebuilds, so rebuild_threshold acts as a
+    COMPACTION trigger (ADVICE r11): crossing it folds the per-batch
+    delta frames and tombstones into single materialized base/postings
+    frames, releases the superseded cached frames, and leaves heads and
+    posting membership untouched — so a long-running stream's cached
+    frame count is bounded instead of growing one batch+delta pair per
+    micro-batch forever."""
+    from sptag_spark.index.postings import build_postings
+
+    vecs, heads = _clustered(spark)
+    postings = build_postings(vecs, heads).persist()
+    postings.count()
+    idx = SpannLiveIndex(
+        vecs, prebuilt=(heads, postings), rebuild_threshold=6,
+        maintenance="local", split_limit=10**9,
+    )
+    rng = np.random.default_rng(11)
+
+    def mkbatch(b):
+        return spark.createDataFrame(
+            [
+                (
+                    20_000 + b * 10 + i,
+                    [float(v) for v in rng.normal(scale=0.05, size=4)],
+                )
+                for i in range(3)
+            ],
+            "id long, vector array<float>",
+        )
+
+    idx.add_batch(mkbatch(0))  # adds=3 < 6: delta retained
+    assert len(idx._deltas) == 1
+    victim = idx._deltas[0].limit(1).first()["id"]
+    idx.delete_ids(spark.createDataFrame([(victim,)], "id long"))
+    idx.add_batch(mkbatch(1))  # adds=6 >= 6: compaction fires
+    assert idx.builds == 0  # never a rebuild in local mode
+    assert idx._deltas == [] and idx._posting_deltas == []
+    assert idx.adds_since_build == 0
+    # tombstones folded into the compacted frames
+    assert idx._n_tombstones == 0
+    assert idx.postings.filter(F.col("id") == victim).count() == 0
+    assert idx._base.filter(F.col("id") == victim).count() == 0
+    pinned_after_compact = len(idx._pinned)
+    idx.add_batch(mkbatch(2))  # adds=3: one batch+delta pair pinned
+    assert len(idx._pinned) == pinned_after_compact + 2
+    # everything still searchable: a compacted add and a post-compaction
+    # add both answer as exact self-hits
+    probe = idx._base.filter(F.col("id") == 20_001).unionByName(
+        idx.postings.filter(F.col("id") == 20_021).select("id", "vector")
+    )
+    q = spark.createDataFrame(
+        [(r["id"], [float(v) for v in r["vector"]]) for r in probe.collect()],
+        "query_id long, vector array<float>",
+    )
+    hits = idx.search(q, k=3, nprobe=64).filter(
+        (F.col("rank") == 1)
+        & (F.col("id") == F.col("query_id"))
+        & (F.col("dist") == 0.0)
+    )
+    assert hits.count() == 2
+    idx.close()
+    postings.unpersist()
+
+
+def test_merge_targets_follow_index_metric(spark):
+    """Under metric="cosine" the merge target must be the ANGULAR nearest
+    surviving head, not the euclidean one (ADVICE r11: neighbor scope was
+    ranked by raw L2 regardless of metric). Head A sits far in euclidean
+    terms but nearly collinear with the retiring head; head B is close in
+    euclidean terms but 45 degrees away — the merged member must land in
+    A's posting."""
+    heads = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),        # retiring (undersized posting)
+            (1, [100.0, 1.0]),      # A: euclid-far, cosine-near
+            (2, [0.9, 0.9]),        # B: euclid-near, cosine-far (45 deg)
+        ],
+        "head_id long, vector array<float>",
+    )
+    postings = spark.createDataFrame(
+        [(0, 100, [1.0, 0.01], 0.0)]
+        + [(1, 200 + i, [100.0, 1.0 + 0.01 * i], 0.0) for i in range(3)]
+        + [(2, 300 + i, [0.9, 0.9 + 0.01 * i], 0.0) for i in range(3)],
+        "head_id long, id long, vector array<float>, dist double",
+    )
+    vecs = postings.select("id", "vector")
+    idx = SpannLiveIndex(
+        vecs, prebuilt=(heads, postings), metric="cosine",
+        rebuild_threshold=10**9, maintenance="local",
+        split_limit=1000, merge_limit=2, neighbor_fanout=1,
+    )
+    ops = idx.maintain()
+    merges = [op for op in ops if op["op"] == "merge"]
+    assert merges and merges[0]["head"] == 0
+    assert merges[0]["neighbors"] == [1]  # cosine-near head A, not B
+    got = idx.postings.filter(F.col("id") == 100).first()
+    assert int(got["head_id"]) == 1
+    idx.close()
