@@ -220,6 +220,11 @@ class LocalSpannReplica:
         self.post_ids = pp["id"].to_numpy(np.int64)[porder]
         self.post_V = np.array(pp["vector"].tolist(), dtype=np.float64)[porder]
         self.indptr = np.searchsorted(slot, np.arange(len(self.head_ids) + 1))
+        # per-head slab EXTENTS (offset, length into post_V/post_ids) — the
+        # indirection that lets a patched disk store keep slabs
+        # non-contiguous (log-structured appends); contiguous CSR here
+        self.slab_off = self.indptr[:-1]
+        self.slab_len = np.diff(self.indptr)
 
     @classmethod
     def from_path(cls, spark: SparkSession, path: str) -> "LocalSpannReplica":
@@ -261,7 +266,12 @@ class LocalSpannReplica:
             if cut > 0.1:  # limitDist guard (SPANNIndex.cpp:217-230)
                 sel = sel[hd[sel] <= cut]
         cand = np.concatenate(
-            [np.arange(self.indptr[s], self.indptr[s + 1]) for s in sel]
+            [
+                np.arange(
+                    self.slab_off[s], self.slab_off[s] + self.slab_len[s]
+                )
+                for s in sel
+            ]
         ) if len(sel) else np.empty(0, dtype=np.int64)
         if cand.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0)
@@ -409,7 +419,8 @@ class LocalSpannReplica:
         kk = k + 16
         for s0, e0 in zip(starts, ends):
             s = int(ph[s0])
-            lo, hi = int(self.indptr[s]), int(self.indptr[s + 1])
+            lo = int(self.slab_off[s])
+            hi = lo + int(self.slab_len[s])
             if hi == lo:
                 continue
             qsub = pq[s0:e0]
@@ -482,6 +493,41 @@ class LocalSpannReplica:
 _STORE_CHUNK_ROWS = 65536  # vector rows buffered per flush (~16 MB at d=64)
 _BATCH_QUERY_CHUNK = 512  # batch_search sub-batch size (measured knee, r10)
 
+#: native VALUE-TYPE packed stores (VERDICT r11 #1): the reference keeps
+#: vectors in their declared type end-to-end — Dataset<T> rows are
+#: D×sizeof(T) bytes (`AnnService/inc/Core/VectorSet.h:35`,
+#: `Dataset.h:78-94`), so SPACEV1B's int8 corpus costs 1 byte/component on
+#: SSD and per posting read. A float32-only store is 4× that I/O. The
+#: score kernels promote every gathered slab to float64 before any
+#: arithmetic, so an int8/uint8/int16 store is RESULT-IDENTICAL whenever
+#: the cast is lossless — which the builders verify per chunk.
+_STORE_DTYPES = {
+    "float32": np.float32,
+    "int8": np.int8,
+    "uint8": np.uint8,
+    "int16": np.int16,
+}
+_STORE_EXT = {"float32": "f32", "int8": "i8", "uint8": "u8", "int16": "i16"}
+
+
+def _pack_values(V32: np.ndarray, value_type: str) -> np.ndarray:
+    """Cast a float32 vector block to the store's value type, REFUSING a
+    lossy cast: an int8 store of a genuinely-float corpus would silently
+    change every distance, so the builder fails loudly instead (the
+    reference can't hit this — its Dataset<T> never converts)."""
+    if value_type == "float32":
+        return V32
+    dt = _STORE_DTYPES[value_type]
+    Vt = V32.astype(dt)
+    if not np.array_equal(Vt.astype(np.float32), V32):
+        raise ValueError(
+            f"value_type={value_type!r} packed store would be LOSSY: vector "
+            f"components are not exactly representable as {value_type} — "
+            "build with value_type='float32' (or ingest the corpus in its "
+            "native integer type)"
+        )
+    return Vt
+
 
 def _vector_crc(df: DataFrame):
     """Order-independent CONTENT checksum of the vector column: integer
@@ -515,9 +561,13 @@ def postings_fingerprint(postings: DataFrame) -> dict:
     }
 
 
-def packed_store_matches(store_dir: str, fingerprint: dict) -> bool:
+def packed_store_matches(
+    store_dir: str, fingerprint: dict, value_type: str = "float32"
+) -> bool:
     """True when an existing packed store at ``store_dir`` was built from
-    the posting set with this fingerprint (missing/legacy meta → False)."""
+    the posting set with this fingerprint AND in this value type
+    (missing/legacy meta → False / float32). A value-type switch rebuilds:
+    the files are a different width per component."""
     import json
     import os
 
@@ -526,7 +576,7 @@ def packed_store_matches(store_dir: str, fingerprint: dict) -> bool:
         return False
     with open(meta_p) as f:
         meta = json.load(f)
-    return all(
+    return meta.get("value_type", "float32") == value_type and all(
         meta.get(k) == fingerprint[k]
         for k in ("post_rows", "post_id_sum", "post_vec_crc")
     )
@@ -537,6 +587,7 @@ def build_packed_store(
     postings: DataFrame,
     store_dir: str,
     chunk_rows: int = _STORE_CHUNK_ROWS,
+    value_type: str = "float32",
 ) -> dict:
     """Stream the DiskSpannReplica packed store from Spark artifacts —
     the posting-file write stage of the reference's SSD build
@@ -549,12 +600,21 @@ def build_packed_store(
     the shard's vector matrix, which is exactly what lets this build a
     store for a shard LARGER than driver RAM.
 
+    ``value_type``: store vectors as int8/uint8/int16/float32 — the
+    reference's Dataset<T> width (`VectorSet.h:35`). Non-float32 requires
+    a LOSSLESS cast (verified per chunk) and is then result-identical:
+    the score kernels promote gathered slabs to float64 regardless.
+
     → build stats (recorded in meta.json): ``max_buffer_rows`` is the hard
     memory witness — the chunked writer never held more vector rows than
     this."""
     import json
     import os
 
+    if value_type not in _STORE_DTYPES:
+        raise ValueError(
+            f"value_type must be one of {sorted(_STORE_DTYPES)}: {value_type!r}"
+        )
     os.makedirs(store_dir, exist_ok=True)
     hp = heads.select("head_id", "vector").toPandas()  # small side, by contract
     raw_ids = hp["head_id"].to_numpy(np.int64)
@@ -572,7 +632,8 @@ def build_packed_store(
     buf_h: list[int] = []
     buf_i: list[int] = []
     buf_v: list = []
-    with open(os.path.join(store_dir, "post_vectors.f32"), "wb") as f:
+    vec_file = os.path.join(store_dir, f"post_vectors.{_STORE_EXT[value_type]}")
+    with open(vec_file, "wb") as f:
 
         def flush() -> None:
             nonlocal rows, dim
@@ -581,7 +642,7 @@ def build_packed_store(
             stats["max_buffer_rows"] = max(stats["max_buffer_rows"], len(buf_v))
             V = np.array(buf_v, dtype=np.float32)
             dim = int(V.shape[1])
-            V.tofile(f)
+            _pack_values(V, value_type).tofile(f)
             id_chunks.append(np.array(buf_i, dtype=np.int64))
             slots = np.searchsorted(head_ids, np.array(buf_h, dtype=np.int64))
             np.add.at(counts, slots + 1, 1)
@@ -610,8 +671,8 @@ def build_packed_store(
     np.save(os.path.join(store_dir, "indptr.npy"), np.cumsum(counts))
     with open(os.path.join(store_dir, "meta.json"), "w") as f:
         json.dump(
-            {"rows": int(rows), "dim": dim, "build": stats,
-             **postings_fingerprint(postings)},
+            {"rows": int(rows), "dim": dim, "value_type": value_type,
+             "build": stats, **postings_fingerprint(postings)},
             f,
         )
     return stats
@@ -622,6 +683,7 @@ def build_packed_store_parallel(
     postings: DataFrame,
     store_dir: str,
     n_fragments: int | None = None,
+    value_type: str = "float32",
 ) -> dict:
     """Executor-parallel twin of build_packed_store: the SORT and the
     vector serialization run on executors instead of funneling through one
@@ -638,13 +700,21 @@ def build_packed_store_parallel(
     that worker. Local mode shares /tmp; on a cluster the fragment dir
     must be shared storage (same place the posting files live).
 
+    ``value_type``: as build_packed_store — the lossless-cast check runs
+    EXECUTOR-side, per Arrow batch, inside the fragment writer.
+
     → build stats: per-fragment row counts plus ``max_batch_rows``, the
     largest vector block any single writer held."""
     import json
     import os
     import shutil
 
+    if value_type not in _STORE_DTYPES:
+        raise ValueError(
+            f"value_type must be one of {sorted(_STORE_DTYPES)}: {value_type!r}"
+        )
     os.makedirs(store_dir, exist_ok=True)
+    ext = _STORE_EXT[value_type]
     hp = heads.select("head_id", "vector").toPandas()  # small side, by contract
     raw_ids = hp["head_id"].to_numpy(np.int64)
     order = np.argsort(raw_ids)
@@ -675,11 +745,11 @@ def build_packed_store_parallel(
             if not len(pdf):
                 continue
             if f is None:
-                f = open(os.path.join(frag_dir, f"part_{pid:05d}.f32"), "wb")
+                f = open(os.path.join(frag_dir, f"part_{pid:05d}.{ext}"), "wb")
             V = np.array(pdf["vector"].tolist(), dtype=np.float32)
             dim = int(V.shape[1])
             max_batch = max(max_batch, len(V))
-            V.tofile(f)
+            _pack_values(V, value_type).tofile(f)
             ids.append(pdf["id"].to_numpy(np.int64))
             hid, cnt = np.unique(
                 pdf["head_id"].to_numpy(np.int64), return_counts=True
@@ -728,10 +798,10 @@ def build_packed_store_parallel(
     )
     counts = np.zeros(len(head_ids) + 1, dtype=np.int64)
     id_parts: list[np.ndarray] = []
-    with open(os.path.join(store_dir, "post_vectors.f32"), "wb") as out:
+    with open(os.path.join(store_dir, f"post_vectors.{ext}"), "wb") as out:
         for r in frags:
             base = os.path.join(frag_dir, f"part_{r['pid']:05d}")
-            with open(base + ".f32", "rb") as fin:
+            with open(f"{base}.{ext}", "rb") as fin:
                 shutil.copyfileobj(fin, out, length=1 << 22)
             id_parts.append(np.load(base + ".ids.npy"))
             hk, hc = np.load(base + ".heads.npy")
@@ -749,10 +819,142 @@ def build_packed_store_parallel(
     }
     with open(os.path.join(store_dir, "meta.json"), "w") as f:
         json.dump(
-            {"rows": int(rows), "dim": dim, "build": stats,
-             **postings_fingerprint(postings)},
+            {"rows": int(rows), "dim": dim, "value_type": value_type,
+             "build": stats, **postings_fingerprint(postings)},
             f,
         )
+    return stats
+
+
+def patch_packed_store(
+    store_dir: str,
+    heads: DataFrame,
+    postings: DataFrame,
+    touched_heads,
+) -> dict:
+    """Incremental store patch after LIRE maintenance (VERDICT r11 #2) —
+    SPFresh's whole point is that maintenance I/O is LOCAL (SOSP'23 §4;
+    the reference edits posting files in place,
+    `SPANN/ExtraFullGraphSearcher.h`), so a split/merge must not trigger a
+    full packed-store rebuild. The store becomes log-structured: slabs of
+    ``touched_heads`` (plus any heads new to ``heads``) are re-read from
+    the postings table — a partition-pruned ``head_id IN (...)`` scan, the
+    same scope `_retire_and_reassign` edits — and APPENDED to the vector
+    file; the extent table then points those heads at their new segments
+    while every untouched head keeps its original extent, so untouched
+    slab bytes are bit-identical (pinned by test). Retired heads simply
+    lose their extent; their old file rows become dead space, tracked in
+    meta as ``dead_rows`` with ``needs_compaction`` raised once dead
+    exceeds live (a full rebuild then re-packs contiguously).
+
+    Driver memory: the touched postings only (one posting + neighbor
+    fanout per LIRE op — thousands of rows) plus the O(#heads) sidecars
+    already under the RAM-tier contract. The fingerprint in meta is
+    updated to the NEW postings identity (one Spark agg, executor-side),
+    so DiskSpannReplica's staleness gate accepts the patched store.
+
+    → stats: ``vector_bytes_appended`` is the I/O witness — compare with
+    ``store_vector_bytes`` to see the locality win."""
+    import json
+    import os
+
+    meta_p = os.path.join(store_dir, "meta.json")
+    with open(meta_p) as f:
+        meta = json.load(f)
+    vt = meta.get("value_type", "float32")
+    ext_name = _STORE_EXT[vt]
+    vec_path = os.path.join(store_dir, f"post_vectors.{ext_name}")
+    old_head_ids = np.load(os.path.join(store_dir, "head_ids.npy"))
+    old_ext_p = os.path.join(store_dir, "extents.npy")
+    if os.path.exists(old_ext_p):
+        old_off, old_len = np.load(old_ext_p)
+    else:
+        ip = np.load(os.path.join(store_dir, "indptr.npy"))
+        old_off, old_len = ip[:-1], np.diff(ip)
+    old_post_ids = np.load(os.path.join(store_dir, "post_ids.npy"))
+    file_rows = int(meta["rows"])
+
+    hp = heads.select("head_id", "vector").toPandas()
+    raw = hp["head_id"].to_numpy(np.int64)
+    order = np.argsort(raw)
+    new_head_ids = raw[order]
+    H = np.array(hp["vector"].tolist(), dtype=np.float64)[order]
+
+    touched = {int(t) for t in touched_heads}
+    old_set = set(old_head_ids.tolist())
+    # rewrite = touched heads still alive + heads new to the index; a
+    # touched head absent from `heads` retired — its extent just drops
+    rewrite = sorted(
+        h for h in new_head_ids.tolist() if h in touched or h not in old_set
+    )
+    app_ids = np.empty(0, dtype=np.int64)
+    app_counts: dict[int, tuple[int, int]] = {}  # head -> (off, len)
+    dim = int(meta["dim"])
+    if rewrite:
+        from pyspark.sql import functions as F
+
+        pdf = (
+            postings.filter(F.col("head_id").isin(rewrite))
+            .select("head_id", "id", "vector")
+            .orderBy("head_id", "id")
+            .toPandas()
+        )
+        if len(pdf):
+            V32 = np.array(pdf["vector"].tolist(), dtype=np.float32)
+            if file_rows and V32.shape[1] != dim:
+                raise ValueError(
+                    f"patch dim {V32.shape[1]} != store dim {dim}"
+                )
+            dim = int(V32.shape[1])
+            with open(vec_path, "ab") as f:
+                _pack_values(V32, vt).tofile(f)
+            app_ids = pdf["id"].to_numpy(np.int64)
+            hvals = pdf["head_id"].to_numpy(np.int64)
+            uh, starts = np.unique(hvals, return_index=True)
+            lens = np.diff(np.append(starts, len(hvals)))
+            for h, s, ln in zip(uh.tolist(), starts.tolist(), lens.tolist()):
+                app_counts[int(h)] = (file_rows + s, int(ln))
+
+    old_slot = {int(h): i for i, h in enumerate(old_head_ids.tolist())}
+    off = np.zeros(len(new_head_ids), dtype=np.int64)
+    ln = np.zeros(len(new_head_ids), dtype=np.int64)
+    for i, h in enumerate(new_head_ids.tolist()):
+        if h in app_counts:
+            off[i], ln[i] = app_counts[h]
+        elif h in old_set and h not in touched:
+            s = old_slot[h]
+            off[i], ln[i] = int(old_off[s]), int(old_len[s])
+        # else: touched-but-no-rows or new-but-empty head → (0, 0)
+
+    new_file_rows = file_rows + len(app_ids)
+    live_rows = int(ln.sum())
+    np.save(os.path.join(store_dir, "head_ids.npy"), new_head_ids)
+    np.save(os.path.join(store_dir, "H.npy"), H)
+    np.save(os.path.join(store_dir, "extents.npy"), np.stack([off, ln]))
+    post_ids = np.concatenate([old_post_ids, app_ids])
+    np.save(os.path.join(store_dir, "post_ids.npy"), post_ids)
+    stats = {
+        "heads_rewritten": len(rewrite),
+        "rows_appended": int(len(app_ids)),
+        "vector_bytes_appended": int(
+            len(app_ids) * dim * np.dtype(_STORE_DTYPES[vt]).itemsize
+        ),
+        "store_vector_bytes": int(os.path.getsize(vec_path)),
+        "dead_rows": int(new_file_rows - live_rows),
+        "live_rows": live_rows,
+        "needs_compaction": (new_file_rows - live_rows) > live_rows,
+    }
+    meta.update(
+        {
+            "rows": new_file_rows,
+            "dim": dim,
+            "patches": int(meta.get("patches", 0)) + 1,
+            "last_patch": stats,
+            **postings_fingerprint(postings),
+        }
+    )
+    with open(meta_p, "w") as f:
+        json.dump(meta, f)
     return stats
 
 
@@ -768,12 +970,17 @@ class DiskSpannReplica(LocalSpannReplica):
 
     Distances are BIT-IDENTICAL to LocalSpannReplica: vectors originate as
     float32 (array<float> parquet), the RAM replica's float64 copy is the
-    exact upcast, and the distance kernels promote the memmap's float32
-    rows to float64 before any arithmetic."""
+    exact upcast, and the distance kernels promote the memmap's rows —
+    float32 OR native int8/uint8/int16 (``value_type``, VERDICT r11 #1;
+    the reference's Dataset<T> width, `VectorSet.h:35`) — to float64
+    before any arithmetic. An integer store is 4× (int8/uint8) or 2×
+    (int16) less SSD and posting-read I/O at identical results."""
 
     dispatch_label = "disk_replica"
 
-    def __init__(self, heads, postings, store_dir: str) -> None:
+    def __init__(
+        self, heads, postings, store_dir: str, value_type: str = "float32"
+    ) -> None:
         import json
         import os
 
@@ -782,11 +989,12 @@ class DiskSpannReplica(LocalSpannReplica):
         # r9): when Spark artifacts ARE supplied, an existing store is
         # trusted only if its recorded fingerprint matches the postings it
         # claims to pack — a rebuilt index at the same path rebuilds the
-        # store instead of serving the old index's vectors. from_store
-        # (no artifacts) trusts the files; it has nothing to check against.
+        # store instead of serving the old index's vectors — AND it was
+        # packed in the requested value type. from_store (no artifacts)
+        # trusts the files; it has nothing to check against.
         if os.path.exists(meta_p) and postings is not None:
             if not packed_store_matches(
-                store_dir, postings_fingerprint(postings)
+                store_dir, postings_fingerprint(postings), value_type
             ):
                 import shutil
 
@@ -806,24 +1014,41 @@ class DiskSpannReplica(LocalSpannReplica):
             # on the driver iterator (SCALING.md r10); byte-identical
             # stores (pinned by test). build_packed_store remains for
             # deployments without shared fragment storage.
-            build_packed_store_parallel(heads, postings, store_dir)
+            build_packed_store_parallel(
+                heads, postings, store_dir, value_type=value_type
+            )
         with open(meta_p) as f:
             meta = json.load(f)
+        vt = meta.get("value_type", "float32")  # legacy stores are f32
+        dt = _STORE_DTYPES[vt]
+        self.value_type = vt
         self.head_ids = np.load(os.path.join(store_dir, "head_ids.npy"))
         self.H = np.load(os.path.join(store_dir, "H.npy"))
         self.post_ids = np.load(os.path.join(store_dir, "post_ids.npy"))
-        self.indptr = np.load(os.path.join(store_dir, "indptr.npy"))
+        ext_p = os.path.join(store_dir, "extents.npy")
+        if os.path.exists(ext_p):
+            # PATCHED store (patch_packed_store): slabs are log-structured
+            # — untouched slabs keep their original file extent, rewritten
+            # ones live in appended segments, so they are not contiguous.
+            # indptr is kept as the live-rows cumulative for introspection
+            # (posting lengths via np.diff, total via [-1]).
+            self.slab_off, self.slab_len = np.load(ext_p)
+            self.indptr = np.concatenate(
+                ([0], np.cumsum(self.slab_len))
+            )
+        else:
+            self.indptr = np.load(os.path.join(store_dir, "indptr.npy"))
+            self.slab_off = self.indptr[:-1]
+            self.slab_len = np.diff(self.indptr)
         # the SSD side: never resident; rows fault in per probed slab.
         # A zero-row store (empty shard) cannot mmap an empty file — use
         # an empty in-RAM array with the same dtype/shape contract.
         if meta["rows"] == 0:
-            self.post_V = np.empty(
-                (0, max(meta["dim"], 1)), dtype=np.float32
-            )
+            self.post_V = np.empty((0, max(meta["dim"], 1)), dtype=dt)
         else:
             self.post_V = np.memmap(
-                os.path.join(store_dir, "post_vectors.f32"),
-                dtype=np.float32,
+                os.path.join(store_dir, f"post_vectors.{_STORE_EXT[vt]}"),
+                dtype=dt,
                 mode="r",
                 shape=(meta["rows"], meta["dim"]),
             )
@@ -831,11 +1056,14 @@ class DiskSpannReplica(LocalSpannReplica):
     @classmethod
     def from_store(cls, store_dir: str) -> "DiskSpannReplica":
         """Open an existing store with NO Spark session — the cold-start
-        path of a serving node that only has the files."""
+        path of a serving node that only has the files (value type comes
+        from the store's own meta.json)."""
         return cls(None, None, store_dir)
 
     @classmethod
-    def from_path(cls, spark: SparkSession, path: str) -> "DiskSpannReplica":
+    def from_path(
+        cls, spark: SparkSession, path: str, value_type: str = "float32"
+    ) -> "DiskSpannReplica":
         """From a save_index() directory; the packed store materializes
         beside the index on first use (`<path>/replica_store`)."""
         import os
@@ -845,7 +1073,7 @@ class DiskSpannReplica(LocalSpannReplica):
             return cls.from_store(store)
         heads = spark.read.parquet(os.path.join(path, "heads"))
         postings = spark.read.parquet(os.path.join(path, "postings"))
-        return cls(heads, postings, store)
+        return cls(heads, postings, store, value_type=value_type)
 
     def memory_bytes(self) -> int:
         """Resident footprint — the posting matrix is on disk."""
@@ -853,7 +1081,8 @@ class DiskSpannReplica(LocalSpannReplica):
             self.head_ids.nbytes
             + self.H.nbytes
             + self.post_ids.nbytes
-            + self.indptr.nbytes
+            + self.slab_off.nbytes
+            + self.slab_len.nbytes
         )
 
 
@@ -1126,6 +1355,7 @@ class ShardedSpannAggregator:
         store_dir: str | None = None,
         scatter_topk: int | None = None,
         split: str = "range",
+        value_type: str = "float32",
     ) -> None:
         """``store_dir``: build each shard as a DiskSpannReplica under
         ``store_dir/shard_<i>`` instead of an all-RAM LocalSpannReplica —
@@ -1199,7 +1429,10 @@ class ShardedSpannAggregator:
         for i, sel in enumerate(selections):
             h_i, p_i = heads.filter(sel), postings.filter(sel)
             self.replicas.append(
-                DiskSpannReplica(h_i, p_i, os.path.join(store_dir, f"shard_{i}"))
+                DiskSpannReplica(
+                    h_i, p_i, os.path.join(store_dir, f"shard_{i}"),
+                    value_type=value_type,
+                )
                 if store_dir is not None
                 else LocalSpannReplica(h_i, p_i)
             )

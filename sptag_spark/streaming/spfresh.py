@@ -133,6 +133,14 @@ class SpannLiveIndex:
         self._next_head_id: int | None = None
         #: one report dict per split/merge, newest last (the test witness)
         self.maintenance_log: list[dict] = []
+        #: attached packed serve store (attach_store): patched
+        #: incrementally after adds/maintenance instead of rebuilt
+        self._store_dir: str | None = None
+        self._store_value_type: str = "float32"
+        self._store_dirty: set[int] = set()
+        self._store_full_rebuild = False
+        #: one patch-stats dict per sync_store() patch (test witness)
+        self.store_patch_log: list[dict] = []
         self._spark = vectors.sparkSession
         self._base = vectors.select("id", "vector").persist()
         self._deltas: list[DataFrame] = []
@@ -162,6 +170,72 @@ class SpannLiveIndex:
         self.adds_since_build = 0
         self.builds = 0
 
+    def attach_store(
+        self, store_dir: str, value_type: str = "float32"
+    ) -> None:
+        """Attach a DiskSpannReplica packed store that tracks this live
+        index INCREMENTALLY (VERDICT r11 #2): adds and LIRE split/merge
+        accumulate their touched head set, and sync_store() (called
+        automatically at the end of every add_batch) patches only those
+        slabs — never a full store rebuild, which is SPFresh's locality
+        contract (SOSP'23 §4). Builds the store now if absent."""
+        from sptag_spark.serving_local import (
+            build_packed_store_parallel,
+            packed_store_matches,
+            postings_fingerprint,
+        )
+
+        import os
+
+        self._store_dir = store_dir
+        self._store_value_type = value_type
+        if not os.path.exists(os.path.join(store_dir, "meta.json")):
+            build_packed_store_parallel(
+                self.heads, self.postings, store_dir, value_type=value_type
+            )
+        elif not packed_store_matches(
+            store_dir, postings_fingerprint(self.postings), value_type
+        ):
+            raise ValueError(
+                f"store at {store_dir} was not built from this index's "
+                "postings — attach a fresh path or rebuild it first"
+            )
+
+    def sync_store(self) -> dict | None:
+        """Apply one patch covering every head dirtied since the last
+        sync; after a rebuild() (wholesale head swap) the store is
+        re-packed from scratch instead. → patch stats (None if clean)."""
+        if self._store_dir is None:
+            return None
+        if self._store_full_rebuild:
+            import os
+            import shutil
+
+            from sptag_spark.serving_local import build_packed_store_parallel
+
+            shutil.rmtree(self._store_dir, ignore_errors=True)
+            os.makedirs(self._store_dir, exist_ok=True)
+            build_packed_store_parallel(
+                self.heads, self.postings, self._store_dir,
+                value_type=self._store_value_type,
+            )
+            self._store_full_rebuild = False
+            self._store_dirty = set()
+            stats = {"full_rebuild": True}
+            self.store_patch_log.append(stats)
+            return stats
+        if not self._store_dirty:
+            return None
+        from sptag_spark.serving_local import patch_packed_store
+
+        stats = patch_packed_store(
+            self._store_dir, self.heads, self.postings,
+            sorted(self._store_dirty),
+        )
+        self._store_dirty = set()
+        self.store_patch_log.append(stats)
+        return stats
+
     def live_vectors(self) -> DataFrame:
         out = self._base
         for d in self._deltas:
@@ -183,6 +257,13 @@ class SpannLiveIndex:
         # atomic reference swap — readers keep their snapshot
         self.postings = self.postings.unionByName(delta)
         self.adds_since_build += n
+        if self._store_dir is not None:
+            # the appended rows land in these postings' slabs — exactly
+            # SPFresh's in-place posting append (SOSP'23 §4)
+            self._store_dirty.update(
+                int(r["head_id"])
+                for r in delta.select("head_id").distinct().collect()
+            )
         if self._maintenance == "local":
             # SPFresh: fold the delta into the length ledger, then fix
             # ONLY the postings this batch pushed over the limit
@@ -201,6 +282,9 @@ class SpannLiveIndex:
                 self.compact()
         elif self.adds_since_build >= self._rebuild_threshold:
             self.rebuild()
+        # one patch per micro-batch covering the batch's slabs plus any
+        # maintenance edits — never a full store rebuild in local mode
+        self.sync_store()
 
     def delete_ids(self, ids: DataFrame) -> None:
         self._tombstones = self._tombstones.unionByName(
@@ -472,6 +556,12 @@ class SpannLiveIndex:
         # ledger patch: scope heads take their transformed counts (the
         # retired head vanishes); merge targets gained rows in place
         n_before = sum(self._lengths.get(s, 0) for s in scope)
+        if self._store_dir is not None:
+            # the edit's slab set IS the patch set: retired + neighbors +
+            # new heads (merge targets are inside new_counts)
+            self._store_dirty.update(
+                {*scope, *new_counts, *(int(i) for i, _ in new_head_rows)}
+            )
         for s in scope:
             self._lengths.pop(s, None)
         for hh, c in new_counts.items():
@@ -505,6 +595,16 @@ class SpannLiveIndex:
         new_base.count()
         new_postings = self.postings.select(*cols)
         if self._n_tombstones:
+            if self._store_dir is not None:
+                # tombstoned rows leave these slabs — dirty them so the
+                # next sync patches the store (still a pruned scan)
+                self._store_dirty.update(
+                    int(r["head_id"])
+                    for r in self.postings.join(self._tombstones, "id")
+                    .select("head_id")
+                    .distinct()
+                    .collect()
+                )
             new_postings = new_postings.join(
                 self._tombstones, "id", "left_anti"
             )
@@ -577,6 +677,10 @@ class SpannLiveIndex:
         # is stale; rebuild it lazily on next use
         self._lengths = None
         self._next_head_id = None
+        # ... and so is every slab in an attached store: re-pack fresh
+        # (the one case where a full store rebuild is the RIGHT answer)
+        if self._store_dir is not None:
+            self._store_full_rebuild = True
 
     def _unpersist_pinned(self) -> None:
         # resources.release discipline: the SparkContext (or the whole
