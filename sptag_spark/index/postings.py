@@ -51,6 +51,30 @@ ROUTE_SLACK = 2.0  # group capacity = slack × proportional share
 _DENSE_ROUTING_ENTRIES = 64_000_000
 
 
+def _seg_dists(Vb: np.ndarray, Hm: np.ndarray, metric: str) -> np.ndarray:
+    """(b, m) distances of a row SEGMENT against one group's head slab —
+    the BITWISE twin of _bmd_dists for the constant-group case (pinned by
+    test): einsum("bd,md->bm") reduces over d in the same order as
+    ("bd,bmd->bm") on a broadcast slab, and every other term is the same
+    per-row/per-head elementwise reduction, so the grouped kernel's
+    accepted rows are bit-identical to the legacy per-probe gather path —
+    without materializing the (b, m, d) gather that dominated its wall
+    time (79% measured, r12)."""
+    if metric == "l2":
+        D = (
+            (Hm * Hm).sum(-1)[None, :]
+            - 2.0 * np.einsum("bd,md->bm", Vb, Hm)
+            + (Vb * Vb).sum(1)[:, None]
+        )
+        np.maximum(D, 0.0, out=D)
+        return D
+    if metric == "cosine":
+        Vn = Vb / np.maximum(np.linalg.norm(Vb, axis=1, keepdims=True), 1e-300)
+        Hn = Hm / np.maximum(np.linalg.norm(Hm, axis=-1, keepdims=True), 1e-300)
+        return 1.0 - np.einsum("bd,md->bm", Vn, Hn)
+    return -np.einsum("bd,md->bm", Vb, Hm)
+
+
 def _bmd_dists(Vb: np.ndarray, Hj: np.ndarray, metric: str) -> np.ndarray:
     """(b, m) distances between row-paired blocks: Vb (b, d) against per-row
     head slabs Hj (b, m, d) — the same formulas as _block_distances."""
@@ -187,6 +211,86 @@ def _rng_prune(
     return accepted
 
 
+def _prune_block(
+    cand: np.ndarray,
+    d_c: np.ndarray,
+    head_ids: np.ndarray,
+    H: np.ndarray,
+    HH: np.ndarray | None,
+    metric: str,
+    replica_count: int,
+    rng_factor: float,
+    routed: bool,
+):
+    """Shared tail of the assignment kernel: per-row (dist, head_id)
+    ascending sort, spilled-duplicate mask (routed mode), candidate
+    head-head distances, and the vectorized greedy RNG prune.
+    → (h2 (b,c) head ids in rank order, d2 (b,c) dists, acc (b,c) accept
+    mask). Identical arithmetic for every caller — the flat path, the
+    legacy routed path, and the grouped routed path differ only in how
+    (cand, d_c) were produced."""
+    # per-row (dist, head_id) ascending order — two STABLE argsorts ≡
+    # np.lexsort((head_ids, dist)) rowwise
+    hid_c = head_ids[cand]
+    o1 = np.argsort(hid_c, axis=1, kind="stable")
+    d1 = np.take_along_axis(d_c, o1, 1)
+    c1 = np.take_along_axis(cand, o1, 1)
+    o2 = np.argsort(d1, axis=1, kind="stable")
+    d2 = np.take_along_axis(d1, o2, 1)
+    c2 = np.take_along_axis(c1, o2, 1)
+    h2 = head_ids[c2]
+    b = len(cand)
+    # routed mode spills heads into 2 groups, so the same head can be
+    # sighted twice; duplicates carry identical (dist, head_id), hence
+    # are ADJACENT after the sort
+    dup = np.zeros(d2.shape, dtype=bool)
+    if routed:
+        dup[:, 1:] = (h2[:, 1:] == h2[:, :-1]) & (d2[:, 1:] == d2[:, :-1])
+    # (b, c, c) candidate head-head distances
+    if HH is not None:
+        hh = HH[c2[:, :, None], c2[:, None, :]]
+    else:
+        G = H[c2]  # (b, c, d)
+        if metric == "l2":
+            sq = (G * G).sum(-1)
+            hh = (
+                sq[:, :, None]
+                + sq[:, None, :]
+                - 2.0 * np.einsum("bid,bjd->bij", G, G)
+            )
+            np.maximum(hh, 0.0, out=hh)
+        elif metric == "cosine":
+            Gn = G / np.maximum(
+                np.linalg.norm(G, axis=-1, keepdims=True), 1e-300
+            )
+            hh = 1.0 - np.einsum("bid,bjd->bij", Gn, Gn)
+            np.maximum(hh, 0.0, out=hh)
+        else:  # ip
+            hh = -np.einsum("bid,bjd->bij", G, G)
+    # greedy RNG prune, vectorized over rows: candidate j (in ascending
+    # (dist, id) order) is accepted iff no already-accepted i has
+    # rng·d(head_i, head_j) < d(v, head_j) and the replica budget is open
+    # — identical to the sequential early-exit loop, iterated j=0..c-1
+    # across all rows at once
+    n_c = d2.shape[1]
+    acc = np.zeros((b, n_c), dtype=bool)
+    acc_cnt = np.zeros(b, dtype=np.int64)
+    for j in range(n_c):
+        viol = acc & (rng_factor * hh[:, :, j] < d2[:, j][:, None])
+        # isfinite: routed mode pads short groups with inf-dist slots;
+        # dup: second sighting of a spilled head — neither may be
+        # accepted as a head
+        ok = (
+            ~viol.any(axis=1)
+            & (acc_cnt < replica_count)
+            & np.isfinite(d2[:, j])
+            & ~dup[:, j]
+        )
+        acc[:, j] = ok
+        acc_cnt += ok
+    return h2, d2, acc
+
+
 def assign_replicas(
     vectors: DataFrame,
     heads: DataFrame,
@@ -195,6 +299,7 @@ def assign_replicas(
     candidate_num: int = CANDIDATE_NUM,
     rng_factor: float = RNG_FACTOR,
     routed: bool | None = None,
+    routed_impl: str = "grouped",
 ) -> DataFrame:
     """(head_id, id, vector, dist): every vector assigned to 1..replica_count
     heads. Head vectors ride along so postings are self-contained, like
@@ -260,10 +365,95 @@ def assign_replicas(
             # numeric arrays directly
             vec_arr = pdf["vector"].to_numpy()
             c = min(candidate_num, len(head_ids))
-            for s in range(0, len(ids), SUB):
+            n = len(ids)
+
+            if routing is not None and routed_impl == "grouped":
+                # GROUPED routed path (r12 — the legacy per-probe
+                # einsum over a (b, m, d) gathered slab measured 79% of
+                # kernel wall at 100k heads, dominated by the gather's
+                # memory traffic). Two passes:
+                #   A. route every row to its f nearest groups in the
+                #      SAME 512-row subblocks as the legacy path (so the
+                #      group selection is bit-identical), keeping only
+                #      topf (n, f) ints;
+                #   B. sort rows by nearest group, then score each
+                #      DISTINCT group once per subblock with a segment
+                #      einsum (_seg_dists) — BITWISE the legacy values,
+                #      but with no (b, m, d) gather, and row-locality
+                #      makes segments large. Output rows are therefore
+                #      bit-identical to routed_impl="legacy" (pinned by
+                #      test + verified at the probe fixture, SCALING.md
+                #      r12); only emission ORDER differs (rows grouped by
+                #      nearest group instead of input order).
+                gc_, Hg, _idsg, valid = routing
+                g, m, _ = Hg.shape
+                f = min(ROUTE_FANOUT, g)
+                topf_all = np.empty((n, min(f, g)), dtype=np.int64)
+                for s in range(0, n, SUB):
+                    Vb = V[s : s + SUB]
+                    b = len(Vb)
+                    Dg = _block_distances(Vb, gc_, metric)  # (b, g)
+                    topf_all[s : s + b] = (
+                        np.argpartition(Dg, f - 1, axis=1)[:, :f]
+                        if f < g
+                        else np.broadcast_to(np.arange(g), (b, g))
+                    )
+                order = np.argsort(topf_all[:, 0], kind="stable")
+                mslot = np.arange(m)[None, None, :]
+                for s in range(0, n, SUB):
+                    rsel = order[s : s + SUB]
+                    Vb = V[rsel]
+                    b = len(rsel)
+                    tb = topf_all[rsel]  # (b, f)
+                    nf = tb.shape[1]
+                    # one GEMM per distinct probed group in the subblock
+                    Dc3 = np.full((b, nf, m), np.inf)
+                    flat_g = tb.ravel()
+                    o = np.argsort(flat_g, kind="stable")
+                    fg = flat_g[o]
+                    rr = np.repeat(np.arange(b), nf)[o]
+                    jj = np.tile(np.arange(nf), b)[o]
+                    bnd = np.nonzero(fg[1:] != fg[:-1])[0] + 1
+                    for s0, e0 in zip(
+                        np.concatenate(([0], bnd)),
+                        np.concatenate((bnd, [len(fg)])),
+                    ):
+                        gi = int(fg[s0])
+                        rs = rr[s0:e0]
+                        Dsub = _seg_dists(Vb[rs], Hg[gi], metric)
+                        Dsub[:, ~valid[gi]] = np.inf  # padded slots
+                        Dc3[rs, jj[s0:e0]] = Dsub
+                    Dc = Dc3.reshape(b, nf * m)
+                    Ic = (tb[:, :, None] * m + mslot).reshape(b, nf * m)
+                    cc = min(c, Dc.shape[1])
+                    sel = np.argpartition(Dc, cc - 1, axis=1)[:, :cc]
+                    cand = np.take_along_axis(Ic, sel, 1)
+                    d_c = np.take_along_axis(Dc, sel, 1)
+                    h2, d2, acc = _prune_block(
+                        cand, d_c, head_ids, H, HH, metric,
+                        replica_count, rng_factor, routed=True,
+                    )
+                    rows, cols = np.nonzero(acc)
+                    if len(rows) == 0:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "head_id": h2[rows, cols],
+                            "id": ids[rsel[rows]],
+                            "vector": vec_arr[rsel[rows]],
+                            "dist": d2[rows, cols],
+                        }
+                    )
+                continue
+
+            for s in range(0, n, SUB):
                 Vb = V[s : s + SUB]
                 b = len(Vb)
                 if routing is not None:
+                    # legacy routed path: per-probe (b, m, d) gather +
+                    # batched einsum — kept for the identical-rows A/B
+                    # (routed_impl="legacy"); the grouped path above is
+                    # the default
                     gc_, Hg, _idsg, valid = routing
                     g, m, _ = Hg.shape
                     f = min(ROUTE_FANOUT, g)
@@ -296,68 +486,10 @@ def assign_replicas(
                             np.arange(len(head_ids)), (b, len(head_ids))
                         ).copy()
                     d_c = np.take_along_axis(D, cand, 1)
-                hid_c = head_ids[cand]
-                # per-row (dist, head_id) ascending order — two STABLE
-                # argsorts ≡ np.lexsort((head_ids, dist)) rowwise
-                o1 = np.argsort(hid_c, axis=1, kind="stable")
-                d1 = np.take_along_axis(d_c, o1, 1)
-                c1 = np.take_along_axis(cand, o1, 1)
-                o2 = np.argsort(d1, axis=1, kind="stable")
-                d2 = np.take_along_axis(d1, o2, 1)
-                c2 = np.take_along_axis(c1, o2, 1)
-                h2 = head_ids[c2]
-                # routed mode spills heads into 2 groups, so the same head
-                # can be sighted twice; duplicates carry identical
-                # (dist, head_id), hence are ADJACENT after the sort
-                dup = np.zeros(d2.shape, dtype=bool)
-                if routing is not None:
-                    dup[:, 1:] = (h2[:, 1:] == h2[:, :-1]) & (
-                        d2[:, 1:] == d2[:, :-1]
-                    )
-                # (b, c, c) candidate head-head distances
-                if HH is not None:
-                    hh = HH[c2[:, :, None], c2[:, None, :]]
-                else:
-                    G = H[c2]  # (b, c, d)
-                    if metric == "l2":
-                        sq = (G * G).sum(-1)
-                        hh = (
-                            sq[:, :, None]
-                            + sq[:, None, :]
-                            - 2.0 * np.einsum("bid,bjd->bij", G, G)
-                        )
-                        np.maximum(hh, 0.0, out=hh)
-                    elif metric == "cosine":
-                        Gn = G / np.maximum(
-                            np.linalg.norm(G, axis=-1, keepdims=True), 1e-300
-                        )
-                        hh = 1.0 - np.einsum("bid,bjd->bij", Gn, Gn)
-                        np.maximum(hh, 0.0, out=hh)
-                    else:  # ip
-                        hh = -np.einsum("bid,bjd->bij", G, G)
-                # greedy RNG prune, vectorized over rows: candidate j (in
-                # ascending (dist, id) order) is accepted iff no already-
-                # accepted i has rng·d(head_i, head_j) < d(v, head_j) and
-                # the replica budget is open — identical to the sequential
-                # early-exit loop, iterated j=0..c-1 across all rows at once
-                n_c = d2.shape[1]
-                acc = np.zeros((b, n_c), dtype=bool)
-                acc_cnt = np.zeros(b, dtype=np.int64)
-                for j in range(n_c):
-                    viol = acc & (
-                        rng_factor * hh[:, :, j] < d2[:, j][:, None]
-                    )
-                    # isfinite: routed mode pads short groups with inf-dist
-                    # slots; dup: second sighting of a spilled head —
-                    # neither may be accepted as a head
-                    ok = (
-                        ~viol.any(axis=1)
-                        & (acc_cnt < replica_count)
-                        & np.isfinite(d2[:, j])
-                        & ~dup[:, j]
-                    )
-                    acc[:, j] = ok
-                    acc_cnt += ok
+                h2, d2, acc = _prune_block(
+                    cand, d_c, head_ids, H, HH, metric,
+                    replica_count, rng_factor, routed=routing is not None,
+                )
                 rows, cols = np.nonzero(acc)
                 if len(rows) == 0:
                     continue

@@ -775,3 +775,59 @@ def test_head_routing_blocked_matches_dense(monkeypatch):
     assert all(len(v) == 2 for v in pb.values())
     same = sum(pd_[h] == pb[h] for h in pd_)
     assert same / len(pd_) >= 0.95, same / len(pd_)
+
+
+def test_grouped_routed_impl_bitwise_identical_to_legacy(spark):
+    """The r12 grouped routed kernel (segment einsum over rows sorted by
+    nearest group — no (b, m, d) gather) must be BIT-identical to the
+    legacy per-probe gather path: same accepted (head_id, id) rows, same
+    dist values, across metrics. Measured 3.05x at 400k vectors x 50k
+    heads (SCALING.md r12); this pins the identity at test scale."""
+    from sptag_spark.index.postings import assign_replicas
+
+    rng = np.random.default_rng(11)
+    sites = rng.normal(size=(40, 12)) * 30.0
+    V = sites[rng.integers(0, 40, size=1500)] + rng.normal(size=(1500, 12))
+    # heads sampled FROM the corpus rows: exposes the vector==head exact
+    # RNG-boundary ties where einsum-vs-gemm ulps flip decisions (the
+    # reason the kernel uses the einsum-twin _seg_dists, not a GEMM)
+    H = V[rng.choice(len(V), size=200, replace=False)]
+    vec = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "id long, vector array<float>",
+    )
+    heads = spark.createDataFrame(
+        [(i, [float(x) for x in H[i]]) for i in range(len(H))],
+        "head_id long, vector array<float>",
+    )
+    for metric in ("l2", "cosine", "ip"):
+        leg = sorted(
+            (r["head_id"], r["id"], r["dist"])
+            for r in assign_replicas(
+                vec, heads, metric, routed=True, routed_impl="legacy"
+            ).collect()
+        )
+        grp = sorted(
+            (r["head_id"], r["id"], r["dist"])
+            for r in assign_replicas(
+                vec, heads, metric, routed=True, routed_impl="grouped"
+            ).collect()
+        )
+        assert leg == grp, metric  # bitwise: dist compared exactly
+
+
+def test_seg_dists_bitwise_twin_of_bmd():
+    """_seg_dists is the arithmetic TWIN of _bmd_dists for a constant
+    group: einsum('bd,md->bm') must reduce bitwise like ('bd,bmd->bm') on
+    a broadcast slab for every metric — the property the grouped kernel's
+    row identity rests on."""
+    from sptag_spark.index.postings import _bmd_dists, _seg_dists
+
+    rng = np.random.default_rng(3)
+    Vb = rng.normal(size=(97, 12))
+    Hm = rng.normal(size=(33, 12))
+    Hj = np.broadcast_to(Hm, (97, 33, 12)).copy()
+    for metric in ("l2", "cosine", "ip"):
+        a = _bmd_dists(Vb, Hj, metric)
+        b = _seg_dists(Vb, Hm, metric)
+        assert np.array_equal(a, b), metric
