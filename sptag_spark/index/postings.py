@@ -44,10 +44,9 @@ POSTING_LIMIT = 1000  # members kept per posting (PostingPageLimit analog)
 # ROUTE_FANOUT nearest groups, and scores only those f·m heads.
 ROUTED_MIN_HEADS = 8192
 ROUTE_FANOUT = 16
-ROUTE_SLACK = 2.0  # group capacity = slack × proportional share
 #: k·g cells above which _head_routing switches from the exact dense
-#: preference matrix (O(k·g) driver RAM — 45 GB at 1M heads, measured in
-#: the r11 dress rehearsal) to the blocked top-T path (O(k·T))
+#: distance matrix (O(k·g) driver RAM — 45 GB at 1M heads, measured in
+#: the r11 dress rehearsal) to the blocked top-2 path (O(k))
 _DENSE_ROUTING_ENTRIES = 64_000_000
 
 
@@ -99,87 +98,63 @@ def _head_routing(
     """Driver-side two-level head layout for routed assignment:
     (group_centers (g, d), Hg (g, m, d), idsg (g, m), valid (g, m)).
 
-    g ≈ √(k·fanout) balances the per-vector work g + fanout·(k/g); groups
-    hold up to m = ⌈ROUTE_SLACK · 2k/g⌉ heads (greedy nearest-non-full in
-    ascending best-distance order) so the kernel can gather fixed-size
-    (b, m, d) slabs instead of ragged per-row candidate sets. Each head is
-    SPILLED into its 2 nearest groups (the IVF boundary-replica trick),
-    and the capacity SLACK lets heads keep their natural group instead of
-    being forced across a cluster boundary by a tight balance cap.
-    Parameter sweep (driver-side coverage of the true nearest head, 40-site
-    clustered + unstructured-gaussian worst case): tight cap + fanout 8 →
-    0.93/0.90; slack 2.0 + fanout 16 → 1.000/0.997. Duplicate sightings of
-    a head through both groups are masked in the kernel after the
-    (dist, id) sort. Build cost: one k×g BLAS block + an O(k) python pass
-    below _DENSE_ROUTING_ENTRIES; above it, a blocked top-T scan keeps
-    driver memory O(k·T) (the dense block is O(k^1.5) — 45 GB at 1M
-    heads, measured r11)."""
+    g ≈ √(k·fanout) balances the per-vector work g + fanout·(k/g). Every
+    head is placed in its 2 nearest groups UNCONDITIONALLY (the IVF
+    boundary-replica trick) — no capacity cap. r12 replaced the previous
+    capacity-greedy placement after the dim-100 probe caught its failure
+    mode: when natural clusters outnumber groups, a popular group fills
+    and the greedy DISPLACES whole clusters' heads into groups none of
+    their nearby vectors ever probe — those heads end up with EMPTY
+    postings (12% of heads at the probe fixture) and the vectors' true
+    neighbors land in far-away postings (recall plateau at 0.77 that no
+    nprobe could buy back). Unconditional placement guarantees the
+    visibility invariant the kernel relies on: a vector's own nearest
+    heads are always inside its probed groups (in particular every head's
+    own vector reaches its own posting — pinned by test).
+
+    Total slots are exactly 2k either way; only the per-group DISTRIBUTION
+    varies, so m = max group size (logged in the tuple via valid's shape).
+    Duplicate sightings of a head through both groups are masked in the
+    kernel after the (dist, id) sort. Build cost: one k×g BLAS block below
+    _DENSE_ROUTING_ENTRIES; above it, a blocked top-2 scan keeps driver
+    memory O(k) (the dense block is O(k^1.5) — 45 GB at 1M heads,
+    measured r11)."""
     from sptag_spark.index.heads import lloyd_kmeans
 
     k, d = H.shape
     spill = 2
     g = max(2, min(int(np.sqrt(k * fanout)), k // 2))
     gc = lloyd_kmeans(H, g, iters=5, seed=11)
-    m = min(k, int(np.ceil(ROUTE_SLACK * spill * k / g)))
-    cap = np.zeros(g, dtype=np.int64)
-    slots: list[list[int]] = [[] for _ in range(g)]
     if k * g <= _DENSE_ROUTING_ENTRIES:
-        # exact path, byte-identical to every committed small-scale build:
-        # the full (k, g) block + full preference argsort
+        # exact dense path: one (k, g) block
         D = _block_distances(H, gc, metric)  # (k, g)
-        pref = np.argsort(D, axis=1, kind="stable")
-        order = np.argsort(D.min(axis=1), kind="stable")
-        bestd = None
+        if spill < g:
+            top2 = np.argpartition(D, spill - 1, axis=1)[:, :spill]
+            dv = np.take_along_axis(D, top2, 1)
+            o = np.argsort(dv, axis=1, kind="stable")
+            top2 = np.take_along_axis(top2, o, 1)
+        else:
+            top2 = np.broadcast_to(np.arange(g), (k, g)).copy()
     else:
-        # blocked top-T preference path (r11, found by the 8.4M dress
-        # rehearsal): the dense (k, g) block + its argsort are O(k^1.5)
-        # DRIVER memory — 2 × 22.6 GB at 1M heads, impossible at the
-        # SPACEV 10⁸-head regime. A head only ever consults its few
-        # nearest groups (spill=2 placements with slack 2.0), so keep
-        # top-T per head from a blocked scan: O(k·T) memory. Heads whose
-        # T nearest groups are all full (rare by the capacity slack) fall
-        # back to one O(g·d) distance row on demand.
-        T = int(min(g, 16))
-        pref = np.empty((k, T), dtype=np.int64)
-        bestd = np.empty(k)
+        # blocked top-2 path (r11 shape, simplified): O(k) driver memory
+        top2 = np.empty((k, min(spill, g)), dtype=np.int64)
         block = max(1024, int(2.5e7 / max(g, 1)))
         for s in range(0, k, block):
             Db = _block_distances(H[s : s + block], gc, metric)
-            idx = (
-                np.argpartition(Db, T - 1, axis=1)[:, :T]
-                if T < Db.shape[1]
-                else np.broadcast_to(
-                    np.arange(Db.shape[1]), Db.shape
-                ).copy()
-            )
-            dv = np.take_along_axis(Db, idx, 1)
-            o = np.argsort(dv, axis=1, kind="stable")
-            pref[s : s + block] = np.take_along_axis(idx, o, 1)
-            bestd[s : s + block] = np.take_along_axis(dv, o, 1)[:, 0]
-        order = np.argsort(bestd, kind="stable")
-    for h in order:
-        placed = 0
-        taken: list[int] = []
-        for gi in pref[h]:
-            if cap[gi] < m:
-                slots[gi].append(h)
-                cap[gi] += 1
-                taken.append(int(gi))
-                placed += 1
-                if placed >= spill:
-                    break
-        if placed < spill and bestd is not None:
-            # top-T exhausted (all full): one exact row for this head
-            drow = _block_distances(H[h : h + 1], gc, metric)[0]
-            for gi in np.argsort(drow, kind="stable"):
-                if int(gi) in taken or cap[gi] >= m:
-                    continue
-                slots[gi].append(h)
-                cap[gi] += 1
-                taken.append(int(gi))
-                placed += 1
-                if placed >= spill:
-                    break
+            if spill < g:
+                idx = np.argpartition(Db, spill - 1, axis=1)[:, :spill]
+                dv = np.take_along_axis(Db, idx, 1)
+                o = np.argsort(dv, axis=1, kind="stable")
+                top2[s : s + block] = np.take_along_axis(idx, o, 1)
+            else:
+                top2[s : s + block] = np.broadcast_to(
+                    np.arange(g), (len(Db), g)
+                )
+    slots: list[list[int]] = [[] for _ in range(g)]
+    for h in range(k):
+        for gi in top2[h]:
+            slots[int(gi)].append(h)
+    m = max((len(s) for s in slots), default=0)
     Hg = np.zeros((g, m, d))
     idsg = np.zeros((g, m), dtype=np.int64)
     valid = np.zeros((g, m), dtype=bool)
@@ -349,6 +324,7 @@ def assign_replicas(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         head_ids, H, HH, routing = bc.value
+        gcounts = routing[3].sum(axis=1) if routing is not None else None
         # The assignment is fully VECTORIZED across rows — a per-row Python
         # loop (argpartition + lexsort + c×c gather per vector) measured 128k
         # interpreter iterations per ×64 build and dominated wall time. Rows
@@ -420,9 +396,15 @@ def assign_replicas(
                     ):
                         gi = int(fg[s0])
                         rs = rr[s0:e0]
-                        Dsub = _seg_dists(Vb[rs], Hg[gi], metric)
-                        Dsub[:, ~valid[gi]] = np.inf  # padded slots
-                        Dc3[rs, jj[s0:e0]] = Dsub
+                        # score only the group's LIVE prefix (valid is
+                        # prefix-true; m is the max group size, so padded
+                        # tails would be wasted flops under skew) — the
+                        # padded remainder of Dc3 stays inf
+                        n_i = int(gcounts[gi])
+                        if n_i == 0:
+                            continue
+                        Dsub = _seg_dists(Vb[rs], Hg[gi, :n_i], metric)
+                        Dc3[rs, jj[s0:e0], :n_i] = Dsub
                     Dc = Dc3.reshape(b, nf * m)
                     Ic = (tb[:, :, None] * m + mslot).reshape(b, nf * m)
                     cc = min(c, Dc.shape[1])
@@ -517,15 +499,34 @@ def assign_replicas(
     )
 
 
-def cut_postings(postings: DataFrame, limit: int = POSTING_LIMIT) -> DataFrame:
+def cut_postings(
+    postings: DataFrame,
+    limit: int = POSTING_LIMIT,
+    keep_primary: bool = True,
+) -> DataFrame:
     """Posting truncation: keep the `limit` nearest members per head
-    (`ExtraFullGraphSearcher.h:747-760`)."""
+    (`ExtraFullGraphSearcher.h:747-760`) — but never a vector's LAST
+    replica. Plain truncation can orphan a vector outright (every one of
+    its replicas past some cap), leaving it unreachable at ANY nprobe —
+    measured at the r12 dim-100 probe: 78k of 2.1M vectors orphaned, a
+    hard recall ceiling no search parameter can buy back. The reference
+    leans on balanced closure clustering keeping posting sizes under the
+    cap and truncates hard when it binds; here, when the cap does bind,
+    each vector's PRIMARY replica (rank-1 by (dist, head_id)) survives
+    past the limit, so coverage is total. A posting can exceed `limit`
+    by its primary count only (documented divergence — safety over a
+    strict page budget). keep_primary=False restores reference-exact
+    truncation. When no posting exceeds `limit`, output is identical
+    either way."""
     w = Window.partitionBy("head_id").orderBy(F.col("dist"), F.col("id"))
-    return (
-        postings.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= limit)
-        .drop("_rn")
-    )
+    out = postings.withColumn("_rn", F.row_number().over(w))
+    if keep_primary:
+        wp = Window.partitionBy("id").orderBy(F.col("dist"), F.col("head_id"))
+        out = out.withColumn("_pr", F.row_number().over(wp)).filter(
+            (F.col("_rn") <= limit) | (F.col("_pr") == 1)
+        )
+        return out.drop("_rn", "_pr")
+    return out.filter(F.col("_rn") <= limit).drop("_rn")
 
 
 def build_postings(

@@ -292,9 +292,12 @@ def pack_sequences(
     (`inc/Core/Common.h` SizeType)."""
     n_tok = token_count(F.col(text_col))
     shard = F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))
+    # the window resolves against the ALIASED projection below, so it must
+    # use the output names — ordering by id_col broke every non-default
+    # id_col/part_col caller (latent until the r12 chunk-pack composite)
     w = (
-        Window.partitionBy(part_col, "shard")
-        .orderBy(id_col)
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return docs.select(

@@ -25,11 +25,14 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 # BM25 over lowercased whitespace tokens — the SQL twin of
 # operators/retrieval.py bm25_scores (same Okapi/Lucene formula).
-_BM25_SCORES = f"""
+# Parameterized on the corpus CTE so the curated composite below can run
+# the SAME formula over the rule-filtered universe.
+def _bm25_scores_sql(src: str = "documents") -> str:
+    return f"""
 tok AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS toks
-  FROM documents
+  FROM {src}
 ),
 stats AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM tok),
 scal AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM stats),
@@ -53,6 +56,9 @@ bm25 AS (
   GROUP BY doc_id
 )
 """
+
+
+_BM25_SCORES = _bm25_scores_sql()
 
 
 # BM25 corpus statistics are an INDEX artifact (VERDICT r8 #2): built from
@@ -169,3 +175,100 @@ FROM fused
 QUALIFY rank <= 20
 """,
 )
+
+
+# -- composite: rule-filtered corpus -> BM25 + vector RRF fusion -------------
+#
+# VERDICT r11 ask #6: fold perennially-unsampled semantics (rule_filters,
+# bm25_topk, hybrid_rrf_search) into one composite driver query — the
+# realistic retrieval deployment: curate the corpus with the C4/Gopher
+# rule pass, index ONLY the kept documents, and serve hybrid
+# keyword+vector retrieval over that curated universe. The oracle
+# recomputes the whole chain (rules -> kept universe -> BM25 -> cosine ->
+# RRF) independently in SQL.
+
+_BM25_CURATED_CACHE: dict[tuple, object] = {}
+
+
+def _bm25_curated_index(spark: SparkSession, sf_dir: str):
+    from sptag_spark.operators.retrieval import build_bm25_index
+    from sptag_spark.queries.text_queries import curation_keep_ids
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _BM25_CURATED_CACHE:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        keep = curation_keep_ids(docs)
+        _BM25_CURATED_CACHE[key] = (
+            build_bm25_index(docs.join(keep, "doc_id")),
+            keep,
+        )
+    return _BM25_CURATED_CACHE[key]
+
+
+def _retrieval_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.functions.distance import cosine_dist
+    from sptag_spark.operators.rank import ranked_topk
+    from sptag_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from sptag_spark.resources import carry_artifacts
+
+    index, keep = _bm25_curated_index(spark, sf_dir)
+    lex = bm25_topk(None, BM25_TERMS, k=RETR_DEPTH, index=index)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # the QUERY vector is external input (taken from the full embedding
+    # table so it exists even if its document was filtered out); the
+    # CANDIDATE universe is the curated corpus only
+    q = emb.filter(F.col("vec_id") == HYBRID_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = emb.join(keep.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        cosine_dist(F.col("embedding"), F.col("qv")).alias("cos_dist"),
+    )
+    vec = ranked_topk(
+        scored, [F.col("cos_dist"), F.col("vec_id")], RETR_DEPTH
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return carry_artifacts(rrf_fuse(lex, vec, k=20, c=RRF_C), lex)
+
+
+def _curated_oracle() -> str:
+    from sptag_spark.queries.text_queries import _CURATE_PRED, _RULES_CTES
+
+    return f"""
+WITH {_RULES_CTES},
+keepd AS (SELECT doc_id FROM rules WHERE {_CURATE_PRED}),
+kdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN keepd USING (doc_id)),
+{_bm25_scores_sql("kdocs")},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+  FROM bm25 QUALIFY ra <= {RETR_DEPTH}
+),
+emb AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN keepd k ON k.doc_id = e.vec_id
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {HYBRID_QUERY_ID}),
+vec AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY greatest(0.0, 1.0 - ({_COS_SIM_Q})), vec_id
+         ) AS rb
+  FROM emb e, q
+  QUALIFY rb <= {RETR_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         COALESCE(1.0 / ({RRF_C} + ra), 0.0)
+           + COALESCE(1.0 / ({RRF_C} + rb), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(rrf, 6) AS rrf
+FROM fused
+QUALIFY rank <= 20
+"""
+
+
+register("pipeline_retrieval_curated", _retrieval_curated, _curated_oracle())

@@ -3,7 +3,7 @@ fingerprints, token stats)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sptag_spark.functions.text import STOPWORDS
@@ -523,8 +523,10 @@ def _rule_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rule_filters(_docs(spark, sf_dir))
 
 
-_RULES_SQL = """
-WITH base AS (
+# CTE body shared with the composite retrieval oracle
+# (retrieval_queries.pipeline_retrieval_curated) so both recompute the
+# SAME rule set independently of the Spark side
+_RULES_CTES = """base AS (
   SELECT doc_id, text, trim(text) AS trimmed,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
@@ -555,13 +557,34 @@ rules AS (
     CASE WHEN n_tok > 0 THEN CAST(alpha_toks AS DOUBLE) / n_tok >= 0.8
          ELSE FALSE END AS r_alpha_ratio
   FROM base
+)"""
+
+_KEEP_PRED = (
+    "(r_min_words AND r_max_words AND r_avg_word_len AND r_terminal_punct"
+    " AND r_symbol_ratio AND r_bullet_ratio AND r_no_lorem AND r_no_brace"
+    " AND r_alpha_ratio)"
 )
+
+#: the CURATION predicate the composite pipelines use. r_terminal_punct is
+#: excluded: the synthetic corpus has no sentence punctuation, so the full
+#: keep predicate rejects EVERY document and made the r11
+#: pipeline_curated_corpus vacuous (0 rows on both sides — a pass that
+#: tested nothing; found r12). C4's terminal-punct rule is line-level
+#: anyway. A min-length bound that actually discriminates on this corpus
+#: (tokens range 10-99, median 56) takes its place.
+_CURATE_MIN_TOKENS = 40
+_CURATE_PRED = (
+    "(r_min_words AND r_max_words AND r_avg_word_len AND r_symbol_ratio"
+    " AND r_bullet_ratio AND r_no_lorem AND r_no_brace AND r_alpha_ratio"
+    f" AND n_tokens >= {_CURATE_MIN_TOKENS})"
+)
+
+_RULES_SQL = f"""
+WITH {_RULES_CTES}
 SELECT doc_id, n_tokens, r_min_words, r_max_words, r_avg_word_len,
        r_terminal_punct, r_symbol_ratio, r_bullet_ratio, r_no_lorem,
        r_no_brace, r_alpha_ratio,
-       (r_min_words AND r_max_words AND r_avg_word_len AND r_terminal_punct
-        AND r_symbol_ratio AND r_bullet_ratio AND r_no_lorem AND r_no_brace
-        AND r_alpha_ratio) AS keep
+       {_KEEP_PRED} AS keep
 FROM rules
 """
 
@@ -701,31 +724,47 @@ GROUP BY t.doc_id
 # row, and a per-doc rollup. No new wide op beyond dsir_sample's.
 
 
-def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sptag_spark.operators.textops import (
-        dsir_importance_weights,
-        rule_filters,
+def curation_keep_ids(docs: DataFrame) -> DataFrame:
+    """doc_ids passing the composite-pipeline CURATION predicate
+    (_CURATE_PRED — the rule set minus terminal punct, plus the
+    min-length bound; see the constant's comment for why). Shared by
+    pipeline_curated_corpus and pipeline_retrieval_curated."""
+    from sptag_spark.operators.textops import rule_filters
+
+    rf = rule_filters(docs.select("doc_id", "text"))
+    cond = (
+        F.col("r_min_words")
+        & F.col("r_max_words")
+        & F.col("r_avg_word_len")
+        & F.col("r_symbol_ratio")
+        & F.col("r_bullet_ratio")
+        & F.col("r_no_lorem")
+        & F.col("r_no_brace")
+        & F.col("r_alpha_ratio")
+        & (F.col("n_tokens") >= _CURATE_MIN_TOKENS)
     )
+    return rf.filter(cond).select("doc_id")
+
+
+def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.textops import dsir_importance_weights
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    rules = rule_filters(docs).select("doc_id", "keep")
-    kept = docs.join(rules.filter(F.col("keep")), "doc_id").select(
+    kept = docs.join(curation_keep_ids(docs), "doc_id").select(
         "doc_id", "source", "text"
     )
     return dsir_importance_weights(kept, F.col("source") == "src0")
 
 
 _CURATED_SQL = (
-    _RULES_SQL[: _RULES_SQL.index("SELECT doc_id, n_tokens")]
-    + r""",
+    f"WITH {_RULES_CTES}"
+    + rf""",
 kept AS (
   SELECT d.doc_id, d.source, d.text
-  FROM documents d JOIN rules r USING (doc_id)
-  WHERE r.r_min_words AND r.r_max_words AND r.r_avg_word_len
-    AND r.r_terminal_punct AND r.r_symbol_ratio AND r.r_bullet_ratio
-    AND r.r_no_lorem AND r.r_no_brace AND r.r_alpha_ratio
+  FROM documents d JOIN (SELECT * FROM rules WHERE {_CURATE_PRED}) r
+  USING (doc_id)
 ),
 ktok AS (
   SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
@@ -758,3 +797,96 @@ GROUP BY t.doc_id
 )
 
 register("pipeline_curated_corpus", _curated_corpus, _CURATED_SQL)
+
+
+# -- composite: chunk -> content-dedup -> sequence packing -------------------
+#
+# VERDICT r11 ask #6: fold the perennially-unsampled doc_chunks and
+# pack_sequences semantics into one composite driver query — the training
+# data-prep shape they exist for: slide a window over every document,
+# drop exact-duplicate chunks by content hash (overlapping windows over
+# repeated boilerplate produce them), re-materialize the surviving chunk
+# text, and pack the chunks into fixed token-budget training sequences.
+# The oracle recomputes the whole chain independently in SQL.
+
+_PACK_CHUNK_BUDGET = 256
+#: chunk_id = doc_id * _CHUNK_ID_BASE + chunk_idx — collision-free while
+#: a doc has < 1e6 chunks (stride 400 → docs under 400 MB, far above any
+#: document this pipeline feeds)
+_CHUNK_ID_BASE = 1_000_000
+
+
+def _chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.textops import chunk_documents, pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    chunks = chunk_documents(
+        docs, window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE
+    )
+    # exact chunk dedup on the content hash: first (doc_id, chunk_idx) wins
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # re-materialize the chunk text (chunk_documents ships the md5, not
+    # the text) with a pruned join back to the corpus
+    ck = kept.join(docs, "doc_id").select(
+        (F.col("doc_id") * _CHUNK_ID_BASE + F.col("chunk_idx")).alias(
+            "chunk_id"
+        ),
+        "source",
+        F.substring(
+            F.col("text"), (F.col("chunk_start") + 1).cast("int"),
+            _CHUNK_WINDOW,
+        ).alias("chunk_text"),
+    )
+    return pack_sequences(
+        ck, budget=_PACK_CHUNK_BUDGET, id_col="chunk_id",
+        text_col="chunk_text",
+    ).withColumnRenamed("doc_id", "chunk_id")
+
+
+register(
+    "pipeline_chunk_pack",
+    _chunk_pack,
+    rf"""
+WITH ex AS (
+  SELECT doc_id, source, text,
+         unnest(generate_series(0,
+           greatest(CAST(ceil(length(text)/{_CHUNK_STRIDE}.0) AS BIGINT), 1) - 1
+         )) AS chunk_idx
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, source, chunk_idx,
+         substr(text, CAST(chunk_idx*{_CHUNK_STRIDE}+1 AS BIGINT),
+                {_CHUNK_WINDOW}) AS chunk_text
+  FROM ex
+),
+kept AS (
+  SELECT doc_id, source, chunk_idx, chunk_text,
+         row_number() OVER (
+           PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_idx
+         ) AS rn
+  FROM chunks QUALIFY rn = 1
+),
+tok AS (
+  SELECT doc_id*{_CHUNK_ID_BASE} + chunk_idx AS chunk_id, source,
+         (doc_id*{_CHUNK_ID_BASE} + chunk_idx) % 16 AS shard,
+         len(list_filter(string_split_regex(trim(chunk_text), '\s+'),
+             t -> t <> '')) AS n_tokens
+  FROM kept
+)
+SELECT chunk_id, source, CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+         PARTITION BY source, shard ORDER BY chunk_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / {_PACK_CHUNK_BUDGET}.0) AS BIGINT) AS pack_id
+FROM tok
+""",
+)

@@ -214,6 +214,20 @@ class LocalSpannReplica:
         self.H = np.array(hp["vector"].tolist(), dtype=np.float64)[order]
 
         pp = postings.select("head_id", "id", "vector").toPandas()
+        # drop MEMBERLESS heads (r12): a reference head always holds at
+        # least its own vector (ApproximateRNG assigns every vector via
+        # the exact head search), but the routed grouped assignment can
+        # displace a head into groups none of its nearby vectors probe —
+        # an empty posting. Serving one is pure waste, and worse: a query
+        # whose NEAREST head is empty lets the limitDist guard prune every
+        # other head and answer EMPTY (measured, r12 dim-100 probe — 11 of
+        # 64 queries). nprobe then counts real postings only, as in the
+        # reference.
+        live = np.unique(pp["head_id"].to_numpy(np.int64))
+        if len(live) < len(self.head_ids):
+            keep = np.isin(self.head_ids, live)
+            self.head_ids = self.head_ids[keep]
+            self.H = self.H[keep]
         slot = np.searchsorted(self.head_ids, pp["head_id"].to_numpy(np.int64))
         porder = np.argsort(slot, kind="stable")
         slot = slot[porder]
@@ -1030,16 +1044,25 @@ class DiskSpannReplica(LocalSpannReplica):
             # PATCHED store (patch_packed_store): slabs are log-structured
             # — untouched slabs keep their original file extent, rewritten
             # ones live in appended segments, so they are not contiguous.
-            # indptr is kept as the live-rows cumulative for introspection
-            # (posting lengths via np.diff, total via [-1]).
             self.slab_off, self.slab_len = np.load(ext_p)
-            self.indptr = np.concatenate(
-                ([0], np.cumsum(self.slab_len))
-            )
         else:
-            self.indptr = np.load(os.path.join(store_dir, "indptr.npy"))
-            self.slab_off = self.indptr[:-1]
-            self.slab_len = np.diff(self.indptr)
+            ip = np.load(os.path.join(store_dir, "indptr.npy"))
+            self.slab_off = ip[:-1]
+            self.slab_len = np.diff(ip)
+        # drop MEMBERLESS heads at load (r12, same rationale as the RAM
+        # replica): an empty slab head wastes nprobe budget and can void
+        # a whole answer through the limitDist guard. Store files are
+        # untouched — the mask is load-time only, so legacy, fresh, and
+        # patched stores all serve identically.
+        if len(self.slab_len) and (self.slab_len == 0).any():
+            keep = self.slab_len > 0
+            self.head_ids = self.head_ids[keep]
+            self.H = self.H[keep]
+            self.slab_off = self.slab_off[keep]
+            self.slab_len = self.slab_len[keep]
+        # indptr kept as the live-rows cumulative for introspection
+        # (posting lengths via np.diff, total via [-1])
+        self.indptr = np.concatenate(([0], np.cumsum(self.slab_len)))
         # the SSD side: never resident; rows fault in per probed slab.
         # A zero-row store (empty shard) cannot mmap an empty file — use
         # an empty in-RAM array with the same dtype/shape contract.
@@ -1756,6 +1779,12 @@ class LocalPqSpannReplica:
         self.codes = np.array(cp["codes"].tolist(), dtype=np.uint8)[corder]
 
         pp = postings.select("head_id", "id").toPandas()  # NO vectors
+        # memberless-head prune, as in LocalSpannReplica (r12)
+        live = np.unique(pp["head_id"].to_numpy(np.int64))
+        if len(live) < len(self.head_ids):
+            keep = np.isin(self.head_ids, live)
+            self.head_ids = self.head_ids[keep]
+            self.H = self.H[keep]
         slot = np.searchsorted(self.head_ids, pp["head_id"].to_numpy(np.int64))
         porder = np.argsort(slot, kind="stable")
         self.post_rows = np.searchsorted(

@@ -831,3 +831,44 @@ def test_seg_dists_bitwise_twin_of_bmd():
         a = _bmd_dists(Vb, Hj, metric)
         b = _seg_dists(Vb, Hm, metric)
         assert np.array_equal(a, b), metric
+
+
+def test_routed_heads_never_orphaned(spark):
+    """Visibility invariant of unconditional top-2 routing (r12): every
+    head's own vector must land in its own posting, and no head may end
+    up memberless, even when natural clusters OUTNUMBER routing groups —
+    the regime where the old capacity-greedy placement displaced whole
+    clusters' heads into invisible groups (12% empty heads, recall
+    plateau at 0.77 on the dim-100 probe)."""
+    from sptag_spark.index.postings import assign_replicas, cut_postings
+
+    rng = np.random.default_rng(5)
+    # many tight sites, few heads per site: sites >> groups
+    sites = rng.normal(size=(120, 10)) * 200.0
+    V = sites[rng.integers(0, 120, size=4000)] + rng.normal(
+        size=(4000, 10)
+    )
+    head_rows = rng.choice(4000, size=480, replace=False)
+    vec = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "id long, vector array<float>",
+    )
+    heads = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in head_rows],
+        "head_id long, vector array<float>",
+    )
+    postings = cut_postings(assign_replicas(vec, heads, routed=True)).cache()
+    # every head has members, and contains its own vector at dist 0
+    member_heads = {
+        int(r["head_id"])
+        for r in postings.select("head_id").distinct().collect()
+    }
+    assert member_heads == {int(i) for i in head_rows}
+    # self-distance comes from the expansion formula (HH - 2·dot + VV),
+    # which can land an ulp above exact 0.0 — the invariant is presence,
+    # not the bit pattern (serve paths rescore exactly)
+    self_rows = postings.filter(
+        (F.col("head_id") == F.col("id")) & (F.col("dist") < 1e-9)
+    ).count()
+    assert self_rows == len(head_rows)
+    postings.unpersist()
