@@ -1130,10 +1130,13 @@ def refine_fingerprint(vectors) -> dict:
     }
 
 
-def refine_store_matches(store_dir: str, fingerprint: dict) -> bool:
+def refine_store_matches(
+    store_dir: str, fingerprint: dict, value_type: str = "float32"
+) -> bool:
     """True when an existing refine store at ``store_dir`` was built from
-    the vector set with this fingerprint (missing/legacy meta → False, so
-    callers rebuild rather than trust an unverifiable store)."""
+    the vector set with this fingerprint AND in this value type
+    (missing/legacy meta → False / float32, so callers rebuild rather
+    than trust an unverifiable store)."""
     import json
     import os
 
@@ -1142,13 +1145,16 @@ def refine_store_matches(store_dir: str, fingerprint: dict) -> bool:
         return False
     with open(meta_p) as f:
         meta = json.load(f)
-    return all(
+    return meta.get("value_type", "float32") == value_type and all(
         meta.get(k) == fingerprint[k] for k in ("rows", "id_sum", "vec_crc")
     )
 
 
 def build_refine_store(
-    vectors, store_dir: str, chunk_rows: int = _STORE_CHUNK_ROWS
+    vectors,
+    store_dir: str,
+    chunk_rows: int = _STORE_CHUNK_ROWS,
+    value_type: str = "float32",
 ) -> dict:
     """Pack (id, vector) into an id-sorted float32 matrix + ids.npy — the
     exact-rerank side table a compressed replica reads from disk (the
@@ -1158,10 +1164,17 @@ def build_refine_store(
     id-sort, the driver consumes the sorted stream chunk-at-a-time, so the
     store a node needs precisely because its vectors exceed RAM can be
     built under that condition. meta.json records the source fingerprint
-    (rows + id checksum) for the staleness gate. → build stats."""
+    (rows + id checksum) for the staleness gate. ``value_type``: as
+    build_packed_store — an int8 corpus reranks from 1-byte components
+    (4× less rerank read I/O), lossless-cast-checked per chunk.
+    → build stats."""
     import json
     import os
 
+    if value_type not in _STORE_DTYPES:
+        raise ValueError(
+            f"value_type must be one of {sorted(_STORE_DTYPES)}: {value_type!r}"
+        )
     os.makedirs(store_dir, exist_ok=True)
     stats = {"max_buffer_rows": 0, "chunk_rows": int(chunk_rows), "flushes": 0}
     id_chunks: list[np.ndarray] = []
@@ -1169,7 +1182,8 @@ def build_refine_store(
     dim = 0
     buf_i: list[int] = []
     buf_v: list = []
-    with open(os.path.join(store_dir, "vectors.f32"), "wb") as f:
+    vec_file = os.path.join(store_dir, f"vectors.{_STORE_EXT[value_type]}")
+    with open(vec_file, "wb") as f:
 
         def flush() -> None:
             nonlocal rows, dim
@@ -1178,7 +1192,7 @@ def build_refine_store(
             stats["max_buffer_rows"] = max(stats["max_buffer_rows"], len(buf_v))
             V = np.array(buf_v, dtype=np.float32)
             dim = int(V.shape[1])
-            V.tofile(f)
+            _pack_values(V, value_type).tofile(f)
             ids = np.array(buf_i, dtype=np.int64)
             id_chunks.append(ids)
             rows += len(buf_v)
@@ -1201,24 +1215,27 @@ def build_refine_store(
     np.save(os.path.join(store_dir, "ids.npy"), ids)
     with open(os.path.join(store_dir, "meta.json"), "w") as f:
         json.dump(
-            {"rows": int(rows), "dim": dim, "build": stats,
-             **refine_fingerprint(vectors)},
+            {"rows": int(rows), "dim": dim, "value_type": value_type,
+             "build": stats, **refine_fingerprint(vectors)},
             f,
         )
     return stats
 
 
 def open_refine_store(store_dir: str):
-    """→ (ids int64 ndarray, float32 memmap matrix in id order)."""
+    """→ (ids int64 ndarray, memmap matrix in id order — dtype from the
+    store's own meta: float32, or a native integer width whose gathered
+    rows the rerank kernel promotes to float64 identically)."""
     import json
     import os
 
     with open(os.path.join(store_dir, "meta.json")) as f:
         meta = json.load(f)
+    vt = meta.get("value_type", "float32")
     ids = np.load(os.path.join(store_dir, "ids.npy"))
     M = np.memmap(
-        os.path.join(store_dir, "vectors.f32"),
-        dtype=np.float32,
+        os.path.join(store_dir, f"vectors.{_STORE_EXT[vt]}"),
+        dtype=_STORE_DTYPES[vt],
         mode="r",
         shape=(meta["rows"], meta["dim"]),
     )
@@ -1226,19 +1243,28 @@ def open_refine_store(store_dir: str):
 
 
 def build_refine_store_parallel(
-    vectors, store_dir: str, n_fragments: int | None = None
+    vectors,
+    store_dir: str,
+    n_fragments: int | None = None,
+    value_type: str = "float32",
 ) -> dict:
     """Executor-parallel twin of build_refine_store (same shape as
     build_packed_store_parallel): Spark range-partitions by id, each
     partition writes its own id-sorted float32 fragment, the driver
     concatenates in partition order. Byte-identical store; the build
     scales with executors instead of the ~31k rows/s driver-iterator
-    ceiling (SCALING.md r10)."""
+    ceiling (SCALING.md r10). ``value_type``: as build_refine_store —
+    the lossless-cast check runs executor-side per Arrow batch."""
     import json
     import os
     import shutil
 
+    if value_type not in _STORE_DTYPES:
+        raise ValueError(
+            f"value_type must be one of {sorted(_STORE_DTYPES)}: {value_type!r}"
+        )
     os.makedirs(store_dir, exist_ok=True)
+    r_ext = _STORE_EXT[value_type]
     frag_dir = os.path.join(store_dir, "_fragments")
     shutil.rmtree(frag_dir, ignore_errors=True)
     os.makedirs(frag_dir)
@@ -1260,11 +1286,13 @@ def build_refine_store_parallel(
             if not len(pdf):
                 continue
             if f is None:
-                f = open(os.path.join(frag_dir, f"part_{pid:05d}.f32"), "wb")
+                f = open(
+                    os.path.join(frag_dir, f"part_{pid:05d}.{r_ext}"), "wb"
+                )
             V = np.array(pdf["vector"].tolist(), dtype=np.float32)
             dim = int(V.shape[1])
             max_batch = max(max_batch, len(V))
-            V.tofile(f)
+            _pack_values(V, value_type).tofile(f)
             ids.append(pdf["id"].to_numpy(np.int64))
             rows += len(V)
         if f is None:
@@ -1297,10 +1325,10 @@ def build_refine_store_parallel(
     rows = sum(r["rows"] for r in frags)
     dim = max((r["dim"] for r in frags), default=0)
     id_parts: list[np.ndarray] = []
-    with open(os.path.join(store_dir, "vectors.f32"), "wb") as out:
+    with open(os.path.join(store_dir, f"vectors.{r_ext}"), "wb") as out:
         for r in frags:
             base = os.path.join(frag_dir, f"part_{r['pid']:05d}")
-            with open(base + ".f32", "rb") as fin:
+            with open(f"{base}.{r_ext}", "rb") as fin:
                 shutil.copyfileobj(fin, out, length=1 << 22)
             id_parts.append(np.load(base + ".ids.npy"))
     ids = np.concatenate(id_parts) if id_parts else np.empty(0, dtype=np.int64)
@@ -1313,8 +1341,8 @@ def build_refine_store_parallel(
     }
     with open(os.path.join(store_dir, "meta.json"), "w") as f:
         json.dump(
-            {"rows": int(rows), "dim": dim, "build": stats,
-             **refine_fingerprint(vectors)},
+            {"rows": int(rows), "dim": dim, "value_type": value_type,
+             "build": stats, **refine_fingerprint(vectors)},
             f,
         )
     return stats

@@ -1346,3 +1346,52 @@ def test_split_shard_rebalances_only_target(spark, built, tmp_path):
     ).batch_search(qs, k=5, nprobe=64)
     assert sorted(post) == sorted(base_ex)
     del base
+
+
+def test_int8_refine_store_exact_rerank_identical(spark, tmp_path):
+    """Native value-type REFINE store (r12, companion to the packed-store
+    int8 mode): the PQ+refine replica reranks from 1-byte components at
+    bit-identical results — the rerank kernel promotes gathered rows to
+    float64 either way — at exactly 4x less store bytes."""
+    import os
+
+    from sptag_spark.index.pq import pq_encode, train_pq
+    from sptag_spark.serving_local import (
+        LocalPqSpannReplica,
+        build_refine_store_parallel,
+        open_refine_store,
+    )
+
+    rng = np.random.default_rng(9)
+    X = rng.integers(-128, 128, size=(300, 16)).astype(np.float32)
+    vecs = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id long, vector array<float>",
+    )
+    heads = select_heads(vecs, ratio=0.1).persist()
+    postings = build_postings(vecs, heads).persist()
+    postings.count()
+    books = train_pq(vecs, m=8)
+    codes = pq_encode(vecs, books)
+    stores = {}
+    for vt in ("float32", "int8"):
+        d = str(tmp_path / vt)
+        build_refine_store_parallel(vecs, d, value_type=vt)
+        stores[vt] = open_refine_store(d)
+    assert stores["int8"][1].dtype == np.int8
+    b_f32 = os.path.getsize(tmp_path / "float32" / "vectors.f32")
+    b_i8 = os.path.getsize(tmp_path / "int8" / "vectors.i8")
+    assert b_f32 == 4 * b_i8
+    reps = {
+        vt: LocalPqSpannReplica(
+            heads, postings, codes, books, refine_store=stores[vt]
+        )
+        for vt in stores
+    }
+    q = X[3].astype(np.float64) + 0.25
+    a = reps["float32"].search_one(q, k=5, nprobe=4)
+    b = reps["int8"].search_one(q, k=5, nprobe=4)
+    assert a[0].tolist() == b[0].tolist()
+    assert a[1].tolist() == b[1].tolist()  # bitwise: exact rerank values
+    heads.unpersist()
+    postings.unpersist()
