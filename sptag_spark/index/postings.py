@@ -119,14 +119,37 @@ def _head_routing(
     _DENSE_ROUTING_ENTRIES; above it, a blocked top-2 scan keeps driver
     memory O(k) (the dense block is O(k^1.5) — 45 GB at 1M heads,
     measured r11)."""
+    gc, top2 = _head_top2(H, metric, fanout)
+    g = len(gc)
+    slots: list[list[int]] = [[] for _ in range(g)]
+    for h in range(len(H)):
+        for gi in top2[h]:
+            slots[int(gi)].append(h)
+    m = max((len(s) for s in slots), default=0)
+    d = H.shape[1]
+    Hg = np.zeros((g, m, d))
+    idsg = np.zeros((g, m), dtype=np.int64)
+    valid = np.zeros((g, m), dtype=bool)
+    for gi in range(g):
+        for s, h in enumerate(slots[gi]):
+            Hg[gi, s] = H[h]
+            idsg[gi, s] = head_ids[h]
+            valid[gi, s] = True
+    return gc, Hg, idsg, valid
+
+
+def _head_top2(H: np.ndarray, metric: str, fanout: int = ROUTE_FANOUT):
+    """(group_centers, per-head 2 nearest group ids) — the placement both
+    routing layouts share. Blocked above _DENSE_ROUTING_ENTRIES: O(k)
+    driver memory (the dense (k, g) block is O(k^1.5) — 45 GB at 1M
+    heads, measured r11)."""
     from sptag_spark.index.heads import lloyd_kmeans
 
-    k, d = H.shape
+    k = len(H)
     spill = 2
     g = max(2, min(int(np.sqrt(k * fanout)), k // 2))
     gc = lloyd_kmeans(H, g, iters=5, seed=11)
     if k * g <= _DENSE_ROUTING_ENTRIES:
-        # exact dense path: one (k, g) block
         D = _block_distances(H, gc, metric)  # (k, g)
         if spill < g:
             top2 = np.argpartition(D, spill - 1, axis=1)[:, :spill]
@@ -136,7 +159,6 @@ def _head_routing(
         else:
             top2 = np.broadcast_to(np.arange(g), (k, g)).copy()
     else:
-        # blocked top-2 path (r11 shape, simplified): O(k) driver memory
         top2 = np.empty((k, min(spill, g)), dtype=np.int64)
         block = max(1024, int(2.5e7 / max(g, 1)))
         for s in range(0, k, block):
@@ -150,20 +172,83 @@ def _head_routing(
                 top2[s : s + block] = np.broadcast_to(
                     np.arange(g), (len(Db), g)
                 )
-    slots: list[list[int]] = [[] for _ in range(g)]
-    for h in range(k):
-        for gi in top2[h]:
-            slots[int(gi)].append(h)
-    m = max((len(s) for s in slots), default=0)
-    Hg = np.zeros((g, m, d))
-    idsg = np.zeros((g, m), dtype=np.int64)
-    valid = np.zeros((g, m), dtype=bool)
-    for gi in range(g):
-        for s, h in enumerate(slots[gi]):
-            Hg[gi, s] = H[h]
-            idsg[gi, s] = head_ids[h]
-            valid[gi, s] = True
-    return gc, Hg, idsg, valid
+    return gc, top2
+
+
+def _head_routing_csr(
+    H: np.ndarray, head_ids: np.ndarray, metric: str, fanout: int = ROUTE_FANOUT
+):
+    """CSR twin of _head_routing for the grouped kernel (r12): the same
+    unconditional top-2 placement laid out as
+    (group_centers (g, d), goff (g+1,), Hflat (2k, d), idsflat (2k,)) —
+    group gi's heads are rows goff[gi]:goff[gi+1] of the FLAT arrays.
+
+    Zero padding: the rectangular layout pads every group to the MAX
+    group size, and under skew (clusters ≫ groups) that ballooned to a
+    multi-GB dense array — the shipped .npy filled the disk at the
+    dim-100 probe. CSR is exactly 2k rows whatever the skew. Within each
+    group, heads keep ascending head-index order (the slot order the
+    rectangular layout uses), so candidate values and tie shapes match
+    the legacy path."""
+    gc, top2 = _head_top2(H, metric, fanout)
+    g = len(gc)
+    k = len(H)
+    flat_g = top2.ravel()
+    # stable sort by group keeps ascending head order within each group
+    o = np.argsort(flat_g, kind="stable")
+    rows = np.repeat(np.arange(k), top2.shape[1])[o]
+    counts = np.bincount(flat_g, minlength=g)
+    goff = np.concatenate(([0], np.cumsum(counts)))
+    return gc, goff, H[rows], head_ids[rows]
+
+
+#: payload size above which head/routing arrays ship as memmapped files
+#: instead of a pickled Broadcast (see _ship_arrays)
+_BC_MMAP_MIN_BYTES = 64 << 20
+
+
+def _ship_arrays(spark, arrays: dict):
+    """Ship large READ-ONLY numpy payloads to Python workers via
+    addFile + np.load(mmap_mode="r") instead of a pickled Broadcast.
+
+    A pickled broadcast is unpickled PER PYTHON WORKER — local[32] holds
+    32 private copies, and at the dim-100 probe the ~2 GB routing payload
+    × 32 workers OOM-killed the node (r12, twice). An addFile'd .npy is
+    fetched once per NODE and memmapped by every worker off the shared
+    page cache: one physical copy however many cores. Below
+    _BC_MMAP_MIN_BYTES the plain broadcast stays (no file churn for the
+    small-head regime). → a Broadcast whose value _load_arrays decodes."""
+    total = sum(a.nbytes for a in arrays.values() if a is not None)
+    if total < _BC_MMAP_MIN_BYTES:
+        return spark.sparkContext.broadcast(arrays)
+    import os
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="sptag_bc_")
+    tag = uuid.uuid4().hex[:8]
+    names: dict = {}
+    for k, a in arrays.items():
+        if a is None:
+            names[k] = None
+            continue
+        fn = f"sptag_{tag}_{k}.npy"
+        np.save(os.path.join(d, fn), a)
+        spark.sparkContext.addFile(os.path.join(d, fn))
+        names[k] = fn
+    return spark.sparkContext.broadcast({"__files__": names})
+
+
+def _load_arrays(value) -> dict:
+    """Worker-side twin of _ship_arrays."""
+    if "__files__" not in value:
+        return value
+    from pyspark import SparkFiles
+
+    return {
+        k: (None if fn is None else np.load(SparkFiles.get(fn), mmap_mode="r"))
+        for k, fn in value["__files__"].items()
+    }
 
 
 def _rng_prune(
@@ -294,17 +379,23 @@ def assign_replicas(
     H = np.array([list(r["vector"]) for r in hrows], dtype=np.float64)
     if routed is None:
         routed = len(head_ids) >= ROUTED_MIN_HEADS
-    routing = (
-        _head_routing(H, head_ids, metric)
-        if routed and candidate_num < len(head_ids)
-        else None
-    )
-    if routing is not None:
-        # the flat arrays are replaced by the grouped fixed-slot layout;
-        # padded slots carry dist=inf and are masked out before selection
-        g, m, _ = routing[1].shape
-        H = routing[1].reshape(g * m, H.shape[1])
-        head_ids = routing[2].reshape(g * m)
+    routing = None
+    routing_csr = None
+    if routed and candidate_num < len(head_ids):
+        if routed_impl == "grouped":
+            # CSR layout (r12): flat (2k, d) slot arrays, zero padding
+            gc_csr, goff, H, head_ids = _head_routing_csr(
+                H, head_ids, metric
+            )
+            routing_csr = (gc_csr, goff)
+        else:
+            routing = _head_routing(H, head_ids, metric)
+            # the flat arrays are replaced by the grouped fixed-slot
+            # layout; padded slots carry dist=inf and are masked out
+            # before selection
+            g, m, _ = routing[1].shape
+            H = routing[1].reshape(g * m, H.shape[1])
+            head_ids = routing[2].reshape(g * m)
     # Heads ride a BROADCAST variable, not the task closure: the head set is
     # ~0.1·N (tens of GB at billion scale — the same per-node footprint the
     # reference's in-memory head index has), and a closure re-ships it with
@@ -315,16 +406,39 @@ def assign_replicas(
     # compute per row from H directly.
     HH = (
         _block_distances(H, H, metric)
-        if routing is None and len(head_ids) <= 4096
+        if routing is None and routing_csr is None and len(head_ids) <= 4096
         else None
     )
-    bc = vectors.sparkSession.sparkContext.broadcast(
-        (head_ids, H, HH, routing)
+    # big payloads ship as memmapped files (one physical copy per node),
+    # small ones as a plain broadcast — see _ship_arrays
+    bc = _ship_arrays(
+        vectors.sparkSession,
+        {
+            "head_ids": head_ids,
+            "H": H,
+            "HH": HH,
+            "gc": routing[0] if routing is not None else None,
+            "Hg": routing[1] if routing is not None else None,
+            "idsg": routing[2] if routing is not None else None,
+            "valid": routing[3] if routing is not None else None,
+            "gc_csr": routing_csr[0] if routing_csr is not None else None,
+            "goff": routing_csr[1] if routing_csr is not None else None,
+        },
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        head_ids, H, HH, routing = bc.value
-        gcounts = routing[3].sum(axis=1) if routing is not None else None
+        arrs = _load_arrays(bc.value)
+        head_ids, H, HH = arrs["head_ids"], arrs["H"], arrs["HH"]
+        routing = (
+            (arrs["gc"], arrs["Hg"], arrs["idsg"], arrs["valid"])
+            if arrs["gc"] is not None
+            else None
+        )
+        routing_csr = (
+            (arrs["gc_csr"], np.asarray(arrs["goff"]))
+            if arrs["gc_csr"] is not None
+            else None
+        )
         # The assignment is fully VECTORIZED across rows — a per-row Python
         # loop (argpartition + lexsort + c×c gather per vector) measured 128k
         # interpreter iterations per ×64 build and dominated wall time. Rows
@@ -343,28 +457,28 @@ def assign_replicas(
             c = min(candidate_num, len(head_ids))
             n = len(ids)
 
-            if routing is not None and routed_impl == "grouped":
+            if routing_csr is not None:
                 # GROUPED routed path (r12 — the legacy per-probe
                 # einsum over a (b, m, d) gathered slab measured 79% of
                 # kernel wall at 100k heads, dominated by the gather's
                 # memory traffic). Two passes:
-                #   A. route every row to its f nearest groups in the
-                #      SAME 512-row subblocks as the legacy path (so the
-                #      group selection is bit-identical), keeping only
-                #      topf (n, f) ints;
+                #   A. route every row to its f nearest groups in 512-row
+                #      input-order subblocks, keeping only topf (n, f);
                 #   B. sort rows by nearest group, then score each
                 #      DISTINCT group once per subblock with a segment
-                #      einsum (_seg_dists) — BITWISE the legacy values,
-                #      but with no (b, m, d) gather, and row-locality
-                #      makes segments large. Output rows are therefore
-                #      bit-identical to routed_impl="legacy" (pinned by
-                #      test + verified at the probe fixture, SCALING.md
-                #      r12); only emission ORDER differs (rows grouped by
-                #      nearest group instead of input order).
-                gc_, Hg, _idsg, valid = routing
-                g, m, _ = Hg.shape
+                #      einsum (_seg_dists) over the CSR slot arrays —
+                #      BITWISE the legacy kernel's candidate values (no
+                #      (b, m, d) gather ever materializes), per-group
+                #      local top-c pooled into the per-row top-c (the
+                #      global top-c is a subset of every group's local
+                #      top-c, so the candidate SET matches the legacy
+                #      rectangular selection up to exact ties between
+                #      duplicate spilled sightings — equivalent rows
+                #      after the prune; pinned by the A/B test).
+                gc_, goff = routing_csr
+                g = len(goff) - 1
                 f = min(ROUTE_FANOUT, g)
-                topf_all = np.empty((n, min(f, g)), dtype=np.int64)
+                topf_all = np.empty((n, f), dtype=np.int64)
                 for s in range(0, n, SUB):
                     Vb = V[s : s + SUB]
                     b = len(Vb)
@@ -375,42 +489,65 @@ def assign_replicas(
                         else np.broadcast_to(np.arange(g), (b, g))
                     )
                 order = np.argsort(topf_all[:, 0], kind="stable")
-                mslot = np.arange(m)[None, None, :]
                 for s in range(0, n, SUB):
                     rsel = order[s : s + SUB]
                     Vb = V[rsel]
                     b = len(rsel)
                     tb = topf_all[rsel]  # (b, f)
                     nf = tb.shape[1]
-                    # one GEMM per distinct probed group in the subblock
-                    Dc3 = np.full((b, nf, m), np.inf)
                     flat_g = tb.ravel()
                     o = np.argsort(flat_g, kind="stable")
                     fg = flat_g[o]
                     rr = np.repeat(np.arange(b), nf)[o]
-                    jj = np.tile(np.arange(nf), b)[o]
                     bnd = np.nonzero(fg[1:] != fg[:-1])[0] + 1
+                    pr: list[np.ndarray] = []
+                    pdi: list[np.ndarray] = []
+                    pi: list[np.ndarray] = []
                     for s0, e0 in zip(
                         np.concatenate(([0], bnd)),
                         np.concatenate((bnd, [len(fg)])),
                     ):
                         gi = int(fg[s0])
-                        rs = rr[s0:e0]
-                        # score only the group's LIVE prefix (valid is
-                        # prefix-true; m is the max group size, so padded
-                        # tails would be wasted flops under skew) — the
-                        # padded remainder of Dc3 stays inf
-                        n_i = int(gcounts[gi])
-                        if n_i == 0:
+                        lo, hi = int(goff[gi]), int(goff[gi + 1])
+                        if hi == lo:
                             continue
-                        Dsub = _seg_dists(Vb[rs], Hg[gi, :n_i], metric)
-                        Dc3[rs, jj[s0:e0], :n_i] = Dsub
-                    Dc = Dc3.reshape(b, nf * m)
-                    Ic = (tb[:, :, None] * m + mslot).reshape(b, nf * m)
-                    cc = min(c, Dc.shape[1])
-                    sel = np.argpartition(Dc, cc - 1, axis=1)[:, :cc]
-                    cand = np.take_along_axis(Ic, sel, 1)
-                    d_c = np.take_along_axis(Dc, sel, 1)
+                        rs = rr[s0:e0]
+                        Dsub = _seg_dists(Vb[rs], H[lo:hi], metric)
+                        cc_i = min(c, hi - lo)
+                        if cc_i < hi - lo:
+                            seli = np.argpartition(
+                                Dsub, cc_i - 1, axis=1
+                            )[:, :cc_i]
+                            dsel = np.take_along_axis(Dsub, seli, 1)
+                        else:
+                            seli = np.broadcast_to(
+                                np.arange(hi - lo), Dsub.shape
+                            )
+                            dsel = Dsub
+                        pr.append(np.repeat(rs, seli.shape[1]))
+                        pdi.append(dsel.ravel())
+                        pi.append((lo + seli).ravel())
+                    if not pr:
+                        continue
+                    ar = np.concatenate(pr)
+                    ad = np.concatenate(pdi)
+                    ai = np.concatenate(pi)
+                    # per-row top-c over the pooled candidates; ties at
+                    # the boundary break by flat slot (deterministic)
+                    o2 = np.lexsort((ai, ad, ar))
+                    ar, ad, ai = ar[o2], ad[o2], ai[o2]
+                    first = np.ones(len(ar), dtype=bool)
+                    first[1:] = ar[1:] != ar[:-1]
+                    starts_idx = np.nonzero(first)[0]
+                    seg_len = np.diff(np.append(starts_idx, len(ar)))
+                    pos = np.arange(len(ar)) - np.repeat(
+                        starts_idx, seg_len
+                    )
+                    keepm = pos < c
+                    cand = np.zeros((b, c), dtype=np.int64)
+                    d_c = np.full((b, c), np.inf)
+                    cand[ar[keepm], pos[keepm]] = ai[keepm]
+                    d_c[ar[keepm], pos[keepm]] = ad[keepm]
                     h2, d2, acc = _prune_block(
                         cand, d_c, head_ids, H, HH, metric,
                         replica_count, rng_factor, routed=True,
