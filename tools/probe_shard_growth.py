@@ -141,9 +141,29 @@ def main() -> None:
         [(i, [float(v) for v in Q[i]]) for i in range(len(Q))],
         "query_id long, vector array<float>",
     )
-    truth: dict[int, set] = {}
-    for r in knn(vecs, qdf, k=10, metric="l2").collect():
-        truth.setdefault(int(r["query_id"]), set()).add(int(r["id"]))
+
+    def exact_truth(corpus) -> dict[int, set]:
+        t: dict[int, set] = {}
+        for r in knn(corpus, qdf, k=10, metric="l2").collect():
+            t.setdefault(int(r["query_id"]), set()).add(int(r["id"]))
+        return t
+
+    truth = exact_truth(vecs)
+
+    def shard_p50s(agg, nprobe=24) -> list[float]:
+        """Per-shard single-query p50 over the queries ROUTED to each
+        shard — the hotspot signal concentrated adds create and a split
+        removes."""
+        out = []
+        for rep in agg.replicas:
+            lat = []
+            for _, q in qlist[:48]:
+                t1 = time.time()
+                rep.search_one(q, k=10, nprobe=nprobe)
+                lat.append((time.time() - t1) * 1000)
+            lat.sort()
+            out.append(round(lat[len(lat) // 2], 3))
+        return out
 
     def measure(agg, budget_ms=None, nprobe=24):
         rows = agg.batch_search(qlist, k=10, nprobe=nprobe)
@@ -179,10 +199,13 @@ def main() -> None:
         return res
 
     base = measure(agg)
+    # tight enough that an overloaded shard can breach it: 1.6x the
+    # baseline p99 (the deadline path adds ~0.3 ms of thread setup)
     budget_ms = float(
-        _arg("--budget-ms", str(round(3.0 * base["p50_single_ms"], 2)))
+        _arg("--budget-ms", str(round(1.6 * base["p99_single_ms"], 2)))
     )
     base = measure(agg, budget_ms=budget_ms)
+    base["shard_p50_ms"] = shard_p50s(agg)
     digests_before = {
         d: store_digest(os.path.join(store_dir, d))
         for d in sorted(os.listdir(store_dir))
@@ -226,6 +249,13 @@ def main() -> None:
         d for d in digests_before
         if digests_mid.get(d) == digests_before[d]
     ]
+    # recall for P2/P3 is against the LIVE corpus truth (base + adds):
+    # against the stale base truth the added near-duplicates displace
+    # true neighbors and the figure conflates freshness with quality
+    vecs2 = vecs.unionByName(adds).persist()
+    vecs2.count()
+    truth.clear()
+    truth.update(exact_truth(vecs2))
     over = measure(agg2, budget_ms=budget_ms)
     out["phases"]["p2_overload"] = {
         "adds": add_n,
@@ -234,6 +264,7 @@ def main() -> None:
         "add_wall_s": round(add_wall, 1),
         "store_regate_s": round(regate_wall, 1),
         "untouched_stores": untouched_mid,
+        "shard_p50_ms": shard_p50s(agg2),
         **over,
     }
     print(json.dumps(out["phases"]["p2_overload"]), flush=True)
@@ -263,6 +294,7 @@ def main() -> None:
         d for d in digests_after if digests_after[d] == digests_mid.get(d)
     ]
     post = measure(agg2, budget_ms=budget_ms)
+    post["shard_p50_ms"] = shard_p50s(agg2)
     out["phases"]["p3_split"] = {
         "split_report": rep,
         "split_wall_s": round(split_wall, 1),
