@@ -443,6 +443,14 @@ def cmd_serve(args, spark) -> int:
         if budget
         else None,
         refine_store_dir=os.path.join(args.index, "refine"),
+        # the index's DECLARED width: an int8/uint8/int16 corpus serves
+        # from a native-width store (4x/2x less SSD + read I/O, r12);
+        # anything else — float32, unknown, legacy configs — stays f32
+        value_type=(
+            idx.config.get("value_type")
+            if idx.config.get("value_type") in ("int8", "uint8", "int16")
+            else "float32"
+        ),
         host=args.host,
         port=args.port,
         k=args.k,

@@ -217,7 +217,10 @@ def _ship_arrays(spark, arrays: dict):
     fetched once per NODE and memmapped by every worker off the shared
     page cache: one physical copy however many cores. Below
     _BC_MMAP_MIN_BYTES the plain broadcast stays (no file churn for the
-    small-head regime). → a Broadcast whose value _load_arrays decodes."""
+    small-head regime). The staged .npy files live for the session (tasks
+    may run any time until the Broadcast handle dies); they are /tmp-temp
+    files a session restart reclaims. → a Broadcast whose value
+    _load_arrays decodes."""
     total = sum(a.nbytes for a in arrays.values() if a is not None)
     if total < _BC_MMAP_MIN_BYTES:
         return spark.sparkContext.broadcast(arrays)

@@ -162,6 +162,7 @@ def warm_replica(
     metric="l2",
     refine_store_dir=None,
     disk_store_dir=None,
+    value_type="float32",
 ):
     """Load SPANN artifacts into a process-local in-RAM replica
     (serving_local.LocalSpannReplica) and memoize it on the heads
@@ -215,7 +216,11 @@ def warm_replica(
             elif disk_store_dir is not None:
                 from sptag_spark.serving_local import DiskSpannReplica
 
-                rep = DiskSpannReplica(heads, postings, disk_store_dir)
+                # value_type: the index's declared width (int8 corpora
+                # serve from a 4x-smaller native store, r12)
+                rep = DiskSpannReplica(
+                    heads, postings, disk_store_dir, value_type=value_type
+                )
                 # exact semantics for any metric — memoized as THE replica
                 # so the planner fast path serves through it transparently
                 heads._sptag_replica = rep

@@ -346,6 +346,7 @@ class AnnTcpServer:
         refine_store=None,
         disk_store_dir=None,
         refine_store_dir=None,
+        value_type="float32",
         **kwargs,
     ) -> "AnnTcpServer":
         """ONE serving tier (VERDICT r7 #8): build the socket server on the
@@ -387,6 +388,7 @@ class AnnTcpServer:
             metric=kwargs.get("metric", "l2"),
             disk_store_dir=disk_store_dir,
             refine_store_dir=refine_store_dir,
+            value_type=value_type,
         )
         return cls(rep, **kwargs)
 

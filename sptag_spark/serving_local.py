@@ -867,6 +867,12 @@ def patch_packed_store(
     updated to the NEW postings identity (one Spark agg, executor-side),
     so DiskSpannReplica's staleness gate accepts the patched store.
 
+    Crash safety: meta.json (with the NEW fingerprint) is written LAST,
+    so a patch that dies midway leaves a store whose recorded fingerprint
+    no longer matches the live postings — DiskSpannReplica's staleness
+    gate then rebuilds it when Spark artifacts are supplied, instead of
+    serving half-patched extents.
+
     → stats: ``vector_bytes_appended`` is the I/O witness — compare with
     ``store_vector_bytes`` to see the locality win."""
     import json

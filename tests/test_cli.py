@@ -790,3 +790,56 @@ def test_cli_partition_drops_empty_clusters(spark, tmp_path, capsys):
     assert cmd_partition(ns2, spark) == 2
     err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "error" in err
+
+
+def test_cli_serve_int8_index_uses_native_store(spark, tmp_path, capsys):
+    """An index BUILT with -v int8 and served under a memory budget must
+    materialize its replica store at the declared width (r12:
+    post_vectors.i8 — 4x less SSD than f32) and still answer exact
+    self-hits over the socket."""
+    import socket
+    import threading
+    import time as _t
+
+    from sptag_spark.cli import cmd_build, cmd_serve
+    from sptag_spark.io.readers import write_default_bin
+    from sptag_spark.server import encode_query
+
+    rng = np.random.default_rng(13)
+    X = rng.integers(-128, 128, size=(120, 6)).astype(np.int8)
+    corpus = str(tmp_path / "c.bin")
+    write_default_bin(X, corpus)
+    idx = str(tmp_path / "idx8")
+    assert cmd_build(
+        argparse.Namespace(
+            input=corpus, output=idx, algo="SPANN",
+            valuetype="int8", filetype="DEFAULT", delimiter="|",
+            overrides=["SelectHead.Ratio=0.2"],
+        ),
+        spark,
+    ) == 0
+    capsys.readouterr()
+    ns = argparse.Namespace(
+        index=[idx], host="127.0.0.1", port=0, k=3, duration=25.0,
+        memory_budget=1,  # force the disk tier
+    )
+    threading.Thread(target=cmd_serve, args=(ns, spark), daemon=True).start()
+    addr = None
+    for _ in range(100):
+        for line in capsys.readouterr().out.splitlines():
+            if '"serving"' in line:
+                addr = tuple(json.loads(line)["serving"])
+        if addr:
+            break
+        _t.sleep(0.25)
+    assert addr, "serve never reported its address"
+    store = os.path.join(idx, "replica_store")
+    assert os.path.exists(os.path.join(store, "post_vectors.i8"))
+    assert not os.path.exists(os.path.join(store, "post_vectors.f32"))
+    q = [float(v) for v in X[7]]
+    with socket.create_connection((addr[0], int(addr[1])), timeout=30) as s:
+        f = s.makefile("rw", encoding="utf-8")
+        f.write(encode_query(q) + "\n")
+        f.flush()
+        res = json.loads(f.readline())["results"]
+    assert res and res[0]["id"] == 7 and res[0]["dist"] == 0.0
