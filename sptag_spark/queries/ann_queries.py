@@ -861,3 +861,101 @@ SELECT vec_id AS query_id, CAST({DEFAULT_K} AS BIGINT) AS n_results,
 FROM embeddings WHERE vec_id % 100 = 0
 """,
 )
+
+
+# -- native int8 store serve (r12: value-type stores as a driver-graded
+# row). The float embeddings are deterministically quantized to an int8
+# grid (clip(round(25x), -127, 127) — every component exactly
+# representable), a SPANN index is built over the QUANTIZED corpus, and
+# the out-of-core replica serves from a post_vectors.i8 store — 1
+# byte/component, the reference's SPACEV width (`VectorSet.h:35`). At
+# exhaustive nprobe the answer is exact k-NN over the quantized corpus
+# (coverage is total: cut_postings keeps every vector's primary replica),
+# so the DuckDB oracle is an independent brute-force twin over the same
+# quantization — full (rank, id, dist) value gating, no self-verification.
+
+_INT8_Q_SCALE = 25
+
+
+def _serve_int8_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from sptag_spark.serving_local import DiskSpannReplica
+
+    def build():
+        import atexit
+        import shutil
+
+        v8 = vectors_table(spark, sf_dir).select(
+            "id",
+            F.transform(
+                F.col("vector"),
+                lambda x: F.greatest(
+                    F.lit(-127.0),
+                    F.least(F.lit(127.0), F.round(x * _INT8_Q_SCALE, 0)),
+                ).cast("float"),
+            ).alias("vector"),
+        )
+        heads = select_heads(v8, ratio=DEFAULT_HEAD_RATIO).persist()
+        postings = build_postings(v8, heads).persist()
+        postings.count()
+        d = tempfile.mkdtemp(prefix="sptag_int8_store_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        rep = DiskSpannReplica(
+            heads, postings, os.path.join(d, "store"), value_type="int8"
+        )
+        return (rep,)
+
+    (rep,) = _memo(spark, sf_dir, "int8_store", build)
+    qrows = [
+        (int(r["query_id"]), np.asarray(r["vector"], dtype=np.float64))
+        for r in queries_table(spark, sf_dir)
+        .select("query_id", "vector")
+        .collect()
+    ]
+    rows = rep.batch_search(
+        qrows, k=DEFAULT_K, nprobe=len(rep.head_ids)
+    )
+    return spark.createDataFrame(
+        rows, schema="query_id long, rank int, id long, dist double"
+    ).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "id",
+        F.round("dist", 4).alias("dist"),
+        # the width witness: the serving store really is 1 byte/component
+        F.lit(rep.post_V.dtype == np.int8).alias("int8_store"),
+    )
+
+
+register(
+    "serve_int8_store",
+    _serve_int8_store,
+    f"""
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> greatest(-127.0,
+           least(127.0, round(CAST(x AS DOUBLE) * {_INT8_Q_SCALE}, 0)))) AS vector
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS vector FROM embeddings
+      WHERE vec_id % {QUERY_MODULUS} = 0),
+pairs AS (
+  SELECT q.query_id, v.id,
+         list_sum(list_transform(list_zip(q.vector, v.vector),
+           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2)) AS d
+  FROM q CROSS JOIN v
+),
+ranked AS (
+  SELECT query_id, id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, id, round(d, 4) AS dist,
+       TRUE AS int8_store
+FROM ranked WHERE rank <= {DEFAULT_K}
+""",
+)
