@@ -206,6 +206,45 @@ def _head_routing_csr(
 #: instead of a pickled Broadcast (see _ship_arrays)
 _BC_MMAP_MIN_BYTES = 64 << 20
 
+#: staged-payload reuse + reclamation (r12 ADVICE: every large
+#: assign_replicas staged a fresh mkdtemp of multi-GB .npy copies and
+#: never removed them). Content-keyed cache: a repeated build over the
+#: same payload (rebuild loops, probe reruns) reuses the already-added
+#: files; atexit reclaims every staged dir at interpreter exit. Staged
+#: files CANNOT be deleted while the SparkContext lives — tasks fetch
+#: every addFile'd path lazily and there is no removeFile — so exit-time
+#: cleanup is the earliest safe point.
+_SHIPPED_CACHE: dict[tuple, dict] = {}
+_SHIPPED_DIRS: list[str] = []
+
+
+def _reclaim_shipped_dirs() -> None:
+    import shutil
+
+    for d in _SHIPPED_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SHIPPED_DIRS.clear()
+    _SHIPPED_CACHE.clear()
+
+
+def _arrays_content_key(app_id: str, arrays: dict) -> tuple:
+    """Exact content identity of a payload (blake2b over raw bytes +
+    dtype/shape), scoped to the SparkContext that holds the addFile
+    registry. ~1 GB/s — cheaper than re-staging the same gigabytes."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for k in sorted(arrays):
+        a = arrays[k]
+        h.update(k.encode())
+        if a is None:
+            h.update(b"\x00none")
+            continue
+        a = np.ascontiguousarray(a)
+        h.update(str((a.dtype.str, a.shape)).encode())
+        h.update(memoryview(a).cast("B"))
+    return (app_id, h.hexdigest())
+
 
 def _ship_arrays(spark, arrays: dict):
     """Ship large READ-ONLY numpy payloads to Python workers via
@@ -217,18 +256,28 @@ def _ship_arrays(spark, arrays: dict):
     fetched once per NODE and memmapped by every worker off the shared
     page cache: one physical copy however many cores. Below
     _BC_MMAP_MIN_BYTES the plain broadcast stays (no file churn for the
-    small-head regime). The staged .npy files live for the session (tasks
-    may run any time until the Broadcast handle dies); they are /tmp-temp
-    files a session restart reclaims. → a Broadcast whose value
+    small-head regime). The staged .npy files live for the SparkContext
+    (tasks fetch every addFile'd path lazily; no removeFile exists) —
+    identical payloads reuse the cache instead of re-staging, and atexit
+    reclaims all staged dirs (r12 ADVICE). → a Broadcast whose value
     _load_arrays decodes."""
     total = sum(a.nbytes for a in arrays.values() if a is not None)
     if total < _BC_MMAP_MIN_BYTES:
         return spark.sparkContext.broadcast(arrays)
+    import atexit
     import os
     import tempfile
     import uuid
 
+    key = _arrays_content_key(spark.sparkContext.applicationId, arrays)
+    if key in _SHIPPED_CACHE:
+        return spark.sparkContext.broadcast(
+            {"__files__": _SHIPPED_CACHE[key]}
+        )
+    if not _SHIPPED_DIRS:
+        atexit.register(_reclaim_shipped_dirs)
     d = tempfile.mkdtemp(prefix="sptag_bc_")
+    _SHIPPED_DIRS.append(d)
     tag = uuid.uuid4().hex[:8]
     names: dict = {}
     for k, a in arrays.items():
@@ -239,6 +288,7 @@ def _ship_arrays(spark, arrays: dict):
         np.save(os.path.join(d, fn), a)
         spark.sparkContext.addFile(os.path.join(d, fn))
         names[k] = fn
+    _SHIPPED_CACHE[key] = names
     return spark.sparkContext.broadcast({"__files__": names})
 
 

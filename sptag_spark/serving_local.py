@@ -116,11 +116,17 @@ def route_to_shards(
         or scatter_topk >= n
     ):
         return list(range(n))
-    d = _exact_pair_dists(centers, np.asarray(q, np.float64), metric)
-    # empty shards carry +inf sentinel centers; for ip/cosine the
-    # elementwise dot can turn inf·0 into NaN rather than +inf. Enforce
-    # the never-route-to-empty invariant explicitly instead of leaning
-    # on lexsort's NaN-last ordering (r10 advice).
+    # empty shards carry +inf sentinel centers; score only finite rows so
+    # the ip/cosine kernels never compute through inf·0 = NaN (the old
+    # post-hoc np.where guard was correct but raised RuntimeWarnings).
+    # The never-route-to-empty invariant holds by construction: masked
+    # rows keep +inf and sort last (r10/r12 advice).
+    finite = np.isfinite(centers).all(axis=1)
+    d = np.full(n, np.inf)
+    if finite.any():
+        d[finite] = _exact_pair_dists(
+            centers[finite], np.asarray(q, np.float64), metric
+        )
     d = np.where(np.isfinite(d), d, np.inf)
     order = np.lexsort((np.arange(n), d))
     return [int(i) for i in order[:scatter_topk]]
@@ -596,6 +602,26 @@ def packed_store_matches(
     )
 
 
+def _store_patch_torn(store_dir: str) -> bool:
+    """True when a patch died between the sidecar and meta replaces —
+    patch_sidecars.npz carries an epoch meta.json doesn't. Constructors
+    given Spark artifacts treat a torn store like a fingerprint mismatch
+    (rebuild); from_store raises instead (r12 ADVICE)."""
+    import json
+    import os
+
+    sc_p = os.path.join(store_dir, "patch_sidecars.npz")
+    if not os.path.exists(sc_p):
+        return False
+    try:
+        with open(os.path.join(store_dir, "meta.json")) as f:
+            meta = json.load(f)
+        with np.load(sc_p) as z:
+            return int(z["patch_epoch"][0]) != int(meta.get("patch_epoch", -1))
+    except (OSError, KeyError, ValueError):
+        return True
+
+
 def build_packed_store(
     heads: DataFrame,
     postings: DataFrame,
@@ -845,6 +871,7 @@ def patch_packed_store(
     heads: DataFrame,
     postings: DataFrame,
     touched_heads,
+    fingerprint: dict | None = None,
 ) -> dict:
     """Incremental store patch after LIRE maintenance (VERDICT r11 #2) —
     SPFresh's whole point is that maintenance I/O is LOCAL (SOSP'23 §4;
@@ -867,11 +894,16 @@ def patch_packed_store(
     updated to the NEW postings identity (one Spark agg, executor-side),
     so DiskSpannReplica's staleness gate accepts the patched store.
 
-    Crash safety: meta.json (with the NEW fingerprint) is written LAST,
-    so a patch that dies midway leaves a store whose recorded fingerprint
-    no longer matches the live postings — DiskSpannReplica's staleness
-    gate then rebuilds it when Spark artifacts are supplied, instead of
-    serving half-patched extents.
+    Crash safety (r12 ADVICE): the patched sidecar set (head_ids, H,
+    extents, post_ids) is ONE file — ``patch_sidecars.npz`` written to a
+    temp name and ``os.replace``d, so the extent table can never be seen
+    half-updated — stamped with a ``patch_epoch`` that meta.json (also
+    tmp+replace, written LAST) must match. The crash windows are all
+    benign: dying after the vector append leaves old sidecars pointing at
+    old extents (appended bytes are dead space); dying between the npz
+    and meta replaces leaves an epoch mismatch that the loader refuses
+    with a clear error (from_store) or rebuilds past (artifacts supplied,
+    via the fingerprint gate), instead of serving out-of-range extents.
 
     → stats: ``vector_bytes_appended`` is the I/O witness — compare with
     ``store_vector_bytes`` to see the locality win."""
@@ -884,14 +916,27 @@ def patch_packed_store(
     vt = meta.get("value_type", "float32")
     ext_name = _STORE_EXT[vt]
     vec_path = os.path.join(store_dir, f"post_vectors.{ext_name}")
-    old_head_ids = np.load(os.path.join(store_dir, "head_ids.npy"))
-    old_ext_p = os.path.join(store_dir, "extents.npy")
-    if os.path.exists(old_ext_p):
-        old_off, old_len = np.load(old_ext_p)
+    sc_p = os.path.join(store_dir, "patch_sidecars.npz")
+    if os.path.exists(sc_p):
+        with np.load(sc_p) as z:
+            if int(z["patch_epoch"][0]) != int(meta.get("patch_epoch", -1)):
+                raise RuntimeError(
+                    f"packed store at {store_dir} has a torn patch "
+                    "(sidecar epoch != meta epoch); rebuild it from the "
+                    "Spark artifacts before patching further"
+                )
+            old_head_ids = z["head_ids"]
+            old_off, old_len = z["extents"]
+            old_post_ids = z["post_ids"]
     else:
-        ip = np.load(os.path.join(store_dir, "indptr.npy"))
-        old_off, old_len = ip[:-1], np.diff(ip)
-    old_post_ids = np.load(os.path.join(store_dir, "post_ids.npy"))
+        old_head_ids = np.load(os.path.join(store_dir, "head_ids.npy"))
+        old_ext_p = os.path.join(store_dir, "extents.npy")
+        if os.path.exists(old_ext_p):
+            old_off, old_len = np.load(old_ext_p)
+        else:
+            ip = np.load(os.path.join(store_dir, "indptr.npy"))
+            old_off, old_len = ip[:-1], np.diff(ip)
+        old_post_ids = np.load(os.path.join(store_dir, "post_ids.npy"))
     file_rows = int(meta["rows"])
 
     hp = heads.select("head_id", "vector").toPandas()
@@ -948,11 +993,19 @@ def patch_packed_store(
 
     new_file_rows = file_rows + len(app_ids)
     live_rows = int(ln.sum())
-    np.save(os.path.join(store_dir, "head_ids.npy"), new_head_ids)
-    np.save(os.path.join(store_dir, "H.npy"), H)
-    np.save(os.path.join(store_dir, "extents.npy"), np.stack([off, ln]))
     post_ids = np.concatenate([old_post_ids, app_ids])
-    np.save(os.path.join(store_dir, "post_ids.npy"), post_ids)
+    epoch = int(meta.get("patch_epoch", 0)) + 1
+    tmp_sc = sc_p + ".tmp.npz"
+    with open(tmp_sc, "wb") as f:
+        np.savez(
+            f,
+            head_ids=new_head_ids,
+            H=H,
+            extents=np.stack([off, ln]),
+            post_ids=post_ids,
+            patch_epoch=np.array([epoch], dtype=np.int64),
+        )
+    os.replace(tmp_sc, sc_p)
     stats = {
         "heads_rewritten": len(rewrite),
         "rows_appended": int(len(app_ids)),
@@ -969,12 +1022,23 @@ def patch_packed_store(
             "rows": new_file_rows,
             "dim": dim,
             "patches": int(meta.get("patches", 0)) + 1,
+            "patch_epoch": epoch,
             "last_patch": stats,
-            **postings_fingerprint(postings),
+            # callers that track the posting identity incrementally (one
+            # small agg per delta — SPFreshIndex) pass it in; otherwise
+            # one full-frame agg. Per-batch full-corpus scans were the
+            # r12 ADVICE locality leak.
+            **(
+                fingerprint
+                if fingerprint is not None
+                else postings_fingerprint(postings)
+            ),
         }
     )
-    with open(meta_p, "w") as f:
+    tmp_m = meta_p + ".tmp"
+    with open(tmp_m, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp_m, meta_p)
     return stats
 
 
@@ -1015,7 +1079,7 @@ class DiskSpannReplica(LocalSpannReplica):
         if os.path.exists(meta_p) and postings is not None:
             if not packed_store_matches(
                 store_dir, postings_fingerprint(postings), value_type
-            ):
+            ) or _store_patch_torn(store_dir):
                 import shutil
 
                 shutil.rmtree(store_dir)
@@ -1042,16 +1106,33 @@ class DiskSpannReplica(LocalSpannReplica):
         vt = meta.get("value_type", "float32")  # legacy stores are f32
         dt = _STORE_DTYPES[vt]
         self.value_type = vt
-        self.head_ids = np.load(os.path.join(store_dir, "head_ids.npy"))
-        self.H = np.load(os.path.join(store_dir, "H.npy"))
-        self.post_ids = np.load(os.path.join(store_dir, "post_ids.npy"))
-        ext_p = os.path.join(store_dir, "extents.npy")
-        if os.path.exists(ext_p):
+        sc_p = os.path.join(store_dir, "patch_sidecars.npz")
+        if os.path.exists(sc_p):
             # PATCHED store (patch_packed_store): slabs are log-structured
             # — untouched slabs keep their original file extent, rewritten
             # ones live in appended segments, so they are not contiguous.
-            self.slab_off, self.slab_len = np.load(ext_p)
+            # The sidecar set is one atomically-replaced file whose epoch
+            # must match meta.json's; a mismatch means a patch died
+            # between the two replaces — refuse rather than serve extents
+            # that can point past meta's recorded rows (r12 ADVICE).
+            with np.load(sc_p) as z:
+                if int(z["patch_epoch"][0]) != int(
+                    meta.get("patch_epoch", -1)
+                ):
+                    raise RuntimeError(
+                        f"packed store at {store_dir} has a torn patch "
+                        "(sidecar epoch != meta epoch); rebuild from the "
+                        "Spark artifacts (supply heads+postings) to "
+                        "recover"
+                    )
+                self.head_ids = z["head_ids"]
+                self.H = z["H"]
+                self.post_ids = z["post_ids"]
+                self.slab_off, self.slab_len = z["extents"]
         else:
+            self.head_ids = np.load(os.path.join(store_dir, "head_ids.npy"))
+            self.H = np.load(os.path.join(store_dir, "H.npy"))
+            self.post_ids = np.load(os.path.join(store_dir, "post_ids.npy"))
             ip = np.load(os.path.join(store_dir, "indptr.npy"))
             self.slab_off = ip[:-1]
             self.slab_len = np.diff(ip)
@@ -1069,6 +1150,15 @@ class DiskSpannReplica(LocalSpannReplica):
         # indptr kept as the live-rows cumulative for introspection
         # (posting lengths via np.diff, total via [-1])
         self.indptr = np.concatenate(([0], np.cumsum(self.slab_len)))
+        # store-side tombstones (r12 ADVICE): a live SPFreshIndex defers
+        # physical removal to compact(), so between a delete and the next
+        # compaction the slabs still hold the rows. sync_store exports the
+        # live tombstone set alongside the store; loading it here closes
+        # the visibility window for from_store consumers, who otherwise
+        # have no filter (the live index filters at search).
+        ts_p = os.path.join(store_dir, "tombstones.npy")
+        ts = np.load(ts_p) if os.path.exists(ts_p) else None
+        self.store_deleted_ids = ts if ts is not None and len(ts) else None
         # the SSD side: never resident; rows fault in per probed slab.
         # A zero-row store (empty shard) cannot mmap an empty file — use
         # an empty in-RAM array with the same dtype/shape contract.
@@ -1112,6 +1202,38 @@ class DiskSpannReplica(LocalSpannReplica):
             + self.post_ids.nbytes
             + self.slab_off.nbytes
             + self.slab_len.nbytes
+        )
+
+    def _with_store_tombstones(
+        self, deleted_ids: np.ndarray | None
+    ) -> np.ndarray | None:
+        """Merge the store-exported tombstones (sync_store) into a
+        caller's serve-time filter — idempotent under the batch chunk
+        recursion (union of a superset is a no-op)."""
+        if self.store_deleted_ids is None:
+            return deleted_ids
+        if deleted_ids is None or len(deleted_ids) == 0:
+            return self.store_deleted_ids
+        return np.union1d(
+            np.asarray(deleted_ids, dtype=np.int64), self.store_deleted_ids
+        )
+
+    def search_one(self, q, k=10, nprobe=SEARCH_INTERNAL_RESULT_NUM,
+                   metric="l2", max_dist_ratio=MAX_DIST_RATIO,
+                   deleted_ids=None, allowed_ids=None):
+        return super().search_one(
+            q, k, nprobe, metric, max_dist_ratio,
+            deleted_ids=self._with_store_tombstones(deleted_ids),
+            allowed_ids=allowed_ids,
+        )
+
+    def batch_search(self, queries, k=10, nprobe=SEARCH_INTERNAL_RESULT_NUM,
+                     metric="l2", max_dist_ratio=MAX_DIST_RATIO,
+                     deleted_ids=None, allowed_ids=None):
+        return super().batch_search(
+            queries, k, nprobe, metric, max_dist_ratio,
+            deleted_ids=self._with_store_tombstones(deleted_ids),
+            allowed_ids=allowed_ids,
         )
 
 

@@ -139,6 +139,14 @@ class SpannLiveIndex:
         self._store_value_type: str = "float32"
         self._store_dirty: set[int] = set()
         self._store_full_rebuild = False
+        #: incrementally-tracked posting-set fingerprint for the attached
+        #: store (r12 ADVICE: recomputing postings_fingerprint over the
+        #: FULL frame on every micro-batch sync scales with index size,
+        #: diluting SPFresh's locality win; all three components are sums
+        #: — deltas add, removals subtract exactly)
+        self._store_fp: dict | None = None
+        #: tombstone set changed since last export to the store
+        self._store_tombstones_dirty = False
         #: one patch-stats dict per sync_store() patch (test witness)
         self.store_patch_log: list[dict] = []
         self._spark = vectors.sparkSession
@@ -178,14 +186,24 @@ class SpannLiveIndex:
         accumulate their touched head set, and sync_store() (called
         automatically at the end of every add_batch) patches only those
         slabs — never a full store rebuild, which is SPFresh's locality
-        contract (SOSP'23 §4). Builds the store now if absent."""
+        contract (SOSP'23 §4). Builds the store now if absent.
+
+        Delete visibility (r12 ADVICE): delete_ids is a TOMBSTONE — rows
+        stay in the slabs until compact() folds them, so the store files
+        alone would keep answering with deleted ids. The live tombstone
+        set is therefore exported alongside the store
+        (``tombstones.npy``, atomically replaced on every delete/sync),
+        and DiskSpannReplica merges it into its serve-time filter — store
+        consumers see deletes as soon as the export lands, not at the
+        next compaction."""
+        import json
+        import os
+
         from sptag_spark.serving_local import (
             build_packed_store_parallel,
             packed_store_matches,
             postings_fingerprint,
         )
-
-        import os
 
         self._store_dir = store_dir
         self._store_value_type = value_type
@@ -200,6 +218,50 @@ class SpannLiveIndex:
                 f"store at {store_dir} was not built from this index's "
                 "postings — attach a fresh path or rebuild it first"
             )
+        # seed the incremental fingerprint from the store's meta (the
+        # builder recorded it; the match path just verified it) — the one
+        # full-corpus agg this index ever pays for fingerprinting
+        with open(os.path.join(store_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self._store_fp = {
+            k: int(meta[k])
+            for k in ("post_rows", "post_id_sum", "post_vec_crc")
+        }
+        if self._n_tombstones:
+            self._store_tombstones_dirty = True
+            self._export_tombstones()
+
+    def _fp_apply(self, rows: DataFrame, sign: int) -> None:
+        """Fold a posting-row delta into the tracked store fingerprint:
+        one small agg over the delta/touched rows instead of a
+        full-corpus scan per micro-batch (r12 ADVICE). Exact — every
+        component is an integer sum."""
+        if self._store_fp is None:
+            return
+        from sptag_spark.serving_local import postings_fingerprint
+
+        d = postings_fingerprint(rows)
+        for k in ("post_rows", "post_id_sum", "post_vec_crc"):
+            self._store_fp[k] += sign * d[k]
+
+    def _export_tombstones(self) -> None:
+        """Atomically publish the live tombstone set next to the store
+        so file-only consumers (DiskSpannReplica.from_store) filter
+        deletes during the tombstone→compaction window (r12 ADVICE)."""
+        import os
+
+        if self._store_dir is None or not self._store_tombstones_dirty:
+            return
+        ids = np.array(
+            sorted(int(r["id"]) for r in self._tombstones.collect()),
+            dtype=np.int64,
+        )
+        p = os.path.join(self._store_dir, "tombstones.npy")
+        tmp = p + ".tmp.npy"
+        with open(tmp, "wb") as f:
+            np.save(f, ids)
+        os.replace(tmp, p)
+        self._store_tombstones_dirty = False
 
     def sync_store(self) -> dict | None:
         """Apply one patch covering every head dirtied since the last
@@ -207,7 +269,9 @@ class SpannLiveIndex:
         re-packed from scratch instead. → patch stats (None if clean)."""
         if self._store_dir is None:
             return None
+        self._export_tombstones()
         if self._store_full_rebuild:
+            import json
             import os
             import shutil
 
@@ -219,8 +283,21 @@ class SpannLiveIndex:
                 self.heads, self.postings, self._store_dir,
                 value_type=self._store_value_type,
             )
+            # rebuild wiped tombstones.npy with the rest of the store —
+            # re-export if a live tombstone set remains (non-local mode
+            # folds deletes into the rebuild, leaving none)
+            if self._n_tombstones:
+                self._store_tombstones_dirty = True
+                self._export_tombstones()
             self._store_full_rebuild = False
             self._store_dirty = set()
+            # re-seed the incremental fingerprint from the fresh build
+            with open(os.path.join(self._store_dir, "meta.json")) as f:
+                meta = json.load(f)
+            self._store_fp = {
+                k: int(meta[k])
+                for k in ("post_rows", "post_id_sum", "post_vec_crc")
+            }
             stats = {"full_rebuild": True}
             self.store_patch_log.append(stats)
             return stats
@@ -231,6 +308,7 @@ class SpannLiveIndex:
         stats = patch_packed_store(
             self._store_dir, self.heads, self.postings,
             sorted(self._store_dirty),
+            fingerprint=self._store_fp,
         )
         self._store_dirty = set()
         self.store_patch_log.append(stats)
@@ -264,6 +342,8 @@ class SpannLiveIndex:
                 int(r["head_id"])
                 for r in delta.select("head_id").distinct().collect()
             )
+            # fingerprint delta: one agg over the BATCH's postings only
+            self._fp_apply(delta, +1)
         if self._maintenance == "local":
             # SPFresh: fold the delta into the length ledger, then fix
             # ONLY the postings this batch pushed over the limit
@@ -287,6 +367,11 @@ class SpannLiveIndex:
         self.sync_store()
 
     def delete_ids(self, ids: DataFrame) -> None:
+        """Tombstone ids: filtered from every search immediately; rows
+        leave the postings (and the attached store's slabs) at the next
+        compact()/rebuild(). An attached store's file-only consumers see
+        the delete through the exported ``tombstones.npy`` (r12 ADVICE),
+        published here and re-checked at every sync_store()."""
         self._tombstones = self._tombstones.unionByName(
             ids.select("id")
         ).dropDuplicates(["id"])
@@ -294,6 +379,9 @@ class SpannLiveIndex:
         # zero-vs-nonzero gates the anti-join (an empty tombstone table
         # still plans and shuffles the join on every search)
         self._n_tombstones = 1
+        if self._store_dir is not None:
+            self._store_tombstones_dirty = True
+            self._export_tombstones()
 
     def search(
         self, queries: DataFrame, k: int = 10, nprobe: int = 10
@@ -534,6 +622,18 @@ class SpannLiveIndex:
             .persist()
         )
         new_postings.count()
+        # fingerprint delta for the attached store (r12 ADVICE): subtract
+        # the touched slabs' old rows, add their new rows — both
+        # partition-pruned scans over the edit scope (the new side reads
+        # the frame just persisted), never the corpus
+        if self._store_fp is not None:
+            touched = sorted({*scope, *new_counts})
+            self._fp_apply(
+                self.postings.filter(F.col("head_id").isin(touched)), -1
+            )
+            self._fp_apply(
+                new_postings.filter(F.col("head_id").isin(touched)), +1
+            )
         # swap, then release superseded frames WE pinned (prebuilt frames
         # belong to the caller); new_postings is materialized so dropping
         # its lineage parents is safe
@@ -605,6 +705,14 @@ class SpannLiveIndex:
                     .distinct()
                     .collect()
                 )
+                # fingerprint: subtract exactly the dropped posting rows
+                # (tombstone-sized join, not a corpus scan)
+                self._fp_apply(
+                    self.postings.join(self._tombstones, "id").select(
+                        "head_id", "id", "vector"
+                    ),
+                    -1,
+                )
             new_postings = new_postings.join(
                 self._tombstones, "id", "left_anti"
             )
@@ -622,6 +730,11 @@ class SpannLiveIndex:
         self._posting_deltas = []
         self._tombstones = self._spark.createDataFrame([], "id long")
         self._n_tombstones = 0
+        # deletes are now physical — retract the exported tombstone set
+        # so store consumers stop filtering ids that no longer exist
+        if self._store_dir is not None:
+            self._store_tombstones_dirty = True
+            self._export_tombstones()
         self.adds_since_build = 0
         # tombstoned rows left the postings — the ledger is stale
         self._lengths = None

@@ -958,6 +958,7 @@ def test_pipeline_window_byte_budget():
     assert _pipeline_window(100_000) == 1  # huge k → one in flight
 
 
+@pytest.mark.filterwarnings("error::RuntimeWarning")
 def test_route_to_shards_empty_center_guard():
     """Empty shards carry +inf sentinel centers; for ip/cosine the dot
     product can go NaN (inf*0). The never-route-to-empty invariant must

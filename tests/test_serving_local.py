@@ -1395,3 +1395,101 @@ def test_int8_refine_store_exact_rerank_identical(spark, tmp_path):
     assert a[1].tolist() == b[1].tolist()  # bitwise: exact rerank values
     heads.unpersist()
     postings.unpersist()
+
+def test_torn_patch_detected_and_recovered(spark, tmp_path):
+    """Crash-safe store patch (r12 ADVICE): the patched sidecar set is
+    one atomically-replaced npz whose epoch meta.json must match. A
+    simulated crash between the two replaces (meta rolled back) makes
+    from_store REFUSE with a clear error instead of serving extents past
+    meta's rows; re-supplying Spark artifacts rebuilds cleanly."""
+    import json
+    import os
+    import shutil
+
+    from sptag_spark.serving_local import (
+        DiskSpannReplica,
+        patch_packed_store,
+    )
+    from sptag_spark.streaming.spfresh import SpannLiveIndex
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(200, 8)).astype(np.float32)
+    vecs = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id long, vector array<float>",
+    )
+    heads = select_heads(vecs, ratio=0.1).persist()
+    postings = build_postings(vecs, heads).persist()
+    postings.count()
+    store = str(tmp_path / "store")
+    DiskSpannReplica(heads, postings, store)
+    meta_p = os.path.join(store, "meta.json")
+    with open(meta_p) as f:
+        meta_before = json.load(f)
+    # a real patch: one touched head
+    h0 = int(heads.select("head_id").orderBy("head_id").first()[0])
+    patch_packed_store(store, heads, postings, [h0])
+    assert os.path.exists(os.path.join(store, "patch_sidecars.npz"))
+    DiskSpannReplica.from_store(store)  # healthy patched store serves
+    # simulate the crash window: sidecars landed, meta rollback
+    with open(meta_p, "w") as f:
+        json.dump(meta_before, f)
+    with pytest.raises(RuntimeError, match="torn patch"):
+        DiskSpannReplica.from_store(store)
+    # and patching further on a torn store is refused too
+    with pytest.raises(RuntimeError, match="torn patch"):
+        patch_packed_store(store, heads, postings, [h0])
+    # artifacts supplied -> the gate rebuilds instead of raising
+    rep = DiskSpannReplica(heads, postings, store)
+    assert not os.path.exists(os.path.join(store, "patch_sidecars.npz"))
+    q = X[0].astype(np.float64)
+    ids, _ = rep.search_one(q, k=3, nprobe=4)
+    assert len(ids) == 3
+    heads.unpersist()
+    postings.unpersist()
+
+
+def test_ship_arrays_content_cache_and_reclaim(spark, monkeypatch):
+    """r12 ADVICE: _ship_arrays staged a fresh mkdtemp of multi-GB .npy
+    copies per large build and never removed them. Same payload now
+    reuses the staged files (content-keyed); atexit reclaim removes
+    every staged dir."""
+    import os
+
+    from sptag_spark.index import postings as P
+
+    monkeypatch.setattr(P, "_BC_MMAP_MIN_BYTES", 0)
+    # isolate this test's staging from any session-level state
+    monkeypatch.setattr(P, "_SHIPPED_CACHE", {})
+    monkeypatch.setattr(P, "_SHIPPED_DIRS", [])
+    arrays = {
+        "H": np.arange(4000, dtype=np.float64).reshape(100, 40),
+        "ids": np.arange(100, dtype=np.int64),
+        "none": None,
+    }
+    b1 = P._ship_arrays(spark, dict(arrays))
+    assert len(P._SHIPPED_DIRS) == 1
+    b2 = P._ship_arrays(spark, dict(arrays))
+    assert len(P._SHIPPED_DIRS) == 1  # reused, not re-staged
+    assert b1.value["__files__"] == b2.value["__files__"]
+    # different content stages anew
+    arrays2 = dict(arrays, H=arrays["H"] + 1.0)
+    b3 = P._ship_arrays(spark, arrays2)
+    assert len(P._SHIPPED_DIRS) == 2
+    assert b3.value["__files__"] != b1.value["__files__"]
+    # worker-side decode still round-trips
+    loaded = P._load_arrays(b1.value)
+    assert np.array_equal(np.asarray(loaded["H"]), arrays["H"])
+    assert loaded["none"] is None
+    # reclaim semantics, exercised on a SYNTHETIC dir: addFile'd sources
+    # must never be deleted while the SparkContext lives (tasks re-fetch
+    # every registered file — deleting one fails all later tasks), so
+    # reclaim is exit-time only and the real staged dirs stay put here.
+    import tempfile
+
+    fake = tempfile.mkdtemp(prefix="sptag_bc_fake_")
+    monkeypatch.setattr(P, "_SHIPPED_DIRS", [fake])
+    monkeypatch.setattr(P, "_SHIPPED_CACHE", {("app", "x"): {}})
+    P._reclaim_shipped_dirs()
+    assert not P._SHIPPED_DIRS and not P._SHIPPED_CACHE
+    assert not os.path.exists(fake)

@@ -617,3 +617,92 @@ def test_attached_int8_store_patches_natively(spark, tmp_path):
         qs, k=5, nprobe=64
     )
     idx.close()
+
+def test_incremental_fingerprint_exact_through_lifecycle(spark, tmp_path):
+    """r12 ADVICE: sync_store no longer recomputes postings_fingerprint
+    over the full frame per micro-batch — SpannLiveIndex tracks it
+    incrementally (add deltas, maintenance scope swaps, compact's
+    tombstone drops). Exactness pin: after adds + a split + deletes +
+    compact, the tracked fingerprint equals a fresh full recompute and
+    the staleness gate still accepts the patched store."""
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.serving_local import (
+        packed_store_matches,
+        postings_fingerprint,
+    )
+
+    vecs, heads = _clustered(spark)
+    postings = build_postings(vecs, heads).persist()
+    postings.count()
+    idx = SpannLiveIndex(
+        vecs, prebuilt=(heads, postings), rebuild_threshold=10**9,
+        maintenance="local", split_limit=45,
+    )
+    store = str(tmp_path / "store")
+    idx.attach_store(store)
+    assert idx._store_fp == postings_fingerprint(idx.postings)
+    rng = np.random.default_rng(3)
+    off = np.array([-200.0, 0.0, 0.0, 0.0])
+    batch = spark.createDataFrame(
+        [(10_000 + i, [float(v) for v in off + rng.normal(scale=0.05, size=4)])
+         for i in range(25)],
+        "id long, vector array<float>",
+    )
+    idx.add_batch(batch)  # append + LIRE split + sync
+    assert [op for op in idx.maintenance_log if op["op"] == "split"]
+    assert idx._store_fp == postings_fingerprint(idx.postings)
+    # deletes don't change postings until compact...
+    idx.delete_ids(spark.createDataFrame([(10_000,), (5,)], "id long"))
+    assert idx._store_fp == postings_fingerprint(idx.postings)
+    # ...compact folds them; the tracked fp subtracts the dropped rows
+    idx.compact()
+    idx.sync_store()
+    assert idx._store_fp == postings_fingerprint(idx.postings)
+    assert packed_store_matches(store, idx._store_fp)
+    idx.close()
+    postings.unpersist()
+
+
+def test_store_tombstone_export_filters_from_store(spark, tmp_path):
+    """r12 ADVICE: a DiskSpannReplica opened from the files alone must
+    not answer with tombstoned ids during the delete→compact window.
+    delete_ids exports tombstones.npy; from_store merges it into every
+    search; compact retracts it."""
+    import os
+
+    from sptag_spark.index.postings import build_postings
+    from sptag_spark.serving_local import DiskSpannReplica
+
+    vecs, heads = _clustered(spark)
+    postings = build_postings(vecs, heads).persist()
+    postings.count()
+    idx = SpannLiveIndex(
+        vecs, prebuilt=(heads, postings), rebuild_threshold=10**9,
+        maintenance="local",
+    )
+    store = str(tmp_path / "store")
+    idx.attach_store(store)
+    q = (0, np.array([0.0, 0.0, 0.0, 0.0]))  # cluster-0 center
+    before = DiskSpannReplica.from_store(store).batch_search([q], k=3)
+    hit = before[0][2]  # nearest id
+    idx.delete_ids(spark.createDataFrame([(hit,)], "id long"))
+    assert os.path.exists(os.path.join(store, "tombstones.npy"))
+    rep = DiskSpannReplica.from_store(store)
+    got = rep.batch_search([q], k=3)
+    assert hit not in [r[2] for r in got]
+    # live index agrees (its own tombstone filter)
+    live = idx.search(
+        spark.createDataFrame([(0, q[1].tolist())],
+                              "query_id long, vector array<float>"),
+        k=3, nprobe=64,
+    ).collect()
+    assert hit not in [int(r["id"]) for r in live]
+    # compact makes the delete physical and retracts the export
+    idx.compact()
+    idx.sync_store()
+    assert len(np.load(os.path.join(store, "tombstones.npy"))) == 0
+    rep2 = DiskSpannReplica.from_store(store)
+    assert rep2.store_deleted_ids is None
+    assert hit not in [r[2] for r in rep2.batch_search([q], k=3)]
+    idx.close()
+    postings.unpersist()
