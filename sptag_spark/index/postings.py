@@ -388,19 +388,25 @@ def _prune_block(
     n_c = d2.shape[1]
     acc = np.zeros((b, n_c), dtype=bool)
     acc_cnt = np.zeros(b, dtype=np.int64)
-    for j in range(n_c):
-        viol = acc & (rng_factor * hh[:, :, j] < d2[:, j][:, None])
-        # isfinite: routed mode pads short groups with inf-dist slots;
-        # dup: second sighting of a spilled head — neither may be
-        # accepted as a head
-        ok = (
-            ~viol.any(axis=1)
-            & (acc_cnt < replica_count)
-            & np.isfinite(d2[:, j])
-            & ~dup[:, j]
-        )
-        acc[:, j] = ok
-        acc_cnt += ok
+    # padded inf-dist slots (routed mode) flow through the violation
+    # arithmetic by design and can produce non-finite intermediates
+    # (inf*0 in the broadcast multiply); the isfinite/dup guards below
+    # exclude those slots from acceptance, so the warning is noise —
+    # scope it out rather than paying a per-slot pre-mask (r12 nit class)
+    with np.errstate(invalid="ignore"):
+        for j in range(n_c):
+            viol = acc & (rng_factor * hh[:, :, j] < d2[:, j][:, None])
+            # isfinite: routed mode pads short groups with inf-dist slots;
+            # dup: second sighting of a spilled head — neither may be
+            # accepted as a head
+            ok = (
+                ~viol.any(axis=1)
+                & (acc_cnt < replica_count)
+                & np.isfinite(d2[:, j])
+                & ~dup[:, j]
+            )
+            acc[:, j] = ok
+            acc_cnt += ok
     return h2, d2, acc
 
 

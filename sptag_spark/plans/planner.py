@@ -265,10 +265,18 @@ def warm_replica(
                     vec_src = postings.select("id", "vector").dropDuplicates(
                         ["id"]
                     )
+                    # the index's declared width reaches the refine store
+                    # too (r12 VERDICT #3): an int8 corpus exact-reranks
+                    # from 1-byte components — ~4x less rerank read I/O,
+                    # bit-identical rows (the rerank kernel upcasts the
+                    # gathered rows to float64 either way). The lossless
+                    # gate in build_refine_store refuses a lossy cast.
                     if not refine_store_matches(
-                        rdir, refine_fingerprint(vec_src)
+                        rdir, refine_fingerprint(vec_src), value_type
                     ):
-                        build_refine_store(vec_src, rdir)
+                        build_refine_store(
+                            vec_src, rdir, value_type=value_type
+                        )
                     refine_store = open_refine_store(rdir)
                 return warm_pq_replica(
                     heads, postings, codes, books, refine_store=refine_store

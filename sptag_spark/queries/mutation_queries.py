@@ -213,3 +213,77 @@ FROM embeddings
 WHERE vec_id % {LOOKUP_MOD} = 0 AND vec_id % {TOMBSTONE_MOD} <> 0
 """,
 )
+
+
+# -- full mutation lifecycle composite (r12 VERDICT #5) ----------------------
+#
+# One index through the whole §2.7/§2.9 mutation surface IN SEQUENCE, ending
+# in a serve — the path a long-lived deployment actually walks (AlgoTest
+# runs add/delete/search phases back-to-back; VectorIndex.cpp:489-560
+# MergeIndex feeds the merged index straight back into serving):
+#   1. delete-by-vector on the even-id sub-index (targets = query vectors),
+#   2. modular id-tombstones on the odd-id sub-index,
+#   3. MergeIndex of the two live halves (positional id remap),
+#   4. RefineIndex compaction over the MERGED id space,
+#   5. exact k-NN serving over the compacted index.
+# Every stage is closed-form, so the final ranked result has a full SQL
+# twin and gets a hash-checked row (registry-insurance composite: the
+# driver's sample rarely draws all three mutation primitives at once).
+
+MERGE_T2_MOD = 7
+COMPACT_MOD = 10
+
+
+def _mutation_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.mutate import merge_index
+
+    v = vectors_table(spark, sf_dir)
+    v1 = v.filter(F.col("id") % 2 == 0)
+    v2 = v.filter(F.col("id") % 2 == 1)
+    t1 = delete_by_vector(v1, queries_table(spark, sf_dir).select("vector"))
+    t2 = v2.filter(F.col("id") % MERGE_T2_MOD == 0).select("id")
+    merged = merge_index(v1, t1, v2, t2)
+    tomb = merged.filter(F.col("id") % COMPACT_MOD == 0).select("id")
+    compacted = refine_index(merged, tomb).select("id", "vector")
+    res = knn(compacted, queries_table(spark, sf_dir), DEFAULT_K, "l2")
+    return res.withColumn("dist", F.round("dist", ROUND))
+
+
+register(
+    "pipeline_mutation_lifecycle",
+    _mutation_lifecycle,
+    f"""
+WITH v AS ({ORACLE_VECTORS}),
+     q AS ({ORACLE_QUERIES}),
+delv AS (
+  SELECT DISTINCT v.id FROM q CROSS JOIN v
+  WHERE v.id % 2 = 0 AND {_DIST_SQL["l2"]} < 1e-6
+),
+live1 AS (
+  SELECT * FROM v
+  WHERE id % 2 = 0 AND id NOT IN (SELECT id FROM delv)
+),
+live2 AS (SELECT * FROM v WHERE id % 2 = 1 AND NOT id % {MERGE_T2_MOD} = 0),
+off AS (SELECT COALESCE(MAX(id), -1) + 1 AS o FROM live1),
+merged AS (
+  SELECT id, vector FROM live1
+  UNION ALL
+  SELECT live2.id + off.o AS id, vector FROM live2, off
+),
+compacted AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS id, vector
+  FROM merged WHERE id % {COMPACT_MOD} <> 0
+),
+pairs AS (
+  SELECT q.query_id, v.id, {_DIST_SQL["l2"]} AS d
+  FROM q CROSS JOIN compacted v
+),
+ranked AS (
+  SELECT query_id, id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, id, round(d, {ROUND}) AS dist
+FROM ranked WHERE rank <= {DEFAULT_K}
+""",
+)

@@ -459,3 +459,140 @@ register(
     _streaming_near_dup_window,
     _streaming_near_dup_oracle(),
 )
+
+
+# -- streaming epoch -> ANN-serving composite (r12 VERDICT #5) ---------------
+#
+# Folds the REAL windowed-count stream into a serving check: each 5-minute
+# event window is a serving epoch; its busiest event_type (count desc,
+# name asc) is the epoch's traffic summary, and the epoch deterministically
+# selects one standing query (epoch index mod |Q|, by query rank) whose
+# nearest NON-SELF neighbor is served with exact k-NN and joined onto the
+# window row. The streaming side runs as a real readStream -> writeStream
+# (availableNow, memory sink); the serve side is the §2.3 batch kernel —
+# one composite with a full SQL twin, covering never-driver-sampled
+# semantics (windowed stream agg + rank-2 serve) in one hash-checked row.
+
+_EPOCH_SINK = "stream_epoch_serve_sink"
+
+
+def _stream_epoch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sptag_spark.operators.knn import knn
+    from sptag_spark.queries.knn_queries import ROUND
+    from sptag_spark.streaming.ingest import streaming_event_window_counts
+    from sptag_spark.tables import (
+        normalize_event_ts,
+        queries_table,
+        vectors_table,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = _stream_source_dir(sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(src_dir)
+    )
+    agg = streaming_event_window_counts(
+        stream, window="5 minutes", watermark="10 minutes"
+    )
+    with _state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_EPOCH_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    snap = spark.table(_EPOCH_SINK).select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type",
+        "n",
+    )
+    w = Window.partitionBy("window_epoch").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    wins = (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumnRenamed("event_type", "top_event_type")
+    )
+    qdf = queries_table(spark, sf_dir)
+    n_q = qdf.count()
+    qranked = qdf.select("query_id").withColumn(
+        "qrn", F.row_number().over(Window.orderBy("query_id"))
+    )
+    # rank 2 = nearest non-self neighbor (every query vector is in the
+    # corpus, so rank 1 is the trivial self-hit)
+    nn = (
+        knn(vectors_table(spark, sf_dir), qdf, 2, "l2")
+        .filter(F.col("rank") == 2)
+        .select(
+            "query_id",
+            F.col("id").alias("nn_id"),
+            F.round("dist", ROUND).alias("nn_dist"),
+        )
+    )
+    sel = wins.withColumn(
+        "qrn",
+        (F.floor(F.col("window_epoch") / 300) % n_q + 1).cast("int"),
+    )
+    return (
+        sel.join(F.broadcast(qranked), "qrn")
+        .join(F.broadcast(nn), "query_id")
+        .select(
+            "window_epoch", "top_event_type", "n",
+            "query_id", "nn_id", "nn_dist",
+        )
+    )
+
+
+def _stream_epoch_serve_oracle() -> str:
+    from sptag_spark.queries.knn_queries import ROUND, _DIST_SQL
+    from sptag_spark.tables import ORACLE_QUERIES, ORACLE_VECTORS
+
+    return f"""
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_epoch,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+wins AS (
+  SELECT window_epoch, event_type AS top_event_type, n FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY window_epoch ORDER BY n DESC, event_type
+    ) AS rn FROM counts
+  ) WHERE rn = 1
+),
+q AS ({ORACLE_QUERIES}),
+v AS ({ORACLE_VECTORS}),
+nq AS (SELECT COUNT(*) AS c FROM q),
+qr AS (
+  SELECT query_id, row_number() OVER (ORDER BY query_id) AS qrn FROM q
+),
+pairs AS (
+  SELECT q.query_id, v.id, {_DIST_SQL["l2"]} AS d FROM q CROSS JOIN v
+),
+nn AS (
+  SELECT query_id, id AS nn_id, round(d, {ROUND}) AS nn_dist FROM (
+    SELECT query_id, id, d, row_number() OVER (
+      PARTITION BY query_id ORDER BY d, id
+    ) AS rank FROM pairs
+  ) WHERE rank = 2
+)
+SELECT w.window_epoch, w.top_event_type, w.n,
+       qr.query_id, nn.nn_id, nn.nn_dist
+FROM wins w, nq
+JOIN qr ON qr.qrn = CAST(floor(w.window_epoch / 300) AS BIGINT) % nq.c + 1
+JOIN nn ON nn.query_id = qr.query_id
+"""
+
+
+register(
+    "pipeline_stream_epoch_serve",
+    _stream_epoch_serve,
+    _stream_epoch_serve_oracle(),
+)

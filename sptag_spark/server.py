@@ -648,6 +648,13 @@ class RemoteReplicaAggregator:
         self.scatter_topk = scatter_topk
         self.metric = metric
         self._pool = None
+        # observed-latency rebalance signal, shared shape with the
+        # in-process tier (serving_local.ShardLatencyTracker): per-backend
+        # rolling latency window + deadline-miss attribution — what the
+        # reference operator reads from AggregatorService timeout logs
+        from sptag_spark.serving_local import ShardLatencyTracker
+
+        self.tracker = ShardLatencyTracker(len(self.replicas))
 
     def _route(self, q) -> list[int]:
         """Backend indices for this query (shared center-routing helper;
@@ -669,11 +676,22 @@ class RemoteReplicaAggregator:
             )
         return self._pool
 
+    def _timed_search_one(self, j, q, k, budget_ms=None):
+        """Backend call wrapped with the latency witness — recorded by
+        the worker thread when the call finishes, so a deadline straggler
+        still charges its backend after the merge moved on."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = self.replicas[j].search_one(q, k)
+        self.tracker.record(j, (_time.perf_counter() - t0) * 1000, budget_ms)
+        return out
+
     def search_one(self, q, k=10, nprobe=None, metric=None, **_):
         from sptag_spark.serving_local import ShardedSpannAggregator
 
         futs = [
-            self._scatter_pool().submit(self.replicas[j].search_one, q, k)
+            self._scatter_pool().submit(self._timed_search_one, j, q, k)
             for j in self._route(q)
         ]
         res = [f.result() for f in futs]
@@ -740,7 +758,7 @@ class RemoteReplicaAggregator:
         )
         try:
             futs = [
-                ex.submit(self.replicas[j].search_one, q, k)
+                ex.submit(self._timed_search_one, j, q, k, budget_ms)
                 for j in self._route(q)
             ]
             done, not_done = cf.wait(futs, timeout=budget_ms / 1000.0)

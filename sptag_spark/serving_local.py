@@ -212,6 +212,14 @@ class LocalSpannReplica:
 
     dispatch_label = "replica"  # planner last_dispatch tag
 
+    #: per-call IO counters in the reference harness's "Ex IOs / Ex
+    #: Elements" shape (SSDIndex.h:288-345) — class defaults so every
+    #: subclass (incl. from_store loaders that bypass __init__) reads 0
+    #: before its first search
+    last_io_postings = 0
+    last_io_rows = 0
+    last_batch_io: dict | None = None
+
     def __init__(self, heads: DataFrame, postings: DataFrame) -> None:
         hp = heads.select("head_id", "vector").toPandas()
         self.head_ids = hp["head_id"].to_numpy(np.int64)
@@ -277,6 +285,7 @@ class LocalSpannReplica:
         top-k back-fills from the surviving candidates exactly like the
         reference's heap that never admits a deleted id."""
         if len(self.head_ids) == 0:  # empty shard answers empty, not a crash
+            self.last_io_postings = self.last_io_rows = 0
             return np.empty(0, dtype=np.int64), np.empty(0)
         q = np.asarray(q, dtype=np.float64)
         hd = _exact_pair_dists(self.H, q, metric)
@@ -293,6 +302,12 @@ class LocalSpannReplica:
                 for s in sel
             ]
         ) if len(sel) else np.empty(0, dtype=np.int64)
+        # per-query IO witness, the reference harness's "Ex IOs / Ex
+        # Elements" columns (SSDIndex.h:288-345): posting lists read and
+        # candidate rows gathered from the store — for DiskSpannReplica
+        # these ARE the memmap reads. Two ints; bench reads them per call.
+        self.last_io_postings = int(len(sel))
+        self.last_io_rows = int(cand.size)
         if cand.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0)
         # replica dedup on vector id (same as the distributed min-agg)
@@ -380,6 +395,7 @@ class LocalSpannReplica:
         # the loop stays serial)
         if len(queries) > _BATCH_QUERY_CHUNK:
             out: list[tuple[int, int, int, float]] = []
+            ios: list[dict] = []
             for i in range(0, len(queries), _BATCH_QUERY_CHUNK):
                 out.extend(
                     self.batch_search(
@@ -392,6 +408,13 @@ class LocalSpannReplica:
                         allowed_ids=allowed_ids,
                     )
                 )
+                if self.last_batch_io is not None:
+                    ios.append(self.last_batch_io)
+            if ios:  # stitch the chunked IO tables back to batch order
+                self.last_batch_io = {
+                    key: np.concatenate([io[key] for io in ios])
+                    for key in ios[0]
+                }
             return out
         qids = np.array([int(qid) for qid, _ in queries], dtype=np.int64)
         Q = np.array([np.asarray(v, dtype=np.float64) for _, v in queries])
@@ -421,6 +444,18 @@ class LocalSpannReplica:
         pair_q, pair_h = _route_batch(
             self.head_ids, self.H, Q, npb, metric, max_dist_ratio, nq
         )
+        # per-query LOGICAL IO table (reference shape, SSDIndex.h:288-345):
+        # lists read / rows gathered per query. The head-major pass below
+        # amortizes the PHYSICAL slab reads across queries sharing a head —
+        # that amortization is the batch win; the reference's per-query
+        # table is logical, which this matches (bitwise search_one's
+        # counters). Two bincounts over the routed pairs — negligible.
+        self.last_batch_io = {
+            "postings_read": np.bincount(pair_q, minlength=B),
+            "rows_scanned": np.bincount(
+                pair_q, weights=self.slab_len[pair_h], minlength=B
+            ).astype(np.int64),
+        }
         if pair_h.size == 0:
             return []
 
@@ -1476,6 +1511,139 @@ def build_refine_store_parallel(
     return stats
 
 
+class ShardLatencyTracker:
+    """Per-shard serve-latency window + deadline-miss attribution — the
+    OBSERVED-LATENCY rebalance trigger (r12 VERDICT #4).
+
+    Row counts (`shard_posting_rows`) say which shard is BIG; under a
+    skewed (Zipf) query mix the serving bottleneck is which shard is
+    SLOW-AND-HOT — the one whose latency tail the aggregator actually
+    observes blowing its deadline budget (the reference operator reads the
+    same signal from `AggregatorService.cpp:280-323` timeout logs). Both
+    aggregator tiers record every per-shard call here; ``hot_shard()`` is
+    the split recommendation the probe drives ``split_shard`` with.
+
+    Bounded state: a fixed window of recent latencies per shard (rolling
+    percentiles) + two counters; thread-safe under the GIL for the
+    deadline path's concurrent recorders (deque.append is atomic)."""
+
+    def __init__(self, n_shards: int, window: int = 512) -> None:
+        import collections
+
+        self._window = window
+        self.lat = [
+            collections.deque(maxlen=window) for _ in range(n_shards)
+        ]
+        self.miss = [0] * n_shards
+        self.calls = [0] * n_shards
+
+    def record(
+        self, j: int, ms: float, budget_ms: float | None = None
+    ) -> None:
+        self.lat[j].append(float(ms))
+        self.calls[j] += 1
+        if budget_ms is not None and ms > budget_ms:
+            self.miss[j] += 1
+
+    def stats(self) -> list[dict]:
+        out = []
+        for j in range(len(self.lat)):
+            s = sorted(self.lat[j])
+            if s:
+                at = lambda f: s[min(len(s) - 1, int(f * len(s)))]  # noqa: E731
+                out.append(
+                    {
+                        "n": self.calls[j],
+                        "p50_ms": round(at(0.50), 3),
+                        "p99_ms": round(at(0.99), 3),
+                        "deadline_misses": self.miss[j],
+                        "miss_rate": round(
+                            self.miss[j] / max(1, self.calls[j]), 4
+                        ),
+                    }
+                )
+            else:
+                out.append(
+                    {
+                        "n": self.calls[j],
+                        "p50_ms": None,
+                        "p99_ms": None,
+                        "deadline_misses": self.miss[j],
+                        "miss_rate": 0.0,
+                    }
+                )
+        return out
+
+    def hot_shard(
+        self,
+        factor: float = 2.0,
+        min_samples: int = 32,
+        min_misses: int = 3,
+    ) -> int | None:
+        """Split recommendation from OBSERVED serving behavior. Two
+        signals, in priority order:
+
+        1. **Deadline-miss attribution** (any shard has recorded misses):
+           the shard whose miss RATE is ≥ ``factor`` × the median of the
+           other sampled shards (or the only misser, with ≥
+           ``min_misses`` of evidence). This is the SLO-breach signal —
+           what the reference's aggregator timeout log
+           (`AggregatorService.cpp:280-323`) shows the operator — and it
+           separates a hot shard even when client-side concurrency noise
+           blurs raw tails across shards (measured: the Zipf probe's
+           per-shard p99s overlap under queueing while misses
+           concentrate 2-7× on the overloaded shard).
+        2. **Rolling p99** (budget-less traffic): the shard whose p99 is
+           ≥ ``factor`` × the median p99 of the other sampled shards.
+
+        → shard index, or None when no shard stands out (or fewer than
+        two shards have ``min_samples`` observations — a trigger must
+        never fire off noise)."""
+        st = self.stats()
+        sampled = [
+            (j, s)
+            for j, s in enumerate(st)
+            if s["n"] >= min_samples and s["p99_ms"] is not None
+        ]
+        if len(sampled) < 2:
+            return None
+        if any(s["deadline_misses"] for _, s in sampled):
+            j_hot, s_hot = max(
+                sampled, key=lambda t: (t[1]["miss_rate"], -t[0])
+            )
+            # evidence floor FIRST: a single stray miss must never name a
+            # shard (measured at small scale: one miss per shard and the
+            # ratio test fired on whichever had fewest samples)
+            if s_hot["deadline_misses"] < min_misses:
+                return None
+            others = sorted(
+                s["miss_rate"] for j, s in sampled if j != j_hot
+            )
+            med = others[len(others) // 2]
+            if med == 0 or s_hot["miss_rate"] >= factor * med:
+                return j_hot
+            return None
+        j_hot, s_hot = max(sampled, key=lambda t: (t[1]["p99_ms"], -t[0]))
+        others = sorted(s["p99_ms"] for j, s in sampled if j != j_hot)
+        med = others[len(others) // 2]
+        if med > 0 and s_hot["p99_ms"] >= factor * med:
+            return j_hot
+        return None
+
+    def split_at(self, j: int) -> None:
+        """Splice shard j's slot into two fresh slots, mirroring
+        split_shard's replica splice — the halves start with clean
+        windows (their latency profile is new)."""
+        import collections
+
+        self.lat[j : j + 1] = [
+            collections.deque(maxlen=self._window),
+            collections.deque(maxlen=self._window),
+        ]
+        self.miss[j : j + 1] = [0, 0]
+        self.calls[j : j + 1] = [0, 0]
+
+
 class ShardedSpannAggregator:
     """Scatter-gather over head-sharded replicas — the Aggregator tier
     (`AggregatorService.cpp:216-258`) for serving nodes whose RAM cannot
@@ -1629,6 +1797,8 @@ class ShardedSpannAggregator:
                 for rep in self.replicas
             ]
         )
+        #: observed-latency rebalance signal (ShardLatencyTracker)
+        self.tracker = ShardLatencyTracker(len(self.replicas))
 
     def _route_shards(self, q: np.ndarray, metric: str) -> list[int]:
         return route_to_shards(
@@ -1694,6 +1864,7 @@ class ShardedSpannAggregator:
         self.replicas = (
             self.replicas[:j] + new_reps + self.replicas[j + 1 :]
         )
+        self.tracker.split_at(j)
         dim = self.centers.shape[1]
         new_centers = [
             rep.H.mean(axis=0) if len(rep.H) else np.full(dim, np.inf)
@@ -1728,12 +1899,18 @@ class ShardedSpannAggregator:
         # network-parallel regardless; locally the loop is the fast path.
         # The deadline path stays threaded — there the budget semantics,
         # not throughput, require concurrency.
+        import time as _time
+
         ids_all, d_all = [], []
         for j in self._route_shards(q, metric):
+            _t0 = _time.perf_counter()
             ids, d = self.replicas[j].search_one(
                 q, k, nprobe, metric, max_dist_ratio,
                 deleted_ids=deleted_ids, allowed_ids=allowed_ids,
             )
+            # per-shard latency witness for the rebalance trigger
+            # (two perf_counter calls against a µs-scale search — noise)
+            self.tracker.record(j, (_time.perf_counter() - _t0) * 1000)
             ids_all.append(ids)
             d_all.append(d)
         return self._merge(ids_all, d_all, k)
@@ -1865,16 +2042,30 @@ class ShardedSpannAggregator:
         threads die into a dead executor nothing references."""
         import concurrent.futures as cf
 
+        import time as _time
+
         ex = cf.ThreadPoolExecutor(
             max_workers=max(len(self.replicas), 1),
             thread_name_prefix="spann-shard",
         )
+
+        def _timed(j):
+            # per-shard wall + miss attribution for the rebalance trigger
+            # — recorded by the WORKER thread when it finishes, so a
+            # straggler still charges its shard after the merge moved on
+            t0 = _time.perf_counter()
+            out = self.replicas[j].search_one(
+                q, k, nprobe, metric, max_dist_ratio,
+                deleted_ids, allowed_ids,
+            )
+            self.tracker.record(
+                j, (_time.perf_counter() - t0) * 1000, budget_ms
+            )
+            return out
+
         try:
             futs = [
-                ex.submit(
-                    self.replicas[j].search_one, q, k, nprobe, metric,
-                    max_dist_ratio, deleted_ids, allowed_ids,
-                )
+                ex.submit(_timed, j)
                 for j in self._route_shards(q, metric)
             ]
             done, not_done = cf.wait(futs, timeout=budget_ms / 1000.0)

@@ -1493,3 +1493,94 @@ def test_ship_arrays_content_cache_and_reclaim(spark, monkeypatch):
     P._reclaim_shipped_dirs()
     assert not P._SHIPPED_DIRS and not P._SHIPPED_CACHE
     assert not os.path.exists(fake)
+
+
+def test_io_counters_match_routing(spark, built):
+    """Per-query IO witnesses (r12 ask #2, reference table shape
+    SSDIndex.h:288-345): search_one's counters equal the routed slabs'
+    sizes, and batch_search's per-query table is bitwise the search_one
+    loop — including through the chunk recursion."""
+    from sptag_spark import serving_local as SL
+
+    _, heads, postings = built
+    rep = LocalSpannReplica(heads, postings)
+    qs = _qlist(spark)
+    want_lists, want_rows = [], []
+    for _, qv in qs:
+        rep.search_one(qv, k=10, nprobe=6)
+        want_lists.append(rep.last_io_postings)
+        want_rows.append(rep.last_io_rows)
+    assert all(x > 0 for x in want_lists)
+    # rows_scanned = sum of routed slab lengths (pre-dedup gather size)
+    hd = SL._exact_pair_dists(rep.H, qs[0][1], "l2")
+    sel = np.lexsort((rep.head_ids, hd))[:6]
+    cut = hd[sel].min() * SL.MAX_DIST_RATIO
+    if cut > 0.1:
+        sel = sel[hd[sel] <= cut]
+    rep.search_one(qs[0][1], k=10, nprobe=6)
+    assert rep.last_io_postings == len(sel)
+    assert rep.last_io_rows == int(rep.slab_len[sel].sum())
+    rep.batch_search(qs, k=10, nprobe=6)
+    io = rep.last_batch_io
+    assert io["postings_read"].tolist() == want_lists
+    assert io["rows_scanned"].tolist() == want_rows
+    # chunked path stitches per-chunk tables back to batch order
+    import sptag_spark.serving_local as sl_mod
+
+    old_chunk = sl_mod._BATCH_QUERY_CHUNK
+    sl_mod._BATCH_QUERY_CHUNK = max(2, len(qs) // 3)
+    try:
+        rep.batch_search(qs, k=10, nprobe=6)
+        io2 = rep.last_batch_io
+    finally:
+        sl_mod._BATCH_QUERY_CHUNK = old_chunk
+    assert io2["postings_read"].tolist() == want_lists
+    assert io2["rows_scanned"].tolist() == want_rows
+
+
+def test_shard_latency_tracker_trigger():
+    """r12 VERDICT #4: the rebalance trigger reads OBSERVED per-shard
+    latency (rolling p99 + deadline-miss attribution), not row counts —
+    hot_shard() fires on the slow-and-hot shard, never off noise, and
+    split_at() splices the window like split_shard splices replicas."""
+    import numpy as np
+
+    from sptag_spark.serving_local import ShardLatencyTracker
+
+    t = ShardLatencyTracker(4, window=64)
+    rng = np.random.default_rng(5)
+    for _ in range(100):
+        for j in range(4):
+            base = 10.0 if j == 2 else 1.0
+            t.record(j, base + rng.uniform(0, 0.1), budget_ms=5.0)
+    st = t.stats()
+    assert st[2]["miss_rate"] == 1.0
+    assert st[0]["deadline_misses"] == 0
+    assert t.hot_shard() == 2
+    # a trigger must never fire off noise: <2 sampled shards -> None
+    t2 = ShardLatencyTracker(4)
+    t2.record(0, 50.0)
+    assert t2.hot_shard() is None
+    t.split_at(2)
+    assert len(t.lat) == 5
+    assert t.calls[2] == t.calls[3] == 0
+    # the halves start clean; remaining sampled shards are homogeneous
+    assert t.hot_shard() is None
+
+
+def test_aggregator_tracker_records(spark, built):
+    """Both scatter paths feed the tracker: the serial search_one loop
+    and the threaded deadline path (worker-thread recording)."""
+    from sptag_spark.serving_local import ShardedSpannAggregator
+
+    _, heads, postings = built
+    agg = ShardedSpannAggregator(heads, postings, n_shards=2)
+    qs = _qlist(spark)
+    for _, qv in qs[:8]:
+        agg.search_one(qv, k=5, nprobe=4)
+    assert sum(s["n"] for s in agg.tracker.stats()) == 16  # 2 shards x 8
+    agg.search_with_deadline(qs[0][1], k=5, nprobe=4, budget_ms=2000.0)
+    import time
+
+    time.sleep(0.05)  # worker-thread recorders
+    assert sum(s["n"] for s in agg.tracker.stats()) >= 17

@@ -113,6 +113,17 @@ def compare(
     # in ways the gemm kernel does not normalize; the walls above are the
     # regression gate). "better" records the desired direction.
     serving = {}
+
+    def _at(d: dict, sec: str, key: str):
+        """Resolve a dotted key path ('io_rows_scanned.p99') into a
+        bench section."""
+        v = d.get(sec) or {}
+        for part in key.split("."):
+            if not isinstance(v, dict):
+                return None
+            v = v.get(part)
+        return v
+
     for sec, key, better in (
         ("spann_local_replica_latency_ms", "qps_batch", "higher"),
         ("spann_local_replica_latency_ms", "qps_multiprocess", "higher"),
@@ -121,9 +132,17 @@ def compare(
         ("aggregator_ms", "p50_single_ms", "lower"),
         ("disk_replica_latency_ms", "p50", "lower"),
         ("pq_replica_latency_ms", "p50", "lower"),
+        ("pq_replica_int8_latency_ms", "p50", "lower"),
+        # per-query IO-count percentiles (r12 ask #2) — machine-load
+        # independent, so a drift here is a real layout/routing change,
+        # not noise; still informational (the walls gate)
+        ("spann_operating_point", "postings_read.p99", "lower"),
+        ("spann_operating_point", "rows_scanned.p99", "lower"),
+        ("disk_replica_latency_ms", "io_postings_read.p99", "lower"),
+        ("disk_replica_latency_ms", "io_rows_scanned.p99", "lower"),
     ):
-        vo = (old.get(sec) or {}).get(key)
-        vn = (new.get(sec) or {}).get(key)
+        vo = _at(old, sec, key)
+        vn = _at(new, sec, key)
         if (
             isinstance(vo, (int, float))
             and isinstance(vn, (int, float))
