@@ -34,15 +34,18 @@ def _replica_proc_main(replica, qs, k, nprobe, ready, start, done):
     done.put(len(qs))
 
 
-def _aggserve_proc_main(replica, k, nprobe, ready, stop_ev):
+def _aggserve_proc_main(idx, replica, k, nprobe, ready, stop_ev):
     """One shard server PROCESS for the network-aggregator bench row: a
     real AnnTcpServer (newline wire format) hosting one shard replica.
     Children are spawned, so they get only the pickled replica (pure
-    NumPy) — no py4j. Port 0 → the kernel picks; reported via ready."""
+    NumPy) — no py4j. Port 0 → the kernel picks; reported via ready,
+    TAGGED with the shard index — children finish warmup in arbitrary
+    order, and a completion-ordered address list silently misroutes the
+    center scatter (r13 fix)."""
     from sptag_spark.server import AnnTcpServer
 
     srv = AnnTcpServer(replica, k=k, nprobe=nprobe).start()
-    ready.put(srv.address)
+    ready.put((idx, srv.address))
     stop_ev.wait()
     srv.stop()
 
@@ -654,15 +657,16 @@ def main() -> None:
         procs = [
             ctx.Process(
                 target=_aggserve_proc_main,
-                args=(rep, 10, spann_point["nprobe"], ready_q, stop_ev),
+                args=(i, rep, 10, spann_point["nprobe"], ready_q, stop_ev),
                 daemon=True,
             )
-            for rep in sharded.replicas
+            for i, rep in enumerate(sharded.replicas)
         ]
         try:
             for p in procs:
                 p.start()
-            addrs = [ready_q.get(timeout=180) for _ in procs]
+            by_idx = dict(ready_q.get(timeout=180) for _ in procs)
+            addrs = [by_idx[i] for i in range(len(procs))]
             agg = RemoteReplicaAggregator(
                 addrs,
                 centers=sharded.centers,

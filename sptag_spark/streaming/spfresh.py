@@ -428,14 +428,29 @@ class SpannLiveIndex:
         limit, which the next iteration then splits). Splits run before
         merges: an oversized posting is the recall hazard (truncation
         loses members), an undersized one only a seek-efficiency one.
-        → the list of per-op report dicts (also appended to
-        self.maintenance_log)."""
+
+        All currently-oversized postings are fixed in ONE batched frame
+        edit per round (`_split_postings_batch`) — SPFresh's violation
+        queue runs its local jobs concurrently in the background
+        (SOSP'23 §4); editing one posting at a time paid a full heads
+        collect plus a full postings re-materialization PER SPLIT, which
+        dominates wall time in the realistic regime (hundreds of
+        thousands of heads, tens of concentrated-add splits per batch).
+        A half that is still over the limit is caught by the next
+        round's re-read of the ledger. → the list of per-op report
+        dicts (also appended to self.maintenance_log)."""
         self._ensure_ledger()
         ops: list[dict] = []
-        for _ in range(max_ops):
+        budget = max_ops
+        while budget > 0:
             over = sorted(
                 h for h, n in self._lengths.items() if n > self._split_limit
             )
+            if over:
+                done = self._split_postings_batch(over[:budget])
+                ops.extend(done)
+                budget -= max(len(done), 1)
+                continue
             under = (
                 sorted(
                     h
@@ -445,10 +460,9 @@ class SpannLiveIndex:
                 if self._merge_limit
                 else []
             )
-            if over:
-                ops.append(self._split_posting(over[0]))
-            elif under and len(self._lengths) > 1:
+            if under and len(self._lengths) > 1:
                 ops.append(self._merge_posting(under[0]))
+                budget -= 1
             else:
                 break
         self.maintenance_log.extend(ops)
@@ -457,31 +471,247 @@ class SpannLiveIndex:
     def _split_posting(self, h: int) -> dict:
         """SPFresh split: 2-means over ONLY the oversized posting's
         members → two new head centers; the old head retires and the
-        bounded reassign runs (`_retire_and_reassign`). Reads one
-        posting (partition-pruned at 100 TB), never the corpus."""
-        rows = (
-            self.postings.filter(F.col("head_id") == int(h))
-            .select("id", "vector")
+        bounded reassign runs. Reads one posting (partition-pruned at
+        100 TB), never the corpus. Single-head form of
+        `_split_postings_batch` (identical arithmetic at batch size 1)."""
+        return self._split_postings_batch([int(h)])[0]
+
+    def _split_postings_batch(self, hs: list[int]) -> list[dict]:
+        """ALL currently-oversized postings fixed in ONE frame edit — the
+        SPFresh violation queue processed as a batch (SOSP'23 §4 runs its
+        local jobs as concurrent background work; a strictly sequential
+        editor pays one full heads collect plus one full postings
+        re-materialization PER SPLIT, which at hundreds of thousands of
+        heads dominates the wall of a concentrated-add micro-batch).
+
+        Per-head semantics are `_split_posting`'s: 2-means over the
+        head's own members → two new centers; the head retires; rows of
+        its neighbor_fanout nearest postings move only if a new center is
+        STRICTLY closer than their current head (the bounded NPA check).
+        Where scopes overlap, resolution is order-free: a row considers
+        the new centers of EVERY split that scoped its posting and moves
+        to the nearest (sequential editing is order-dependent there; the
+        batch matches SPFresh's concurrent jobs instead). Rows outside
+        the union of scopes are untouched — bit-identical.
+
+        → one report dict per split (same shape as the sequential op)."""
+        from sptag_spark.operators.knn import _as_matrix, _block_distances
+
+        hs = [int(h) for h in hs]
+        # ONE pruned scan collects every oversized posting's members
+        member_rows = (
+            self.postings.filter(F.col("head_id").isin(hs))
+            .select("head_id", "id", "vector")
             .orderBy("id")
             .collect()
         )
-        if len(rows) < 2:
-            # stale ledger (a concurrent edit shrank the posting): correct
-            # it and report a no-op — the maintain() loop re-reads the
-            # ledger next pass and moves on
-            self._lengths[int(h)] = len(rows)
-            return {"op": "noop", "head": int(h), "rows": len(rows),
-                    "new_heads": [], "neighbors": [], "scope": [int(h)]}
-        X = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
-        _, centers = two_means(X)
-        a, b = self._next_head_id, self._next_head_id + 1
-        self._next_head_id += 2
-        return self._retire_and_reassign(
-            h,
-            [(a, [float(v) for v in centers[0]]),
-             (b, [float(v) for v in centers[1]])],
-            kind="split",
+        by_h: dict[int, list] = {h: [] for h in hs}
+        for r in member_rows:
+            by_h[int(r["head_id"])].append(r)
+        # ONE heads collect covers every split's neighbor ranking
+        heads_rows = self.heads.select("head_id", "vector").collect()
+        hid = np.array([r["head_id"] for r in heads_rows], dtype=np.int64)
+        H = np.array(
+            [list(r["vector"]) for r in heads_rows], dtype=np.float64
         )
+        reports: list[dict] = []
+        live: list[dict] = []  # splits that actually run
+        for h in hs:
+            rows = by_h[h]
+            if len(rows) < 2:
+                # stale ledger (a concurrent edit shrank the posting):
+                # correct it and report a no-op
+                self._lengths[h] = len(rows)
+                reports.append(
+                    {"op": "noop", "head": h, "rows": len(rows),
+                     "new_heads": [], "neighbors": [], "scope": [h]}
+                )
+                continue
+            X = np.array(
+                [list(r["vector"]) for r in rows], dtype=np.float64
+            )
+            _, centers = two_means(X)
+            a, b = self._next_head_id, self._next_head_id + 1
+            self._next_head_id += 2
+            pos = int(np.where(hid == h)[0][0])
+            d = _block_distances(H, H[pos : pos + 1], self._metric)[:, 0]
+            d[pos] = np.inf
+            order = np.lexsort((hid, d))
+            neighbors = [
+                int(hid[i])
+                for i in order[: self._neighbor_fanout]
+                if np.isfinite(d[i])
+            ]
+            live.append(
+                {
+                    "head": h,
+                    "new_ids": (a, b),
+                    "centers": centers,
+                    "neighbors": neighbors,
+                    "scope": [h] + neighbors,
+                }
+            )
+        if not live:
+            return reports
+
+        # order-free reassignment tables: global center matrix + per-
+        # posting candidate index lists (a posting scoped by two splits
+        # sees all four of their centers)
+        C = np.concatenate([s["centers"] for s in live]).astype(np.float64)
+        CI = np.array(
+            [i for s in live for i in s["new_ids"]], dtype=np.int64
+        )
+        head_cand: dict[int, list[int]] = {}
+        retired_set = set()
+        for si, s in enumerate(live):
+            retired_set.add(s["head"])
+            for p in s["scope"]:
+                head_cand.setdefault(int(p), []).extend(
+                    (2 * si, 2 * si + 1)
+                )
+        scope_all = sorted(head_cand)
+        metric = self._metric
+        bc = self._spark.sparkContext.broadcast(
+            (
+                C,
+                CI,
+                {p: np.array(ix, dtype=np.int64)
+                 for p, ix in head_cand.items()},
+                frozenset(retired_set),
+            )
+        )
+
+        def kernel(batches):
+            T, TI, cand_by_head, retired = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out = pdf.copy()
+                for p in pdf["head_id"].unique():
+                    ix = cand_by_head.get(int(p))
+                    if ix is None:
+                        continue
+                    m = (pdf["head_id"] == p).to_numpy()
+                    V = _as_matrix(pdf.loc[m, "vector"])
+                    D = _block_distances(V, T[ix], metric)
+                    TIx = TI[ix]
+                    # nearest candidate, (dist, id)-deterministic ties
+                    j = D.argmin(axis=1)
+                    ties = D == D[np.arange(len(D)), j][:, None]
+                    j = np.where(
+                        ties.sum(axis=1) > 1,
+                        np.where(
+                            ties,
+                            TIx[None, :],
+                            np.iinfo(np.int64).max,
+                        ).argmin(axis=1),
+                        j,
+                    )
+                    dmin = D[np.arange(len(D)), j]
+                    own = int(p) in retired
+                    move = (
+                        np.ones(len(dmin), dtype=bool)
+                        if own
+                        else dmin < pdf.loc[m, "dist"].to_numpy()
+                    )
+                    rows_ix = np.nonzero(m)[0][move]
+                    out.iloc[
+                        rows_ix, out.columns.get_loc("head_id")
+                    ] = TIx[j[move]]
+                    out.iloc[
+                        rows_ix, out.columns.get_loc("dist")
+                    ] = dmin[move]
+                yield out
+
+        cols = ["head_id", "id", "vector", "dist"]
+        touched_rows = self.postings.filter(
+            F.col("head_id").isin(scope_all)
+        ).select(*cols)
+        transformed = touched_rows.mapInPandas(
+            kernel, schema=touched_rows.schema
+        ).dropDuplicates(["head_id", "id"])
+        new_counts = {
+            int(r["head_id"]): int(r["count"])
+            for r in transformed.groupBy("head_id").count().collect()
+        }
+        new_head_rows = [
+            (int(i), [float(v) for v in c])
+            for s in live
+            for i, c in zip(s["new_ids"], s["centers"])
+        ]
+        new_heads = self.heads.filter(
+            ~F.col("head_id").isin(sorted(retired_set))
+        ).unionByName(
+            self._spark.createDataFrame(
+                new_head_rows,
+                self.heads.select("head_id", "vector").schema,
+            )
+        )
+        new_heads = new_heads.persist()
+        new_heads.count()
+        new_postings = (
+            self.postings.filter(~F.col("head_id").isin(scope_all))
+            .select(*cols)
+            .unionByName(transformed)
+            .persist()
+        )
+        new_postings.count()
+        # fingerprint delta for the attached store: subtract the touched
+        # slabs' old rows, add their new rows — pruned scans only
+        if self._store_fp is not None:
+            touched = sorted({*scope_all, *new_counts})
+            self._fp_apply(
+                self.postings.filter(F.col("head_id").isin(touched)), -1
+            )
+            self._fp_apply(
+                new_postings.filter(F.col("head_id").isin(touched)), +1
+            )
+        old_heads, old_postings = self.heads, self.postings
+        self.heads, self.postings = new_heads, new_postings
+        for old in (old_heads, old_postings):
+            if any(old is p for p in self._pinned):
+                self._pinned = [p for p in self._pinned if p is not old]
+                old.unpersist()
+        for dd in self._posting_deltas:
+            if any(dd is p for p in self._pinned):
+                self._pinned = [p for p in self._pinned if p is not dd]
+                dd.unpersist()
+        self._posting_deltas = []
+        self._pinned += [new_heads, new_postings]
+        if self._store_dir is not None:
+            self._store_dirty.update(
+                {*scope_all, *new_counts, *(int(i) for i, _ in new_head_rows)}
+            )
+        lengths_before = {
+            s: self._lengths.get(s, 0) for s in scope_all
+        }
+        for s in scope_all:
+            self._lengths.pop(s, None)
+        for hh, c in new_counts.items():
+            self._lengths[hh] = c
+        n_heads_before = len(hid)
+        for oi, s in enumerate(live):
+            reports.append(
+                {
+                    "op": "split",
+                    "head": s["head"],
+                    "new_heads": list(s["new_ids"]),
+                    "neighbors": s["neighbors"],
+                    "scope": s["scope"],
+                    "rows_in_scope": int(
+                        sum(lengths_before.get(p, 0) for p in s["scope"])
+                    ),
+                    "rows_after": int(
+                        sum(
+                            new_counts.get(p, 0)
+                            for p in (*s["scope"], *s["new_ids"])
+                        )
+                    ),
+                    "heads_before": n_heads_before + oi,
+                    "heads_after": n_heads_before + oi + 1,
+                }
+            )
+        return reports
 
     def _merge_posting(self, h: int) -> dict:
         """SPFresh merge: retire the undersized posting's head; its
