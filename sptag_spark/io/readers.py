@@ -123,6 +123,58 @@ def write_default_bin(rows: np.ndarray, path: str) -> None:
         f.write(np.ascontiguousarray(rows).tobytes())
 
 
+def write_default_bin_streamed(
+    vectors,
+    path: str,
+    dtype: str = "float32",
+    chunk_rows: int = 65_536,
+) -> int:
+    """DEFAULT-binary writer that STREAMS a ``(id, vector)`` DataFrame
+    through the driver in id order — rows are positional in the format,
+    so the sort is the contract. The reference's DEFAULT file is a single
+    monolithic blob, but the corpus it packs need not fit driver RAM
+    (ADVICE r12: the collect-based fixture writer was the one
+    corpus-sized ``.collect()`` reachable from a driver query): one
+    footer-count job sizes the header, then ``toLocalIterator`` feeds
+    fixed-size chunks straight to disk. → rows written."""
+    n = vectors.count()
+    it = (
+        vectors.select("id", "vector")
+        .orderBy("id")
+        .toLocalIterator(prefetchPartitions=False)
+    )
+    written = 0
+    dim = 0
+    buf: list = []
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", n, 0))  # dim patched after first chunk
+
+        def flush() -> None:
+            nonlocal written, dim
+            if not buf:
+                return
+            block = np.array(buf, dtype=dtype)
+            if dim == 0:
+                dim = int(block.shape[1])
+            f.write(np.ascontiguousarray(block).tobytes())
+            written += len(buf)
+            buf.clear()
+
+        for row in it:
+            buf.append(row["vector"])
+            if len(buf) >= chunk_rows:
+                flush()
+        flush()
+        f.seek(0)
+        f.write(struct.pack("<ii", n, dim))
+    if written != n:
+        raise RuntimeError(
+            f"DEFAULT writer streamed {written} rows but the header "
+            f"promised {n} — the source changed mid-write"
+        )
+    return written
+
+
 def write_xvec(rows: np.ndarray, path: str) -> None:
     """XVEC: per-vector int32 dim prefix."""
     n, d = rows.shape

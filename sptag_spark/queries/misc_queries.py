@@ -264,15 +264,19 @@ def _binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
         import tempfile
 
-        import numpy as np
+        from sptag_spark.io.readers import (
+            read_binary_vectors,
+            write_default_bin_streamed,
+        )
 
-        from sptag_spark.io.readers import read_binary_vectors, write_default_bin
-
-        rows = vectors_table(spark, sf_dir).orderBy("id").collect()
-        mat = np.array([list(r["vector"]) for r in rows], dtype=np.float32)
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         path = os.path.join(tempfile.gettempdir(), f"sptag_bin_{tag}.bin")
-        write_default_bin(mat, path)
+        # STREAMED fixture write (ADVICE r12): the DEFAULT file is one
+        # monolithic blob, but the corpus never has to sit in driver RAM
+        # — rows flow chunk-at-a-time through toLocalIterator
+        write_default_bin_streamed(
+            vectors_table(spark, sf_dir).select("id", "vector"), path
+        )
         df = read_binary_vectors(spark, path, "default").persist()
         df.count()
         return (df,)

@@ -1102,3 +1102,26 @@ def test_index_save_load_carries_head_routing_structure(
     )
     assert not os.path.isdir(os.path.join(d2, "head_groups"))
     assert getattr(load_index(spark, d2).heads, "_sptag_head_groups", None) is None
+
+
+def test_write_default_bin_streamed_bit_identical(spark, tmp_path):
+    """ADVICE r12: the DEFAULT fixture writer streams through
+    toLocalIterator instead of collecting the corpus — the file must be
+    byte-identical to the in-RAM writer's, in id order."""
+    import numpy as np
+
+    from sptag_spark.io.readers import write_default_bin_streamed
+
+    rng = np.random.default_rng(13)
+    mat = rng.normal(size=(1000, 12)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in mat[i]]) for i in range(len(mat))],
+        "id long, vector array<float>",
+    ).repartition(8)  # out-of-order partitions: the orderBy is the contract
+    p_stream = str(tmp_path / "s.bin")
+    p_ram = str(tmp_path / "r.bin")
+    n = write_default_bin_streamed(df, p_stream, chunk_rows=64)
+    assert n == 1000
+    write_default_bin(mat, p_ram)
+    with open(p_stream, "rb") as a, open(p_ram, "rb") as b:
+        assert a.read() == b.read()
