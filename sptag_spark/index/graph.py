@@ -379,36 +379,58 @@ def graph_search_broadcast(
     joins are the bigger-than-memory fallback and SPANN the real scale path.
     """
     spark = vectors.sparkSession
-    vp = vectors.select("id", "vector").toPandas()
-    ids = vp["id"].to_numpy(np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    V = np.array(vp["vector"].tolist(), dtype=np.float64)[order]
-    ep = edges.select("src", "dst").toPandas()
-    src = np.searchsorted(ids, ep["src"].to_numpy(np.int64))
-    dst = np.searchsorted(ids, ep["dst"].to_numpy(np.int64))
-    eorder = np.argsort(src, kind="stable")
-    src, adj = src[eorder], dst[eorder]
-    indptr = np.searchsorted(src, np.arange(len(ids) + 1))
-
-    seed_map = head_ids = H = None
-    if seeds is not None:
-        sp = seeds.select("query_id", "id").toPandas()
-        seed_map = {
-            int(qid): grp["id"].to_numpy(np.int64)
-            for qid, grp in sp.groupby("query_id")
-        }
+    # The prepared index state (sorted vector matrix + CSR adjacency +
+    # seed structures, already shipped as a broadcast) is a warm in-memory
+    # replica of an immutable graph index — rebuilding and re-broadcasting
+    # it per serve call is the dominant per-call cost for a memoized
+    # index. Cache it on the EDGES frame keyed by the identity of every
+    # input frame that shaped it (strong refs held in the entry so a key
+    # id cannot be recycled while the entry lives); callers that pass the
+    # same frame objects (the memoized query paths) reuse the broadcast,
+    # fresh frames rebuild exactly as before.
+    cache_key = (id(vectors), id(edges), id(seeds), id(heads), metric)
+    cache = getattr(edges, "_sptag_bc_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            edges._sptag_bc_cache = cache
+        except AttributeError:  # non-DataFrame stub in tests
+            pass
+    entry = cache.get(cache_key)
+    if entry is not None:
+        bc = entry[0]
     else:
-        hsrc = heads if heads is not None else select_heads(
-            vectors, ratio=0.05, metric=metric
-        )
-        hp = hsrc.select("head_id", "vector").toPandas()
-        head_ids = hp["head_id"].to_numpy(np.int64)
-        H = np.array(hp["vector"].tolist(), dtype=np.float64)
+        vp = vectors.select("id", "vector").toPandas()
+        ids = vp["id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.array(vp["vector"].tolist(), dtype=np.float64)[order]
+        ep = edges.select("src", "dst").toPandas()
+        src = np.searchsorted(ids, ep["src"].to_numpy(np.int64))
+        dst = np.searchsorted(ids, ep["dst"].to_numpy(np.int64))
+        eorder = np.argsort(src, kind="stable")
+        src, adj = src[eorder], dst[eorder]
+        indptr = np.searchsorted(src, np.arange(len(ids) + 1))
 
-    bc = spark.sparkContext.broadcast(
-        (ids, V, indptr, adj, seed_map, head_ids, H)
-    )
+        seed_map = head_ids = H = None
+        if seeds is not None:
+            sp = seeds.select("query_id", "id").toPandas()
+            seed_map = {
+                int(qid): grp["id"].to_numpy(np.int64)
+                for qid, grp in sp.groupby("query_id")
+            }
+        else:
+            hsrc = heads if heads is not None else select_heads(
+                vectors, ratio=0.05, metric=metric
+            )
+            hp = hsrc.select("head_id", "vector").toPandas()
+            head_ids = hp["head_id"].to_numpy(np.int64)
+            H = np.array(hp["vector"].tolist(), dtype=np.float64)
+
+        bc = spark.sparkContext.broadcast(
+            (ids, V, indptr, adj, seed_map, head_ids, H)
+        )
+        cache[cache_key] = (bc, vectors, edges, seeds, heads)
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, V, indptr, adj, seed_map, head_ids, H = bc.value

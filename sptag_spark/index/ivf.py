@@ -280,7 +280,10 @@ def ivf_pq_search(
         int(r["query_id"]): np.asarray(r["vector"], dtype=np.float64)
         for r in qrows
     }
-    bc = queries.sparkSession.sparkContext.broadcast(_centroid_matrix(centroids))
+    # centroid matrix broadcast: once per index object, not per call
+    from sptag_spark.index.ann import head_matrix_bc
+
+    bc = head_matrix_bc(centroids)
 
     # map-side cut: each batch keeps only its best `keep_n` ids per query
     # (after in-batch min-dedup of multi-assigned copies). Same superset

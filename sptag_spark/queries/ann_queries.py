@@ -721,9 +721,10 @@ def _rng_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         vectors = vectors_table(spark, sf_dir)
         edges = build_rng_graph(vectors, L=L, heads=heads, replicas=4).persist()
         edges.count()
-        return (edges,)
+        # (edges, vectors) — shared memo key with _graph_search_topk
+        return (edges, vectors)
 
-    (edges,) = _memo(spark, sf_dir, "rng_graph", build)
+    edges, _ = _memo(spark, sf_dir, "rng_graph", build)
     deg = edges.groupBy("src").agg(
         F.count("*").alias("degree"),
         F.max((F.col("src") == F.col("dst")).cast("int")).alias("self_loop"),
@@ -816,10 +817,12 @@ def _graph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vectors = vectors_table(spark, sf_dir)
         edges = build_rng_graph(vectors, L=8, heads=heads, replicas=4).persist()
         edges.count()
-        return (edges,)
+        # the vectors frame is part of the memo so every run hands
+        # graph_search_broadcast the SAME frame objects — its prepared-
+        # broadcast cache keys on frame identity
+        return (edges, vectors)
 
-    (edges,) = _memo(spark, sf_dir, "rng_graph", build)
-    vectors = vectors_table(spark, sf_dir)
+    edges, vectors = _memo(spark, sf_dir, "rng_graph", build)
     queries = queries_table(spark, sf_dir, modulus=100)
     heads, _ = spann_index(spark, sf_dir)
     # The walk budget must SCALE with the graph: fixed hops=4/beam=16

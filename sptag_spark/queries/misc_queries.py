@@ -338,31 +338,39 @@ def _index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded, cfg = _memo(spark, sf_dir, "index_roundtrip", build)
     # ONE composed plan, not eager .count() calls: each driver-side count
     # is its own sequential job (scheduler + GC floor apiece, ~6 jobs per
-    # bench run); as 1-row subtrees crossJoined together the three checks
-    # run as parallel stages of a single execution.
-    per_id = loaded.postings.groupBy("id").agg(F.count("*").alias("replicas"))
-    rep = per_id.agg(
+    # bench run); as 1-row subtrees crossJoined together the checks run as
+    # parallel stages of a single execution. The postings directory (one
+    # subdir per head, hundreds of small files) is scanned ONCE: the
+    # replica-count groupBy and the every-head-known check share the same
+    # pass — `anchored` = every posting row's head_id found in the (small,
+    # broadcast) heads table, equivalent to the former distinct+anti-join
+    # formulation but without the second listing/scan of the posting files.
+    hmark = (
+        loaded.heads.select("head_id")
+        .distinct()
+        .withColumn("_known", F.lit(True))
+    )
+    per_id = (
+        loaded.postings.select("head_id", "id")
+        .join(F.broadcast(hmark), "head_id", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("replicas"),
+            F.min(F.coalesce(F.col("_known"), F.lit(False))).alias("anch"),
+        )
+    )
+    checks = per_id.agg(
+        F.coalesce(F.min("anch"), F.lit(True)).alias("postings_anchored"),
         ((F.min("replicas") >= 1) & (F.max("replicas") <= 8)).alias(
             "replicas_bounded"
-        )
+        ),
     )
     nvec = loaded.vectors.agg(F.count("*").cast("long").alias("n_vectors"))
-    head_ids = loaded.heads.select("head_id").distinct()
-    anchored = (
-        loaded.postings.select("head_id")
-        .distinct()
-        .join(head_ids, "head_id", "left_anti")
-        .agg((F.count("*") == 0).alias("postings_anchored"))
-    )
-    return (
-        nvec.crossJoin(anchored)
-        .crossJoin(rep)
-        .select(
-            "n_vectors",
-            F.lit(loaded.config == cfg).alias("config_ok"),
-            "postings_anchored",
-            "replicas_bounded",
-        )
+    return nvec.crossJoin(checks).select(
+        "n_vectors",
+        F.lit(loaded.config == cfg).alias("config_ok"),
+        "postings_anchored",
+        "replicas_bounded",
     )
 
 
