@@ -30,7 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,16 +58,29 @@ def connected_components(
     Raises if max_iter rounds don't converge — callers get exactness or an
     error, never a silently-partial closure.
     """
-    sym = edges.select(
-        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).filter(F.col("a") != F.col("b"))
-    sym = sym.union(
-        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    sym = sym.localCheckpoint()  # reused every round; cut the upstream plan
+    # materialize the UNDIRECTED normalized edge list (a < b), not the
+    # symmetrized one: half the distinct's shuffle rows and half the
+    # checkpointed bytes for the same information (r13, guide §2.3 —
+    # shuffle fewer bytes). The distributed loop derives the symmetric
+    # view map-side from the checkpointed blocks; the local path consumes
+    # (a < b) rows directly.
+    und = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()  # reused every round; cut the upstream plan
+    )
 
-    if sym.count() <= 2 * local_threshold:
-        return _local_components(sym)
+    if und.count() <= local_threshold:
+        return _local_components(und)
+
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
     labels = (
         sym.groupBy("a")
@@ -141,15 +154,21 @@ def union_find(pairs) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def _local_components(sym: DataFrame) -> DataFrame:
+def _local_components(und: DataFrame) -> DataFrame:
     """Driver union-find over a measured-small edge list. Input is the
-    symmetrized checkpointed edge table; (a < b) rows carry every undirected
-    edge once."""
-    pdf = sym.filter(F.col("a") < F.col("b")).toPandas()
+    normalized (a < b) checkpointed edge table — one row per undirected
+    edge. The result frame is tagged ``_sptag_local_components`` so
+    consumers may safely BROADCAST it in joins: the local dispatch proves
+    it holds ≤ local_threshold-ish rows (driver-created frames have no
+    size statistics, so without the tag Catalyst sort-merge-joins them —
+    measured 5 SortMergeJoins in dedup_keep_best's r13 before-plan)."""
+    pdf = und.toPandas()
     comp = union_find(zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()))
-    return sym.sparkSession.createDataFrame(
+    out = und.sparkSession.createDataFrame(
         list(comp.items()), "node long, component long"
     )
+    out._sptag_local_components = True
+    return out
 
 
 def dedup_clusters(
@@ -181,16 +200,19 @@ def dedup_clusters(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(exact_edges.union(near))
-    sizes = comp.groupBy("component").agg(
-        F.count("*").alias("cluster_size")
-    )
+    # cluster_size as a window count over component: ONE exchange on the
+    # (node, component) rows, where the former groupBy+join needed the
+    # aggregate's exchange plus both join sides' (r13; the comp frame from
+    # the local dispatch is a stats-less ExistingRDD, so that join came
+    # out a SortMergeJoin)
+    sizes_w = Window.partitionBy("component")
     from sptag_spark.resources import carry_artifacts
 
     # minhash pins its shingle side table; carry the handle so the owner's
     # release() reaches it (the components edge list was materialized by
     # connected_components' own checkpoint before this plan returns)
-    return carry_artifacts(
-        comp.join(sizes, "component")
+    out = carry_artifacts(
+        comp.withColumn("cluster_size", F.count("*").over(sizes_w))
         .filter(F.col("cluster_size") > 1)
         .select(
             F.col("node").alias(id_col),
@@ -199,3 +221,8 @@ def dedup_clusters(
         ),
         near_pairs,
     )
+    # local-dispatch provenance survives the projection: consumers use it
+    # to broadcast this frame in their joins (see _local_components)
+    if getattr(comp, "_sptag_local_components", False):
+        out._sptag_local_components = True
+    return out

@@ -397,7 +397,18 @@ def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = corpus.select(
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
-    multi = clusters.join(toks, "doc_id")
+    # when connected_components took its measured-small local dispatch, the
+    # cluster table is a stats-less driver-created frame bounded by the
+    # dispatch threshold — broadcast it explicitly (guide §3.1: use a hint
+    # when you KNOW a side is small; Catalyst can't see it and was
+    # sort-merge-joining both uses, shuffling the corpus side). The
+    # distributed dispatch leaves the planner's choice alone.
+    cl = (
+        F.broadcast(clusters)
+        if getattr(clusters, "_sptag_local_components", False)
+        else clusters
+    )
+    multi = cl.join(toks, "doc_id")
     w = Window.partitionBy("cluster_rep").orderBy(
         F.col("n_tokens").desc(), "doc_id"
     )
@@ -407,7 +418,7 @@ def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", F.col("cluster_size"))
     )
     singles = (
-        toks.join(clusters.select("doc_id"), "doc_id", "left_anti")
+        toks.join(cl.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", "n_tokens", F.lit(1).cast("long").alias("cluster_size"))
     )
     from sptag_spark.resources import carry_artifacts

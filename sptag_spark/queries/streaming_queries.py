@@ -407,8 +407,20 @@ def _streaming_near_dup(
         q.awaitTermination()
     pairs = spark.table(sink).select("doc_a", "doc_b").dropDuplicates()
     # exact verify, batch-side, against the corpus shingle sets — identical
-    # discipline to minhash_near_dup_pairs' verify join
-    sets = shingle_hashes(corpus)
+    # discipline to minhash_near_dup_pairs' verify join. Shingle ONLY the
+    # docs that appear in a candidate pair: the verify is an inner join on
+    # pair members, so pre-filtering the corpus with the (tiny, in-memory-
+    # sink-backed) pair id set is result-identical while cutting the two
+    # full-corpus tokenize+shingle passes the sa/sb subtrees paid per run
+    # (r13, guide §2.3 "project early" / §3.2 semi-join pre-filter).
+    member_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = shingle_hashes(
+        corpus.join(F.broadcast(member_ids), "doc_id", "left_semi")
+    )
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hh").alias("hh_a"),
