@@ -537,6 +537,18 @@ def streaming_near_dup_candidates(
     from sptag_spark.functions.text import token_shingles
 
     rows_per_band = n_hashes // bands
+    # Spread the raw docs across the cores BEFORE the shingle+minhash
+    # projection: a micro-batch sourced from one landing file is ONE scan
+    # task, so the whole n_hashes × |shingles| xxhash64 pipeline (the
+    # dominant per-batch cost — ~10M hash evals per 3k-doc batch at
+    # sf0.1) ran on a single core while the other 31 idled; the
+    # round-robin exchange moves only the small raw rows once (guide
+    # §2.5/§2.6 — input skew from an unsplittable-ish source, fix right
+    # after the read). The state shuffle downstream re-keys by
+    # (band, shard) exactly as before, so emitted pairs are unchanged.
+    stream = stream.repartition(
+        stream.sparkSession.sparkContext.defaultParallelism
+    )
     # The shingle hashing runs ONCE per doc behind an explode-of-one
     # Generate barrier: n_hashes per-seed transforms referencing a plain
     # projection would be collapse-inlined by Catalyst, re-running the
