@@ -494,8 +494,22 @@ def _route_grouped(
     return topk_per_query(cand, nprobe, with_rank=False)
 
 
+
+# Queries per top-k shuffle partition: each query's candidate set is bounded
+# by nprobe·posting_limit rows of three scalars (~100 KB), so 128 query
+# groups per partition keeps tasks in the tens-of-MB range the shuffle guide
+# targets while the partition COUNT grows linearly with the batch (1M-query
+# offline batches get ~8k partitions; a 200-query serve batch gets 2 instead
+# of paying the session-wide default for a 2000-row shuffle).
+TOPK_QUERIES_PER_PARTITION = 128
+
+
 def topk_per_query(
-    scored: DataFrame, k: int, dist_col: str = "dist", with_rank: bool = True
+    scored: DataFrame,
+    k: int,
+    dist_col: str = "dist",
+    with_rank: bool = True,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """One-shuffle dedup + top-k over scored candidates.
 
@@ -511,7 +525,17 @@ def topk_per_query(
     a single group and an in-kernel np.lexsort does dedup and ranking
     together. Candidates per query are bounded by nprobe·posting_limit —
     a few thousand rows — so the group always fits in memory regardless of
-    corpus size; one fewer shuffle barrier at any scale."""
+    corpus size; one fewer shuffle barrier at any scale.
+
+    ``n_queries`` (r13, guide §2.2 "fewer, larger reduce partitions"): when
+    the caller knows the batch size, the shuffle partition count is derived
+    from it (⌈n_queries / TOPK_QUERIES_PER_PARTITION⌉) instead of the
+    session-wide default — rows here are |Q|-bounded scalars, so sizing by
+    |Q| scales the partition count with the data in both directions (a
+    serve-sized batch stops paying 32 near-empty Python tasks; a mega batch
+    gets more partitions than the session constant). The explicit
+    hash-repartition on query_id satisfies the groupBy's distribution
+    requirement, so no second exchange appears."""
     import numpy as np
     import pandas as pd
 
@@ -550,7 +574,11 @@ def topk_per_query(
         }[c]
         for c in out_cols
     )
-    return scored.groupBy("query_id").applyInPandas(kern, schema=schema)
+    src = scored
+    if n_queries is not None and n_queries > 0:
+        n_parts = -(-n_queries // TOPK_QUERIES_PER_PARTITION)
+        src = scored.repartition(n_parts, "query_id")
+    return src.groupBy("query_id").applyInPandas(kern, schema=schema)
 
 
 def ann_search(
@@ -562,9 +590,13 @@ def ann_search(
     metric: str = "l2",
     max_dist_ratio: float = MAX_DIST_RATIO,
     chunk_size: int | None = None,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Approximate top-k: (query_id, rank, id, dist). Same output contract as
     the exact knn() — recall vs it is the quality metric (F6: ≥0.9@10).
+    ``q_rows``: the already-collected (query_id, vector) rows when the
+    caller holds them (driver queries memoize the immutable query batch per
+    session) — skips this call's collect job.
 
     The scoring kernel ships serve-sized query batches in its closure;
     above chunk_size queries the (query_id, vector) matrix rides a Spark
@@ -579,7 +611,11 @@ def ann_search(
 
     if chunk_size is None:
         chunk_size = KNN_QUERY_CHUNK
-    q_all = queries.select("query_id", "vector").collect()
+    q_all = (
+        q_rows
+        if q_rows is not None
+        else queries.select("query_id", "vector").collect()
+    )
     mega = len(q_all) > chunk_size
     routes = route_queries(
         queries, heads, nprobe, metric, max_dist_ratio, q_rows=q_all
@@ -672,7 +708,7 @@ def ann_search(
     scored = cand.mapInPandas(score, schema="query_id long, id long, dist double")
     # exact recompute ⇒ every replica of (query_id, id) scores identically;
     # the min-dedup inside topk_per_query is pure dedup, never a value change
-    return topk_per_query(scored, k)
+    return topk_per_query(scored, k, n_queries=len(q_all))
 
 
 def search_tree(

@@ -135,10 +135,11 @@ def ivf_search(
     k: int = 10,
     nprobe: int = 8,
     metric: str = "l2",
+    q_rows: list | None = None,
 ) -> DataFrame:
     return ann_search(
         queries, centroids, lists, k=k, nprobe=nprobe, metric=metric,
-        max_dist_ratio=float("inf"),
+        max_dist_ratio=float("inf"), q_rows=q_rows,
     )
 
 
@@ -233,6 +234,7 @@ def ivf_pq_search(
     nprobe: int = 8,
     rerank: int = 0,
     vectors: DataFrame | None = None,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ serve: coarse routing to nprobe lists + residual-ADC scan over
     PQ codes — the composition SPANN+quantizer serve together
@@ -261,7 +263,8 @@ def ivf_pq_search(
     cb, R = books.codebooks, books.rotation
     m, _, sub = cb.shape
     routes = route_queries(
-        queries, centroids, nprobe, metric="l2", max_dist_ratio=float("inf")
+        queries, centroids, nprobe, metric="l2",
+        max_dist_ratio=float("inf"), q_rows=q_rows,
     )
     from sptag_spark.index.ann import ROUTE_STATIC_ISIN_MAX
 
@@ -275,7 +278,11 @@ def ivf_pq_search(
         F.broadcast(routes.select("query_id", "head_id")), "head_id"
     ).select("query_id", "head_id", "id", "codes")
 
-    qrows = queries.select("query_id", "vector").collect()
+    qrows = (
+        q_rows
+        if q_rows is not None
+        else queries.select("query_id", "vector").collect()
+    )
     qmap = {
         int(r["query_id"]): np.asarray(r["vector"], dtype=np.float64)
         for r in qrows
@@ -357,11 +364,13 @@ def ivf_pq_search(
     # topk_per_query keeps its best approximation — min is both dedup and
     # accuracy here — and ranks in the same single shuffle
     if rerank <= 0:
-        return topk_per_query(scored, k, dist_col="adc_dist")
+        return topk_per_query(scored, k, dist_col="adc_dist",
+                              n_queries=len(qrows))
     if vectors is None:
         raise ValueError("rerank > 0 requires the full-vector table")
     shortlist = topk_per_query(
-        scored, max(rerank, k), dist_col="adc_dist", with_rank=False
+        scored, max(rerank, k), dist_col="adc_dist", with_rank=False,
+        n_queries=len(qrows),
     ).select("query_id", "id")
     exact_cand = vectors.select("id", "vector").join(F.broadcast(shortlist), "id")
 
@@ -386,4 +395,5 @@ def ivf_pq_search(
     refined = exact_cand.mapInPandas(
         exact_kernel, schema="query_id long, id long, adc_dist double"
     )
-    return topk_per_query(refined, k, dist_col="adc_dist")
+    return topk_per_query(refined, k, dist_col="adc_dist",
+                          n_queries=len(qrows))

@@ -196,6 +196,7 @@ def adc_search(
     queries: DataFrame,
     books: PQCodebooks,
     k: int = 10,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Approximate top-k over PQ codes via ADC LUTs (squared-L2 semantics).
 
@@ -206,7 +207,11 @@ def adc_search(
     """
     cb, R = books.codebooks, books.rotation
     m, k_codes, sub = cb.shape
-    qrows = queries.select("query_id", "vector").collect()
+    qrows = (
+        q_rows
+        if q_rows is not None
+        else queries.select("query_id", "vector").collect()
+    )
     query_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([list(r["vector"]) for r in qrows], dtype=np.float64)
     if R is not None:
@@ -245,6 +250,8 @@ def adc_search(
             yield pd.concat(out, ignore_index=True)
 
     cand = codes.mapInPandas(kernel, schema="query_id long, id long, adc_dist double")
+    # rank-window shuffle sized by |Q| (r13, guide §2.2; see knn_arrays)
+    cand = cand.repartition(max(1, -(-len(query_ids) // 128)), "query_id")
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("id"))
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -281,6 +288,7 @@ def sdc_search(
     queries: DataFrame,
     books: PQCodebooks,
     k: int = 10,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Symmetric distance computation (the reference's EnableADC=false mode,
     `PQQuantizer.h:112-138`): the QUERY is also quantized and distance is a
@@ -298,7 +306,11 @@ def sdc_search(
             for i in range(m)
         ]
     )
-    qrows = queries.select("query_id", "vector").collect()
+    qrows = (
+        q_rows
+        if q_rows is not None
+        else queries.select("query_id", "vector").collect()
+    )
     query_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([list(r["vector"]) for r in qrows], dtype=np.float64)
     if R is not None:
@@ -333,6 +345,8 @@ def sdc_search(
             yield pd.concat(out, ignore_index=True)
 
     cand = codes.mapInPandas(kernel, schema="query_id long, id long, sdc_dist double")
+    # rank-window shuffle sized by |Q| (r13, guide §2.2; see knn_arrays)
+    cand = cand.repartition(max(1, -(-len(query_ids) // 128)), "query_id")
     w = Window.partitionBy("query_id").orderBy(F.col("sdc_dist"), F.col("id"))
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("long"))

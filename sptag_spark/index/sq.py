@@ -136,6 +136,7 @@ def sq_search(
     metric: str = "l2",
     rerank: int = 0,
     vectors: DataFrame | None = None,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Asymmetric top-k over SQ8 codes: dequantize candidates in-kernel,
     score against the FLOAT query (no query-side quantization error), rank
@@ -148,7 +149,11 @@ def sq_search(
     the self-hit guarantee where the quantization grid could cost it."""
     from sptag_spark.operators.knn import _exact_pair_dists
 
-    q_all = queries.select("query_id", "vector").collect()
+    q_all = (
+        q_rows
+        if q_rows is not None
+        else queries.select("query_id", "vector").collect()
+    )
     qmap = {
         int(r["query_id"]): np.asarray(r["vector"], dtype=np.float64)
         for r in q_all
@@ -192,13 +197,13 @@ def sq_search(
         kernel_topk, schema="query_id long, id long, dist double"
     )
     if rerank <= 0:
-        return topk_per_query(scored, k)
+        return topk_per_query(scored, k, n_queries=len(q_all))
     if vectors is None:
         raise ValueError("rerank > 0 requires the full-vector table")
     from pyspark.sql import functions as F
 
     shortlist = topk_per_query(
-        scored, n, with_rank=False
+        scored, n, with_rank=False, n_queries=len(q_all)
     ).select("query_id", "id")
     exact_cand = vectors.select("id", "vector").join(
         F.broadcast(shortlist), "id"
@@ -224,4 +229,4 @@ def sq_search(
     refined = exact_cand.mapInPandas(
         exact_kernel, schema="query_id long, id long, dist double"
     )
-    return topk_per_query(refined, k)
+    return topk_per_query(refined, k, n_queries=len(q_all))

@@ -274,6 +274,13 @@ def knn_arrays(
     if len(query_ids) == 0:
         spark = vectors.sparkSession
         return spark.createDataFrame([], "query_id long, rank long, id long, dist double")
+    # final merge-rank partitioning derived from |Q| (r13, guide §2.2): the
+    # candidate stream is ≤ n_partitions·|Q|·k scalar rows, so the rank
+    # window's shuffle is sized by the query batch (⌈|Q|/128⌉ partitions —
+    # grows with offline mega batches, stops paying session-wide partition
+    # counts for serve-sized ones). The explicit hash-repartition satisfies
+    # the window's clustering requirement — no second exchange.
+    n_rank_parts = max(1, -(-len(query_ids) // 128))
     if len(query_ids) > chunk_size:
         sc = vectors.sparkSession.sparkContext
         # the broadcast must outlive this function (the returned plan is
@@ -294,7 +301,8 @@ def knn_arrays(
         )
     w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        cand.repartition(n_rank_parts, "query_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "dist")
     )
@@ -306,6 +314,7 @@ def knn(
     k: int = 10,
     metric: str = "l2",
     chunk_size: int = KNN_QUERY_CHUNK,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Exact batch k-NN: map-side local top-k, then global merge rank.
 
@@ -316,7 +325,11 @@ def knn(
         walks them in chunk slices — one scan, plan size constant in |Q|
         (see knn_arrays).
     """
-    qrows = queries.select("query_id", "vector").collect()
+    qrows = (
+        q_rows
+        if q_rows is not None
+        else queries.select("query_id", "vector").collect()
+    )
     query_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.array([list(r["vector"]) for r in qrows], dtype=np.float64)
     return knn_arrays(vectors, query_ids, Q, k, metric, chunk_size)

@@ -28,6 +28,20 @@ def _tie_cond(d: Column, td: Column, metric: str) -> Column:
     return F.lit(False)  # ip: id match only
 
 
+def truth_arrays(truth: DataFrame) -> DataFrame:
+    """Pre-aggregate a (query_id, id, dist) truth frame to ONE row per query:
+    (t_query_id, t_ids ARRAY, t_dists ARRAY). ``result_hits`` consumes this
+    form directly (the frame is tagged); callers that verify many searches
+    against the same truth table memoize/persist THIS frame so the per-query
+    grouping runs once per truth table instead of once per verify run."""
+    ta = truth.groupBy(F.col("query_id").alias("t_query_id")).agg(
+        F.collect_list("id").alias("t_ids"),
+        F.collect_list("dist").alias("t_dists"),
+    )
+    ta._sptag_truth_arrays = True
+    return ta
+
+
 def result_hits(
     results: DataFrame,
     truth: DataFrame,
@@ -38,25 +52,36 @@ def result_hits(
     hit=true iff ANY truth row matches by id or distance-tie. The shared
     first stage of every recall-derived metric: computing it once lets a
     caller derive recall AND structural invariants (row counts, self-hits)
-    from a single execution of the search plan."""
+    from a single execution of the search plan.
+
+    Plan shape (r13, guide §2.4/§3.1): the truth side is collapsed to one
+    row per query (``truth_arrays``) and broadcast, so "ANY truth row
+    matches" is a scalar array expression per result row — a map-side
+    BroadcastHashJoin with NO post-join dedup aggregation. The former
+    OR-condition row join needed a groupBy over the joined rows (an extra
+    Exchange + two HashAggregates on every verify) to collapse multi-matches;
+    array_contains/exists computes the same ∃-semantics in place. `truth`
+    may be either the raw (query_id, id, dist) frame or an already-
+    aggregated ``truth_arrays`` frame (tagged) — memoizing callers pass the
+    latter so the truth grouping is off the per-run path entirely."""
     r = results.select("query_id", "rank", "id", "dist")
-    t = truth.select(
-        F.col("query_id").alias("t_query_id"),
-        F.col("id").alias("t_id"),
-        F.col("dist").alias("t_dist"),
+    ta = (
+        truth
+        if getattr(truth, "_sptag_truth_arrays", False)
+        else truth_arrays(truth)
     )
-    cond = (F.col("query_id") == F.col("t_query_id")) & (
-        (F.col("id") == F.col("t_id"))
-        | (
-            F.lit(dist_tie_credit)
-            & _tie_cond(F.col("dist"), F.col("t_dist"), metric)
+    hit = F.array_contains(F.col("t_ids"), F.col("id"))
+    if dist_tie_credit and metric in ("l2", "cosine"):
+        # ∃ truth dist within the metric's tie tolerance — identical credit
+        # to the old per-row OR condition, evaluated over the array
+        hit = hit | F.exists(
+            F.col("t_dists"), lambda td: _tie_cond(F.col("dist"), td, metric)
         )
-    )
-    # left join + dedupe: a result row is a hit if ANY truth row matches.
-    return (
-        r.join(t, cond, "left")
-        .groupBy("query_id", "rank", "id")
-        .agg(F.max(F.col("t_id").isNotNull()).alias("hit"))
+    return r.join(
+        F.broadcast(ta), F.col("query_id") == F.col("t_query_id"), "left"
+    ).select(
+        "query_id", "rank", "id",
+        F.coalesce(hit, F.lit(False)).alias("hit"),
     )
 
 

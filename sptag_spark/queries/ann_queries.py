@@ -129,6 +129,63 @@ def opq_index(spark: SparkSession, sf_dir: str) -> tuple:
     return _memo(spark, sf_dir, "opq", build)
 
 
+def query_batch(spark: SparkSession, sf_dir: str) -> list:
+    """The collected (query_id, vector) rows of the standing query batch —
+    an immutable INPUT artifact (same class as the memoized index frames and
+    head_matrix: derived from the parquet inputs once per session, never a
+    computed result). Serve operators accept these rows via ``q_rows`` so a
+    steady-state run skips the per-run collect job; the first call per
+    (session, sf_dir) still collects from the parquet-backed table."""
+
+    def build():
+        return (
+            queries_table(spark, sf_dir)
+            .select("query_id", "vector")
+            .collect(),
+        )
+
+    (rows,) = _memo(spark, sf_dir, "query_rows", build)
+    return rows
+
+
+def truth_hit_arrays(
+    spark: SparkSession, sf_dir: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """``truth_topk`` pre-grouped to one (t_query_id, t_ids, t_dists) row
+    per query (operators/recall.truth_arrays), persisted+memoized like the
+    truth table itself: every self-verifying search joins against this
+    frame, so the grouping runs once per session instead of once per
+    verify run (r13 — the arrays form also makes result_hits a map-side
+    broadcast join with no post-join dedup aggregation)."""
+    from sptag_spark.operators.recall import truth_arrays
+
+    def build():
+        ta = truth_arrays(truth_topk(spark, sf_dir, k)).persist()
+        ta.count()
+        ta._sptag_truth_arrays = True
+        return (ta,)
+
+    (ta,) = _memo(spark, sf_dir, f"truth_arrays{k}", build)
+    ta._sptag_truth_arrays = True
+    return ta
+
+
+def filtered_truth_hit_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrays form of ``filtered_truth`` (same discipline as
+    truth_hit_arrays)."""
+    from sptag_spark.operators.recall import truth_arrays
+
+    def build():
+        ta = truth_arrays(filtered_truth(spark, sf_dir)).persist()
+        ta.count()
+        ta._sptag_truth_arrays = True
+        return (ta,)
+
+    (ta,) = _memo(spark, sf_dir, "truth_filtered_arrays", build)
+    ta._sptag_truth_arrays = True
+    return ta
+
+
 def truth_topk(spark: SparkSession, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     """Exact k-NN ground truth, memoized — the in-Spark oracle every
     approximate search is graded against (TruthSet.h's role)."""
@@ -149,6 +206,7 @@ def self_verified_search(
     k: int,
     recall_gate: float,
     with_self_hit: bool = True,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Per query: (query_id, n_results, [self_hit,] recall_ok).
 
@@ -163,6 +221,14 @@ def self_verified_search(
     from sptag_spark.operators.recall import result_hits
 
     hits = result_hits(res, truth)
+    if n_queries is not None and n_queries > 0:
+        # per-query verify aggregation sized by |Q| (r13, guide §2.2): hits
+        # is ≤ |Q|·k scalar rows, so hash-repartition by query_id at
+        # ⌈|Q|/128⌉ — the groupBy below reuses this clustering (no second
+        # exchange) and its stage stops paying the session-wide partition
+        # count for a |Q|-bounded frame; the count still grows with offline
+        # mega batches.
+        hits = hits.repartition(max(1, -(-n_queries // 128)), "query_id")
     aggs = [
         F.count("*").alias("n_results"),
         (F.sum(F.col("hit").cast("double")) / F.lit(float(k))).alias("_recall"),
@@ -192,6 +258,7 @@ def self_verified_search(
 def _ann_spann(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads, postings = spann_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
+    q_rows = query_batch(spark, sf_dir)
     # probe a ~constant FRACTION of heads, floored at 10: a fixed nprobe
     # silently loses recall as the head count grows with SF (measured at
     # nprobe=10: 0.93 with 60 heads, 0.81 with 240). The reference scales
@@ -199,9 +266,12 @@ def _ann_spann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SIFT1B config). 8.5% → 10 @ sf0.01, 21 @ sf0.1 — both ≥0.93, holding
     # the paper's ~0.9 recall@10 operating point at every test SF.
     nprobe = max(10, -(-cached_count(heads) * 85 // 1000))
-    res = ann_search(queries, heads, postings, k=DEFAULT_K, nprobe=nprobe)
+    res = ann_search(
+        queries, heads, postings, k=DEFAULT_K, nprobe=nprobe, q_rows=q_rows
+    )
     return self_verified_search(
-        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.9
+        res, truth_hit_arrays(spark, sf_dir), DEFAULT_K, recall_gate=0.9,
+        n_queries=len(q_rows),
     )
 
 
@@ -270,7 +340,7 @@ def _ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one pass over the search results feeds all three contract columns
     # (the self_verified_search discipline: no second execution of the
     # search plan per aggregation branch)
-    hits = result_hits(res, filtered_truth(spark, sf_dir))
+    hits = result_hits(res, filtered_truth_hit_arrays(spark, sf_dir))
     labeled = hits.join(
         vectors.select("id", pred.alias("match")), "id"
     )
@@ -344,7 +414,7 @@ def _serve_filtered_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe = max(16, -(-cached_count(heads) * 15 // 100))
     qrows = [
         (int(r["query_id"]), np.asarray(r["vector"], dtype=np.float64))
-        for r in queries.select("query_id", "vector").collect()
+        for r in query_batch(spark, sf_dir)
     ]
     rows = rep.batch_search(
         qrows, k=DEFAULT_K, nprobe=nprobe, allowed_ids=allowed
@@ -352,7 +422,7 @@ def _serve_filtered_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.createDataFrame(
         rows, schema="query_id long, rank int, id long, dist double"
     )
-    hits = result_hits(res, filtered_truth(spark, sf_dir))
+    hits = result_hits(res, filtered_truth_hit_arrays(spark, sf_dir))
     labeled = hits.join(vectors.select("id", pred.alias("match")), "id")
     per_q = labeled.groupBy("query_id").agg(
         F.count("*").alias("n_results"),
@@ -387,10 +457,14 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1. With replicas=2 multi-assignment, 25% of lists floored at 12
     # → 0.945 @ sf0.01, 0.89 @ sf0.1 — a real margin over the 0.75 gate
     # (single-assignment at 40% measured 0.85/0.86).
+    q_rows = query_batch(spark, sf_dir)
     nprobe = max(12, -(-cached_count(centroids) // 4))
-    res = ivf_search(queries, centroids, lists, k=DEFAULT_K, nprobe=nprobe)
+    res = ivf_search(
+        queries, centroids, lists, k=DEFAULT_K, nprobe=nprobe, q_rows=q_rows
+    )
     return self_verified_search(
-        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.75
+        res, truth_hit_arrays(spark, sf_dir), DEFAULT_K, recall_gate=0.75,
+        n_queries=len(q_rows),
     )
 
 
@@ -416,13 +490,16 @@ def _ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, _ = ivf_index(spark, sf_dir)
     books, coded = ivfpq_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
+    q_rows = query_batch(spark, sf_dir)
     nprobe = max(12, -(-cached_count(centroids) // 4))
     res = ivf_pq_search(
         queries, centroids, coded, books, k=DEFAULT_K, nprobe=nprobe,
         rerank=4 * DEFAULT_K, vectors=vectors_table(spark, sf_dir),
+        q_rows=q_rows,
     ).withColumnRenamed("adc_dist", "dist")
     return self_verified_search(
-        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.8
+        res, truth_hit_arrays(spark, sf_dir), DEFAULT_K, recall_gate=0.8,
+        n_queries=len(q_rows),
     )
 
 
@@ -459,12 +536,15 @@ def _sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     params, codes = sq_index(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
+    q_rows = query_batch(spark, sf_dir)
     res = sq_search(
         codes, queries, params, k=DEFAULT_K,
         rerank=2 * DEFAULT_K, vectors=vectors_table(spark, sf_dir),
+        q_rows=q_rows,
     )
     return self_verified_search(
-        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.95
+        res, truth_hit_arrays(spark, sf_dir), DEFAULT_K, recall_gate=0.95,
+        n_queries=len(q_rows),
     )
 
 
@@ -486,12 +566,13 @@ def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-distance can lose rank 1). Gate 0.4: measured 0.54 @ sf0.01 and
     # 0.47 @ sf0.1 — recall at fixed M drifts down as the corpus grows
     # (more near-ties per quantization cell); ~100× over chance at both.
-    res = adc_search(codes, queries, books, k=DEFAULT_K).withColumnRenamed(
-        "adc_dist", "dist"
-    )
+    q_rows = query_batch(spark, sf_dir)
+    res = adc_search(
+        codes, queries, books, k=DEFAULT_K, q_rows=q_rows
+    ).withColumnRenamed("adc_dist", "dist")
     return self_verified_search(
-        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.4,
-        with_self_hit=False,
+        res, truth_hit_arrays(spark, sf_dir), DEFAULT_K, recall_gate=0.4,
+        with_self_hit=False, n_queries=len(q_rows),
     )
 
 
@@ -517,12 +598,13 @@ def _sdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = queries_table(spark, sf_dir)
     from sptag_spark.index.pq import sdc_search
 
-    res = sdc_search(codes, queries, books, k=DEFAULT_K).withColumnRenamed(
-        "sdc_dist", "dist"
-    )
+    q_rows = query_batch(spark, sf_dir)
+    res = sdc_search(
+        codes, queries, books, k=DEFAULT_K, q_rows=q_rows
+    ).withColumnRenamed("sdc_dist", "dist")
     return self_verified_search(
-        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.25,
-        with_self_hit=False,
+        res, truth_hit_arrays(spark, sf_dir), DEFAULT_K, recall_gate=0.25,
+        with_self_hit=False, n_queries=len(q_rows),
     )
 
 
@@ -596,7 +678,10 @@ def _serve_disk_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads, postings = spann_index(spark, sf_dir)
     nprobe = max(10, -(-cached_count(heads) * 85 // 1000))  # same as ann_spann
     queries = queries_table(spark, sf_dir)
-    spark_res = ann_search(queries, heads, postings, k=DEFAULT_K, nprobe=nprobe)
+    q_rows = query_batch(spark, sf_dir)
+    spark_res = ann_search(
+        queries, heads, postings, k=DEFAULT_K, nprobe=nprobe, q_rows=q_rows
+    )
 
     def build():
         import atexit
@@ -609,7 +694,7 @@ def _serve_disk_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rep,) = _memo(spark, sf_dir, "disk_replica", build)
     qrows = [
         (int(r["query_id"]), np.asarray(r["vector"], dtype=np.float64))
-        for r in queries.select("query_id", "vector").collect()
+        for r in q_rows
     ]
     rep_df = spark.createDataFrame(
         rep.batch_search(qrows, k=DEFAULT_K, nprobe=nprobe),
@@ -849,10 +934,14 @@ def _graph_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vectors, edges, queries, k=DEFAULT_K, heads=heads,
         max_hops=hops, beam=beam,
     )
-    truth = truth_topk(spark, sf_dir).join(
-        F.broadcast(queries.select("query_id")), "query_id"
+    # the FULL truth arrays frame verifies a sub-batch identically: the
+    # verify join is a left join on res's query_id, so truth rows for
+    # un-queried ids are simply never matched (the former pre-join
+    # restriction was an extra join for nothing) — and the memoized arrays
+    # frame costs nothing per run (r13).
+    return self_verified_search(
+        res, truth_hit_arrays(spark, sf_dir), DEFAULT_K, recall_gate=0.85
     )
-    return self_verified_search(res, truth, DEFAULT_K, recall_gate=0.85)
 
 
 register(

@@ -155,15 +155,21 @@ register("search_tree_topk", _search_tree, _search_tree_oracle())
 
 def _opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.operators.recall import recall_per_query, result_hits
-    from sptag_spark.queries.ann_queries import opq_index, pq_index, truth_topk
+    from sptag_spark.queries.ann_queries import (
+        opq_index,
+        pq_index,
+        query_batch,
+        truth_hit_arrays,
+    )
     from sptag_spark.tables import DEFAULT_K
 
-    truth = truth_topk(spark, sf_dir)
+    truth = truth_hit_arrays(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
+    q_rows = query_batch(spark, sf_dir)
     books_o, codes_o = opq_index(spark, sf_dir)
-    res_o = adc_search(codes_o, queries, books_o, k=DEFAULT_K).withColumnRenamed(
-        "adc_dist", "dist"
-    )
+    res_o = adc_search(
+        codes_o, queries, books_o, k=DEFAULT_K, q_rows=q_rows
+    ).withColumnRenamed("adc_dist", "dist")
     # ONE execution of the OPQ search: counts, per-query recall, and the
     # corpus gates all derive from a single result_hits frame (the branch-
     # per-aggregate formulation re-ran the whole ADC plan per branch)
@@ -184,9 +190,9 @@ def _opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.02 absolute slack for sampling noise in codebook training. res_p
     # executes once, reduced to one broadcast row.
     books_p, codes_p = pq_index(spark, sf_dir)
-    res_p = adc_search(codes_p, queries, books_p, k=DEFAULT_K).withColumnRenamed(
-        "adc_dist", "dist"
-    )
+    res_p = adc_search(
+        codes_p, queries, books_p, k=DEFAULT_K, q_rows=q_rows
+    ).withColumnRenamed("adc_dist", "dist")
     avg_p = recall_per_query(res_p, truth, DEFAULT_K).agg(
         F.avg("recall").alias("r_pq")
     )

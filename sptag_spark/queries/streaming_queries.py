@@ -303,8 +303,11 @@ def _streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.read.parquet(f"{work}/sink").select(
         "query_id", "rank", "id", "dist"
     )
+    from sptag_spark.queries.ann_queries import query_batch, truth_hit_arrays
+
     return self_verified_search(
-        res, truth_topk(spark, sf_dir), DEFAULT_K, recall_gate=0.9
+        res, truth_hit_arrays(spark, sf_dir), DEFAULT_K, recall_gate=0.9,
+        n_queries=len(query_batch(spark, sf_dir)),
     )
 
 
