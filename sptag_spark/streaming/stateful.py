@@ -546,9 +546,12 @@ def streaming_near_dup_candidates(
     # §2.5/§2.6 — input skew from an unsplittable-ish source, fix right
     # after the read). The state shuffle downstream re-keys by
     # (band, shard) exactly as before, so emitted pairs are unchanged.
-    stream = stream.repartition(
-        stream.sparkSession.sparkContext.defaultParallelism
-    )
+    import os as _os
+
+    if _os.environ.get("SPTAG_STREAM_SPREAD", "1") != "0":
+        stream = stream.repartition(
+            stream.sparkSession.sparkContext.defaultParallelism
+        )
     # The shingle hashing runs ONCE per doc behind an explode-of-one
     # Generate barrier: n_hashes per-seed transforms referencing a plain
     # projection would be collapse-inlined by Catalyst, re-running the
