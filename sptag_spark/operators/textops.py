@@ -445,7 +445,10 @@ def dataset_split(
 
 
 def rule_filters(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """C4/Gopher-style heuristic rule filters, one boolean per rule.
 
@@ -502,8 +505,14 @@ def rule_filters(
     keep = None
     for c in rules.values():
         keep = c if keep is None else (keep & c)
+    # `passthrough` carries extra input columns alongside the rule flags so
+    # a curation consumer can FILTER map-side instead of computing flags on
+    # a projected copy and self-joining them back on doc_id (that join
+    # sort-merge-shuffled the corpus rows — text payloads moved so that a
+    # boolean computable in place could be attached; guide §8's anti-shape)
     return docs.select(
         F.col(id_col).alias("doc_id"),
+        *(passthrough or []),
         n_tok.alias("n_tokens"),
         *[c.alias(name) for name, c in rules.items()],
         keep.alias("keep"),

@@ -192,15 +192,24 @@ _BM25_CURATED_CACHE: dict[tuple, object] = {}
 
 def _bm25_curated_index(spark: SparkSession, sf_dir: str):
     from sptag_spark.operators.retrieval import build_bm25_index
-    from sptag_spark.queries.text_queries import curation_keep_ids
+    from sptag_spark.queries.text_queries import curated_docs
 
     key = (id(spark.sparkContext), sf_dir)
     if key not in _BM25_CURATED_CACHE:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        keep = curation_keep_ids(docs)
+        # curated universe map-side (no rules-ids self-join back onto the
+        # corpus — guide §8), and the keep-id set persisted + counted as
+        # part of THIS cached index artifact: the curated universe IS the
+        # index's document set, and the measured count lets the per-run
+        # candidate join broadcast it when small (components.py's
+        # measured-small discipline) instead of shuffling embedding rows.
+        kept = curated_docs(docs, ["text"])
+        keep = kept.select("doc_id").persist()
+        n_keep = keep.count()
         _BM25_CURATED_CACHE[key] = (
-            build_bm25_index(docs.join(keep, "doc_id")),
+            build_bm25_index(kept),
             keep,
+            n_keep,
         )
     return _BM25_CURATED_CACHE[key]
 
@@ -211,7 +220,7 @@ def _retrieval_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.operators.retrieval import bm25_topk, rrf_fuse
     from sptag_spark.resources import carry_artifacts
 
-    index, keep = _bm25_curated_index(spark, sf_dir)
+    index, keep, n_keep = _bm25_curated_index(spark, sf_dir)
     lex = bm25_topk(None, BM25_TERMS, k=RETR_DEPTH, index=index)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
@@ -222,7 +231,14 @@ def _retrieval_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == HYBRID_QUERY_ID).select(
         F.col("embedding").alias("qv")
     )
-    cand = emb.join(keep.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    # the keep side is measured at index-build time: under ~2M ids (16 MB
+    # of longs) broadcast it so the embedding rows are never shuffled for
+    # this semi-decision (guide §3.1/§8); a bigger curated universe falls
+    # back to the planner's shuffled join, which is the correct shape then
+    keep_ids = keep.select(F.col("doc_id").alias("vec_id"))
+    if n_keep <= 2_000_000:
+        keep_ids = F.broadcast(keep_ids)
+    cand = emb.join(keep_ids, "vec_id")
     scored = cand.crossJoin(F.broadcast(q)).select(
         "vec_id",
         cosine_dist(F.col("embedding"), F.col("qv")).alias("cos_dist"),

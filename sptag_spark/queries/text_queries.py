@@ -724,15 +724,8 @@ GROUP BY t.doc_id
 # row, and a per-doc rollup. No new wide op beyond dsir_sample's.
 
 
-def curation_keep_ids(docs: DataFrame) -> DataFrame:
-    """doc_ids passing the composite-pipeline CURATION predicate
-    (_CURATE_PRED — the rule set minus terminal punct, plus the
-    min-length bound; see the constant's comment for why). Shared by
-    pipeline_curated_corpus and pipeline_retrieval_curated."""
-    from sptag_spark.operators.textops import rule_filters
-
-    rf = rule_filters(docs.select("doc_id", "text"))
-    cond = (
+def _curate_cond():
+    return (
         F.col("r_min_words")
         & F.col("r_max_words")
         & F.col("r_avg_word_len")
@@ -743,7 +736,26 @@ def curation_keep_ids(docs: DataFrame) -> DataFrame:
         & F.col("r_alpha_ratio")
         & (F.col("n_tokens") >= _CURATE_MIN_TOKENS)
     )
-    return rf.filter(cond).select("doc_id")
+
+
+def curated_docs(docs: DataFrame, passthrough: list[str]) -> DataFrame:
+    """The rows of ``docs`` passing the composite-pipeline CURATION
+    predicate (_CURATE_PRED — the rule set minus terminal punct, plus the
+    min-length bound; see the constant's comment for why), with
+    ``passthrough`` columns carried alongside doc_id.
+
+    MAP-ONLY: the rule flags are computed in place on the full rows and
+    filtered immediately — the former shape computed flags on a projected
+    copy and joined the ids back on doc_id, which sort-merge-shuffled the
+    corpus text so that a boolean derivable per-row could be re-attached
+    (guide §8's "heavy payload moved for a lightweight decision"; measured
+    as the 1 SortMergeJoin + double scan in pipeline_curated_corpus's
+    before-plan). Shared by pipeline_curated_corpus and
+    pipeline_retrieval_curated."""
+    from sptag_spark.operators.textops import rule_filters
+
+    rf = rule_filters(docs, passthrough=passthrough)
+    return rf.filter(_curate_cond()).select("doc_id", *passthrough)
 
 
 def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,9 +764,7 @@ def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    kept = docs.join(curation_keep_ids(docs), "doc_id").select(
-        "doc_id", "source", "text"
-    )
+    kept = curated_docs(docs, ["source", "text"])
     return dsir_importance_weights(kept, F.col("source") == "src0")
 
 
