@@ -77,8 +77,18 @@ def connected_components(
         .localCheckpoint()  # reused every round; cut the upstream plan
     )
 
-    if und.count() <= local_threshold:
-        return _local_components(und)
+    # ONE driver sync decides the dispatch AND feeds the local path: a
+    # limited collect of threshold+1 rows from the checkpointed blocks
+    # replaces the former count() job + full toPandas() job (each a
+    # scheduler round-trip; the count's full pass was pure dispatch
+    # overhead in the common small case). len ≤ threshold proves the
+    # whole edge list was collected — use it directly; one extra row
+    # proves it wasn't — fall to the distributed loop having moved at
+    # most threshold+1 rows (r13, guide §1.2 — don't compute what you
+    # throw away).
+    probe = und.limit(local_threshold + 1).toPandas()
+    if len(probe) <= local_threshold:
+        return _local_components(und, pdf=probe)
 
     sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
@@ -154,15 +164,18 @@ def union_find(pairs) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def _local_components(und: DataFrame) -> DataFrame:
+def _local_components(und: DataFrame, pdf=None) -> DataFrame:
     """Driver union-find over a measured-small edge list. Input is the
     normalized (a < b) checkpointed edge table — one row per undirected
-    edge. The result frame is tagged ``_sptag_local_components`` so
-    consumers may safely BROADCAST it in joins: the local dispatch proves
-    it holds ≤ local_threshold-ish rows (driver-created frames have no
-    size statistics, so without the tag Catalyst sort-merge-joins them —
-    measured 5 SortMergeJoins in dedup_keep_best's r13 before-plan)."""
-    pdf = und.toPandas()
+    edge (``pdf``: the already-collected pandas copy when the dispatch
+    probe fetched it, saving the second collect job). The result frame is
+    tagged ``_sptag_local_components`` so consumers may safely BROADCAST
+    it in joins: the local dispatch proves it holds ≤ local_threshold-ish
+    rows (driver-created frames have no size statistics, so without the
+    tag Catalyst sort-merge-joins them — measured 5 SortMergeJoins in
+    dedup_keep_best's r13 before-plan)."""
+    if pdf is None:
+        pdf = und.toPandas()
     comp = union_find(zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()))
     out = und.sparkSession.createDataFrame(
         list(comp.items()), "node long, component long"
