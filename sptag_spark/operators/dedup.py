@@ -66,7 +66,10 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 def shingle_hashes(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spread: bool = True,
 ) -> DataFrame:
     """(doc_id, hh, sz): per-doc array of distinct xxhash64 shingle hashes.
 
@@ -79,10 +82,13 @@ def shingle_hashes(
     that arrives as one file is one scan split, and the per-row
     shingle+hash work would otherwise run on a single core. On a table that
     already has ≥ cores splits (any real deployment) this is a no-op — no
-    shuffle is added at scale."""
+    shuffle is added at scale. Callers whose input is PROVABLY tiny by
+    construction (e.g. a verify pass restricted to candidate-pair members)
+    pass ``spread=False`` to skip the exchange + near-empty-task stage the
+    spread would cost them; the output rows are identical either way."""
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    if spread and docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
     return docs.select(
         F.col(id_col).alias("doc_id"),

@@ -40,7 +40,9 @@ def apply_tombstones(vectors: DataFrame, tombstones: DataFrame) -> DataFrame:
     return vectors.join(F.broadcast(tombstones.select("id")), "id", "left_anti")
 
 
-def delete_by_vector(vectors: DataFrame, targets: DataFrame) -> DataFrame:
+def delete_by_vector(
+    vectors: DataFrame, targets: DataFrame, target_rows: list | None = None
+) -> DataFrame:
     """Ids whose vector exactly matches any target vector (dist < 1e-6),
     per `BKTIndex.cpp:875-890`. Returns a tombstone DataFrame (id).
 
@@ -51,16 +53,23 @@ def delete_by_vector(vectors: DataFrame, targets: DataFrame) -> DataFrame:
     computes the same predicate ~10× slower per pair.) Exact per-pair
     recompute on the BLAS winners keeps the eps comparison identical to the
     declarative/oracle arithmetic.
+
+    ``target_rows``: the already-collected target rows (any Row/mapping with
+    a ``vector`` field) when the caller holds them — the q_rows discipline
+    of knn/ann_search: a steady-state caller whose delete batch is a
+    memoized input artifact skips this call's collect job.
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    T = np.array(
-        [list(r["vector"]) for r in targets.select("vector").collect()],
-        dtype=np.float64,
+    rows = (
+        target_rows
+        if target_rows is not None
+        else targets.select("vector").collect()
     )
+    T = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
     if len(T) == 0:
         return vectors.sparkSession.createDataFrame([], "id long")
 
@@ -160,7 +169,11 @@ def need_refine(vectors: DataFrame, tombstones: DataFrame) -> bool:
     return ndel / total > REFINE_DELETED_FRACTION
 
 
-def refine_index(vectors: DataFrame, tombstones: DataFrame) -> DataFrame:
+def refine_index(
+    vectors: DataFrame,
+    tombstones: DataFrame,
+    known_count: int | None = None,
+) -> DataFrame:
     """RefineIndex compaction (`BKTIndex.cpp:774-873`): drop tombstoned rows
     and remap ids densely (ascending old id → 0..n-1), returning the new index
     with an old_id column for side-table remapping.
@@ -175,9 +188,17 @@ def refine_index(vectors: DataFrame, tombstones: DataFrame) -> DataFrame:
     (often footer-only) count that never re-evaluates the anti-join; any
     upper bound on the live rows is a correct dispatch key.
 
-    EAGER, not a lazy plan builder: the dispatch count and (on the
-    distributed path) global_row_number_by's range-sample + offset jobs run
-    at call time. Construct it only when you will execute the compaction.
+    ``known_count``: that upper bound, when the caller already holds one
+    (e.g. the memoized base-table count) — the dispatch needs ANY cheap
+    bound on the live rows, and a caller-supplied constant saves counting
+    ``vectors`` here, which for a composed mutation pipeline re-executes
+    every upstream stage (delete scans, anti-joins, unions) once per call
+    purely to pick a code path.
+
+    EAGER, not a lazy plan builder: (without ``known_count``) the dispatch
+    count and (on the distributed path) global_row_number_by's range-sample
+    + offset jobs run at call time. Construct it only when you will execute
+    the compaction.
     """
     live = apply_tombstones(vectors, tombstones)
     return (
@@ -185,7 +206,7 @@ def refine_index(vectors: DataFrame, tombstones: DataFrame) -> DataFrame:
             live.withColumn("old_id", F.col("id")),
             "old_id",
             out_col="_rn",
-            known_count=vectors.count(),
+            known_count=known_count if known_count is not None else vectors.count(),
         )
         .withColumn("id", F.col("_rn"))
         .select("id", "old_id", "vector", "meta")

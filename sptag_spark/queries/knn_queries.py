@@ -67,7 +67,12 @@ FROM ranked WHERE rank <= {k}
 
 def _knn_query(metric: str, k: int = DEFAULT_K):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        res = knn(vectors_table(spark, sf_dir), queries_table(spark, sf_dir), k, metric)
+        from sptag_spark.queries.ann_queries import query_batch
+
+        res = knn(
+            vectors_table(spark, sf_dir), queries_table(spark, sf_dir), k,
+            metric, q_rows=query_batch(spark, sf_dir),
+        )
         return res.withColumn("dist", F.round("dist", ROUND))
 
     return run

@@ -129,10 +129,16 @@ FROM ranked WHERE rank <= {DEFAULT_K}
 
 
 def _recall_restricted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.queries.ann_queries import query_batch
+
     vectors = vectors_table(spark, sf_dir)
     queries = queries_table(spark, sf_dir)
-    truth = knn(vectors, queries, DEFAULT_K, "l2")
-    approx = knn(vectors.filter(F.col("id") % 2 == 1), queries, DEFAULT_K, "l2")
+    q_rows = query_batch(spark, sf_dir)
+    truth = knn(vectors, queries, DEFAULT_K, "l2", q_rows=q_rows)
+    approx = knn(
+        vectors.filter(F.col("id") % 2 == 1), queries, DEFAULT_K, "l2",
+        q_rows=q_rows,
+    )
     per_q = recall_per_query(approx, truth, DEFAULT_K)
     return per_q.select(
         "query_id",

