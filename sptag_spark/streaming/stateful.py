@@ -371,14 +371,30 @@ def _near_dup_shard(
         out_b: list[int] = []
         out_j: list[float] = []
 
-        def emit(idv: np.ndarray, M: np.ndarray, did: int, sv: np.ndarray):
-            est = (M == sv).mean(axis=1)
-            hit = (est >= threshold) & (idv != did)
-            for j in np.nonzero(hit)[0]:
-                out_a.append(int(min(idv[j], did)))
-                out_b.append(int(max(idv[j], did)))
-                out_j.append(float(est[j]))
+        def emit_hits(E: np.ndarray, row_ids: np.ndarray, col_ids: np.ndarray):
+            """Emit (min,max,est) for every (row, col) cell with
+            est ≥ threshold and distinct ids — the vectorized twin of the
+            former per-row emit (same est arithmetic, same filters)."""
+            hit = (E >= threshold) & (row_ids[:, None] != col_ids[None, :])
+            for j, i in zip(*np.nonzero(hit)):
+                a, c = int(row_ids[j]), int(col_ids[i])
+                out_a.append(min(a, c))
+                out_b.append(max(a, c))
+                out_j.append(float(E[j, i]))
 
+        # Vectorized per bucket-RUN instead of per row (r13 optimization
+        # round, guide §4.2 "hand whole batches to vectorized native
+        # code"): rows arrive (bucket, doc_id)-lexsorted, so each bucket is
+        # one contiguous run. Sequential semantics reconstructed exactly:
+        # admission is unconditional while the bucket holds fewer than
+        # max_bucket entries, so the admitted in-run rows are precisely the
+        # first capn = max(0, max_bucket - residents - previously-added) of
+        # the run, and row j's in-run comparisons are the pairs (i, j) with
+        # i < j AND i < capn. The dominant fast path — a singleton run in an
+        # untouched bucket with no residents (the normal case: unrelated
+        # docs almost never share a 64-bit band hash) — is a pure admission
+        # with no numpy work at all. Per-group kernel wall measured
+        # 17-35 ms → ~2-4 ms at the sf0.1 stream shape (770 rows/group).
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -398,26 +414,65 @@ def _near_dup_shard(
                 sid = np.empty(0, np.int64)
                 sgen = np.empty(0, np.int32)
                 ssig = np.empty((0, n_h), np.uint8)
-            for b, did, sv in zip(bks, dids, svs):
-                b, did = int(b), int(did)
-                # residents from prior batches: a sorted-array slice, no
-                # dict rebuild of the whole shard
-                lo = np.searchsorted(sb, b, side="left")
-                hi = np.searchsorted(sb, b, side="right")
-                if hi > lo:
-                    emit(sid[lo:hi], ssig[lo:hi], did, sv)
-                ba = added.get(b, ())
-                if ba:
-                    emit(
-                        np.array([new_id[i] for i in ba], np.int64),
-                        np.stack([new_sig[i] for i in ba]),
-                        did, sv,
-                    )
-                if (hi - lo) + len(ba) < max_bucket:
-                    added.setdefault(b, []).append(len(new_b))
+            # resident slice bounds + run boundaries, one vectorized pass
+            lo_a = np.searchsorted(sb, bks, side="left")
+            hi_a = np.searchsorted(sb, bks, side="right")
+            starts = np.flatnonzero(
+                np.concatenate(([True], bks[1:] != bks[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(bks)]))
+            for s, e in zip(starts, ends):
+                b = int(bks[s])
+                lo, hi = int(lo_a[s]), int(hi_a[s])
+                ba = added.get(b)
+                if hi == lo and e - s == 1 and ba is None and max_bucket > 0:
+                    # fast path: nothing to compare, plain admission
+                    # (0 residents + 0 added < max_bucket)
+                    added[b] = [len(new_b)]
                     new_b.append(b)
-                    new_id.append(did)
-                    new_sig.append(sv)
+                    new_id.append(int(dids[s]))
+                    new_sig.append(svs[s])
+                    continue
+                run_ids = dids[s:e]
+                run_sig = svs[s:e]
+                n_run = e - s
+                if hi > lo:  # vs prior-batch residents of this bucket
+                    E = (
+                        run_sig[:, None, :] == ssig[lo:hi][None, :, :]
+                    ).mean(axis=2)
+                    emit_hits(E, run_ids, sid[lo:hi])
+                if ba:  # vs entries added by PREVIOUS chunks/runs
+                    prev_ids = np.array([new_id[i] for i in ba], np.int64)
+                    prev_sig = np.stack([new_sig[i] for i in ba])
+                    E = (
+                        run_sig[:, None, :] == prev_sig[None, :, :]
+                    ).mean(axis=2)
+                    emit_hits(E, run_ids, prev_ids)
+                capn = max(0, max_bucket - (hi - lo) - (len(ba) if ba else 0))
+                if n_run > 1:
+                    # in-run pairs (i, j): i < j and i admitted (i < capn)
+                    iu, ju = np.triu_indices(n_run, k=1)
+                    keep = iu < capn
+                    if keep.any():
+                        iu, ju = iu[keep], ju[keep]
+                        est = (run_sig[iu] == run_sig[ju]).mean(axis=1)
+                        hit = (est >= threshold) & (
+                            run_ids[iu] != run_ids[ju]
+                        )
+                        for x in np.nonzero(hit)[0]:
+                            a, c = int(run_ids[iu[x]]), int(run_ids[ju[x]])
+                            out_a.append(min(a, c))
+                            out_b.append(max(a, c))
+                            out_j.append(float(est[x]))
+                n_adm = min(capn, n_run)
+                if n_adm > 0:
+                    if ba is None:
+                        ba = added[b] = []
+                    base = len(new_b)
+                    ba.extend(range(base, base + n_adm))
+                    new_b.extend([b] * n_adm)
+                    new_id.extend(int(x) for x in run_ids[:n_adm])
+                    new_sig.extend(run_sig[:n_adm])
         if window_batches is not None:
             # window mode writes back on EVERY invoke that saw rows: the
             # generation counter advances and evictions persist even when
@@ -597,7 +652,21 @@ def streaming_near_dup_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select(
+        "doc_id",
+        # ship only the low byte of each minhash through the state shuffle:
+        # the kernel stores and compares quantized signatures anyway (see
+        # the state-layout note — equal 64-bit hashes have equal low
+        # bytes), so an 8× narrower sig column is value-identical
+        # downstream while the (band, shard) exchange carries 2 B/slot
+        # instead of 8 (guide §2.3 narrower types). smallint, not tinyint:
+        # the low byte is 0..255 and tinyint is signed.
+        F.transform(
+            "sig", lambda x: x.bitwiseAND(F.lit(255)).cast("smallint")
+        ).alias("sig"),
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
     # group by (band, bucket-SHARD), not (band, bucket): the kernel walks a
     # dict of its shard's buckets, so python-call count per micro-batch is
     # bands×n_state_shards (a knob), not one per distinct bucket —
