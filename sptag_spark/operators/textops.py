@@ -30,9 +30,20 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 LANGS = tuple(LANG_MARKERS)
 
 
-def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def text_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
     """Per-doc quality features: lengths, token stats, punctuation and
-    stopword ratios. The standard cheap quality-filter signals."""
+    stopword ratios. The standard cheap quality-filter signals.
+
+    ``passthrough`` carries extra input columns alongside the features so a
+    composing pipeline can consume them map-side in the SAME scan instead of
+    computing features on a projected copy and joining them back on doc_id
+    (the rule_filters discipline — that join re-shuffles the corpus text to
+    attach per-row-derivable columns)."""
     toks = tokens(F.col(text_col))
     n_tok = token_count(F.col(text_col))
     n_chars = F.length(F.col(text_col)).cast("long")
@@ -41,6 +52,7 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ).cast("long")
     return docs.select(
         F.col(id_col).alias("doc_id"),
+        *(passthrough or []),
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
         regex_token_count(F.col(text_col)).alias("n_regex_tokens"),
@@ -68,10 +80,17 @@ def lang_scores(text: F.Column) -> dict[str, F.Column]:
     return out
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def lang_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
+) -> DataFrame:
     """Heuristic language ID: marker-word hit counts per language, argmax
     with fixed priority order (LANGS) as tie-break. Returns
-    (doc_id, lang_pred, lang_score)."""
+    (doc_id, lang_pred, lang_score). ``passthrough`` as in text_quality:
+    extra input columns carried through the same scan for map-side
+    composition."""
     scores = lang_scores(F.col(text_col))
     # argmax by CASE cascade in LANGS order — ties resolve to the earlier lang
     best = F.greatest(*scores.values())
@@ -81,6 +100,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     pred = pred.otherwise(F.lit(LANGS[-1]))
     return docs.select(
         F.col(id_col).alias("doc_id"),
+        *(passthrough or []),
         pred.alias("lang_pred"),
         best.alias("lang_score"),
     )

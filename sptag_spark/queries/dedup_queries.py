@@ -408,22 +408,33 @@ def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         if getattr(clusters, "_sptag_local_components", False)
         else clusters
     )
-    multi = cl.join(toks, "doc_id")
-    w = Window.partitionBy("cluster_rep").orderBy(
-        F.col("n_tokens").desc(), "doc_id"
-    )
-    kept_multi = (
-        multi.withColumn("_rk", F.row_number().over(w))
+    # ONE tokenize pass: the former two-branch shape (inner join for cluster
+    # members + anti join for singletons) scanned and regex-split the corpus
+    # text twice — 7 parquet scans in the r13 mid-plan. A single LEFT join
+    # + one window does both branches: a singleton's group key is its own
+    # doc_id, which cannot collide with a cluster_rep (a rep is the min
+    # MEMBER of its cluster, so a doc that IS a rep is never a singleton),
+    # and its cluster_size coalesces to 1. The window now ranks the whole
+    # corpus instead of only cluster members, but it moves 4 narrow columns
+    # — at 100 TB that exchange is ~32 B/row vs re-scanning and re-splitting
+    # the text payload (guide §2.3 shuffle fewer bytes vs §6 scan twice).
+    labeled = toks.join(cl, "doc_id", "left")
+    grp = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
+    w = Window.partitionBy(grp).orderBy(F.col("n_tokens").desc(), "doc_id")
+    kept = (
+        labeled.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .select("doc_id", "n_tokens", F.col("cluster_size"))
-    )
-    singles = (
-        toks.join(cl.select("doc_id"), "doc_id", "left_anti")
-        .select("doc_id", "n_tokens", F.lit(1).cast("long").alias("cluster_size"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
+        )
     )
     from sptag_spark.resources import carry_artifacts
 
-    return carry_artifacts(kept_multi.unionByName(singles), clusters)
+    return carry_artifacts(kept, clusters)
 
 
 def _keep_best_oracle() -> str:

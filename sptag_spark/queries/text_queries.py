@@ -320,15 +320,18 @@ def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.queries.dedup_queries import corpus_table
 
     docs = corpus_table(spark, sf_dir)
-    q = text_quality(docs).select(
-        "doc_id", "n_tokens", "stopword_ratio"
-    )
-    l = lang_id(docs).select("doc_id", "lang_pred")
-    kept = (
-        docs.join(q, "doc_id")
-        .join(l, "doc_id")
-        .filter((F.col("n_tokens") >= 40) & (F.col("stopword_ratio") >= 0.03))
-    )
+    # one scan, zero joins: quality features and lang-id are per-row column
+    # expressions, so CHAIN them through `passthrough` (each operator carries
+    # the columns the next stage needs) instead of computing each on a
+    # projected copy and self-joining the corpus back on doc_id — the former
+    # shape moved the text payload through two joins to attach columns
+    # derivable in place (guide §8's anti-shape; 3 corpus scans + 2 joins in
+    # the before-plan, r13 batch 6)
+    scored = text_quality(docs, passthrough=["text"])
+    kept = lang_id(
+        scored,
+        passthrough=["text", "n_tokens", "stopword_ratio"],
+    ).filter((F.col("n_tokens") >= 40) & (F.col("stopword_ratio") >= 0.03))
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     return (
         kept.withColumn("_rn", F.row_number().over(w))
@@ -724,17 +727,72 @@ GROUP BY t.doc_id
 # row, and a per-doc rollup. No new wide op beyond dsir_sample's.
 
 
-def _curate_cond():
+def _curate_pred_expr(text_col: str = "text"):
+    """The composite-pipeline curation predicate as ONE column expression
+    with the expensive subexpressions BOUND.
+
+    Why not just filter on rule_filters' flags: predicate pushdown inlines
+    the flag aliases into a single Filter condition, and that Filter is NOT
+    whole-stage-codegen'd (the rlike lambdas inside array filter() are
+    CodegenFallback) — so the interpreted evaluator re-computes
+    ``split(trim(text), '\\s+')`` for every one of the ~10 references the
+    conjunction makes (no common-subexpression elimination outside codegen;
+    measured in pipeline_curated_corpus's r13 mid-plan: the full regex split
+    of the document ran ~8× per row). Binding the split/replace results as
+    fields of a single-element array and evaluating the conjunction inside
+    an ``exists`` lambda makes each reference a lambda-variable lookup — the
+    split runs ONCE per row. Pure column expression, value-identical
+    conjuncts (same sub-expressions, same null semantics), oracle-pinned.
+
+    The cheap scan-prunable conjuncts (contains, isNotNull) stay OUTSIDE the
+    lambda so PushedFilters keeps Not(StringContains(text,{)) at the parquet
+    scan."""
+    text = F.col(text_col)
+    trimmed = F.trim(text)
+    bound = F.struct(
+        F.split(trimmed, r"\s+").alias("tk"),
+        (trimmed == "").alias("mt"),
+        F.length(F.regexp_replace(text, r"\s+", "")).cast("double").alias("nw"),
+        F.length(F.regexp_replace(text, "[^#]", "")).cast("double").alias("hs"),
+        (
+            (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+            / 3
+        ).cast("double").alias("el"),
+        F.split(text, "\n").alias("ln"),
+    )
+
+    def pred(s):
+        n_tok = (
+            F.when(s["mt"], F.lit(0)).otherwise(F.size(s["tk"])).cast("long")
+        )
+        avg_len = F.when(n_tok > 0, s["nw"] / n_tok).otherwise(F.lit(0.0))
+        n_lines = F.size(s["ln"])
+        n_bullets = F.size(
+            F.filter(s["ln"], lambda l: l.rlike(r"^\s*[-*•]"))
+        )
+        alpha_toks = F.size(F.filter(s["tk"], lambda t: t.rlike("[A-Za-z]")))
+        return (
+            (n_tok >= 5)
+            & (n_tok <= 100_000)
+            & (avg_len >= 2.0)
+            & (avg_len <= 12.0)
+            & F.when(
+                n_tok > 0, (s["hs"] + s["el"]) / n_tok <= 0.1
+            ).otherwise(F.lit(False))
+            & F.when(
+                n_lines > 0, n_bullets / n_lines <= 0.9
+            ).otherwise(F.lit(True))
+            & F.when(
+                n_tok > 0, alpha_toks / n_tok >= 0.8
+            ).otherwise(F.lit(False))
+            & (n_tok >= _CURATE_MIN_TOKENS)
+        )
+
     return (
-        F.col("r_min_words")
-        & F.col("r_max_words")
-        & F.col("r_avg_word_len")
-        & F.col("r_symbol_ratio")
-        & F.col("r_bullet_ratio")
-        & F.col("r_no_lorem")
-        & F.col("r_no_brace")
-        & F.col("r_alpha_ratio")
-        & (F.col("n_tokens") >= _CURATE_MIN_TOKENS)
+        text.isNotNull()
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+        & F.exists(F.array(bound), pred)
     )
 
 
@@ -744,18 +802,17 @@ def curated_docs(docs: DataFrame, passthrough: list[str]) -> DataFrame:
     min-length bound; see the constant's comment for why), with
     ``passthrough`` columns carried alongside doc_id.
 
-    MAP-ONLY: the rule flags are computed in place on the full rows and
+    MAP-ONLY: the predicate is evaluated in place on the full rows and
     filtered immediately — the former shape computed flags on a projected
     copy and joined the ids back on doc_id, which sort-merge-shuffled the
     corpus text so that a boolean derivable per-row could be re-attached
     (guide §8's "heavy payload moved for a lightweight decision"; measured
     as the 1 SortMergeJoin + double scan in pipeline_curated_corpus's
-    before-plan). Shared by pipeline_curated_corpus and
+    before-plan). The predicate itself binds its expensive subexpressions
+    (see _curate_pred_expr) so the interpreted Filter splits the text once,
+    not ~10×. Shared by pipeline_curated_corpus and
     pipeline_retrieval_curated."""
-    from sptag_spark.operators.textops import rule_filters
-
-    rf = rule_filters(docs, passthrough=passthrough)
-    return rf.filter(_curate_cond()).select("doc_id", *passthrough)
+    return docs.filter(_curate_pred_expr()).select("doc_id", *passthrough)
 
 
 def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
