@@ -433,19 +433,34 @@ def assign_replicas(
     reference's is: a candidate outside the f nearest groups is invisible,
     which can only LOSE a far replica, never corrupt a near one (recall
     re-measured at the build scale that motivated it — SCALING.md)."""
-    hrows = heads.select("head_id", "vector").collect()
-    head_ids = np.array([r["head_id"] for r in hrows], dtype=np.int64)
-    H = np.array([list(r["vector"]) for r in hrows], dtype=np.float64)
+    # the head matrix is an immutable index artifact — collected once per
+    # heads-frame OBJECT via the shared cache (r13: a live index streaming
+    # micro-batches paid this collect job on EVERY add_batch; the memoized
+    # prebuilt heads frame is the same object across a session's runs)
+    from sptag_spark.index.ann import head_matrix
+
+    head_ids, H = head_matrix(heads)
     if routed is None:
         routed = len(head_ids) >= ROUTED_MIN_HEADS
     routing = None
     routing_csr = None
     if routed and candidate_num < len(head_ids):
         if routed_impl == "grouped":
-            # CSR layout (r12): flat (2k, d) slot arrays, zero padding
-            gc_csr, goff, H, head_ids = _head_routing_csr(
-                H, head_ids, metric
-            )
+            # CSR layout (r12): flat (2k, d) slot arrays, zero padding —
+            # a pure function of the (immutable) head matrix + metric, so
+            # it is likewise computed once per frame object and remembered
+            cache_key = ("csr", metric)
+            cached = getattr(heads, "_sptag_routing_csr", None)
+            if cached is None or cached[0] != cache_key:
+                gc_csr, goff, Hg, idg = _head_routing_csr(
+                    H, head_ids, metric
+                )
+                cached = (cache_key, (gc_csr, goff, Hg, idg))
+                try:
+                    heads._sptag_routing_csr = cached
+                except Exception:  # noqa: BLE001 — cache is best-effort
+                    pass
+            gc_csr, goff, H, head_ids = cached[1]
             routing_csr = (gc_csr, goff)
         else:
             routing = _head_routing(H, head_ids, metric)

@@ -197,18 +197,51 @@ def dedup_clusters(
     of size ≥ 2; cluster_rep = min doc_id in the cluster (the doc a
     keep-one-representative pipeline retains).
     """
-    from sptag_spark.operators.dedup import (
-        dedup_exact_groups,
-        minhash_near_dup_pairs,
-    )
+    from sptag_spark.functions.text import md5_hex, token_shingles
+    from sptag_spark.operators.dedup import SHINGLE_N, minhash_near_dup_pairs
 
-    exact = dedup_exact_groups(docs, id_col=id_col, text_col=text_col)
-    exact_edges = exact.filter(F.col(id_col) != F.col("group_min")).select(
-        F.col(id_col).alias("src"), F.col("group_min").alias("dst")
+    # ONE corpus text pass feeds BOTH edge families (r13): the md5 the
+    # exact-dup window needs rides alongside the shingle hashes in a shared
+    # side table, so the exact edges no longer re-scan and re-tokenize the
+    # corpus after the minhash pipeline already did (guide §6 — the second
+    # scan moved the whole text payload to derive one short hash column).
+    # Same spread discipline as shingle_hashes: a one-file corpus is one
+    # scan task without it.
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    spread = docs
+    if spread.rdd.getNumPartitions() < target:
+        spread = spread.repartition(target)
+    base = spread.select(
+        F.col(id_col).alias("doc_id"),
+        md5_hex(F.col(text_col)).alias("_h"),
+        F.transform(
+            token_shingles(F.col(text_col), SHINGLE_N),
+            lambda s: F.xxhash64(s),
+        ).alias("hh"),
+    ).persist()
+    # row-identical to dedup_exact_groups(docs): same md5 window, only the
+    # scan source differs (the shared side table)
+    ew = Window.partitionBy("_h")
+    exact_edges = (
+        base.select(
+            "doc_id",
+            F.min("doc_id").over(ew).alias("group_min"),
+            F.count("*").over(ew).alias("group_size"),
+        )
+        .filter((F.col("group_size") > 1) & (F.col("doc_id") != F.col("group_min")))
+        .select(F.col("doc_id").alias("src"), F.col("group_min").alias("dst"))
+    )
+    # row-identical to shingle_hashes(docs): same filter + size columns
+    sets = base.filter(F.size("hh") > 0).select(
+        "doc_id", "hh", F.size("hh").alias("sz")
     )
     near_pairs = minhash_near_dup_pairs(
-        docs, jaccard_threshold, id_col=id_col, text_col=text_col
+        docs, jaccard_threshold, id_col=id_col, text_col=text_col, sets=sets
     )
+    from sptag_spark.resources import attach_artifacts
+
+    near_pairs = attach_artifacts(near_pairs, [base])
     near = near_pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

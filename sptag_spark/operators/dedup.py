@@ -358,6 +358,7 @@ def minhash_near_dup_pairs(
     rows_per_band: int | str = "auto",
     min_band_matches: int | str = "auto",
     auto_pair_budget: int = AUTO_PAIR_BUDGET,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates → exact-Jaccard verify → pairs ≥ threshold.
     (doc_a, doc_b, jaccard).
@@ -396,8 +397,17 @@ def minhash_near_dup_pairs(
     −25% end-to-end at the ×256 probe with zero pair loss there,
     worst-case recall at exactly J=threshold 1-(1-J²)^8 ≈ 0.97
     (SCALING.md). The chosen configuration is attached to the result as
-    ``_sptag_lsh_config`` for tests/observability."""
-    sets = shingle_hashes(docs, id_col, text_col).persist()
+    ``_sptag_lsh_config`` for tests/observability.
+
+    ``sets``: a caller-built (doc_id, hh, sz) side table replacing the
+    internal shingle_hashes scan — for consumers that derive OTHER per-doc
+    columns from the same text pass (dedup_clusters carries md5 alongside
+    the shingles so its exact-dup edges don't re-scan the corpus; r13).
+    Must be row-identical to shingle_hashes(docs): same distinct-shingle
+    xxhash64 arrays, empty-shingle docs dropped."""
+    if sets is None:
+        sets = shingle_hashes(docs, id_col, text_col)
+    sets = sets.persist()
     # ONE array-signature row per doc, map-only from the pinned hh table
     # (the long-format explode shipped hh 16× per doc and the r>1 banding
     # paid a 10M-group collect_list+string agg at ×256 — SCALING.md r7);

@@ -156,11 +156,28 @@ def _first_wins_bloom_shard(key_col: str, cols: list[str], m_bits: int, k_hashes
     return fn
 
 
+def _default_state_shards() -> int:
+    """Key-shard count for the stateful kernels, env-overridable
+    (``SPTAG_STREAM_STATE_SHARDS``). Each (key-shard × band) group is one
+    python kernel invocation per micro-batch, and the per-invocation
+    Arrow/pandas floor (~1-3 ms) dominates when groups outnumber the work
+    — measured r13 at sf0.1: shards 32 → 4 cut streaming_near_dup's
+    median wall 5.0 → 3.8 s with a byte-identical emitted pair set (pair
+    membership depends only on bucket contents, never on which shard a
+    bucket lives in; the dedup kernels likewise decide per KEY). Default 4
+    matches the bench-scale state-partition knob; a cluster deployment
+    raises it so state spreads across executors (shards ≥ state
+    partitions keeps every state task busy)."""
+    import os
+
+    return int(os.environ.get("SPTAG_STREAM_STATE_SHARDS", "4"))
+
+
 def streaming_first_wins_dedup(
     stream: DataFrame,
     key_col: str,
     order_col: str,
-    n_state_shards: int = 32,
+    n_state_shards: int | None = None,
     state_mode: str = "exact",
     bloom_bits_per_shard: int = 1 << 23,
     bloom_hashes: int = 7,
@@ -194,6 +211,8 @@ def streaming_first_wins_dedup(
     """
     import pyspark.sql.functions as F
 
+    if n_state_shards is None:
+        n_state_shards = _default_state_shards()
     if state_mode not in ("exact", "bloom"):
         raise ValueError(f"unknown state_mode {state_mode!r}")
     if state_mode == "bloom" and bloom_bits_per_shard % 8:
@@ -523,7 +542,7 @@ def streaming_near_dup_candidates(
     bands: int = 4,
     n_hashes: int = 16,
     max_bucket: int = 256,
-    n_state_shards: int = 32,
+    n_state_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     state_mode: str = "cumulative",
@@ -669,8 +688,12 @@ def streaming_near_dup_candidates(
     )
     # group by (band, bucket-SHARD), not (band, bucket): the kernel walks a
     # dict of its shard's buckets, so python-call count per micro-batch is
-    # bands×n_state_shards (a knob), not one per distinct bucket —
-    # raise n_state_shards for bigger clusters / tighter state objects
+    # bands×n_state_shards (a knob; default env-sized, see
+    # _default_state_shards — the per-invocation floor dominated at 512
+    # groups), not one per distinct bucket — raise n_state_shards for
+    # bigger clusters / tighter state objects
+    if n_state_shards is None:
+        n_state_shards = _default_state_shards()
     sharded = banded.withColumn(
         "shard", F.pmod(F.col("bucket"), F.lit(n_state_shards))
     )
