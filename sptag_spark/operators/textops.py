@@ -163,37 +163,52 @@ def repetition_stats(
     → (doc_id, n_ngrams, top_ngram_frac, dup_ngram_ratio); docs with < n
     tokens report 0 n-grams and 0.0 ratios.
 
-    Shape: explode all n-grams → (doc, gram) count with map-side partial
-    agg → per-doc max/sum/count. The shuffle key is (doc_id, gram), which
-    is near-unique — no skew; text is scanned once."""
+    Shape: MAP-ONLY — every statistic is a function of the doc's OWN
+    n-gram multiset, so nothing crosses rows: sort the gram array and fold
+    it once (F.aggregate) counting distinct values and the longest
+    equal-run (= the max per-gram count). Zero shuffle, zero join, one
+    text scan. The former explode → groupBy(doc_id, gram) → per-doc
+    rollup shape shuffled the entire gram STRING stream twice to compute
+    per-row-derivable numbers (r13; guide §2.4/§8) — and the fold is
+    O(|grams| log |grams|) per doc, so it scales with document length the
+    same way the explode did."""
     from sptag_spark.functions.text import token_shingles_all
 
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(token_shingles_all(F.col(text_col), n)).alias("gram"),
+    grams = F.array_sort(token_shingles_all(F.col(text_col), n))
+    # null text → null array; the exploded formulation yielded a 0-count
+    # row for such docs (left join miss), so coalesce matches it exactly
+    total = F.coalesce(F.size(grams), F.lit(0))
+    # one pass over the sorted array: state = (prev value, current run
+    # length, max run length, distinct count)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("mx"),
+        F.lit(0).cast("long").alias("d"),
     )
-    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
-    per_doc = per_gram.groupBy("doc_id").agg(
-        F.sum("cnt").alias("_total"),
-        F.max("cnt").alias("_max"),
-        F.count("*").alias("_distinct"),
-    )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("_total", F.lit(0)).cast("long").alias("n_ngrams"),
-            F.round(
-                F.coalesce(F.col("_max") / F.col("_total"), F.lit(0.0)), 4
-            ).alias("top_ngram_frac"),
-            F.round(
-                F.coalesce(
-                    F.lit(1.0) - F.col("_distinct") / F.col("_total"), F.lit(0.0)
-                ),
-                4,
-            ).alias("dup_ngram_ratio"),
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["mx"], run).alias("mx"),
+            F.when(same, acc["d"]).otherwise(acc["d"] + 1).alias("d"),
         )
+
+    st = F.aggregate(grams, zero, step)
+    mx, d = st["mx"], st["d"]
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        total.cast("long").alias("n_ngrams"),
+        F.round(
+            F.when(total > 0, mx / total).otherwise(F.lit(0.0)), 4
+        ).alias("top_ngram_frac"),
+        F.round(
+            F.when(total > 0, F.lit(1.0) - d / total).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_ngram_ratio"),
     )
 
 
@@ -361,9 +376,13 @@ def contamination_flags(
     bench_shingles = doc_shingles(benchmark, id_col, text_col, n).select(
         "shingle"
     ).distinct()
-    corpus_shingles = doc_shingles(corpus, id_col, text_col, n).dropDuplicates(
-        ["doc_id", "shingle"]
-    )
+    # (doc_id, shingle) rows are DISTINCT by construction — token_shingles
+    # is array_distinct per doc — so the former dropDuplicates here was a
+    # semantic no-op that exchanged the entire ~50-byte-string shingle
+    # stream before the bench filter (r13; guide §2.4 remove shuffles).
+    # With it gone the broadcast semi-filter runs map-side on the scan and
+    # the only exchange is the doc_id count agg over MATCHED rows.
+    corpus_shingles = doc_shingles(corpus, id_col, text_col, n)
     shared = (
         corpus_shingles.join(F.broadcast(bench_shingles), "shingle")
         .groupBy("doc_id")
