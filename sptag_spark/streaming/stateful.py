@@ -158,16 +158,17 @@ def _first_wins_bloom_shard(key_col: str, cols: list[str], m_bits: int, k_hashes
 
 def _default_state_shards() -> int:
     """Key-shard count for the stateful kernels, env-overridable
-    (``SPTAG_STREAM_STATE_SHARDS``). Each (key-shard × band) group is one
-    python kernel invocation per micro-batch, and the per-invocation
+    (``SPTAG_STREAM_STATE_SHARDS``). Each key-shard group is one python
+    kernel invocation per micro-batch, and the per-invocation
     Arrow/pandas floor (~1-3 ms) dominates when groups outnumber the work
-    — measured r13 at sf0.1: shards 32 → 4 cut streaming_near_dup's
-    median wall 5.0 → 3.8 s with a byte-identical emitted pair set (pair
-    membership depends only on bucket contents, never on which shard a
-    bucket lives in; the dedup kernels likewise decide per KEY). Default 4
-    matches the bench-scale state-partition knob; a cluster deployment
-    raises it so state spreads across executors (shards ≥ state
-    partitions keeps every state task busy)."""
+    — measured r13 at sf0.1: shards 32 → 4 (then still keyed by band,
+    512 → 64 groups) cut streaming_near_dup's median wall 5.0 → 3.8 s
+    with a byte-identical emitted pair set (pair membership depends only
+    on bucket contents, never on which shard a bucket lives in; the dedup
+    kernels likewise decide per KEY). Default 4 matches the bench-scale
+    state-partition knob; a cluster deployment raises it so state spreads
+    across executors (shards ≥ state partitions keeps every state task
+    busy)."""
     import os
 
     return int(os.environ.get("SPTAG_STREAM_STATE_SHARDS", "4"))
@@ -247,11 +248,12 @@ def streaming_first_wins_dedup(
 
 # -- cross-batch NEAR-dup candidates (stateful MinHash-LSH) ------------------
 
-# One state per (band, bucket-shard): ONE packed byte blob holding the
-# shard's admitted (bucket, member-id, quantized-signature) entries,
-# bucket-sorted.
+# One state per bucket-shard: ONE packed byte blob holding the shard's
+# admitted (bucket, member-id, quantized-signature) entries, bucket-sorted
+# (bucket hashes embed the band seed, so one shard blob holds every band's
+# buckets without key collisions).
 # Sharding buckets onto a bounded group key keeps the python-call count per
-# micro-batch at bands×n_shards instead of one call per DISTINCT BUCKET
+# micro-batch at n_shards instead of one call per DISTINCT BUCKET
 # (~105k calls/batch at sf0.1, which dominated the serve loop). The blob
 # layout matters just as much: GroupState round-trips the WHOLE shard value
 # through Pyrolite every batch, so nested Array<Array<Long>> state was
@@ -655,43 +657,45 @@ def streaming_near_dup_candidates(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
-                                F.col("sig")[i]
-                                for i in range(
-                                    b * rows_per_band, (b + 1) * rows_per_band
-                                )
-                            ],
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col("sig")[i]
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bk"),
+        ).alias("bucket"),
     ).select(
         "doc_id",
         # ship only the low byte of each minhash through the state shuffle:
         # the kernel stores and compares quantized signatures anyway (see
         # the state-layout note — equal 64-bit hashes have equal low
         # bytes), so an 8× narrower sig column is value-identical
-        # downstream while the (band, shard) exchange carries 2 B/slot
+        # downstream while the bucket-shard exchange carries 2 B/slot
         # instead of 8 (guide §2.3 narrower types). smallint, not tinyint:
         # the low byte is 0..255 and tinyint is signed.
         F.transform(
             "sig", lambda x: x.bitwiseAND(F.lit(255)).cast("smallint")
         ).alias("sig"),
-        F.col("bk.band").alias("band"),
-        F.col("bk.bucket").alias("bucket"),
+        "bucket",
     )
-    # group by (band, bucket-SHARD), not (band, bucket): the kernel walks a
-    # dict of its shard's buckets, so python-call count per micro-batch is
-    # bands×n_state_shards (a knob; default env-sized, see
-    # _default_state_shards — the per-invocation floor dominated at 512
-    # groups), not one per distinct bucket — raise n_state_shards for
-    # bigger clusters / tighter state objects
+    # group by bucket-SHARD, not (band, bucket) and not (band, shard): the
+    # kernel walks a dict of its shard's buckets, so python-call count per
+    # micro-batch is n_state_shards (a knob; default env-sized, see
+    # _default_state_shards — the per-invocation Arrow/pandas + state
+    # round-trip floor dominated at 512 groups and still cost ~40% of the
+    # stateful stage at 64), not one per distinct bucket or per band. The
+    # band index needn't partition state at all: bucket values already
+    # embed the band seed (xxhash64(lit(b), …)), so buckets from different
+    # bands are distinct 64-bit keys inside one shard blob — cross-band
+    # bucket-value collisions are the same ~n²/2⁶⁴ class the oracle's LSH
+    # determinism argument already accepts. Raise n_state_shards for
+    # bigger clusters / tighter state objects.
     if n_state_shards is None:
         n_state_shards = _default_state_shards()
     sharded = banded.withColumn(
@@ -707,7 +711,7 @@ def streaming_near_dup_candidates(
             "state is append-only and has nothing to age out"
         )
     win = window_batches if state_mode == "window" else None
-    return sharded.groupBy("band", "shard").applyInPandasWithState(
+    return sharded.groupBy("shard").applyInPandasWithState(
         _near_dup_shard(
             threshold,
             max_bucket,
