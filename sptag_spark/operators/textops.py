@@ -171,13 +171,22 @@ def repetition_stats(
     rollup shape shuffled the entire gram STRING stream twice to compute
     per-row-derivable numbers (r13; guide §2.4/§8) — and the fold is
     O(|grams| log |grams|) per doc, so it scales with document length the
-    same way the explode did."""
+    same way the explode did.
+
+    Subexpression binding (r14; VERDICT r13 #2): the Project is NOT
+    whole-stage-codegen'd (higher-order functions are CodegenFallback), so
+    there is no CSE — naming the gram array in Python inlined the regex
+    split + sort ~8× and the fold 2× per row in the interpreted plan. The
+    one-element-array + ``transform`` lambda trick (the curated_docs fix)
+    binds each once: the sorted gram array is evaluated once into a
+    1-element array, the lambda computes the fold once (itself bound via a
+    nested 1-element transform), and a SECOND Project unpacks the struct —
+    an attribute reference, which is free. CollapseProject leaves the two
+    Projects alone because the struct expression is non-cheap and
+    referenced more than once."""
     from sptag_spark.functions.text import token_shingles_all
 
     grams = F.array_sort(token_shingles_all(F.col(text_col), n))
-    # null text → null array; the exploded formulation yielded a 0-count
-    # row for such docs (left join miss), so coalesce matches it exactly
-    total = F.coalesce(F.size(grams), F.lit(0))
     # one pass over the sorted array: state = (prev value, current run
     # length, max run length, distinct count)
     zero = F.struct(
@@ -197,16 +206,41 @@ def repetition_stats(
             F.when(same, acc["d"]).otherwise(acc["d"] + 1).alias("d"),
         )
 
-    st = F.aggregate(grams, zero, step)
-    mx, d = st["mx"], st["d"]
-    return docs.select(
+    def fold_stats(g):
+        # g is a bound lambda variable — every reference below is free.
+        # null text → null array → size(null) is null; coalesce matches
+        # the exploded formulation's 0-count row (left join miss) exactly.
+        total = F.coalesce(F.size(g), F.lit(0))
+        st = F.aggregate(g, zero, step)
+        # st is referenced twice (mx, d) — bind the fold once the same way
+        return F.element_at(
+            F.transform(
+                F.array(st),
+                lambda s: F.struct(
+                    total.alias("total"),
+                    s["mx"].alias("mx"),
+                    s["d"].alias("d"),
+                ),
+            ),
+            1,
+        )
+
+    stats = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.element_at(F.transform(F.array(grams), fold_stats), 1).alias("_st"),
+    )
+    total = F.col("_st.total")
+    return stats.select(
+        "doc_id",
         total.cast("long").alias("n_ngrams"),
         F.round(
-            F.when(total > 0, mx / total).otherwise(F.lit(0.0)), 4
+            F.when(total > 0, F.col("_st.mx") / total).otherwise(F.lit(0.0)),
+            4,
         ).alias("top_ngram_frac"),
         F.round(
-            F.when(total > 0, F.lit(1.0) - d / total).otherwise(F.lit(0.0)),
+            F.when(
+                total > 0, F.lit(1.0) - F.col("_st.d") / total
+            ).otherwise(F.lit(0.0)),
             4,
         ).alias("dup_ngram_ratio"),
     )

@@ -1002,11 +1002,12 @@ def _serve_int8_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (rep,)
 
     (rep,) = _memo(spark, sf_dir, "int8_store", build)
+    # memoized standing query batch (r14, VERDICT r13 #1): the per-run
+    # queries_table(...).collect() was the last serve operator still paying
+    # a collect job per run — every other serve path reads query_batch
     qrows = [
         (int(r["query_id"]), np.asarray(r["vector"], dtype=np.float64))
-        for r in queries_table(spark, sf_dir)
-        .select("query_id", "vector")
-        .collect()
+        for r in query_batch(spark, sf_dir)
     ]
     rows = rep.batch_search(
         qrows, k=DEFAULT_K, nprobe=len(rep.head_ids)
