@@ -374,20 +374,25 @@ def ivf_pq_search(
     ).select("query_id", "id")
     exact_cand = vectors.select("id", "vector").join(F.broadcast(shortlist), "id")
 
+    # sorted query lookup for the refine kernel's row-paired gather
+    _q_ids = np.array(sorted(qmap), dtype=np.int64)
+    _Q_mat = np.stack([qmap[int(q)] for q in _q_ids]) if len(_q_ids) else None
+
     def exact_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from sptag_spark.functions.npgroup import group_slices
-        from sptag_spark.operators.knn import _exact_pair_dists
+        # row-paired exact rescore (r14): one vectorized (V − Q_row)² per
+        # batch instead of a Python loop per query group — elementwise
+        # arithmetic identical to _exact_pair_dists, so values are bitwise
+        # unchanged (same pair-local ops, same axis-1 sum)
+        from sptag_spark.operators.knn import _exact_rowpair_dists
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.array(pdf["vector"].tolist(), dtype=np.float64)
             qids = pdf["query_id"].to_numpy(dtype=np.int64)
-            dist = np.empty(len(pdf))
-            for idx in group_slices(qids):
-                dist[idx] = _exact_pair_dists(
-                    V[idx], qmap[int(qids[idx[0]])], "l2"
-                )
+            dist = _exact_rowpair_dists(
+                V, _Q_mat[np.searchsorted(_q_ids, qids)], "l2"
+            )
             yield pd.DataFrame(
                 {"query_id": qids, "id": pdf["id"].to_numpy(), "adc_dist": dist}
             )

@@ -175,6 +175,79 @@ def test_ivf_pq_rerank_recall(spark, sf_dir):
     assert res0.groupBy("query_id").count().agg(F.min("count")).first()[0] == 10
 
 
+def test_ivf_pq_adc_kernel_bitwise_reference(spark, sf_dir):
+    """The vectorized ADC scan (r14: batch LUT build + fancy-index gather +
+    sort-based segmented top cut, no per-group Python loop) must be
+    BIT-IDENTICAL to the per-(query, list) reference: per pair, LUT entry
+    (m, code) = Σ_sub (x_sub − cb[m, code])², dist = Σ_m LUT[m, code_m],
+    dedup to min dist per (query, id), top keep_n by (dist, id)."""
+    from sptag_spark.index.ivf import (
+        ivf_pq_encode,
+        ivf_pq_search,
+        ivf_pq_train,
+        _centroid_matrix,
+    )
+
+    vectors = vectors_table(spark, sf_dir).cache()
+    queries = queries_table(spark, sf_dir)
+    cents, lists = ivf_build(vectors, n_lists_ratio=0.05, balanced=True, replicas=2)
+    cents, lists = cents.cache(), lists.cache()
+    books = ivf_pq_train(lists, cents, m=16)
+    coded = ivf_pq_encode(lists, cents, books).cache()
+    nprobe = max(12, cents.count() // 4)
+    k = 10
+    got = {
+        (r["query_id"], r["rank"]): (r["id"], r["dist"])
+        for r in ivf_pq_search(
+            queries, cents, coded, books, k=k, nprobe=nprobe
+        ).withColumnRenamed("adc_dist", "dist").collect()
+    }
+
+    # reference: driver-side per-(query, list) loop over the same artifacts
+    from sptag_spark.index.ann import route_queries
+
+    cb, R = books.codebooks, books.rotation
+    m, _, sub = cb.shape
+    head_ids, C = _centroid_matrix(cents)
+    pos = {int(h): i for i, h in enumerate(head_ids)}
+    qmap = {
+        int(r["query_id"]): np.asarray(r["vector"], dtype=np.float64)
+        for r in queries.collect()
+    }
+    routes = route_queries(
+        queries, cents, nprobe, metric="l2", max_dist_ratio=float("inf")
+    ).collect()
+    routed = {}
+    for r in routes:
+        routed.setdefault(int(r["query_id"]), set()).add(int(r["head_id"]))
+    code_rows = coded.collect()
+    best: dict[tuple[int, int], float] = {}
+    cols = np.arange(m)[None, :]
+    for row in code_rows:
+        hid = int(row["head_id"])
+        for qid, heads in routed.items():
+            if hid not in heads:
+                continue
+            x = qmap[qid] - C[pos[hid]]
+            if R is not None:
+                x = x @ R
+            lut = ((x[: m * sub].reshape(m, 1, sub) - cb) ** 2).sum(-1)
+            d = float(
+                lut[cols, np.asarray(row["codes"], dtype=np.int64)[None, :]].sum()
+            )
+            key = (qid, int(row["id"]))
+            if key not in best or d < best[key]:
+                best[key] = d
+    expect = {}
+    byq: dict[int, list] = {}
+    for (qid, vid), d in best.items():
+        byq.setdefault(qid, []).append((d, vid))
+    for qid, cand in byq.items():
+        for rank, (d, vid) in enumerate(sorted(cand)[:k], start=1):
+            expect[(qid, rank)] = (vid, d)
+    assert got == expect
+
+
 def test_opq_beats_pq_on_anisotropic_data(spark):
     """Full OPQ acceptance: on correlated data whose energy straddles the
     axis-aligned subspace split, the alternating rotation must cut
