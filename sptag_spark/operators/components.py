@@ -205,10 +205,11 @@ def dedup_clusters(
     # side table, so the exact edges no longer re-scan and re-tokenize the
     # corpus after the minhash pipeline already did (guide §6 — the second
     # scan moved the whole text payload to derive one short hash column).
-    # Same spread discipline as shingle_hashes: a one-file corpus is one
-    # scan task without it.
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
+    # Same spread discipline as shingle_hashes (scale-adaptive width, r14):
+    # a one-file corpus is one scan task without it.
+    from sptag_spark.partitioning import spread_width
+
+    target = spread_width(docs)
     spread = docs
     if spread.rdd.getNumPartitions() < target:
         spread = spread.repartition(target)

@@ -78,18 +78,24 @@ def shingle_hashes(
     downstream (signatures, LSH buckets, exact-Jaccard verify) works on
     int64 arrays. Docs with < n tokens (empty shingle set) drop out.
 
-    Small inputs are re-spread to the session's parallelism first: a corpus
-    that arrives as one file is one scan split, and the per-row
-    shingle+hash work would otherwise run on a single core. On a table that
-    already has ≥ cores splits (any real deployment) this is a no-op — no
-    shuffle is added at scale. Callers whose input is PROVABLY tiny by
-    construction (e.g. a verify pass restricted to candidate-pair members)
-    pass ``spread=False`` to skip the exchange + near-empty-task stage the
-    spread would cost them; the output rows are identical either way."""
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if spread and docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    Small inputs are re-spread before the map pass: a corpus that arrives
+    as one file is one scan split, and the per-row shingle+hash work would
+    otherwise run on a single core. The width is scale-adaptive
+    (partitioning.spread_width, r14): sized from the input's estimated
+    bytes and capped at the session parallelism, so a real deployment
+    still spreads to every core (and a ≥ cores-splits input skips the
+    exchange entirely) while a bench-scale corpus gets a handful of tasks
+    instead of ``cores`` near-empty ones. Callers whose input is PROVABLY
+    tiny by construction (e.g. a verify pass restricted to candidate-pair
+    members) pass ``spread=False`` to skip the exchange + near-empty-task
+    stage the spread would cost them; the output rows are identical either
+    way."""
+    from sptag_spark.partitioning import spread_width
+
+    if spread:
+        target = spread_width(docs)
+        if docs.rdd.getNumPartitions() < target:
+            docs = docs.repartition(target)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(
@@ -714,15 +720,16 @@ def _span_stream(
     Two longs also shuffle/compare at a third of the bytes of the md5 hex
     string this used to key on, and skip the digest + span-string build.
 
-    Small inputs are re-spread to the session's parallelism first (same
-    guard as shingle_sets): a corpus that arrives as one file is one scan
-    split and the extract would run on one core; at ≥ cores splits this
-    adds nothing."""
+    Small inputs are re-spread first (same scale-adaptive width as
+    shingle_hashes — spread_width, r14): a corpus that arrives as one file
+    is one scan split and the extract would run on one core; at ≥ cores
+    splits this adds nothing."""
     from sptag_spark.functions.text import tokens
+    from sptag_spark.partitioning import spread_width
 
-    spark = docs.sparkSession
-    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    _target = spread_width(docs)
+    if docs.rdd.getNumPartitions() < _target:
+        docs = docs.repartition(_target)
     toks = tokens(F.col(text_col))
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
