@@ -222,10 +222,16 @@ def dedup_clusters(
         ).alias("hh"),
     ).persist()
     # row-identical to dedup_exact_groups(docs): same md5 window, only the
-    # scan source differs (the shared side table)
+    # scan source differs (the shared side table). The window's exchange is
+    # right-sized like the map spread above (r14, guide §2.2): windows have
+    # no map-side combine, so an explicit key-repartition at the derived
+    # width replaces the session-default-width exchange — same rows moved,
+    # `target` instead of `shuffle.partitions` sort tasks.
     ew = Window.partitionBy("_h")
     exact_edges = (
-        base.select(
+        base.select("doc_id", "_h")
+        .repartition(target, "_h")
+        .select(
             "doc_id",
             F.min("doc_id").over(ew).alias("group_min"),
             F.count("*").over(ew).alias("group_size"),
@@ -257,9 +263,13 @@ def dedup_clusters(
 
     # minhash pins its shingle side table; carry the handle so the owner's
     # release() reaches it (the components edge list was materialized by
-    # connected_components' own checkpoint before this plan returns)
+    # connected_components' own checkpoint before this plan returns).
+    # The size window's exchange is right-sized like the exact-dup window
+    # above: the comp frame is node/component longs (≤ 2 rows per edge of
+    # the measured-small dup graph), so `target` reduce tasks carry it.
     out = carry_artifacts(
-        comp.withColumn("cluster_size", F.count("*").over(sizes_w))
+        comp.repartition(target, "component")
+        .withColumn("cluster_size", F.count("*").over(sizes_w))
         .filter(F.col("cluster_size") > 1)
         .select(
             F.col("node").alias(id_col),

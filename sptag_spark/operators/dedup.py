@@ -440,8 +440,21 @@ def minhash_near_dup_pairs(
             # it map-side. Single-occupant buckets carry no pairs and are
             # dropped before persist. (Same observed-size dispatch as
             # connected_components, minus the standalone probe job.)
+            # Right-size the bucket-grouping exchange (r14, guide §2.2):
+            # collect_list has no map-side combine, so the shuffle moves
+            # every (doc_id, seed, minhash) row regardless — an explicit
+            # key-repartition at the input-derived width replaces the
+            # session-default-width exchange the groupBy would plan, and
+            # the aggregation reuses the partitioning (still ONE exchange,
+            # just not `shuffle.partitions` near-empty reduce tasks at
+            # bench scale; at cluster scale the width caps at the session
+            # parallelism and nothing changes).
+            from sptag_spark.partitioning import spread_width
+
+            _w = spread_width(sig_df)
             buckets = (
                 banded_buckets(sig_df, rows_per_band=1)
+                .repartition(_w, "seed", "minhash")
                 .groupBy("seed", "minhash")
                 .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
                 .filter(F.size("ids") >= 2)
@@ -465,8 +478,13 @@ def minhash_near_dup_pairs(
                 pinned.append(buckets)
                 raw = _pairs_within_buckets(buckets)
                 if min_band_matches > 1:
+                    # same right-sizing as the bucket grouping: a pair
+                    # appears ≤ N_MINHASH times, so partial aggregation
+                    # barely shrinks the exchange — key-repartition at the
+                    # derived width instead of `shuffle.partitions`
                     cands = (
-                        raw.groupBy("doc_a", "doc_b")
+                        raw.repartition(_w, "doc_a", "doc_b")
+                        .groupBy("doc_a", "doc_b")
                         .agg(F.count("*").alias("_m"))
                         .filter(F.col("_m") >= min_band_matches)
                         .select("doc_a", "doc_b")
