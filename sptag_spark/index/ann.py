@@ -628,7 +628,13 @@ def ann_search(
     # pruning subquery remains for the distributed-routing fallback).
     routed = getattr(routes, "_sptag_routed_heads", None)
     src = postings
-    if routed is not None and len(routed) <= ROUTE_STATIC_ISIN_MAX:
+    if (
+        routed is not None
+        and len(routed) <= ROUTE_STATIC_ISIN_MAX
+        and len(routed) < cached_count(heads)
+    ):
+        # skipped when the routed set covers every head: a full-coverage
+        # IN-list prunes nothing and just bloats each plan (r14)
         src = src.filter(F.col("head_id").isin(routed))
     route_sel = routes.select("query_id", "head_id")
     if not mega:

@@ -270,9 +270,18 @@ def ivf_pq_search(
 
     routed = getattr(routes, "_sptag_routed_heads", None)
     src = coded_lists
-    if routed is not None and len(routed) <= ROUTE_STATIC_ISIN_MAX:
+    from sptag_spark.index.ann import cached_count
+
+    if (
+        routed is not None
+        and len(routed) <= ROUTE_STATIC_ISIN_MAX
+        and len(routed) < cached_count(centroids)
+    ):
         # static partition pruning on the code scan, size-gated like
-        # ann_search (an IN-list approaching |lists| prunes nothing)
+        # ann_search — and skipped outright when the batch's routed set
+        # covers EVERY list (r14: at serve nprobe=25% over 80 queries the
+        # union hits all lists, so the IN-filter pruned nothing and only
+        # added a literal-list predicate to every plan)
         src = src.filter(F.col("head_id").isin(routed))
     cand = src.join(
         F.broadcast(routes.select("query_id", "head_id")), "head_id"

@@ -49,6 +49,64 @@ def plan_size_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
+KERNEL_ROWS_PER_TASK = int(
+    os.environ.get("SPTAG_KERNEL_ROWS_PER_TASK", "256")
+)
+
+
+def right_size_cached(
+    df: DataFrame, n_rows: int, key_col: str | None = None
+) -> DataFrame:
+    """Right-size a to-be-persisted numeric-kernel frame (codes / coded
+    lists / IVF lists) ONCE at index build, so every serve run's
+    mapInPandas scan reads sensibly-filled Arrow batches instead of the
+    accident of the upstream layout (guide §2.2 / §6).
+
+    Measured r14 pathologies at sf0.1/32 cores: SQ codes arrived as ONE
+    parquet split (the whole scan kernel ran serially) while IVF-PQ coded
+    lists arrived as 32 near-empty splits (each serve task paid the
+    ~20-30 ms Arrow+scheduling floor for ~100 rows, and each rebuilt the
+    per-(query, list) LUTs its slice touched). Target
+    ceil(rows / KERNEL_ROWS_PER_TASK) partitions, capped at the session
+    parallelism; widen a too-narrow frame always, but SHRINK only when the
+    whole frame is small enough that even parallelism-wide tasks run
+    underfull (rows <= rows_per_task x parallelism) — a warehouse-scale
+    frame whose scan splits each carry millions of rows is left exactly as
+    the scan/AQE laid it out. ``key_col`` clusters by that column (for
+    routed serves: a head's rows colocate, so per-(query, head) LUTs build
+    once, probed 1.53 -> 1.34 s on ivf_pq_search). Row-set unchanged —
+    only the layout moves, once, at build."""
+    spark = df.sparkSession
+    cap = spark.sparkContext.defaultParallelism
+    want = max(1, min(-(-n_rows // KERNEL_ROWS_PER_TASK), cap))
+    cur = df.rdd.getNumPartitions()
+    if cur < want or (
+        cur > want and n_rows <= KERNEL_ROWS_PER_TASK * cap
+    ):
+        return (
+            df.repartition(want, key_col) if key_col else df.repartition(want)
+        )
+    return df
+
+
+def persist_sized(
+    df: DataFrame, key_col: str | None = None
+) -> tuple[DataFrame, int]:
+    """Persist + materialize ``df``, then re-layout the CACHE at the
+    right-sized width (reading from the cache, so the build plan runs
+    once). Returns (frame, row count). No-op beyond the persist when the
+    layout is already right."""
+    df = df.persist()
+    n = df.count()
+    sized = right_size_cached(df, n, key_col)
+    if sized is not df:
+        sized = sized.persist()
+        sized.count()
+        df.unpersist()
+        return sized, n
+    return df, n
+
+
 def spread_width(
     df: DataFrame, bytes_per_task: int | None = None
 ) -> int:

@@ -78,8 +78,14 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             vectors, n_lists_ratio=0.05, balanced=True, replicas=2
         )
         centroids = centroids.persist()
-        lists = lists.persist()
-        lists.count()
+        # serve-layout right-sizing at build (r14, guide §2.2/§6): the
+        # cached lists cluster by head_id at ~KERNEL_ROWS_PER_TASK rows
+        # per partition, so each serve scan task carries enough rows to
+        # amortize its Arrow/scheduling floor and a routed head's rows
+        # colocate; warehouse-scale layouts are left as laid out
+        from sptag_spark.partitioning import persist_sized
+
+        lists, _ = persist_sized(lists, key_col="head_id")
         # lists is now materialized in its own cache; the build-time
         # intermediates it carried (balanced-assign join, hier coarse
         # assignment) have no live consumer — drop them from storage
@@ -98,10 +104,17 @@ def ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
     from sptag_spark.index.ivf import ivf_pq_encode, ivf_pq_train
 
     def build():
+        from sptag_spark.partitioning import persist_sized
+
         centroids, lists = ivf_index(spark, sf_dir)
         books = ivf_pq_train(lists, centroids, m=16)
-        coded = ivf_pq_encode(lists, centroids, books).persist()
-        coded.count()
+        # head_id-clustered right-sized cache layout (see ivf_index):
+        # probed 1.90 → 1.34 s on ivf_pq_search at sf0.1/32 cores (32
+        # near-empty serve tasks → 16 filled ones, per-(query, head) LUTs
+        # built once)
+        coded, _ = persist_sized(
+            ivf_pq_encode(lists, centroids, books), key_col="head_id"
+        )
         return books, coded
 
     return _memo(spark, sf_dir, "ivfpq", build)
@@ -109,10 +122,11 @@ def ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
 
 def pq_index(spark: SparkSession, sf_dir: str) -> tuple:
     def build():
+        from sptag_spark.partitioning import persist_sized
+
         vectors = vectors_table(spark, sf_dir)
         books = train_pq(vectors, m=8)
-        codes = pq_encode(vectors, books).persist()
-        codes.count()
+        codes, _ = persist_sized(pq_encode(vectors, books))
         return books, codes
 
     return _memo(spark, sf_dir, "pq", build)
@@ -120,10 +134,11 @@ def pq_index(spark: SparkSession, sf_dir: str) -> tuple:
 
 def opq_index(spark: SparkSession, sf_dir: str) -> tuple:
     def build():
+        from sptag_spark.partitioning import persist_sized
+
         vectors = vectors_table(spark, sf_dir)
         books = train_pq(vectors, m=8, opq_rotation=True)
-        codes = pq_encode(vectors, books).persist()
-        codes.count()
+        codes, _ = persist_sized(pq_encode(vectors, books))
         return books, codes
 
     return _memo(spark, sf_dir, "opq", build)
@@ -517,11 +532,14 @@ FROM ({ORACLE_PER_QUERY})
 def sq_index(spark: SparkSession, sf_dir: str) -> tuple:
     def build():
         from sptag_spark.index.sq import sq_encode, train_sq
+        from sptag_spark.partitioning import persist_sized
 
         vectors = vectors_table(spark, sf_dir)
         params = train_sq(vectors)
-        codes = sq_encode(vectors, params).persist()
-        codes.count()
+        # the sf0.1 parquet arrives as ONE split — the whole SQ scan
+        # kernel ran serially per serve; right-sized cache layout probed
+        # 1.45 → 1.26 s on sq8_search (see partitioning.right_size_cached)
+        codes, _ = persist_sized(sq_encode(vectors, params))
         return params, codes
 
     return _memo(spark, sf_dir, "sq8", build)

@@ -526,8 +526,29 @@ def test_filtered_spann_prunes_postings_below_scoring(spark):
     # ... and the details stream puts the survivor filter before the
     # scoring kernel (node numbering is bottom-up: build sides first)
     assert m.start() < p.index("Arguments: score(")
-    # head routing still prunes the posting scan under the filter
-    assert "INSET" in p
+    # head routing still prunes the posting scan under the filter — unless
+    # the batch's routed union covers EVERY head, in which case the static
+    # IN-filter is correctly skipped (r14: a full-coverage IN-list prunes
+    # nothing and only bloats the plan)
+    if "INSET" not in p:
+        from sptag_spark.index.ann import (
+            SEARCH_INTERNAL_RESULT_NUM,
+            cached_count,
+            route_queries,
+        )
+
+        # same routing parameters as the executed ann_search (defaults:
+        # metric l2, MAX_DIST_RATIO), so coverage here is coverage there
+        routes = route_queries(
+            queries.select("query_id", "vector"),
+            heads,
+            planned.nprobe or SEARCH_INTERNAL_RESULT_NUM,
+        )
+        routed = getattr(routes, "_sptag_routed_heads", None)
+        assert routed is not None and len(routed) == cached_count(heads), (
+            "posting scan lost its head-routing prune while routing was "
+            "partial"
+        )
 
 
 def test_bm25_index_serve_never_scans_corpus(spark):
