@@ -57,10 +57,16 @@ def _memo(spark: SparkSession, sf_dir: str, kind: str, build):
 
 def spann_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     def build():
+        from sptag_spark.partitioning import persist_sized
+
         vectors = vectors_table(spark, sf_dir)
         heads = select_heads(vectors, ratio=DEFAULT_HEAD_RATIO).persist()
-        postings = build_postings(vectors, heads).persist()
-        postings.count()
+        # head_id-clustered right-sized cache layout (r14, see
+        # partitioning.right_size_cached): every serve scan reads filled
+        # Arrow batches and a routed head's posting rows colocate
+        postings, _ = persist_sized(
+            build_postings(vectors, heads), key_col="head_id"
+        )
         return heads, postings
 
     return _memo(spark, sf_dir, "spann", build)
@@ -720,8 +726,21 @@ def _serve_disk_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # full outer: a rank present on only ONE side must surface as a
     # mismatch (no broadcast — Spark cannot broadcast a full-outer side;
-    # the shuffle is k·|Q| rows, trivial at any scale)
-    j = spark_res.alias("s").join(rep_df.alias("r"), ["query_id", "rank"], "full")
+    # the shuffle is k·|Q| rows, trivial at any scale). Both sides are
+    # |Q|-sized on query_id (the ⌈|Q|/128⌉ discipline, r14): partitioning
+    # on a subset of the join keys satisfies the join's clustering AND the
+    # groupBy below, so the k·|Q|-row verify runs in ⌈|Q|/128⌉ tasks
+    # instead of 3 session-wide near-empty stages.
+    _w = max(1, -(-len(q_rows) // 128))
+    j = (
+        spark_res.repartition(_w, "query_id")
+        .alias("s")
+        .join(
+            rep_df.repartition(_w, "query_id").alias("r"),
+            ["query_id", "rank"],
+            "full",
+        )
+    )
     return j.groupBy("query_id").agg(
         F.count("*").alias("n_results"),
         F.min(
@@ -757,15 +776,25 @@ def _posting_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.max("n_replicas") <= REPLICA_COUNT)
         ).alias("replicas_in_range"),
     )
-    size_inv = (
-        postings.groupBy("head_id")
-        .agg(F.count("*").alias("sz"))
-        .agg((F.max("sz") <= POSTING_LIMIT).alias("size_capped"))
+    # ONE per-head pass carries both remaining invariants (r14, guide
+    # §2.4): posting sizes and head validity used to be separate scans —
+    # a groupBy(head_id) plus a full-width left-anti join against heads.
+    # The anti-join's question ("does any posting row name a non-head?")
+    # is decided by the DISTINCT head_ids, which the size grouping already
+    # produces — so join heads into the ~|heads|-row grouped table
+    # (broadcast, map-side) and fold both checks into its aggregate.
+    per_head = postings.groupBy("head_id").agg(F.count("*").alias("sz"))
+    size_head_inv = per_head.join(
+        F.broadcast(
+            heads.select("head_id").withColumn("_is_head", F.lit(True))
+        ),
+        "head_id",
+        "left",
+    ).agg(
+        (F.max("sz") <= POSTING_LIMIT).alias("size_capped"),
+        F.min(F.coalesce("_is_head", F.lit(False))).alias("heads_valid"),
     )
-    head_inv = postings.join(
-        F.broadcast(heads.select("head_id")), "head_id", "left_anti"
-    ).agg((F.count("*") == 0).alias("heads_valid"))
-    return vec_inv.crossJoin(F.broadcast(size_inv)).crossJoin(F.broadcast(head_inv))
+    return vec_inv.crossJoin(F.broadcast(size_head_inv))
 
 
 register(

@@ -348,8 +348,16 @@ def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (scored,)
 
     (scored,) = _memo(spark, sf_dir, f"doc_clusters{CLUSTER_K}", build)
-    summary = cluster_summary(scored)
-    ex = cluster_exemplars(scored)
+    # ONE cluster-keyed exchange feeds both verify branches (r14, guide
+    # §2.4): the summary groupBy and the exemplar window each require
+    # clustering on `cluster`; repartitioning the cached frame once at
+    # min(k, parallelism) satisfies both (no further exchange in either
+    # branch) and replaces two session-wide near-empty shuffles — k is a
+    # constant 16, so the width is the natural cap at any scale.
+    _wk = min(CLUSTER_K, spark.sparkContext.defaultParallelism)
+    clustered = scored.repartition(_wk, "cluster")
+    summary = cluster_summary(clustered)
+    ex = cluster_exemplars(clustered)
     ex_inv = ex.agg(
         (F.count("*") == CLUSTER_K).alias("exemplars_ok"),
     )

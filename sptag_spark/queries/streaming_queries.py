@@ -400,9 +400,16 @@ def _streaming_near_dup(
     # so window mode is exact here (the horizon spans the stream) while
     # still exercising the generation-stamped state layout end-to-end;
     # eviction semantics are pinned by tests/test_io_streaming.py
+    # spread each micro-batch's signature pipeline at the corpus-derived
+    # width (r14, guide §2.2): a landing file is half the measured batch
+    # corpus, so spread_width(corpus) bounds the per-trigger volume — the
+    # streaming source itself has no size estimate to derive this from
+    from sptag_spark.partitioning import spread_width
+
     cand = streaming_near_dup_candidates(
         stream, threshold=0.3, bands=16, n_hashes=32,
         state_mode=state_mode, window_batches=2,
+        spread_partitions=spread_width(corpus),
     )
     with _state_partitions(spark):
         q = (

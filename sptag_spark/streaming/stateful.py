@@ -550,6 +550,7 @@ def streaming_near_dup_candidates(
     state_mode: str = "cumulative",
     window_batches: int = 8,
     idle_timeout_ms: int | None = None,
+    spread_partitions: int | None = None,
 ) -> DataFrame:
     """Cross-batch NEAR-duplicate candidate pairs over a document stream —
     the streaming twin of operators/dedup.py minhash_near_dup_pairs.
@@ -621,12 +622,20 @@ def streaming_near_dup_candidates(
     # round-robin exchange moves only the small raw rows once (guide
     # §2.5/§2.6 — input skew from an unsplittable-ish source, fix right
     # after the read). The state shuffle downstream re-keys by
-    # (band, shard) exactly as before, so emitted pairs are unchanged.
+    # bucket-shard, so emitted pairs are unchanged by this width.
+    # ``spread_partitions``: callers that know the batch volume (e.g. the
+    # bench queries, whose landing files are halves of a measured batch
+    # corpus) pass a spread_width-derived count so a bench-scale
+    # micro-batch doesn't fan to `cores` near-empty signature tasks (r14,
+    # guide §2.2 — a streaming source has no Catalyst size estimate to
+    # derive it here); default stays the session parallelism, the right
+    # width for a production feed.
     import os as _os
 
     if _os.environ.get("SPTAG_STREAM_SPREAD", "1") != "0":
+        _cap = stream.sparkSession.sparkContext.defaultParallelism
         stream = stream.repartition(
-            stream.sparkSession.sparkContext.defaultParallelism
+            min(spread_partitions, _cap) if spread_partitions else _cap
         )
     # The shingle hashing runs ONCE per doc behind an explode-of-one
     # Generate barrier: n_hashes per-seed transforms referencing a plain
@@ -711,6 +720,11 @@ def streaming_near_dup_candidates(
             "state is append-only and has nothing to age out"
         )
     win = window_batches if state_mode == "window" else None
+    # NOTE (r13→r14 upgrade): the group key changed from (band, shard) to
+    # shard-only (the band seed is folded into the bucket hash). Like the
+    # state-blob format notes above, this changes the state key schema —
+    # an existing checkpoint written by the (band, shard) layout cannot be
+    # restored; restart the query from a fresh checkpoint after upgrading.
     return sharded.groupBy("shard").applyInPandasWithState(
         _near_dup_shard(
             threshold,
