@@ -805,6 +805,63 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
+    # Noise guard (r14, VERDICT r13 #3/#5): the r13 32-core sitting started
+    # on a box at half speed and recovered mid-run, manufacturing ~11 false
+    # regressions that the verdict had to un-pick by hand. The bench now
+    # defends itself ADDITIVELY: at sitting end (machine state = the
+    # calibration_after sample) it re-times the queries most likely to be
+    # flagged — the ones that regressed most vs the repo's previous
+    # committed BENCH_SELF.json when one is readable, else the slowest —
+    # with the same median-of-n methodology, and reports BOTH samples. The
+    # timed loop above and every pre-existing output field are untouched;
+    # a regression that vanishes on re-time is labeled noise by the
+    # artifact itself.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    n_retime = int(os.environ.get("SPARK_GRAFT_BENCH_RETIME", "6"))
+    retime: dict = {}
+    if n_retime > 0 and timings:
+        try:
+            prev_q: dict = {}
+            try:
+                with open(os.path.join(repo_dir, "BENCH_SELF.json")) as f:
+                    prev_q = json.load(f).get("queries", {}) or {}
+            except Exception:  # noqa: BLE001
+                prev_q = {}
+            if prev_q:
+                flagged = sorted(
+                    (n for n in timings if prev_q.get(n)),
+                    key=lambda n: prev_q[n] / max(timings[n], 1e-9),
+                )[:n_retime]
+                policy = "worst_vs_prev_bench_self"
+            else:
+                flagged = sorted(timings, key=lambda n: -timings[n])[
+                    :n_retime
+                ]
+                policy = "slowest_current"
+            from sptag_spark.resources import release as _release
+
+            rq: dict = {}
+            for name in flagged:
+                rsamples: list[float] = []
+                for _ in range(n_runs):
+                    t0 = time.time()
+                    df = specs[name].query(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    rsamples.append(time.time() - t0)
+                    _release(df, include_self=False)
+                rsamples.sort()
+                rq[name] = {
+                    "first_pass_sec": timings[name],
+                    "retime_sec": round(rsamples[len(rsamples) // 2], 3),
+                    "retime_spread": [
+                        round(rsamples[0], 3),
+                        round(rsamples[-1], 3),
+                    ],
+                }
+            retime = {"policy": policy, "queries": rq}
+        except Exception as exc:  # noqa: BLE001
+            retime = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "total_query_wall_sec",
@@ -828,6 +885,7 @@ def main() -> None:
         "aggregator_ms": aggregator_ms,
         "streaming_serve_micro_batches": stream_serve,
         "index_build_sec": builds,
+        "retime_end_of_sitting": retime,
         "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -714,10 +714,26 @@ def embedding_near_dup_pairs(
             {"id_a": ids[r_idx][keep], "id_b": ids[c_idx][keep], "cos_sim": sims[keep]}
         )
 
-    pairs = assigned.groupBy("block").applyInPandas(
-        block_pairs, schema="id_a long, id_b long, cos_sim double"
+    # block-keyed width (r14, guide §2.2): there are exactly n_blocks
+    # groups, so the kernel exchange can never usefully exceed that —
+    # min(n_blocks, parallelism) replaces `shuffle.partitions` near-empty
+    # tasks at bench scale and is the same cap at cluster scale. The pair
+    # dedup reuses the same derived width on its own keys (duplicate pair
+    # rows carry identical cos_sim — same arithmetic on the same inputs —
+    # so which copy survives is immaterial, as before).
+    _bw = min(
+        max(1, n_blocks), src.sparkSession.sparkContext.defaultParallelism
     )
-    return pairs.dropDuplicates(["id_a", "id_b"])
+    pairs = (
+        assigned.repartition(_bw, "block")
+        .groupBy("block")
+        .applyInPandas(
+            block_pairs, schema="id_a long, id_b long, cos_sim double"
+        )
+    )
+    return pairs.repartition(_bw, "id_a", "id_b").dropDuplicates(
+        ["id_a", "id_b"]
+    )
 
 
 def _span_stream(

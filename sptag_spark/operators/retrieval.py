@@ -308,17 +308,25 @@ def rrf_fuse(
     Returns (rank, doc_id, rrf) top-k by (rrf desc, doc_id asc). Tail is
     TakeOrderedAndProject, not a global window (operators/rank.py) — the
     fused candidate union can be |queries|·depth rows in a batch run.
+
+    Shape (r14, guide §3.4): the fusion is a UNION + sum-aggregate, not a
+    full-outer join — a full outer cannot broadcast, so Spark planned a
+    SortMergeJoin (two full-width exchanges + sorts) to fuse two
+    rank-bounded lists. Each list contributes 1/(c + rank) rows and the
+    per-doc sum over the union is value-identical to the join's
+    coalesce-to-0 addition (a doc appears in ≤ 2 lists; IEEE addition of
+    two terms is commutative), for ONE combinable exchange and no sort.
     """
     from sptag_spark.operators.rank import ranked_topk
 
-    a = list_a.select(F.col(id_col).alias("doc_id"), F.col("rank").alias("ra"))
-    bdf = list_b.select(F.col(id_col).alias("doc_id"), F.col("rank").alias("rb"))
-    fused = a.join(bdf, "doc_id", "full_outer").select(
-        "doc_id",
-        (
-            F.coalesce(1.0 / (F.lit(c) + F.col("ra")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(c) + F.col("rb")), F.lit(0.0))
-        ).alias("rrf"),
+    contrib = 1.0 / (F.lit(c) + F.col("rank"))
+    fused = (
+        list_a.select(F.col(id_col).alias("doc_id"), contrib.alias("_c"))
+        .unionByName(
+            list_b.select(F.col(id_col).alias("doc_id"), contrib.alias("_c"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_c").alias("rrf"))
     )
     top = ranked_topk(fused, [F.col("rrf").desc(), F.col("doc_id")], k)
     return top.select("rank", "doc_id", F.round("rrf", 6).alias("rrf"))

@@ -147,9 +147,14 @@ def _spfresh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = v.filter(F.col("id") % 2 == 0)
 
     def build():
+        from sptag_spark.partitioning import persist_sized
+
         heads = select_heads(even, ratio=DEFAULT_HEAD_RATIO).persist()
-        postings = build_postings(even, heads).persist()
-        postings.count()
+        # same head_id-clustered right-sized cache layout as spann_index
+        # (r14): every post-add search scans the base through this cache
+        postings, _ = persist_sized(
+            build_postings(even, heads), key_col="head_id"
+        )
         return heads, postings
 
     # the base half-index is an OFFLINE artifact (memoized like every other
@@ -169,6 +174,12 @@ def _spfresh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = idx.search(
         queries_table(spark, sf_dir), k=10, nprobe=10,
         q_rows=query_batch(spark, sf_dir),
+    )
+    # |Q|-sized verify aggregation (the ⌈|Q|/128⌉ discipline, r14): res is
+    # ≤ |Q|·k scalar rows — the groupBy reuses this clustering instead of
+    # fanning to session-wide near-empty reduce tasks
+    res = res.repartition(
+        max(1, -(-len(query_batch(spark, sf_dir)) // 128)), "query_id"
     )
     return res.groupBy("query_id").agg(
         F.count("*").alias("n_results"),
